@@ -1,38 +1,64 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline; ``queries()`` /
+``oracle_sql()`` expose the engine's conformance catalog
+(cdc_data_pipeline_spark.catalog) — one entry per implemented operator
+from SURVEY.md §2, each with a DuckDB oracle where SQL-expressible.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+REPO_ROOT = str(Path(__file__).resolve().parent)
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from cdc_data_pipeline_spark import catalog  # noqa: E402
+from cdc_data_pipeline_spark.plans import ModelRegistry, models  # noqa: E402
+from cdc_data_pipeline_spark.session import configure_session  # noqa: E402
+from cdc_data_pipeline_spark.sources.readers import read_table  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full star-schema model DAG (the reference's dbt graph,
+    SURVEY §3.3) executed topologically, then the revenue rollup."""
+    configure_session(spark)
+    reg = ModelRegistry()
+    for t in ("customer", "orders", "lineitem", "nation"):
+        reg.add_source(t, read_table(spark, SF0001, t))
+    reg.model("stg_users", ("customer",))(models.stg_users)
+    reg.model("dim_users", ("stg_users", "nation"))(models.dim_users)
+    reg.model("stg_savings_plan", ("orders",))(models.stg_savings_plan)
+    reg.model("dim_savings_plan", ("stg_savings_plan", "dim_users"))(models.dim_savings_plan)
+    reg.model("stg_savings_transaction", ("lineitem",))(models.stg_savings_transaction)
+    reg.model("fact_savings_transaction", ("stg_savings_transaction", "dim_savings_plan"))(
+        models.fact_savings_transaction
+    )
+    built = reg.run(select="+fact_savings_transaction")
+    fact = built["fact_savings_transaction"]
+
+    from pyspark.sql import functions as F
+
+    return (
+        fact.groupBy("product_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_transactions"),
+            F.round(F.sum("amount"), 2).alias("total_amount"),
+            F.round(F.avg("rate"), 6).alias("avg_rate"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return catalog.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return catalog.oracles()

@@ -1,0 +1,22 @@
+"""Query catalog: every implemented operator exposed as a named query
+(spark, sf_dir) -> DataFrame with (where expressible) a DuckDB oracle.
+
+This is the engine's conformance surface — SURVEY.md §2 operator IDs are
+noted on each entry.
+"""
+
+from cdc_data_pipeline_spark.catalog import core, ext
+
+
+def queries():
+    out = {}
+    out.update(core.QUERIES)
+    out.update(ext.QUERIES)
+    return out
+
+
+def oracles():
+    out = {}
+    out.update(core.ORACLES)
+    out.update(ext.ORACLES)
+    return {k: v for k, v in out.items() if v is not None}

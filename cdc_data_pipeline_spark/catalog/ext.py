@@ -1,0 +1,404 @@
+"""Extension query catalog: events/streaming shapes, text analysis,
+deduplication, similarity search, multimodal plumbing (SURVEY §7.6).
+
+Entries with ``None`` oracle are genuinely approximate/non-SQL ops —
+the driver records rows-only checks for those; everything else has an
+exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.functions import text as tx
+from cdc_data_pipeline_spark.operators import dedup as dd
+from cdc_data_pipeline_spark.operators import multimodal as mm
+from cdc_data_pipeline_spark.operators import similarity as sim
+from cdc_data_pipeline_spark.catalog.core import _t
+from cdc_data_pipeline_spark.streaming.windows import tumbling_counts
+
+
+# ---------------------------------------------------------------- events
+
+def q_events_tumbling(spark, sf_dir):
+    """Streaming-shaped tumbling window agg (batch/stream-identical op).
+    1h windows align to epoch, so the oracle is date_trunc('hour')."""
+    return tumbling_counts(_t(spark, sf_dir, "events"), "1 hour")
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark, sf_dir):
+    """F14: JSON field extraction from the props payload column."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization as a composition of window functions —
+    the batch-equivalent of session_window (15 min gap)."""
+    e = _t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events_sess_src")
+    return spark.sql("""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL 15 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events_sess_src
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, MIN(ts) AS session_start,
+               MAX(ts) AS session_end, COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    """)
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 15 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, MIN(ts) AS session_start,
+       MAX(ts) AS session_end, COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# ------------------------------------------------------------- text ops
+
+def q_text_stats(spark, sf_dir):
+    """Token counting + quality signals, all native expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count("text").cast("long").alias("n_tokens"),
+        tx.char_count("text").cast("long").alias("n_chars_computed"),
+        F.round(tx.mean_token_length("text"), 6).alias("mean_token_len"),
+        F.round(tx.stopword_ratio("text"), 6).alias("stopword_ratio"),
+    )
+
+
+SQL_TEXT_STATS = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents)
+SELECT doc_id,
+       len(t)::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars_computed,
+       ROUND(list_sum(list_transform(t, x -> length(x))) * 1.0
+             / greatest(len(t), 1), 6) AS mean_token_len,
+       ROUND(len(list_filter(t, x -> list_contains(
+               ['the','a','and','of','to','in','is','it','that','for'], lower(x)))) * 1.0
+             / greatest(len(t), 1), 6) AS stopword_ratio
+FROM toks
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over normalized text (exact-dup key)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint("text").alias("fingerprint"))
+
+
+SQL_TEXT_FINGERPRINT = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-vote language ID; ties break to the alphabetically-first
+    language, zero hits -> 'und'."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(tx.lang_id("text").alias("lang_detected"))
+        .groupBy("lang_detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_HITS = """list_filter(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+                 x -> list_contains({words}, lower(x)))"""
+
+SQL_LANG_ID = f"""
+WITH hits AS (
+  SELECT doc_id,
+    len({_HITS.format(words="['der','die','das','und','ist','nicht','ein','mit','zu','auf']")}) AS de_hits,
+    len({_HITS.format(words="['the','a','and','of','to','in','is','it','that','for']")}) AS en_hits,
+    len({_HITS.format(words="['le','la','les','et','est','pas','un','une','dans','pour']")}) AS fr_hits
+  FROM documents)
+SELECT CASE WHEN de_hits >= greatest(en_hits, fr_hits, 1) THEN 'de'
+            WHEN en_hits >= greatest(fr_hits, 1) THEN 'en'
+            WHEN fr_hits >= 1 THEN 'fr'
+            ELSE 'und' END AS lang_detected,
+       count(*) AS n_docs
+FROM hits GROUP BY 1
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+SQL_QUALITY_SCORE = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents),
+feats AS (
+  SELECT doc_id,
+         len(t) AS n_tok,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+         len(list_filter(t, x -> list_contains(
+             ['the','a','and','of','to','in','is','it','that','for'], lower(x)))) * 1.0
+           / greatest(len(t), 1) AS stop_ratio
+  FROM toks)
+SELECT doc_id,
+       ROUND(least(n_tok / 50.0, 1.0) * 0.4
+             + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+             + least(stop_ratio * 5.0, 1.0) * 0.3, 6) AS quality
+FROM feats
+"""
+
+
+# ---------------------------------------------------------------- dedup
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: keep lowest doc_id per normalized-text fingerprint."""
+    return dd.dedup_exact(_t(spark, sf_dir, "documents")) \
+        .select("doc_id", "fingerprint", F.col("dup_count").cast("long").alias("dup_count"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       count(*) AS dup_count
+FROM documents GROUP BY 2
+"""
+
+
+def q_dedup_exact_pairs(spark, sf_dir):
+    return dd.exact_duplicate_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT_PAIRS = """
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+"""
+
+
+_DUCK_SHINGLES = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1),
+                                  i -> array_to_string(t[i:i+2], ' '))
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks)
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: 8 md5 min-hashes, 4 bands of 2.
+    md5-based so the full construction has an exact SQL oracle."""
+    return dd.lsh_candidate_pairs(_t(spark, sf_dir, "documents"),
+                                  num_hashes=8, bands=4, shingle_k=3)
+
+
+SQL_MINHASH_LSH_PAIRS = _DUCK_SHINGLES + """,
+sig AS (
+  SELECT doc_id,
+    """ + ",\n    ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS h{i}"
+        for i in range(8)
+    ) + """
+  FROM sh),
+banded AS (
+  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+  UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+  UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard similarity via inverted shingle index (no cross
+    join); threshold on the 6dp-rounded ratio."""
+    return dd.jaccard_pairs(_t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.3)
+
+
+SQL_JACCARD_PAIRS = _DUCK_SHINGLES + """,
+ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.doc_id
+JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.3
+"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (xxhash64-based — engine-internal hash, no
+    SQL oracle; driver does a rows-only check, unit tests pin behavior)."""
+    return dd.simhash_near_pairs(_t(spark, sf_dir, "documents"),
+                                 bits=32, max_hamming=6, blocks=4)
+
+
+def q_embed_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact within a label block."""
+    e = _t(spark, sf_dir, "embeddings")
+    from cdc_data_pipeline_spark.functions.vectors import cosine
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cos", F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6))
+        .filter(F.col("cos") >= 0.8)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "cos")
+    )
+
+
+SQL_EMBED_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.8
+"""
+
+
+# ----------------------------------------------------------- similarity
+
+def q_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast query set, single corpus
+    pass; rank on 6dp-rounded similarity with id tiebreak."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return sim.topk_cosine(e, queries, k=5)
+
+
+SQL_TOPK_COSINE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+  FROM q JOIN embeddings e ON q.query_id <> e.vec_id)
+SELECT query_id, neighbor_id, cos,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN (nprobe=1) — approximate by design, rows-only
+    check; exactness is benchmarked against q_topk_cosine in tests."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    centroids = e.filter(F.col("vec_id") % 50 == 25) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    return sim.ivf_topk(e, queries, centroids, k=5)
+
+
+# ----------------------------------------------------------- multimodal
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload column -> mapInPandas
+    feature extraction (stubbed decode). Oracle checks the byte-level
+    features DuckDB can reproduce."""
+    media = mm.documents_as_media(_t(spark, sf_dir, "documents"))
+    feats = mm.extract_features(media, decode_stub=True)
+    return feats.select("media_id", "n_bytes", F.col("first_byte").cast("int").alias("first_byte"))
+
+
+SQL_MEDIA_FEATURES = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       ascii(text) AS first_byte
+FROM documents
+"""
+
+
+QUERIES = {
+    "events_tumbling_window": q_events_tumbling,
+    "events_json_extract": q_events_json,
+    "events_sessionize": q_events_sessionize,
+    "text_stats": q_text_stats,
+    "text_fingerprint": q_text_fingerprint,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "dedup_exact": q_dedup_exact,
+    "dedup_exact_pairs": q_dedup_exact_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embed_near_dup": q_embed_near_dup,
+    "topk_cosine": q_topk_cosine,
+    "ivf_topk": q_ivf_topk,
+    "media_features": q_media_features,
+}
+
+ORACLES = {
+    "events_tumbling_window": SQL_EVENTS_TUMBLING,
+    "events_json_extract": SQL_EVENTS_JSON,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "text_stats": SQL_TEXT_STATS,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "lang_id": SQL_LANG_ID,
+    "quality_score": SQL_QUALITY_SCORE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_exact_pairs": SQL_DEDUP_EXACT_PAIRS,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "simhash_pairs": None,
+    "embed_near_dup": SQL_EMBED_NEAR_DUP,
+    "topk_cosine": SQL_TOPK_COSINE,
+    "ivf_topk": None,
+    "media_features": SQL_MEDIA_FEATURES,
+}

@@ -1,0 +1,124 @@
+"""Text-analysis column expressions (north-star extensions, SURVEY §7.6).
+
+Language ID, quality scoring, token counting and fingerprinting for a
+large-scale training-data pipeline. Everything here is native Column
+expressions (split / higher-order functions / regexp / md5) — JVM-side,
+codegen'd, and reproducible in an ANSI-SQL oracle. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Deliberately small and deterministic.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "dans", "pour"],
+}
+
+PUNCT_CLASS = r"[.,;:!?]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization with empty tokens removed.
+
+    Expressed as split + filter so DuckDB's
+    ``list_filter(regexp_split_to_array(...))`` matches exactly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars (quality-scoring signal)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, f"[^{PUNCT_CLASS[1:-1]}]", "")) / F.length(c)
+
+
+def stopword_hits(col: Column | str, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    toks = tokens(col)
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(words, F.lower(t))))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    return stopword_hits(col, lang) / F.greatest(token_count(col), F.lit(1))
+
+
+def mean_token_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality score in [0,1]: favors texts with reasonable
+    length, low punctuation noise, and some English stopword mass.
+    Deterministic arithmetic only — oracle-expressible."""
+    n_tok = token_count(col)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(col) * F.lit(5.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(col) * F.lit(5.0), F.lit(1.0))
+    return F.round(len_score * F.lit(0.4) + (F.lit(1.0) - punct_penalty) * F.lit(0.3) + stop_score * F.lit(0.3), 6)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-vote language ID over the STOPWORDS table.
+
+    Returns the language with the most stopword hits; ties broken by
+    language code order (deterministic); 'und' when no hits at all.
+    """
+    hits = {lang: stopword_hits(col, lang) for lang in sorted(STOPWORDS)}
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    # iterate in reverse-sorted order so the earliest code wins ties
+    for lang in sorted(STOPWORDS, reverse=True):
+        cond = hits[lang] >= F.greatest(best_hits, F.lit(1))
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
+    return best_lang
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Lowercase + whitespace-collapse + trim (dedup canonical form)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text.
+
+    md5 (not xxhash64) so a DuckDB oracle produces the identical hex
+    digest. For purely-internal hashing prefer ``F.xxhash64`` (cheaper).
+    """
+    return F.md5(normalized_text(col))
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """k-token shingles joined by spaces: the unit for Jaccard/MinHash.
+
+    Built with sequence+transform+slice (higher-order functions), all
+    JVM-side. Documents shorter than k tokens produce their whole text
+    as a single shingle so they still participate in dedup.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    full = F.array(F.array_join(toks, " "))
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.when(n >= k, grams).otherwise(full)

@@ -1,0 +1,230 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band ->
+bucket-join), SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+Scale design:
+- Exact dedup groups by a fingerprint hash, never by the raw text —
+  shuffle keys are 32-byte digests, not multi-KB documents.
+- MinHash/LSH is the linear-time path: candidate pairs only form inside
+  a band bucket (a key-equi self-join on band signature), so there is
+  no O(n^2) cross join anywhere.
+- Jaccard verification runs ONLY on LSH candidates (or on an inverted
+  shingle index), again avoiding cross joins.
+- md5 is used where a DuckDB oracle must reproduce the hash;
+  ``xxhash64`` (cheaper) where hashing is engine-internal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.functions.text import fingerprint, normalized_text, shingles, tokens
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact (normalized) text.
+
+    Hash-groupBy on the md5 fingerprint: map-side partial min, one
+    shuffle of (digest, id) pairs.
+    """
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .select(id_col, F.col("__fp").alias("fingerprint"), "dup_count")
+    )
+
+
+def exact_duplicate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(a, b) id pairs with identical normalized text, a < b."""
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("__fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.__fp") == F.col("b.__fp")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 8, shingle_k: int = 3) -> DataFrame:
+    """MinHash signature per document.
+
+    hash_i(doc) = min over shingles of md5(i || '|' || shingle) — md5 so
+    the whole construction is reproducible in an ANSI-SQL oracle
+    (lexicographic min over hex digests is a valid min-hash).
+    Higher-order functions keep it one JVM pass, no explode/shuffle.
+    """
+    sh = shingles(text_col, shingle_k)
+
+    def seeded_min(i: int):
+        # single-arg closure: a 2-arg lambda would make Spark pass the
+        # element index as the second argument
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat_ws("|", F.lit(str(i)), s))))
+
+    sig = F.array(*[seeded_min(i) for i in range(num_hashes)])
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        num_hashes: int = 8, bands: int = 4, shingle_k: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
+    documents sharing any full band collide. The self-join key is
+    (band_index, band_hash) — linear in corpus size, no cross join.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sig.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("|", *[F.col("signature")[b * rows_per_band + r]
+                                        for r in range(rows_per_band)]).alias("bucket"))
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard
+# --------------------------------------------------------------------------
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  shingle_k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Pairs with shingle-set Jaccard >= threshold, via an inverted
+    shingle index (explode + self-join on shingle), never a cross join.
+
+    intersection = co-occurring distinct shingles; union = |A|+|B|-∩.
+    Jaccard is rounded to 6dp before thresholding so float noise cannot
+    flip membership between engines.
+    """
+    sh = df.select(F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """SimHash over tokens: per-bit majority vote of token hashes.
+
+    Token hash = xxhash64(token) (engine-internal, no oracle needed);
+    bit b of the simhash is 1 when the weighted sum of (+1/-1) votes is
+    positive. All native: transform + aggregate, one pass.
+    """
+    toks = tokens(text_col)
+
+    def bit_vote(b: int):
+        return F.aggregate(
+            toks, F.lit(0),
+            lambda acc, t: acc + F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+                                        F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    votes = [bit_vote(b) for b in range(bits)]
+    sim = F.lit(0).cast("long")
+    for b, v in enumerate(votes):
+        sim = sim + F.when(v > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       bits: int = 32, max_hamming: int = 3, blocks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole blocking: split the hash into ``blocks`` chunks; any pair
+    within distance d < blocks must agree on >= 1 full chunk, so the
+    join key is (chunk_index, chunk_value) — no cross join.
+    """
+    bits_per_block = bits // blocks
+    mask = (1 << bits_per_block) - 1
+    sh = simhash(df, text_col, id_col, bits)
+    blocked = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftright(F.col("simhash"), i * bits_per_block).bitwiseAND(F.lit(mask)).alias("val"))
+            for i in range(blocks)
+        ])).alias("b"),
+    ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.val") == F.col("b.val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return pairs.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming) \
+                .select("id_a", "id_b", "hamming")
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+                             threshold: float = 0.95, buckets: int = 8) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    Blocking via random-hyperplane sign buckets (deterministic
+    pseudo-hyperplanes derived from dimension parity) keeps the
+    self-join keyed; within-bucket pairs get exact cosine. For the
+    oracle-checked variant at test scale see queries.q_embed_near_dup
+    (exact, index-join based).
+    """
+    from cdc_data_pipeline_spark.functions.vectors import cosine
+
+    # deterministic cheap LSH: sign of sum of even dims / odd dims / halves
+    v = F.col(vec_col)
+    n = F.size(v)
+    half = (n / 2).cast("int")
+    sigs = [
+        F.aggregate(F.slice(v, 1, half), F.lit(0.0), lambda a, x: a + x.cast("double")) > 0,
+        F.aggregate(F.slice(v, half + 1, n - half), F.lit(0.0), lambda a, x: a + x.cast("double")) > 0,
+        F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double")) > 0,
+    ]
+    bucket = F.concat_ws("", *[s.cast("int").cast("string") for s in sigs])
+    vecs = df.select(F.col(id_col), v.alias("v"), bucket.alias("bucket"))
+    a, b = vecs.alias("a"), vecs.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .withColumn("cos", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "cos")
+    )

@@ -1,0 +1,141 @@
+"""Incremental load / merge strategies — the CDC core (SURVEY §2.3).
+
+The reference implements four load strategies with generated ClickHouse
+SQL (temp Memory tables, DELETE WHERE key IN, INSERT...SELECT —
+reference: base_loader.py:275-584). Here each strategy is a pure
+DataFrame -> DataFrame function; the write is a single atomic overwrite
+(strictly better than the reference's non-transactional delete+insert
+window, base_loader.py:316-329).
+
+Scale notes (100 TB):
+- ``upsert`` is a key-equi anti-join: Catalyst/AQE picks broadcast when
+  the batch is small (the common CDC case — a change-batch is orders of
+  magnitude smaller than the target), so the target is NOT shuffled.
+- ``latest_per_key`` uses max(struct(...)) argmax aggregation, which has
+  a map-side partial combine — far cheaper at scale than the
+  window/row_number formulation (which requires a full sort of every
+  partition's rows per key).
+- ``snapshot_load`` maps to dynamic partition overwrite: only the
+  affected date partitions are rewritten, never the whole table.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def get_watermark(target: DataFrame | None, tracking_column: str):
+    """M5: high-watermark read — ``SELECT MAX(tracking) FROM target``.
+
+    Reference: base_loader.py:586-608 (None when the target does not
+    exist yet -> full initial load). The only driver-side collect in the
+    incremental path, and it is a single scalar.
+    """
+    if target is None:
+        return None
+    row = target.agg(F.max(tracking_column).alias("wm")).first()
+    return row["wm"] if row else None
+
+
+def full_load(batch: DataFrame) -> DataFrame:
+    """M1: full load (truncate + insert) — the new state IS the batch.
+
+    Reference: base_loader.py:477-516. Write with mode('overwrite').
+    """
+    return batch
+
+
+def upsert(target: DataFrame, batch: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """M2: incremental upsert (delete+insert by key).
+
+    Reference: base_loader.py:275-338 — temp table + DELETE WHERE key IN
+    + INSERT. Spark-first: rows of ``target`` whose key appears in the
+    batch are dropped (left_anti) and the batch is appended. One shuffle
+    at most; broadcast anti-join when the batch is small.
+    """
+    return target.join(batch.select(*keys).distinct(), list(keys), "left_anti").unionByName(batch)
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    tracking_column: str,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Groupwise latest-record-wins dedup (the core of M3, R8).
+
+    Reference: base_loader.py:427-436 keeps ``(key, MAX(tracking))`` via
+    a NOT IN anti-predicate. Implemented as an argmax aggregation —
+    ``max(struct(tracking, tiebreakers..., payload))`` — because struct
+    comparison is lexicographic and max() gets a map-side partial
+    aggregate (one shuffle of pre-combined partials, vs a full sort for
+    the window/row_number formulation).
+    """
+    payload = [c for c in df.columns]
+    order_cols = [tracking_column, *tiebreakers]
+    packed = F.max(F.struct(*[F.col(c) for c in order_cols], F.struct(*payload).alias("__row"))).alias("__m")
+    agg = df.groupBy(*keys).agg(packed)
+    return agg.select([F.col(f"__m.__row.{c}").alias(c) for c in payload])
+
+
+def upsert_dedup(
+    target: DataFrame,
+    batch: DataFrame,
+    keys: Sequence[str],
+    tracking_column: str,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """M3: incremental upsert + keep-latest dedup ("special" load).
+
+    Reference: base_loader.py:340-475 — upsert, then if any key has >1
+    row keep only (key, MAX(tracking)). Batch is deduped first (cheap,
+    small), then upserted.
+    """
+    deduped = latest_per_key(batch, keys, tracking_column, tiebreakers)
+    return upsert(target, deduped, keys)
+
+
+def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """R7: duplicate detection — GROUP BY key HAVING count > 1."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") > 1)
+
+
+def snapshot_load(
+    target: DataFrame | None,
+    batch: DataFrame,
+    derived_column: str,
+    snapshot_date: Column | None = None,
+) -> DataFrame:
+    """M4: date-partitioned snapshot overwrite.
+
+    Reference: base_loader.py:518-584 — delete today's partition, insert
+    the batch stamped with today(). As a pure function: drop target rows
+    whose ``derived_column`` equals the stamp, append the stamped batch.
+    When writing to parquet use ``partitionBy(derived_column)`` +
+    ``partitionOverwriteMode=dynamic`` so only the stamped partition is
+    rewritten.
+    """
+    stamp = snapshot_date if snapshot_date is not None else F.current_date()
+    stamped = batch.withColumn(derived_column, stamp)
+    if target is None:
+        return stamped
+    kept = target.join(stamped.select(derived_column).distinct(), [derived_column], "left_anti")
+    return kept.unionByName(stamped)
+
+
+def write_merged(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> None:
+    """Materialize a merge result, handling the read-then-overwrite
+    self-dependency (SURVEY §7.2): the merged plan reads the target
+    path, so overwriting in place would corrupt the scan. Localize
+    the result first (cheap checkpoint via persist+count), then write.
+    """
+    df = df.persist()
+    df.count()
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    df.unpersist()

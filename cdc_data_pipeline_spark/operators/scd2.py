@@ -1,0 +1,127 @@
+"""SCD Type 2 change tracking (M7) — dbt snapshot `check` strategy.
+
+Reference: dbt_project/dbt/snapshots/users_snapshot.sql:1-18 (config:
+strategy='check', unique_key, check_cols) consumed with
+``WHERE dbt_valid_to IS NULL`` (models/marts/dim_users.sql:13-15).
+Worked example: reference README.md:69-88.
+
+Semantics per batch (run timestamp ``run_ts``):
+- brand-new key            -> open row  (valid_from=run_ts, valid_to=NULL)
+- changed key (any check   -> close old open row (valid_to=run_ts)
+  col differs, null-safe)     + insert new open row
+- unchanged key            -> untouched
+- key absent from batch    -> closed (valid_to=run_ts) only when
+                              ``close_deleted`` (dbt invalidate_hard_deletes)
+- closed history rows      -> untouched forever
+
+Scale notes: one key-equi join between the OPEN slice of the snapshot
+(filter pushed to the parquet scan) and the incoming batch. Change
+detection is a null-safe comparison (``<=>`` negation) — native
+expressions, codegen'd. History rows never shuffle: they pass through
+by union. Snapshot tables should be written partitioned so the open
+slice (valid_to IS NULL) prunes to few partitions.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_COLS = ("dbt_valid_from", "dbt_valid_to", "dbt_scd_id", "dbt_updated_at")
+
+
+def _scd_id(key_cols: Sequence[str], ts_col) -> F.Column:
+    # md5(concat_ws('|', key..., ts)) — matches what a SQL oracle computes
+    return F.md5(F.concat_ws("|", *[F.col(k).cast("string") for k in key_cols], ts_col.cast("string")))
+
+
+def scd2_init(batch: DataFrame, keys: Sequence[str], run_ts: str) -> DataFrame:
+    """First snapshot run: every row opens at run_ts."""
+    ts = F.lit(run_ts).cast("timestamp")
+    return (
+        batch.withColumn("dbt_valid_from", ts)
+        .withColumn("dbt_valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("dbt_scd_id", _scd_id(keys, ts))
+        .withColumn("dbt_updated_at", ts)
+    )
+
+
+def scd2_merge(
+    snapshot: DataFrame | None,
+    batch: DataFrame,
+    keys: Sequence[str],
+    check_cols: Sequence[str],
+    run_ts: str,
+    close_deleted: bool = False,
+) -> DataFrame:
+    """Merge one batch into an SCD2 snapshot table; returns new state.
+
+    ``run_ts`` is an explicit parameter (never ``current_timestamp()``)
+    so merges are deterministic and replayable.
+    """
+    if snapshot is None:
+        return scd2_init(batch, keys, run_ts)
+
+    ts = F.lit(run_ts).cast("timestamp")
+    payload_cols = [c for c in batch.columns]
+
+    history = snapshot.filter(F.col("dbt_valid_to").isNotNull())
+    current = snapshot.filter(F.col("dbt_valid_to").isNull())
+
+    inc = batch.select(*payload_cols)
+    # one full-outer key join decides every row's fate
+    cur_k = current.alias("cur")
+    inc_k = inc.alias("inc")
+    cond = [F.col(f"cur.{k}").eqNullSafe(F.col(f"inc.{k}")) for k in keys]
+    joined = cur_k.join(inc_k, cond, "full_outer")
+
+    in_cur = F.col(f"cur.{keys[0]}").isNotNull()
+    in_inc = F.col(f"inc.{keys[0]}").isNotNull()
+    changed = F.lit(False)
+    for c in check_cols:
+        changed = changed | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"inc.{c}"))
+
+    cur_payload = [F.col(f"cur.{c}").alias(c) for c in payload_cols]
+    cur_meta = [F.col(f"cur.{m}").alias(m) for m in META_COLS]
+    inc_payload = [F.col(f"inc.{c}").alias(c) for c in payload_cols]
+
+    # unchanged current rows pass through untouched
+    unchanged = joined.filter(in_cur & in_inc & ~changed).select(*cur_payload, *cur_meta)
+
+    # changed (and optionally deleted) current rows close at run_ts
+    close_pred = (in_cur & in_inc & changed) | ((in_cur & ~in_inc) if close_deleted else F.lit(False))
+    closed = joined.filter(close_pred).select(
+        *cur_payload,
+        F.col("cur.dbt_valid_from").alias("dbt_valid_from"),
+        ts.alias("dbt_valid_to"),
+        F.col("cur.dbt_scd_id").alias("dbt_scd_id"),
+        F.col("cur.dbt_updated_at").alias("dbt_updated_at"),
+    )
+
+    # keys absent from the batch and not closed stay open
+    missing = joined.filter(in_cur & ~in_inc).select(*cur_payload, *cur_meta) \
+        if not close_deleted else None
+
+    # changed + brand-new keys open a fresh version
+    opened = joined.filter((in_inc & ~in_cur) | (in_cur & in_inc & changed)).select(
+        *inc_payload,
+        ts.alias("dbt_valid_from"),
+        F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+        _scd_id([f"inc.{k}" for k in keys], ts).alias("dbt_scd_id"),
+        ts.alias("dbt_updated_at"),
+    )
+
+    parts = [history, unchanged, closed, opened]
+    if missing is not None:
+        parts.append(missing)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scd2_current(snapshot: DataFrame) -> DataFrame:
+    """R5: current-version filter — ``WHERE dbt_valid_to IS NULL``."""
+    return snapshot.filter(F.col("dbt_valid_to").isNull())

@@ -1,0 +1,71 @@
+"""Model registry + topological pipeline execution (SURVEY §2.7 O1-O3).
+
+Reference orchestration is Dagster assets + dbt-manifest DAG with
+upstream-closure selection (dagster_code/jobs/all_jobs.py:24-42,
+assets/dbt_assets.py:6-25). Here: a plain registry of named models with
+declared dependencies, topologically executed; ``select`` supports the
+dbt-style ``+model`` upstream-closure syntax.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+class ModelRegistry:
+    def __init__(self) -> None:
+        self._models: dict[str, tuple[tuple[str, ...], Callable[..., DataFrame]]] = {}
+
+    def model(self, name: str, deps: tuple[str, ...] = ()):
+        """Register ``fn(*dep_frames) -> DataFrame`` as model ``name``."""
+        def deco(fn: Callable[..., DataFrame]):
+            self._models[name] = (tuple(deps), fn)
+            return fn
+        return deco
+
+    def add_source(self, name: str, df: DataFrame) -> None:
+        self._models[name] = ((), lambda df=df: df)
+
+    def upstream_closure(self, name: str) -> list[str]:
+        """dbt's ``+model`` selection: the model and everything upstream."""
+        seen: list[str] = []
+
+        def visit(n: str) -> None:
+            if n in seen:
+                return
+            deps, _ = self._models[n]
+            for d in deps:
+                visit(d)
+            seen.append(n)
+
+        visit(name)
+        return seen
+
+    def topo_order(self) -> list[str]:
+        order: list[str] = []
+        for n in self._models:
+            for m in self.upstream_closure(n):
+                if m not in order:
+                    order.append(m)
+        return order
+
+    def run(self, select: str | None = None) -> dict[str, DataFrame]:
+        """Execute models in dependency order; returns name -> DataFrame.
+
+        ``select='+fact_x'`` runs fact_x and its upstream closure only.
+        Execution is lazy plan construction — materialization happens
+        when the caller writes/collects a result.
+        """
+        if select:
+            # deps must be built to build the model, so non-'+' select
+            # still executes the closure; '+' is the dbt-style spelling
+            names = self.upstream_closure(select.lstrip("+"))
+        else:
+            names = self.topo_order()
+        out: dict[str, DataFrame] = {}
+        for n in names:
+            deps, fn = self._models[n]
+            out[n] = fn(*[out[d] for d in deps])
+        return out

@@ -1,0 +1,68 @@
+"""Mirror of the driver's correctness gate: run every catalog query in
+Spark AND its DuckDB oracle on the same parquet; compare row count,
+column names, and order-insensitive values exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from cdc_data_pipeline_spark import catalog
+from tests.conftest import SF0001
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def duck_result(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def canon(cols, rows):
+    """Sort columns by name, then rows; normalize values to strings."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v:.6f}".rstrip("0").rstrip(".")
+        return str(v)
+
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+ORACLES = catalog.oracles()
+QUERIES = catalog.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, name):
+    sf_dir = SF0001
+    sdf = QUERIES[name](spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    d_cols, d_rows = duck_result(ORACLES[name], sf_dir)
+
+    c1, r1 = canon(s_cols, s_rows)
+    c2, r2 = canon(d_cols, d_rows)
+    assert c1 == c2, f"{name}: column mismatch {c1} vs {c2}"
+    assert len(r1) == len(r2), f"{name}: rowcount {len(r1)} vs {len(r2)}"
+    mism = [(a, b) for a, b in zip(r1, r2) if a != b][:5]
+    assert not mism, f"{name}: value mismatch, first diffs: {mism}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    sdf = QUERIES[name](spark, SF0001)
+    assert sdf.count() >= 0
