@@ -15,7 +15,13 @@ from cdc_data_pipeline_spark.operators import dedup as dd
 from cdc_data_pipeline_spark.operators import multimodal as mm
 from cdc_data_pipeline_spark.operators import similarity as sim
 from cdc_data_pipeline_spark.catalog.core import _t
+from cdc_data_pipeline_spark.sources.readers import ensure_parallelism
 from cdc_data_pipeline_spark.streaming.windows import tumbling_counts
+
+
+def _docs(spark, sf_dir):
+    # text ops are CPU-bound per row: spread the single-file scan
+    return ensure_parallelism(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------- events
@@ -96,7 +102,7 @@ FROM sess GROUP BY user_id, session_id
 
 def q_text_stats(spark, sf_dir):
     """Token counting + quality signals, all native expressions."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         tx.token_count("text").cast("long").alias("n_tokens"),
@@ -125,7 +131,7 @@ FROM toks
 
 def q_text_fingerprint(spark, sf_dir):
     """Document fingerprint: md5 over normalized text (exact-dup key)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select("doc_id", tx.fingerprint("text").alias("fingerprint"))
 
 
@@ -139,7 +145,7 @@ FROM documents
 def q_lang_id(spark, sf_dir):
     """Stopword-vote language ID; ties break to the alphabetically-first
     language, zero hits -> 'und'."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return (
         d.select(tx.lang_id("text").alias("lang_detected"))
         .groupBy("lang_detected")
@@ -167,7 +173,7 @@ FROM hits GROUP BY 1
 
 
 def q_quality_score(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select("doc_id", tx.quality_score("text").alias("quality"))
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cdc_data_pipeline_spark.functions.text import fingerprint, normalized_text, shingles, tokens
+from cdc_data_pipeline_spark.sources.readers import ensure_parallelism
 
 
 # --------------------------------------------------------------------------
@@ -34,7 +35,7 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     shuffle of (digest, id) pairs.
     """
     return (
-        df.withColumn("__fp", fingerprint(text_col))
+        ensure_parallelism(df).withColumn("__fp", fingerprint(text_col))
         .groupBy("__fp")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
         .select(id_col, F.col("__fp").alias("fingerprint"), "dup_count")
@@ -43,7 +44,7 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def exact_duplicate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(a, b) id pairs with identical normalized text, a < b."""
-    fp = df.select(F.col(id_col), fingerprint(text_col).alias("__fp"))
+    fp = ensure_parallelism(df).select(F.col(id_col), fingerprint(text_col).alias("__fp"))
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(b, (F.col("a.__fp") == F.col("b.__fp")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -63,8 +64,11 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     the whole construction is reproducible in an ANSI-SQL oracle
     (lexicographic min over hex digests is a valid min-hash).
     Higher-order functions keep it one JVM pass, no explode/shuffle.
+    Hashes run over DISTINCT shingles only (min is set-invariant), and
+    the input is repartitioned if the scan was single-partition.
     """
-    sh = shingles(text_col, shingle_k)
+    df = ensure_parallelism(df)
+    sh = F.array_distinct(shingles(text_col, shingle_k))
 
     def seeded_min(i: int):
         # single-arg closure: a 2-arg lambda would make Spark pass the
@@ -116,7 +120,8 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Jaccard is rounded to 6dp before thresholding so float noise cannot
     flip membership between engines.
     """
-    sh = df.select(F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("sh"))
+    sh = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("sh"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -146,6 +151,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bit b of the simhash is 1 when the weighted sum of (+1/-1) votes is
     positive. All native: transform + aggregate, one pass.
     """
+    df = ensure_parallelism(df)
     toks = tokens(text_col)
 
     def bit_vote(b: int):

@@ -74,6 +74,11 @@ def extract_features(media: DataFrame, decode_stub: bool = True, feature_dim: in
             "container; run with decode_stub=True"
         )
 
+    # no forced repartition here: shuffling binary payloads costs more
+    # than the stub featurization saves. With a REAL decoder (10-100ms
+    # per item) callers should `df.repartition(n)` first — the shuffle
+    # amortizes instantly at that per-row cost.
+
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]

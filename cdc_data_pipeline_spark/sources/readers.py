@@ -56,6 +56,20 @@ def read_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, Dat
     return {n: read_table(spark, sf_dir, n) for n in names}
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition iff the scan produced fewer partitions than cores.
+
+    Small single-file parquet inputs land in one partition, serializing
+    CPU-bound per-row work (hashing, shingling, feature extraction). At
+    real scale (many input splits) this is a no-op — the guard keeps it
+    from ever adding a shuffle to an already-parallel plan.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def incremental_scan(
     df: DataFrame,
     tracking_column: str,
