@@ -1,0 +1,86 @@
+"""Merge strategies M1-M5 as multi-batch scenarios + the write path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.operators.incremental import (
+    duplicate_keys,
+    get_watermark,
+    latest_per_key,
+    snapshot_load,
+    upsert,
+    upsert_dedup,
+    write_merged,
+)
+from cdc_data_pipeline_spark.sources.readers import incremental_scan
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(rows, "k long, updated_at string, v string")
+
+
+def test_watermark_none_for_missing_target(spark):
+    assert get_watermark(None, "updated_at") is None
+
+
+def test_watermark_and_scan_modes(spark):
+    df = mk(spark, [(1, "2024-01-01", "a"), (2, "2024-01-02", "b")])
+    wm = get_watermark(df, "updated_at")
+    assert wm == "2024-01-02"
+    assert incremental_scan(df, "updated_at", wm, inclusive=False).count() == 0
+    # Mongo-style $gte re-reads the boundary row (at-least-once)
+    assert incremental_scan(df, "updated_at", wm, inclusive=True).count() == 1
+    assert incremental_scan(df, "updated_at", None).count() == 2
+
+
+def test_upsert_replaces_and_appends(spark):
+    target = mk(spark, [(1, "2024-01-01", "a"), (2, "2024-01-01", "b")])
+    batch = mk(spark, [(2, "2024-01-02", "b2"), (3, "2024-01-02", "c")])
+    out = {r.k: r.v for r in upsert(target, batch, ["k"]).collect()}
+    assert out == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_upsert_dedup_multi_version_batch(spark):
+    target = mk(spark, [(1, "2024-01-01", "a")])
+    batch = mk(spark, [(1, "2024-01-02", "v2"), (1, "2024-01-03", "v3"), (2, "2024-01-01", "b")])
+    out = {r.k: (r.v, r.updated_at) for r in upsert_dedup(target, batch, ["k"], "updated_at").collect()}
+    assert out == {1: ("v3", "2024-01-03"), 2: ("b", "2024-01-01")}
+
+
+def test_latest_per_key_tiebreaker(spark):
+    df = mk(spark, [(1, "2024-01-01", "x"), (1, "2024-01-01", "y")])
+    out = latest_per_key(df, ["k"], "updated_at", tiebreakers=["v"]).collect()
+    assert len(out) == 1 and out[0].v == "y"
+
+
+def test_duplicate_keys(spark):
+    df = mk(spark, [(1, "a", "x"), (1, "b", "y"), (2, "c", "z")])
+    dups = duplicate_keys(df, ["k"]).collect()
+    assert len(dups) == 1 and dups[0].k == 1 and dups[0].cnt == 2
+
+
+def test_snapshot_load_overwrites_same_date(spark):
+    t = spark.createDataFrame([(1, "a")], "k long, v string") \
+        .withColumn("snap_date", F.lit("2024-01-01").cast("date"))
+    b = spark.createDataFrame([(2, "b")], "k long, v string")
+    # different date: both partitions survive
+    s1 = snapshot_load(t, b, "snap_date", F.lit("2024-01-02").cast("date"))
+    assert s1.count() == 2
+    # same date: old partition replaced
+    s2 = snapshot_load(t, b, "snap_date", F.lit("2024-01-01").cast("date"))
+    rows = s2.collect()
+    assert len(rows) == 1 and rows[0].k == 2
+
+
+def test_write_merged_self_dependency(spark, tmp_path):
+    """M2 reads the target and overwrites the same path — the localize-
+    then-write protocol must not corrupt the data (SURVEY §7.2 trap)."""
+    path = str(tmp_path / "tgt")
+    t0 = mk(spark, [(1, "2024-01-01", "a"), (2, "2024-01-01", "b")])
+    t0.write.parquet(path)
+    target = spark.read.parquet(path)
+    batch = mk(spark, [(2, "2024-01-02", "b2")])
+    write_merged(upsert(target, batch, ["k"]), path)
+    out = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert out == {1: "a", 2: "b2"}

@@ -1,0 +1,78 @@
+"""Model registry, plan-shape assertions (broadcast/pushdown), and
+multimodal feature plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    frame_sample,
+)
+from cdc_data_pipeline_spark.plans import ModelRegistry, models
+from cdc_data_pipeline_spark.sources.readers import read_table
+from tests.conftest import SF0001
+
+
+def test_registry_topo_and_select(spark):
+    reg = ModelRegistry()
+    for t in ("customer", "orders", "nation"):
+        reg.add_source(t, read_table(spark, SF0001, t))
+    reg.model("stg_users", ("customer",))(models.stg_users)
+    reg.model("dim_users", ("stg_users", "nation"))(models.dim_users)
+    reg.model("stg_savings_plan", ("orders",))(models.stg_savings_plan)
+    reg.model("dim_savings_plan", ("stg_savings_plan", "dim_users"))(models.dim_savings_plan)
+
+    built = reg.run(select="+dim_users")
+    assert set(built) == {"customer", "nation", "stg_users", "dim_users"}
+    assert built["dim_users"].count() == 150
+
+    order = reg.topo_order()
+    assert order.index("stg_users") < order.index("dim_users")
+    assert order.index("dim_users") < order.index("dim_savings_plan")
+
+
+def test_dim_join_is_broadcast(spark):
+    """The dim enrichment join must be broadcast — no shuffle of the
+    fact side (the thing that matters at 100 TB)."""
+    du = models.dim_users(models.stg_users(read_table(spark, SF0001, "customer")),
+                          read_table(spark, SF0001, "nation"))
+    dp = models.dim_savings_plan(models.stg_savings_plan(read_table(spark, SF0001, "orders")), du)
+    plan = dp._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_filter_pushdown(spark):
+    """Watermark predicates must reach the parquet scan as PushedFilters
+    so row groups prune on min/max stats."""
+    orders = read_table(spark, SF0001, "orders")
+    batch = orders.filter(F.col("o_orderdate") > F.lit("1997-06-01").cast("timestamp"))
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThan(o_orderdate" in plan
+
+
+def test_media_features_match_python_reference(spark):
+    docs = read_table(spark, SF0001, "documents").limit(20)
+    media = documents_as_media(docs)
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    for row in docs.collect():
+        b = row.text.encode("utf-8")
+        f = feats[row.doc_id]
+        assert f.n_bytes == len(b)
+        assert f.first_byte == b[0]
+        assert f.byte_checksum == sum(b) % (1 << 31)
+        assert len(f.feature) == 4
+
+
+def test_frame_sample_offsets(spark):
+    docs = read_table(spark, SF0001, "documents").limit(5)
+    media = documents_as_media(docs)
+    out = frame_sample(media, every_n_bytes=64, max_frames=8)
+    rows = out.collect()
+    assert all(r.byte_offset % 64 == 0 for r in rows)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.media_id, []).append(r.frame_index)
+    assert all(idx == sorted(idx) and len(idx) <= 8 for idx in per_doc.values())

@@ -1,0 +1,80 @@
+"""SCD2 merge semantics across batches — the reference's worked example
+(reference README.md:69-88: one changed user -> closed v1 + open v2)
+generalized: idempotency, hard deletes, re-appearing keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.operators.scd2 import scd2_current, scd2_merge
+
+T1, T2, T3 = "2024-01-01 00:00:00", "2024-02-01 00:00:00", "2024-03-01 00:00:00"
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(rows, "user_id string, state string, occupation string")
+
+
+def test_first_run_opens_all(spark):
+    b1 = mk(spark, [("u1", "Lagos", "Engineer"), ("u2", "Abuja", "Doctor")])
+    s1 = scd2_merge(None, b1, ["user_id"], ["state", "occupation"], T1)
+    rows = {r.user_id: r for r in s1.collect()}
+    assert len(rows) == 2
+    assert all(r.dbt_valid_to is None for r in rows.values())
+    assert str(rows["u1"].dbt_valid_from) == T1
+
+
+def test_change_closes_and_opens(spark):
+    b1 = mk(spark, [("u1", "Lagos", "Engineer"), ("u2", "Abuja", "Doctor")])
+    s1 = scd2_merge(None, b1, ["user_id"], ["state", "occupation"], T1)
+    b2 = mk(spark, [("u1", "Kano", "Engineer"), ("u2", "Abuja", "Doctor")])
+    s2 = scd2_merge(s1, b2, ["user_id"], ["state", "occupation"], T2)
+
+    u1 = sorted(s2.filter(F.col("user_id") == "u1").collect(), key=lambda r: str(r.dbt_valid_from))
+    assert len(u1) == 2
+    assert str(u1[0].dbt_valid_to) == T2 and u1[0].state == "Lagos"
+    assert u1[1].dbt_valid_to is None and u1[1].state == "Kano"
+    # unchanged row untouched
+    u2 = s2.filter(F.col("user_id") == "u2").collect()
+    assert len(u2) == 1 and u2[0].dbt_valid_to is None
+    assert str(u2[0].dbt_valid_from) == T1
+
+
+def test_idempotent_replay(spark):
+    """Replaying an identical batch must not create versions."""
+    b1 = mk(spark, [("u1", "Lagos", "Engineer")])
+    s1 = scd2_merge(None, b1, ["user_id"], ["state", "occupation"], T1)
+    s2 = scd2_merge(s1, b1, ["user_id"], ["state", "occupation"], T2)
+    assert s2.count() == 1
+    assert s2.first().dbt_valid_to is None
+
+
+def test_missing_key_stays_open_by_default(spark):
+    b1 = mk(spark, [("u1", "Lagos", "Engineer"), ("u2", "Abuja", "Doctor")])
+    s1 = scd2_merge(None, b1, ["user_id"], ["state", "occupation"], T1)
+    b2 = mk(spark, [("u1", "Lagos", "Engineer")])
+    s2 = scd2_merge(s1, b2, ["user_id"], ["state", "occupation"], T2)
+    u2 = s2.filter(F.col("user_id") == "u2").collect()
+    assert len(u2) == 1 and u2[0].dbt_valid_to is None
+
+
+def test_hard_delete_closes_when_enabled(spark):
+    b1 = mk(spark, [("u1", "Lagos", "Engineer"), ("u2", "Abuja", "Doctor")])
+    s1 = scd2_merge(None, b1, ["user_id"], ["state", "occupation"], T1)
+    b2 = mk(spark, [("u1", "Lagos", "Engineer")])
+    s2 = scd2_merge(s1, b2, ["user_id"], ["state", "occupation"], T2, close_deleted=True)
+    u2 = s2.filter(F.col("user_id") == "u2").collect()
+    assert len(u2) == 1 and str(u2[0].dbt_valid_to) == T2
+
+
+def test_reappearing_key_reopens(spark):
+    b1 = mk(spark, [("u1", "Lagos", "Engineer")])
+    s1 = scd2_merge(None, b1, ["user_id"], ["state", "occupation"], T1)
+    s2 = scd2_merge(s1, mk(spark, []), ["user_id"], ["state", "occupation"], T2, close_deleted=True)
+    s3 = scd2_merge(s2, b1, ["user_id"], ["state", "occupation"], T3)
+    rows = sorted(s3.collect(), key=lambda r: str(r.dbt_valid_from))
+    assert len(rows) == 2
+    assert str(rows[0].dbt_valid_to) == T2
+    assert rows[1].dbt_valid_to is None and str(rows[1].dbt_valid_from) == T3
+    assert scd2_current(s3).count() == 1

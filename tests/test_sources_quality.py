@@ -1,0 +1,84 @@
+"""Normalization ops (P2-P6), schema inference quirks, quality ops."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from cdc_data_pipeline_spark.operators.quality import (
+    DataQualityError,
+    accepted_values_violations,
+    expect_not_null,
+    expect_unique,
+    not_null_violation_count,
+    unique_violations,
+)
+from cdc_data_pipeline_spark.sources.normalize import (
+    apply_refined_schema,
+    drop_fields,
+    flatten_structs,
+    infer_refined_schema,
+    normalize_document_frame,
+    sanitize_keys,
+)
+
+
+def test_drop_fields_top_and_nested(spark):
+    df = spark.createDataFrame([Row(a=Row(b=1, c=2), d=3, e=4)])
+    out = drop_fields(df, ["d", "a.b"])
+    assert "d" not in out.columns
+    assert [f.name for f in out.schema["a"].dataType.fields] == ["c"]
+
+
+def test_flatten_one_level(spark):
+    df = spark.createDataFrame([Row(a=Row(b=1, c="x"), d=3)])
+    out = flatten_structs(df)
+    assert set(out.columns) == {"a_b", "a_c", "d"}
+    assert out.first().a_b == 1
+
+
+def test_sanitize_dollar_keys(spark):
+    df = spark.createDataFrame([(1,)], ["$date"])
+    assert sanitize_keys(df).columns == ["date"]
+
+
+def test_stringify_nested(spark):
+    df = spark.createDataFrame([Row(a=Row(b=1), k=2)])
+    out = normalize_document_frame(df, stringify_nested=True)
+    assert out.schema["a"].dataType == T.StringType()
+    assert out.first().a == '{"b":1}'
+
+
+def test_schema_inference_date_rules(spark):
+    """Reference rules (base_loader.py:762-855): >=80% timestamp-regex
+    -> DateTime, date-regex -> Date, mixed stays string."""
+    rows = [("2024-01-01 10:00:00", "2024-01-01", "x1"),
+            ("2024-01-02 11:30:00", "2024-01-02", "2024-01-01"),
+            ("2024-01-03 09:15:00", "2024-01-03", "7")]
+    df = spark.createDataFrame(rows, "ts_str string, d_str string, mixed string")
+    refined = infer_refined_schema(df)
+    assert isinstance(refined["ts_str"], T.TimestampType)
+    assert isinstance(refined["d_str"], T.DateType)
+    assert "mixed" not in refined
+    out = apply_refined_schema(df, refined)
+    assert isinstance(out.schema["ts_str"].dataType, T.TimestampType)
+    assert out.filter("ts_str IS NULL OR d_str IS NULL").count() == 0
+
+
+def test_unique_and_not_null(spark):
+    df = spark.createDataFrame([(1, "a"), (1, None), (2, "b")], "k long, v string")
+    assert unique_violations(df, ["k"]).count() == 1
+    nn = not_null_violation_count(df, ["k", "v"]).first()
+    assert nn["k_nulls"] == 0 and nn["v_nulls"] == 1
+    with pytest.raises(DataQualityError):
+        expect_unique(df, ["k"])
+    with pytest.raises(DataQualityError):
+        expect_not_null(df, ["v"])
+    expect_not_null(df, ["k"])
+
+
+def test_accepted_values(spark):
+    df = spark.createDataFrame([("active",), ("bogus",), (None,)], "status string")
+    bad = accepted_values_violations(df, "status", ["active", "completed", "cancelled"]).collect()
+    assert len(bad) == 1 and bad[0].status == "bogus"

@@ -1,0 +1,84 @@
+"""Structured Streaming: real readStream sources through the windowed
+aggs and the foreachBatch CDC merge sink."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.sources.readers import read_table
+from cdc_data_pipeline_spark.streaming.cdc import stream_upsert_to_parquet
+from cdc_data_pipeline_spark.streaming.windows import session_windows, tumbling_counts
+from tests.conftest import SF0001
+
+
+def _events_stream(spark, tmp_path):
+    src = tmp_path / "events_src"
+    src.mkdir()
+    shutil.copy(f"{SF0001}/events.parquet", src / "part-0.parquet")
+    batch = read_table(spark, SF0001, "events")
+    # stream schema must match the physical file (INT64 nanos under
+    # nanosAsLong); apply the same div-1000 conversion post-read
+    raw_schema = spark.read.parquet(f"{SF0001}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema).parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return stream, batch
+
+
+def test_tumbling_stream_matches_batch(spark, tmp_path):
+    stream, batch = _events_stream(spark, tmp_path)
+    # nanos->long conversion happens in read_table for batch; apply the
+    # same conversion on the raw stream schema (already timestamp here)
+    out = tumbling_counts(stream, "1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("tumbling_test")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM tumbling_test")
+    expected = tumbling_counts(batch, "1 hour")
+    assert got.count() == expected.count()
+    diff = got.exceptAll(expected)
+    assert diff.count() == 0
+
+
+def test_session_windows_stream_runs(spark, tmp_path):
+    stream, batch = _events_stream(spark, tmp_path)
+    q = (
+        session_windows(stream, "15 minutes")
+        .writeStream.format("memory").queryName("sessions_test")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sessions_test")
+    assert got.count() > 0
+    assert got.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_stream_upsert_foreachbatch(spark, tmp_path):
+    """The CDC sink merges micro-batches with latest-record-wins."""
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    tgt = str(tmp_path / "cdc_tgt")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = spark.createDataFrame([(1, "2024-01-01", "a"), (2, "2024-01-01", "b")],
+                               "k long, updated_at string, v string")
+    b1.write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    q = stream_upsert_to_parquet(stream, tgt, ["k"], "updated_at", ckpt)
+    q.awaitTermination(120)
+    out = {r.k: r.v for r in spark.read.parquet(tgt).collect()}
+    assert out == {1: "a", 2: "b"}
+
+    # second micro-batch: update k=2, insert k=3
+    b2 = spark.createDataFrame([(2, "2024-01-02", "b2"), (3, "2024-01-02", "c")], b1.schema)
+    b2.write.parquet(str(src / "b2"))
+    stream2 = spark.readStream.schema(b1.schema).parquet(f"{src}/*")
+    q2 = stream_upsert_to_parquet(stream2, tgt, ["k"], "updated_at", ckpt)
+    q2.awaitTermination(120)
+    out = {r.k: r.v for r in spark.read.parquet(tgt).collect()}
+    assert out == {1: "a", 2: "b2", 3: "c"}
