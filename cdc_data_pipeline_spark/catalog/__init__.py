@@ -5,18 +5,20 @@ This is the engine's conformance surface — SURVEY.md §2 operator IDs are
 noted on each entry.
 """
 
-from cdc_data_pipeline_spark.catalog import core, ext
+from cdc_data_pipeline_spark.catalog import analytics, core, ext
+
+_MODULES = (core, analytics, ext)
 
 
 def queries():
     out = {}
-    out.update(core.QUERIES)
-    out.update(ext.QUERIES)
+    for m in _MODULES:
+        out.update(m.QUERIES)
     return out
 
 
 def oracles():
     out = {}
-    out.update(core.ORACLES)
-    out.update(ext.ORACLES)
+    for m in _MODULES:
+        out.update(m.ORACLES)
     return {k: v for k, v in out.items() if v is not None}

@@ -1,0 +1,149 @@
+"""Analytics catalog: window functions, rollup/pivot, distinct/sort,
+monthly partition rollups, as-of join — relational surface beyond the
+reference's own SQL (SURVEY §2.5 notes these arrive Spark-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.catalog.core import _t
+from cdc_data_pipeline_spark.operators.asof import asof_join
+
+
+def q_running_total(spark, sf_dir):
+    """Cumulative window aggregation per customer, deterministic frame
+    order (date, key) so both engines sum in the same sequence."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.round(F.sum(F.round("o_totalprice", 2)).over(w), 2).alias("running_total"),
+    )
+
+
+SQL_RUNNING_TOTAL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       ROUND(SUM(ROUND(o_totalprice, 2)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders
+"""
+
+
+def q_status_pivot(spark, sf_dir):
+    """Pivot order status into columns (explicit values keep Catalyst
+    from an extra distinct pass — and keep the schema stable)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+SQL_STATUS_PIVOT = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_sales_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+SQL_SALES_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_distinct_priorities(spark, sf_dir):
+    """R13/R11: distinct + sort."""
+    return _t(spark, sf_dir, "orders").select("o_orderpriority").distinct() \
+        .orderBy("o_orderpriority")
+
+
+SQL_DISTINCT_PRIORITIES = """
+SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority
+"""
+
+
+def q_monthly_shipments(spark, sf_dir):
+    """F4: toStartOfMonth partition rollup (reference partitions the
+    transactions table by month, init-clickhouse.sql:37)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.trunc("l_shipdate", "month").alias("ship_month"))
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+SQL_MONTHLY_SHIPMENTS = """
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+       COUNT(*) AS n_items, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_asof_order_state(spark, sf_dir):
+    """As-of join: for each event, the user's most recent order state at
+    event time (backward-inclusive). Union+window formulation — one
+    shuffle, no range join. Right side pre-deduped per (user, date)."""
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    right = (
+        orders.groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_order_key"))
+    )
+    out = asof_join(events, right, on=["user_id"], left_ts="ts",
+                    right_ts="o_orderdate", right_cols=["last_order_key"])
+    return out.select("event_id", "user_id", "ts",
+                      F.col("o_orderdate").alias("last_order_date"), "last_order_key")
+
+
+SQL_ASOF_ORDER_STATE = """
+WITH right_side AS (
+  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS last_order_key
+  FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderdate AS last_order_date, o.last_order_key
+FROM events e ASOF LEFT JOIN right_side o
+  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+"""
+
+
+QUERIES = {
+    "running_total": q_running_total,
+    "status_pivot": q_status_pivot,
+    "sales_rollup": q_sales_rollup,
+    "distinct_priorities": q_distinct_priorities,
+    "monthly_shipments": q_monthly_shipments,
+    "asof_order_state": q_asof_order_state,
+}
+
+ORACLES = {
+    "running_total": SQL_RUNNING_TOTAL,
+    "status_pivot": SQL_STATUS_PIVOT,
+    "sales_rollup": SQL_SALES_ROLLUP,
+    "distinct_priorities": SQL_DISTINCT_PRIORITIES,
+    "monthly_shipments": SQL_MONTHLY_SHIPMENTS,
+    "asof_order_state": SQL_ASOF_ORDER_STATE,
+}
