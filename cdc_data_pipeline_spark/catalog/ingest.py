@@ -1,0 +1,149 @@
+"""Ingest-side catalog: document normalization pipeline (P2-P6 + S7
+schema inference), M1 full load, part/supplier table coverage, and the
+sliding-window streaming shape.
+
+Reference parity notes (file:line into /root/reference/):
+- doc normalization mirrors mongo_loader.py:62-130 (field deletion,
+  one-level flatten, $-key strip, datetime->string) plus the
+  base_loader.py:762-855 inference rules (date-regex -> timestamp).
+- full load mirrors base_loader.py:477-516 (truncate + insert).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.catalog.core import _t
+from cdc_data_pipeline_spark.operators import incremental as inc
+from cdc_data_pipeline_spark.sources import normalize as nz
+from cdc_data_pipeline_spark.streaming.windows import sliding_counts
+
+
+def q_doc_normalize(spark, sf_dir):
+    """P2/P3/P5/P6/S7 in one pipeline: build a nested semi-structured
+    doc from events (JSON props + a struct with BSON-style ``$`` keys
+    and a to-be-deleted field), then drop-field -> flatten -> sanitize
+    -> schema-infer the stringified timestamp back to TimestampType.
+    All native expressions; inference samples driver-side only."""
+    e = _t(spark, sf_dir, "events")
+    doc = e.select(
+        "event_id",
+        F.from_json("props", "struct<k:int>").alias("props"),
+        F.struct(
+            F.col("user_id").alias("$uid"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("$ts"),
+            F.lit("internal").alias("secret"),
+        ).alias("meta"),
+    )
+    doc = nz.drop_fields(doc, ["meta.secret"])
+    doc = nz.flatten_structs(doc)
+    doc = nz.sanitize_keys(doc)
+    refined = nz.infer_refined_schema(doc)
+    return nz.apply_refined_schema(doc, refined)
+
+
+SQL_DOC_NORMALIZE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS props_k,
+       user_id AS meta_uid,
+       date_trunc('second', ts) AS meta_ts
+FROM events
+"""
+
+
+def q_full_load_suppliers(spark, sf_dir):
+    """M1: full load (truncate + insert) — the new state IS the batch;
+    write side is mode('overwrite'). Batch = normalized supplier dim."""
+    sup = _t(spark, sf_dir, "supplier")
+    batch = sup.select(
+        F.col("s_suppkey").alias("supplier_id"),
+        F.col("s_name").alias("supplier_name"),
+        F.col("s_nationkey").alias("nation_id"),
+        F.round("s_acctbal", 2).alias("account_balance"),
+    )
+    return inc.full_load(batch)
+
+
+SQL_FULL_LOAD_SUPPLIERS = """
+SELECT s_suppkey AS supplier_id, s_name AS supplier_name,
+       s_nationkey AS nation_id, ROUND(s_acctbal, 2) AS account_balance
+FROM supplier
+"""
+
+
+def q_parts_by_brand(spark, sf_dir):
+    """Grouped aggregation over the part dim (catalog coverage for the
+    remaining fixture table): counts + price stats per brand."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+            F.round(F.avg("p_size"), 6).alias("avg_size"),
+        )
+    )
+
+
+SQL_PARTS_BY_BRAND = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       ROUND(SUM(p_retailprice), 2) AS sum_price,
+       ROUND(AVG(p_size), 6) AS avg_size
+FROM part GROUP BY p_brand
+"""
+
+
+def q_events_sliding(spark, sf_dir):
+    """Sliding event-time window (1h window / 30m slide): every event
+    lands in exactly two epoch-aligned windows. Same code path serves
+    readStream inputs (windows.sliding_counts)."""
+    return sliding_counts(_t(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+SQL_EVENTS_SLIDING = """
+WITH b AS (
+  SELECT event_type,
+         date_trunc('hour', ts)
+           + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                  ELSE INTERVAL 0 MINUTE END AS bucket
+  FROM events),
+exp AS (
+  SELECT event_type, bucket AS window_start FROM b
+  UNION ALL
+  SELECT event_type, bucket - INTERVAL 30 MINUTE FROM b)
+SELECT window_start, event_type, count(*) AS n_events
+FROM exp GROUP BY 1, 2
+"""
+
+
+def q_running_user_stats(spark, sf_dir):
+    """Custom stateful operator surface (applyInPandasWithState on a
+    stream; deterministic groupBy on batch — test_streaming pins the
+    two paths equal)."""
+    from cdc_data_pipeline_spark.streaming.stateful import running_user_stats
+
+    return running_user_stats(_t(spark, sf_dir, "events"))
+
+
+SQL_RUNNING_USER_STATS = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value,
+       MAX(ts) AS max_ts
+FROM events GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "doc_normalize": q_doc_normalize,
+    "running_user_stats": q_running_user_stats,
+    "full_load_suppliers": q_full_load_suppliers,
+    "parts_by_brand": q_parts_by_brand,
+    "events_sliding_window": q_events_sliding,
+}
+
+ORACLES = {
+    "doc_normalize": SQL_DOC_NORMALIZE,
+    "running_user_stats": SQL_RUNNING_USER_STATS,
+    "full_load_suppliers": SQL_FULL_LOAD_SUPPLIERS,
+    "parts_by_brand": SQL_PARTS_BY_BRAND,
+    "events_sliding_window": SQL_EVENTS_SLIDING,
+}

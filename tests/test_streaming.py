@@ -82,3 +82,26 @@ def test_stream_upsert_foreachbatch(spark, tmp_path):
     q2.awaitTermination(120)
     out = {r.k: r.v for r in spark.read.parquet(tgt).collect()}
     assert out == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_stateful_running_stats_matches_batch(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches to the
+    same final state as a batch groupBy."""
+    from cdc_data_pipeline_spark.streaming.stateful import running_user_stats
+
+    stream, batch = _events_stream(spark, tmp_path)
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory").queryName("stateful_test")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    # update mode emits one row per key per micro-batch; keep the last
+    got = spark.sql("""
+        SELECT user_id, n_events, sum_value, max_ts FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+          FROM stateful_test) WHERE rn = 1
+    """)
+    expected = running_user_stats(batch)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
