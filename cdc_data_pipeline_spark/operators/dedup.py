@@ -68,15 +68,19 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     the input is repartitioned if the scan was single-partition.
     """
     df = ensure_parallelism(df)
-    sh = F.array_distinct(shingles(text_col, shingle_k))
+    # Materialize the distinct-shingle array in its own projection:
+    # CollapseProject refuses to inline a non-cheap alias consumed by
+    # all num_hashes expressions, so tokenize+shingle runs ONCE per doc
+    # instead of num_hashes times (3x wall at sf0.1).
+    sh = df.select(F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("__sh"))
 
     def seeded_min(i: int):
         # single-arg closure: a 2-arg lambda would make Spark pass the
         # element index as the second argument
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat_ws("|", F.lit(str(i)), s))))
+        return F.array_min(F.transform(F.col("__sh"), lambda s: F.md5(F.concat_ws("|", F.lit(str(i)), s))))
 
     sig = F.array(*[seeded_min(i) for i in range(num_hashes)])
-    return df.select(F.col(id_col), sig.alias("signature"))
+    return sh.select(F.col(id_col), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -98,13 +102,23 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             for b in range(bands)
         ])).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    # Pairs form INSIDE a bucket: one shuffle of (band,bucket,id) into a
+    # sorted id list per bucket, then per-bucket combination expansion
+    # (HOF, no join). A self-join formulation would execute the whole
+    # signature subplan twice — here signatures are computed once.
+    ids = F.array_sort(F.collect_list(id_col))
+    pairs = (
+        banded.groupBy("band", "bucket").agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.flatten(F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        ))).alias("p"))
     )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 # --------------------------------------------------------------------------
