@@ -51,6 +51,10 @@ def main() -> None:
     spark = get_spark("cdc-bench")
     queries = catalog.queries()
 
+    # untimed warmup: JVM class loading, codegen compiler, noop sink —
+    # one-time process costs, not per-query work
+    spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     t_all = time.time()
     for name in BENCH_QUERIES:

@@ -129,6 +129,25 @@ FROM toks
 """
 
 
+def q_token_counts(spark, sf_dir):
+    """Token counting both ways: whitespace tokens and the BPE-ish
+    subword estimate (LLM token-cost proxy)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        tx.token_count("text").cast("long").alias("ws_tokens"),
+        tx.bpe_token_estimate("text").cast("long").alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '{tx.BPE_PATTERN.replace("'", "''")}'))::BIGINT AS bpe_tokens
+FROM documents
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Document fingerprint: md5 over normalized text (exact-dup key)."""
     d = _docs(spark, sf_dir)
@@ -376,6 +395,7 @@ QUERIES = {
     "events_json_extract": q_events_json,
     "events_sessionize": q_events_sessionize,
     "text_stats": q_text_stats,
+    "token_counts": q_token_counts,
     "text_fingerprint": q_text_fingerprint,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -395,6 +415,7 @@ ORACLES = {
     "events_json_extract": SQL_EVENTS_JSON,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "text_stats": SQL_TEXT_STATS,
+    "token_counts": SQL_TOKEN_COUNTS,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY_SCORE,

@@ -36,6 +36,20 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pretokenizer pattern, simplified to the subset both Java
+# regex (Spark) and RE2 (DuckDB) support: contraction suffixes, letter
+# runs, digit runs, punctuation runs (each with optional leading space).
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_estimate(col: Column | str) -> Column:
+    """Subword-ish token count via the BPE pretokenizer regex — the
+    standard cheap estimate of LLM token cost (letter runs, digit runs,
+    punctuation runs, contraction suffixes count separately)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0)))
+
+
 def char_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c)
