@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "jaccard_pairs",
     "simhash_pairs",
     "topk_cosine",
+    "ann_lsh_topk",
     "text_stats",
     "media_features",
 ]

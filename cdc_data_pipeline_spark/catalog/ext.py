@@ -371,6 +371,14 @@ def q_ivf_topk(spark, sf_dir):
     return sim.ivf_topk(e, queries, centroids, k=5)
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN (multiprobe, Hamming-1) — approximate
+    by design, rows-only check; recall pinned vs brute force in tests."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return sim.ann_lsh_topk(e, queries, dim=64, k=5, nbits=8, tables=8)
+
+
 # ----------------------------------------------------------- multimodal
 
 def q_media_features(spark, sf_dir):
@@ -407,6 +415,7 @@ QUERIES = {
     "embed_near_dup": q_embed_near_dup,
     "topk_cosine": q_topk_cosine,
     "ivf_topk": q_ivf_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "media_features": q_media_features,
 }
 
@@ -427,5 +436,6 @@ ORACLES = {
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "topk_cosine": SQL_TOPK_COSINE,
     "ivf_topk": None,
+    "ann_lsh_topk": None,
     "media_features": SQL_MEDIA_FEATURES,
 }

@@ -76,3 +76,36 @@ def test_frame_sample_offsets(spark):
     for r in rows:
         per_doc.setdefault(r.media_id, []).append(r.frame_index)
     assert all(idx == sorted(idx) and len(idx) <= 8 for idx in per_doc.values())
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """Hyperplane-LSH ANN must return valid ranked neighbors with
+    nontrivial recall against the exact brute-force top-k."""
+    from pyspark.sql import functions as F
+
+    from cdc_data_pipeline_spark.operators import similarity as sim
+    from cdc_data_pipeline_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    exact = sim.topk_cosine(e, queries, k=5).collect()
+    approx = sim.ann_lsh_topk(e, queries, dim=64, k=5, nbits=8, tables=8).collect()
+
+    # structural invariants
+    per_q = {}
+    for r in approx:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert -1.0 <= r.cos <= 1.0
+    for rows in per_q.values():
+        assert len(rows) <= 5
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+
+    # determinism (seeded hyperplanes)
+    again = sim.ann_lsh_topk(e, queries, dim=64, k=5, nbits=8, tables=8).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / max(len(exact_set), 1)
+    assert recall >= 0.4, f"recall collapsed: {recall}"
