@@ -82,3 +82,22 @@ def test_accepted_values(spark):
     df = spark.createDataFrame([("active",), ("bogus",), (None,)], "status string")
     bad = accepted_values_violations(df, "status", ["active", "completed", "cancelled"]).collect()
     assert len(bad) == 1 and bad[0].status == "bogus"
+
+
+def test_hostile_session_timezone_fixed(spark):
+    """The driver may hand us a session with a non-UTC timezone; every
+    catalog query routes through configure_session, which must reset it
+    or timestamp collects would shift against the DuckDB oracle."""
+    from cdc_data_pipeline_spark import catalog
+    from tests.test_oracle_parity import canon, duck_result
+    from tests.conftest import SF0001
+
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        sdf = catalog.queries()["stg_savings_plan"](spark, SF0001)
+        c1, r1 = canon(sdf.columns, [tuple(r) for r in sdf.collect()])
+        c2, r2 = canon(*duck_result(catalog.oracles()["stg_savings_plan"], SF0001))
+        assert c1 == c2 and r1 == r2
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -105,3 +105,52 @@ def test_stateful_running_stats_matches_batch(spark, tmp_path):
     expected = running_user_stats(batch)
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode tumbling agg with a 10-min watermark: an event
+    arriving a micro-batch later but older than the watermark is
+    dropped; on-time windows finalize with on-time counts only."""
+    import time as _time
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    from datetime import datetime
+
+    schema = "ts timestamp, user_id long, event_type string, value double"
+
+    def _dt(s_):
+        return datetime.strptime(s_, "%Y-%m-%d %H:%M:%S")
+
+    b1 = spark.createDataFrame(
+        [(_dt("2024-01-01 09:05:00"), 1, "click", 1.0),
+         (_dt("2024-01-01 10:59:00"), 1, "click", 1.0)], schema)
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    ckpt = str(tmp_path / "late_ckpt")
+    out_dir = str(tmp_path / "late_out")
+
+    def run_once():
+        stream = spark.readStream.schema(b1.schema).parquet(f"{src}/*")
+        out = tumbling_counts(stream, "1 hour", delay="10 minutes")
+        q = (
+            out.writeStream.format("parquet").option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out_dir).collect()
+        return {r.window_start.strftime("%H:%M"): r.n_events for r in rows}
+
+    # batch 1: watermark advances to 10:49, 09:00 window finalizes
+    got1 = run_once()
+    assert got1 == {"09:00": 1}, got1
+
+    b2 = spark.createDataFrame(
+        [(_dt("2024-01-01 09:10:00"), 1, "click", 1.0),   # late: behind watermark
+         (_dt("2024-01-01 11:30:00"), 1, "click", 1.0)], schema)
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+
+    # batch 2: the 09:10 event is behind the 10:49 watermark -> dropped
+    # (09:00 stays at 1, already finalized WITHOUT it); 10:00 finalizes.
+    got2 = run_once()
+    assert got2 == {"09:00": 1, "10:00": 1}, got2
