@@ -310,10 +310,38 @@ WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.3
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (xxhash64-based — engine-internal hash, no
-    SQL oracle; driver does a rows-only check, unit tests pin behavior)."""
+    """SimHash near-dup pairs with an EXACT oracle: the md5-based token
+    hash is bit-compatible with DuckDB's md5_number_lower, so signature,
+    pigeonhole blocking, and Hamming filter all reproduce in SQL."""
     return dd.simhash_near_pairs(_t(spark, sf_dir, "documents"),
-                                 bits=32, max_hamming=6, blocks=4)
+                                 bits=32, max_hamming=6, blocks=4, hash_fn="md5")
+
+
+_SIMHASH_VOTES = ",\n    ".join(
+    f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(32))
+_SIMHASH_ASSEMBLE = " + ".join(f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))
+
+SQL_SIMHASH_PAIRS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t
+  FROM documents),
+h AS (SELECT doc_id, md5_number_lower(t) AS hv FROM tok),
+v AS (SELECT doc_id,
+    {_SIMHASH_VOTES}
+  FROM h GROUP BY doc_id),
+sims AS (SELECT doc_id, ({_SIMHASH_ASSEMBLE})::BIGINT AS simhash FROM v),
+blocked AS (
+  SELECT doc_id, simhash, r.b AS blk, (simhash >> (8 * r.b)) & 255 AS val
+  FROM sims, range(4) r(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS h_a, b.simhash AS h_b
+  FROM blocked a JOIN blocked b
+    ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, bit_count(xor(h_a, h_b)) AS hamming
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= 6
+"""
 
 
 def q_embed_near_dup(spark, sf_dir):
@@ -432,7 +460,7 @@ ORACLES = {
     "dedup_exact_pairs": SQL_DEDUP_EXACT_PAIRS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
-    "simhash_pairs": None,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "topk_cosine": SQL_TOPK_COSINE,
     "ivf_topk": None,

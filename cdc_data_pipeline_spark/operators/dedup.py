@@ -182,8 +182,41 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return df.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                bits: int = 32) -> DataFrame:
+    """SimHash whose token hash is bit-compatible with DuckDB's
+    ``md5_number_lower`` (little-endian uint64 of md5 digest bytes
+    8..15), giving the whole construction an exact SQL oracle.
+
+    Explode-based: one md5 per token (not per token per bit), bytes
+    parsed once into int columns, then ``bits`` conditional-sum votes
+    aggregated in ONE shuffle with map-side partial combine. Documents
+    with zero tokens drop out (DuckDB's unnest does the same).
+    """
+    assert bits <= 64
+    n_bytes = (bits + 7) // 8
+    tok = ensure_parallelism(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    hx = tok.select(F.col(id_col), F.md5("__t").alias("__hx"))
+    # digest byte 8+i lives at 1-based hex offset 17+2i
+    bytes_df = hx.select(
+        F.col(id_col),
+        *[F.conv(F.substring("__hx", 17 + 2 * i, 2), 16, 10).cast("int").alias(f"__b{i}")
+          for i in range(n_bytes)],
+    )
+    votes = bytes_df.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright(F.col(f"__b{j // 8}"), j % 8).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"__v{j}")
+        for j in range(bits)
+    ])
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim + F.when(F.col(f"__v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       bits: int = 32, max_hamming: int = 3, blocks: int = 4) -> DataFrame:
+                       bits: int = 32, max_hamming: int = 3, blocks: int = 4,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Pigeonhole blocking: split the hash into ``blocks`` chunks; any pair
@@ -192,7 +225,10 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     """
     bits_per_block = bits // blocks
     mask = (1 << bits_per_block) - 1
-    sh = simhash(df, text_col, id_col, bits)
+    if hash_fn == "md5":
+        sh = simhash_md5(df, text_col, id_col, bits)
+    else:
+        sh = simhash(df, text_col, id_col, bits)
     blocked = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[
