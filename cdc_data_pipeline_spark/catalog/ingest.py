@@ -132,8 +132,40 @@ FROM events GROUP BY user_id
 """
 
 
+def q_events_session_native(spark, sf_dir):
+    """Native session_window (the streaming-capable operator, vs the
+    batch window-function composition in events_sessionize). Session
+    end = last event + gap; a new session starts when the gap to the
+    previous event is >= 15 min."""
+    from cdc_data_pipeline_spark.streaming.windows import session_windows
+
+    return session_windows(_t(spark, sf_dir, "events"), "15 minutes")
+
+
+SQL_EVENTS_SESSION_NATIVE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 15 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 15 MINUTE AS session_end,
+       user_id, COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "doc_normalize": q_doc_normalize,
+    "events_session_native": q_events_session_native,
     "running_user_stats": q_running_user_stats,
     "full_load_suppliers": q_full_load_suppliers,
     "parts_by_brand": q_parts_by_brand,
@@ -142,6 +174,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_normalize": SQL_DOC_NORMALIZE,
+    "events_session_native": SQL_EVENTS_SESSION_NATIVE,
     "running_user_stats": SQL_RUNNING_USER_STATS,
     "full_load_suppliers": SQL_FULL_LOAD_SUPPLIERS,
     "parts_by_brand": SQL_PARTS_BY_BRAND,

@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) for the CDC merge core.
+
+The reference has no unit tests at all (SURVEY §5); these pin the
+algebraic laws the merge strategies must satisfy on ANY input, not just
+the fixture shapes: batch-at-a-time merging must agree with merge-all-
+at-once, and SCD2 state must stay internally consistent over arbitrary
+batch sequences.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.operators import incremental as inc
+from cdc_data_pipeline_spark.operators import scd2
+
+ROWS = st.lists(
+    st.tuples(st.integers(0, 4),      # key
+              st.integers(0, 6),      # tracking
+              st.integers(0, 3)),     # value
+    min_size=1, max_size=12,
+)
+
+SETTINGS = dict(max_examples=8, deadline=None,
+                suppress_health_check=[HealthCheck.too_slow])
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, t long, v long")
+
+
+@given(b1=ROWS, b2=ROWS)
+@settings(**SETTINGS)
+def test_upsert_dedup_incremental_equals_batch(spark, b1, b2):
+    """upsert_dedup batch-by-batch == latest_per_key over everything.
+
+    tiebreaker: v desc — makes latest-record-wins total, so both
+    evaluation orders must land on identical state.
+    """
+    d1, d2 = _df(spark, b1), _df(spark, b2)
+    step = inc.upsert_dedup(inc.latest_per_key(d1, ["k"], "t", ["v"]),
+                            d2, ["k"], "t", ["v"])
+    # NOTE: upsert semantics: batch rows REPLACE target rows per key even
+    # if the target had a higher tracking value (delete+insert, M2/M3).
+    merged_keys = {r[0] for r in b2}
+    expect_from_b2 = inc.latest_per_key(d2, ["k"], "t", ["v"])
+    expect_from_b1 = inc.latest_per_key(
+        d1.filter(~F.col("k").isin(list(merged_keys))), ["k"], "t", ["v"])
+    expected = expect_from_b1.unionByName(expect_from_b2)
+    assert sorted(map(tuple, step.collect())) == sorted(map(tuple, expected.collect()))
+
+
+@given(b1=ROWS, b2=ROWS)
+@settings(**SETTINGS)
+def test_upsert_keys_partition_state(spark, b1, b2):
+    """After upsert(target, batch): every batch key's rows come from the
+    batch; every other key's rows are untouched target rows."""
+    t = inc.latest_per_key(_df(spark, b1), ["k"], "t", ["v"])
+    b = _df(spark, b2)
+    out = inc.upsert(t, b, ["k"]).collect()
+    batch_keys = {r[0] for r in b2}
+    got_batch = sorted(tuple(r) for r in out if r.k in batch_keys)
+    assert got_batch == sorted(map(tuple, b.collect()))
+    got_rest = sorted(tuple(r) for r in out if r.k not in batch_keys)
+    assert got_rest == sorted(
+        tuple(r) for r in t.collect() if r.k not in batch_keys)
+
+
+@given(seq=st.lists(st.dictionaries(st.integers(0, 3), st.integers(0, 2),
+                                    min_size=1, max_size=4),
+                    min_size=1, max_size=3))
+@settings(**SETTINGS)
+def test_scd2_invariants_over_batch_sequences(spark, seq):
+    """For ANY sequence of (key -> check_value) batches:
+    - exactly one open row per key ever seen,
+    - the open row carries the key's most recent value,
+    - closed intervals are well-formed and non-overlapping,
+    - re-merging the final batch at a later ts changes nothing.
+    """
+    snap = None
+    last_seen: dict[int, int] = {}
+    for i, batch in enumerate(seq):
+        rows = [(k, v) for k, v in sorted(batch.items())]
+        df = spark.createDataFrame(rows, "user_id long, occ long")
+        ts = f"2024-01-0{i + 1} 00:00:00"
+        snap = scd2.scd2_merge(snap, df, ["user_id"], ["occ"], ts)
+        last_seen.update(batch)
+    state = snap.collect()
+
+    open_rows = {r.user_id: r for r in state if r.dbt_valid_to is None}
+    assert set(open_rows) == set(last_seen)          # one open row per key
+    for k, r in open_rows.items():
+        assert r.occ == last_seen[k]                 # open row = latest value
+
+    by_key: dict[int, list] = {}
+    for r in state:
+        by_key.setdefault(r.user_id, []).append(r)
+    for k, rows in by_key.items():
+        assert sum(r.dbt_valid_to is None for r in rows) == 1
+        closed = sorted((r for r in rows if r.dbt_valid_to is not None),
+                        key=lambda r: r.dbt_valid_from)
+        for r in closed:
+            assert r.dbt_valid_from < r.dbt_valid_to
+        for a, b in zip(closed, closed[1:]):
+            assert a.dbt_valid_to <= b.dbt_valid_from  # no overlap
+
+    # idempotency: same data at a later ts is a no-op
+    final_rows = [(k, v) for k, v in sorted(last_seen.items())]
+    df = spark.createDataFrame(final_rows, "user_id long, occ long")
+    again = scd2.scd2_merge(snap, df, ["user_id"], ["occ"], "2024-02-01 00:00:00")
+    assert sorted((r.user_id, r.occ, r.dbt_valid_from, r.dbt_valid_to)
+                  for r in again.collect()) == \
+           sorted((r.user_id, r.occ, r.dbt_valid_from, r.dbt_valid_to)
+                  for r in state)
