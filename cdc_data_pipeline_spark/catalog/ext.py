@@ -390,13 +390,38 @@ QUALIFY rank <= 5
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF-bucketed ANN (nprobe=1) — approximate by design, rows-only
-    check; exactness is benchmarked against q_topk_cosine in tests."""
+    """IVF-bucketed ANN (nprobe=1). Approximate vs brute force, but the
+    construction itself is deterministic (9dp-rounded assignment sims,
+    centroid-id tiebreak), so it has an EXACT SQL oracle."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 100 == 0)
     centroids = e.filter(F.col("vec_id") % 50 == 25) \
         .select(F.col("vec_id").alias("centroid_id"), "embedding")
     return sim.ivf_topk(e, queries, centroids, k=5)
+
+
+SQL_IVF_TOPK = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 25),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 9) DESC,
+                    c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+  QUALIFY rn = 1),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid FROM assign WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.qv::DOUBLE[], a.embedding::DOUBLE[]), 6) AS cos
+  FROM q JOIN assign a ON q.cid = a.cid AND q.query_id <> a.vec_id)
+SELECT query_id, neighbor_id, cos,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -463,7 +488,7 @@ ORACLES = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "topk_cosine": SQL_TOPK_COSINE,
-    "ivf_topk": None,
+    "ivf_topk": SQL_IVF_TOPK,
     "ann_lsh_topk": None,
     "media_features": SQL_MEDIA_FEATURES,
 }
