@@ -13,6 +13,8 @@ cells: the expensive join is keyed on cell id.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -106,6 +108,36 @@ def _gaussian_planes(nbits: int, dim: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(nbits)]
 
 
+def _packed_signature_udf(nbits: int, tables: int, dim: int, seed: int):
+    """All tables' hyperplane bits in ONE Arrow-batched matmul, packed
+    into a single long (table t's bucket = bits [t*nbits, (t+1)*nbits)).
+
+    The native-HOF formulation costs one interpreted aggregate per
+    plane per row (~40µs each — 5s for 2k rows x 64 planes); the numpy
+    path is one (batch x dim) @ (dim x planes) product per Arrow batch.
+    Planes are re-derived from the seed inside each executor: no
+    closure capture drift, deterministic everywhere.
+    """
+    assert nbits * tables <= 64
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def sig(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        planes = []
+        for t in range(tables):
+            planes += _gaussian_planes(nbits, dim, seed + t)
+        P = np.asarray(planes, dtype=np.float64)          # (bits, dim)
+        X = np.stack(v.to_numpy())                        # (n, dim)
+        bits = (X.astype(np.float64) @ P.T >= 0).astype(np.uint64)
+        weights = np.left_shift(np.uint64(1), np.arange(nbits * tables, dtype=np.uint64))
+        packed = (bits * weights).sum(axis=1, dtype=np.uint64)
+        return pd.Series(packed.astype(np.int64))
+
+    return sig
+
+
 def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
                  nbits: int = 8, tables: int = 4, seed: int = 42,
                  multiprobe: bool = True, vec_col: str = "embedding",
@@ -123,19 +155,28 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     design -> rows-only correctness check; recall is pinned against
     brute force in tests.
     """
-    all_planes = [_gaussian_planes(nbits, dim, seed + t) for t in range(tables)]
+    sig_udf = _packed_signature_udf(nbits, tables, dim, seed)
+    mask = (1 << nbits) - 1
+
+    def table_bucket(sig, t: int):
+        return F.shiftrightunsigned(sig, nbits * t).bitwiseAND(F.lit(mask))
+
     csig = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+        sig_udf(F.col(vec_col)).alias("__sig"),
+    ).select(
+        "neighbor_id", "__cv",
         F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     hyperplane_signature(corpus, all_planes[t], vec_col).alias("bucket"))
+            F.struct(F.lit(t).alias("tbl"), table_bucket(F.col("__sig"), t).alias("bucket"))
             for t in range(tables)
         ])).alias("tb"),
     ).select("neighbor_id", "__cv", "tb.tbl", "tb.bucket")
     qsig = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv"),
-        *[hyperplane_signature(queries, all_planes[t], vec_col).alias(f"__s{t}")
-          for t in range(tables)],
+        sig_udf(F.col(vec_col)).alias("__sig"),
+    ).select(
+        query_id_col, "__qv",
+        *[table_bucket(F.col("__sig"), t).alias(f"__s{t}") for t in range(tables)],
     )
     probe_structs = []
     for t in range(tables):
