@@ -1,0 +1,86 @@
+"""Scale-headroom checks: the dedup/ANN operators must stay near-linear
+when the corpus multiplies, and the snapshot write path must rewrite
+only the partitions the batch touches (the property that matters at
+100 TB, where a full-table rewrite is not an option).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.operators import dedup as dd
+from cdc_data_pipeline_spark.sources.readers import read_table
+
+
+def _times_n(df, n: int, id_col: str = "doc_id"):
+    """n shifted copies of the corpus (distinct ids, same text mass)."""
+    parts = [df.withColumn(id_col, F.col(id_col) + F.lit(i * 1_000_000)) for i in range(n)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def test_lsh_dedup_scales_near_linearly(spark, sf_dir):
+    """MinHash LSH on a 16x corpus must cost far less than 16x the 4x
+    corpus (allowing generous noise: <= 8x). A quadratic candidate
+    explosion would blow straight past that bound."""
+    docs = read_table(spark, sf_dir, "documents")
+
+    def run(n):
+        c = _times_n(docs, n).repartition(32)
+        t0 = time.time()
+        dd.lsh_candidate_pairs(c, num_hashes=8, bands=4, shingle_k=3) \
+            .write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run(1)               # warm JVM/codegen
+    t_small, t_big = run(4), run(16)
+    assert t_big < t_small * 8, f"superlinear: 4x={t_small:.1f}s 16x={t_big:.1f}s"
+
+
+def test_snapshot_write_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite: writing one month's snapshot must
+    leave every other month's files untouched on disk."""
+    path = str(tmp_path / "monthly")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        F.trunc("l_shipdate", "month").alias("ship_month"),
+    )
+    li.write.mode("overwrite").partitionBy("ship_month").parquet(path)
+    before = spark.read.parquet(path)
+    n_before = before.count()
+    months = [r.ship_month for r in before.select("ship_month").distinct().collect()]
+    target_month = sorted(months)[0]
+
+    import os
+
+    def mtimes():
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before_files = mtimes()
+    # overwrite ONE month with doubled quantities
+    patch = (
+        spark.read.parquet(path).filter(F.col("ship_month") == target_month)
+        .withColumn("l_quantity", F.col("l_quantity") * 2)
+    )
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() == "dynamic"
+    patch.write.mode("overwrite").partitionBy("ship_month").parquet(path)
+
+    after = spark.read.parquet(path)
+    assert after.count() == n_before
+    after_files = mtimes()
+    untouched = {p: t for p, t in before_files.items()
+                 if f"ship_month={target_month}" not in p}
+    for p, t in untouched.items():
+        assert p in after_files and after_files[p] == t, f"rewrote {p}"
