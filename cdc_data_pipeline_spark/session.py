@@ -53,6 +53,11 @@ def configure_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # A vanilla session defaults to 200 shuffle partitions — size to the
+    # actual parallelism (AQE still coalesces below this at runtime).
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(spark.sparkContext.defaultParallelism))
     # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
     # rejects; read as long and convert in read_table (lossless — the
     # fixture's nanos are whole microseconds)

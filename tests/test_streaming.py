@@ -154,3 +154,19 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # (09:00 stays at 1, already finalized WITHOUT it); 10:00 finalizes.
     got2 = run_once()
     assert got2 == {"09:00": 1, "10:00": 1}, got2
+
+
+def test_sliding_stream_matches_batch(spark, tmp_path):
+    from cdc_data_pipeline_spark.streaming.windows import sliding_counts
+
+    stream, batch = _events_stream(spark, tmp_path)
+    q = (
+        sliding_counts(stream, "1 hour", "30 minutes")
+        .writeStream.format("memory").queryName("sliding_test")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sliding_test")
+    expected = sliding_counts(batch, "1 hour", "30 minutes")
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
