@@ -237,6 +237,13 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
             for i in range(blocks)
         ])).alias("b"),
     ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    # The explicit repartition is a shared Exchange: both sides of the
+    # self-join below canonicalize to the same subplan, so ReuseExchange
+    # computes the (expensive) signature subplan ONCE. Similar simhashes
+    # cluster into hot blocks, so a streaming join beats bucket-local
+    # pair expansion here (which would materialize m^2 structs per hot
+    # bucket in one array).
+    blocked = blocked.repartition(F.col("blk"), F.col("val"))
     a, b = blocked.alias("a"), blocked.alias("b")
     pairs = (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.val") == F.col("b.val"))
