@@ -52,9 +52,16 @@ def main() -> None:
     spark = get_spark("cdc-bench")
     queries = catalog.queries()
 
-    # untimed warmup: JVM class loading, codegen compiler, noop sink —
-    # one-time process costs, not per-query work
+    # untimed warmup: JVM class loading, codegen compiler, noop sink,
+    # Python/Arrow worker pool — one-time process costs, not per-query work
     spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode("overwrite").save()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(1000).select(_warm("id")).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_all = time.time()
