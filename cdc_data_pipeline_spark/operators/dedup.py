@@ -245,16 +245,18 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     # bucket in one array).
     blocked = blocked.repartition(F.col("blk"), F.col("val"))
     a, b = blocked.alias("a"), blocked.alias("b")
-    pairs = (
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # Hamming filter BEFORE the distinct: it's a per-row bit op on the
+    # join output, and it shrinks the dedup shuffle by ~an order of
+    # magnitude (candidates repeat up to ``blocks`` times).
+    return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.val") == F.col("b.val"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "hamming")
         .distinct()
     )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return pairs.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming) \
-                .select("id_a", "id_b", "hamming")
 
 
 # --------------------------------------------------------------------------
