@@ -1,0 +1,61 @@
+"""Empty-batch / empty-side edge cases: a CDC tick with no changes must
+be a clean no-op everywhere (the reference short-circuits on 0-row
+batches, base_loader.py:308-310 — here the algebra itself must do it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.operators import incremental as inc
+from cdc_data_pipeline_spark.operators import scd2
+from cdc_data_pipeline_spark.operators.asof import asof_join
+from cdc_data_pipeline_spark.operators.dedup import dedup_exact, lsh_candidate_pairs
+
+
+def _t3(spark, rows):
+    return spark.createDataFrame(rows, "k long, t long, v string")
+
+
+def test_upsert_empty_batch_is_noop(spark):
+    target = _t3(spark, [(1, 1, "a"), (2, 1, "b")])
+    out = inc.upsert(target, target.limit(0), ["k"])
+    assert sorted(map(tuple, out.collect())) == [(1, 1, "a"), (2, 1, "b")]
+
+
+def test_upsert_dedup_empty_batch_is_noop(spark):
+    target = _t3(spark, [(1, 1, "a")])
+    out = inc.upsert_dedup(target, target.limit(0), ["k"], "t")
+    assert [tuple(r) for r in out.collect()] == [(1, 1, "a")]
+
+
+def test_latest_per_key_empty(spark):
+    assert inc.latest_per_key(_t3(spark, [(1, 1, "a")]).limit(0), ["k"], "t").count() == 0
+
+
+def test_snapshot_load_empty_batch_keeps_target(spark):
+    target = _t3(spark, [(1, 1, "a")]).withColumn("d", F.lit("2024-01-01").cast("date"))
+    batch = _t3(spark, [(1, 1, "a")]).limit(0)
+    out = inc.snapshot_load(target, batch, "d", F.lit("2024-01-02").cast("date"))
+    assert out.count() == 1
+
+
+def test_scd2_empty_batch_keeps_snapshot(spark):
+    b1 = spark.createDataFrame([(1, "x"), (2, "y")], "user_id long, occ string")
+    s1 = scd2.scd2_merge(None, b1, ["user_id"], ["occ"], "2024-01-01 00:00:00")
+    s2 = scd2.scd2_merge(s1, b1.limit(0), ["user_id"], ["occ"], "2024-02-01 00:00:00")
+    assert sorted((r.user_id, r.occ, r.dbt_valid_to) for r in s2.collect()) == \
+           sorted((r.user_id, r.occ, r.dbt_valid_to) for r in s1.collect())
+
+
+def test_asof_join_empty_right_yields_null_payload(spark):
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([], "k long, rts long, payload string")
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts").collect()
+    assert len(out) == 1 and out[0].rts is None and out[0].payload is None
+
+
+def test_dedup_ops_on_empty_corpus(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup_exact(empty).count() == 0
+    assert lsh_candidate_pairs(empty).count() == 0
