@@ -103,6 +103,48 @@ def extract_features(media: DataFrame, decode_stub: bool = True, feature_dim: in
     return media.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("meta", MEDIA_SCHEMA["meta"].dataType, True),
+])
+
+
+def resize(media: DataFrame, width: int, height: int, decode_stub: bool = True) -> DataFrame:
+    """Resize plumbing via mapInPandas: same media schema out, metadata
+    updated to the target dims. The stub "resampler" truncates/repeats
+    payload bytes to width*height deterministically; a real deployment
+    swaps the body for PIL/ffmpeg — signature, schema, and Arrow batch
+    shape stay identical.
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real resize requires image libs not present in this container; "
+            "run with decode_stub=True"
+        )
+
+    target = width * height
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            metas = []
+            for raw, meta in zip(pdf["payload"], pdf["meta"]):
+                b = bytes(raw) if raw is not None else b""
+                out = (b * (target // max(len(b), 1) + 1))[:target] if b else b"\x00" * target
+                payloads.append(out)
+                m = dict(meta) if meta is not None else {}
+                m["width"], m["height"] = width, height
+                metas.append(m)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": payloads,
+                "meta": metas,
+            })
+
+    return media.mapInPandas(do_resize, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
     """"Frame sampling" plumbing: emit every Nth byte-offset slice of the
     payload as a row (stand-in for video frame extraction). Native

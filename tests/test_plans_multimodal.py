@@ -109,3 +109,20 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / max(len(exact_set), 1)
     assert recall >= 0.4, f"recall collapsed: {recall}"
+
+
+def test_resize_stub_plumbing(spark, sf_dir):
+    """Resize keeps the media schema, stamps target dims, and emits
+    exactly width*height payload bytes per row."""
+    from cdc_data_pipeline_spark.operators import multimodal as mm
+    from cdc_data_pipeline_spark.sources.readers import read_table
+
+    media = mm.documents_as_media(read_table(spark, sf_dir, "documents").limit(50))
+    out = mm.resize(media, width=8, height=4)
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r.payload) == 32
+        assert r.meta.width == 8 and r.meta.height == 4
+    # schema identical shape to input media frame
+    assert [f.name for f in out.schema.fields] == ["media_id", "payload", "meta"]
