@@ -130,7 +130,67 @@ FROM events e ASOF LEFT JOIN right_side o
 """
 
 
+def q_sales_cube(spark, sf_dir):
+    """CUBE grouping sets (all subtotal combinations)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+SQL_SALES_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price, COUNT(*) AS n_rows
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    """Top-N per group via window rank (deterministic tiebreak)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.round("o_totalprice", 2).desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("amount"), "rank")
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS amount,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey ASC) AS rank
+FROM orders
+QUALIFY rank <= 3
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """R9 as a first-class entry: left-anti membership."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+                  ["c_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
 QUERIES = {
+    "sales_cube": q_sales_cube,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "customers_without_orders": q_customers_without_orders,
     "running_total": q_running_total,
     "status_pivot": q_status_pivot,
     "sales_rollup": q_sales_rollup,
@@ -140,6 +200,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sales_cube": SQL_SALES_CUBE,
+    "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "running_total": SQL_RUNNING_TOTAL,
     "status_pivot": SQL_STATUS_PIVOT,
     "sales_rollup": SQL_SALES_ROLLUP,
