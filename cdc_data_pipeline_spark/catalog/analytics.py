@@ -170,11 +170,13 @@ QUALIFY rank <= 3
 
 
 def q_customers_without_orders(spark, sf_dir):
-    """R9 as a first-class entry: left-anti membership."""
+    """R9 as a first-class entry: left-anti membership (customers with
+    no order since 2000 — churned accounts)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    recent = _t(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
     return (
-        cust.join(orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        cust.join(recent.select(F.col("o_custkey").alias("c_custkey")).distinct(),
                   ["c_custkey"], "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
     )
@@ -183,7 +185,9 @@ def q_customers_without_orders(spark, sf_dir):
 SQL_CUSTOMERS_WITHOUT_ORDERS = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 """
 
 
