@@ -163,8 +163,28 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def q_click_error_correlation(spark, sf_dir):
+    """Stream-stream interval join shape (click -> error within 30 min
+    per user), executed on the batch frame; test_streaming pins the
+    watermarked streaming execution equal."""
+    from cdc_data_pipeline_spark.streaming.joins import click_error_correlation
+
+    return click_error_correlation(_t(spark, sf_dir, "events"))
+
+
+SQL_CLICK_ERROR_CORRELATION = """
+SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+       e.event_id AS error_id, e.ts AS error_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id
+ AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
 QUERIES = {
     "doc_normalize": q_doc_normalize,
+    "click_error_correlation": q_click_error_correlation,
     "events_session_native": q_events_session_native,
     "running_user_stats": q_running_user_stats,
     "full_load_suppliers": q_full_load_suppliers,
@@ -174,6 +194,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_normalize": SQL_DOC_NORMALIZE,
+    "click_error_correlation": SQL_CLICK_ERROR_CORRELATION,
     "events_session_native": SQL_EVENTS_SESSION_NATIVE,
     "running_user_stats": SQL_RUNNING_USER_STATS,
     "full_load_suppliers": SQL_FULL_LOAD_SUPPLIERS,

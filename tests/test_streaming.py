@@ -170,3 +170,22 @@ def test_sliding_stream_matches_batch(spark, tmp_path):
     expected = sliding_counts(batch, "1 hour", "30 minutes")
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (click->error
+    attribution) produces exactly the batch range-join result."""
+    from cdc_data_pipeline_spark.streaming.joins import click_error_correlation
+
+    stream, batch = _events_stream(spark, tmp_path)
+    q = (
+        click_error_correlation(stream)
+        .writeStream.format("memory").queryName("ssjoin_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM ssjoin_test")
+    expected = click_error_correlation(batch)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert got.count() > 0
