@@ -126,6 +126,63 @@ def snapshot_load(
     return kept.unionByName(stamped)
 
 
+BUCKET_COL = "__kb"
+
+
+def bucket_of(keys: Sequence[str], n_buckets: int) -> Column:
+    """Stable key-hash bucket id — the partition key for upsert targets."""
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+
+
+def upsert_bucketed(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    keys: Sequence[str],
+    tracking_column: str,
+    n_buckets: int = 64,
+    tiebreakers: Sequence[str] = (),
+) -> None:
+    """M2/M3 against a hash-bucketed parquet target, touching ONLY the
+    buckets the batch's keys hash into.
+
+    This is the design that survives 100 TB: the target is partitioned
+    by ``pmod(xxhash64(keys), n_buckets)``; a micro-batch (a) computes
+    its bucket set (small distinct collect), (b) scans just those
+    partitions (partition pruning), (c) merges, and (d) rewrites just
+    those partitions (dynamic partition overwrite). Per-batch cost is
+    O(affected buckets), not O(table) — the whole-table read+overwrite
+    of the naive sink does not scale past a few GB.
+
+    Idempotent under replay: latest-record-wins within the bucket.
+    """
+    import os
+
+    if batch.isEmpty():
+        # 0-row guard (reference: base_loader.py:308-310) — also keeps an
+        # empty first micro-batch from creating a file-less target dir
+        return
+    stamped = batch.withColumn(BUCKET_COL, bucket_of(keys, n_buckets))
+    deduped = latest_per_key(stamped, keys, tracking_column, tiebreakers)
+    target = None
+    if os.path.exists(target_path):
+        try:
+            target = spark.read.parquet(target_path)
+        except Exception:
+            target = None  # dir exists but holds no data files yet
+    if target is None:
+        deduped.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
+        return
+    buckets = [r[0] for r in stamped.select(BUCKET_COL).distinct().collect()]
+    # partition filter prunes the scan to the affected buckets only
+    affected = target.filter(F.col(BUCKET_COL).isin(buckets))
+    merged = upsert_dedup(affected, deduped, keys, tracking_column, tiebreakers)
+    merged = merged.persist()
+    merged.count()  # localize before overwriting what we read
+    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
+    merged.unpersist()
+
+
 def write_merged(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> None:
     """Materialize a merge result, handling the read-then-overwrite
     self-dependency (SURVEY §7.2): the merged plan reads the target

@@ -58,6 +58,8 @@ def configure_session(spark: SparkSession) -> SparkSession:
     # actual parallelism (AQE still coalesces below this at runtime).
     spark.conf.set("spark.sql.shuffle.partitions",
                    str(spark.sparkContext.defaultParallelism))
+    # bucketed/snapshot upserts rewrite only the partitions they touch
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
     # rejects; read as long and convert in read_table (lossless — the
     # fixture's nanos are whole microseconds)

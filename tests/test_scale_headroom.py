@@ -84,3 +84,48 @@ def test_snapshot_write_rewrites_only_touched_partitions(spark, sf_dir, tmp_path
                  if f"ship_month={target_month}" not in p}
     for p, t in untouched.items():
         assert p in after_files and after_files[p] == t, f"rewrote {p}"
+
+
+def test_bucketed_upsert_rewrites_only_affected_buckets(spark, sf_dir, tmp_path):
+    """A small change-batch against a bucketed target must rewrite only
+    the key-hash buckets the batch touches — O(batch), not O(table)."""
+    import os
+
+    from cdc_data_pipeline_spark.operators.incremental import upsert_bucketed
+
+    path = str(tmp_path / "bucketed")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("amount"))
+    upsert_bucketed(spark, path, orders, ["o_orderkey"], "o_orderdate", n_buckets=16)
+    n0 = spark.read.parquet(path).count()
+    assert n0 == orders.count()
+
+    def mtimes():
+        out = {}
+        for root, _, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = mtimes()
+    # one-key batch: exactly one bucket affected
+    batch = orders.limit(1).withColumn(
+        "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")) \
+        .withColumn("amount", F.lit(999.99))
+    upsert_bucketed(spark, path, batch, ["o_orderkey"], "o_orderdate", n_buckets=16)
+
+    after = mtimes()
+    changed_dirs = {p.split("/__kb=")[1].split("/")[0]
+                    for p in set(after) - set(before)}
+    assert len(changed_dirs) == 1, changed_dirs
+    untouched = {p: t for p, t in before.items()
+                 if f"__kb={next(iter(changed_dirs))}/" not in p}
+    for p, t in untouched.items():
+        assert p in after and after[p] == t, f"rewrote {p}"
+
+    final = spark.read.parquet(path)
+    assert final.count() == n0
+    k = batch.first().o_orderkey
+    assert final.filter(F.col("o_orderkey") == k).first().amount == 999.99
