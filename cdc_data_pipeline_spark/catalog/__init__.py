@@ -5,9 +5,9 @@ This is the engine's conformance surface — SURVEY.md §2 operator IDs are
 noted on each entry.
 """
 
-from cdc_data_pipeline_spark.catalog import analytics, core, ext, ingest
+from cdc_data_pipeline_spark.catalog import analytics, core, ext, ingest, tpch
 
-_MODULES = (core, analytics, ingest, ext)
+_MODULES = (core, analytics, ingest, tpch, ext)
 
 
 def queries():

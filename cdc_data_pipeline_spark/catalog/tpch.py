@@ -1,0 +1,124 @@
+"""TPC-H-shaped relational breadth: distinct aggregation, HAVING,
+correlated scalar subqueries, and multi-predicate anti-join — classic
+warehouse query shapes a reference user would expect the engine to run
+(the reference's own SQL surface is small; SURVEY §2.5 notes the rest
+arrives Spark-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.catalog.core import _t
+
+
+def q_supplier_counts(spark, sf_dir):
+    """Q16 shape: distinct-count aggregation after an exclusion filter."""
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(~F.col("p_brand").isin("Brand#1"))
+    )
+    return (
+        pairs.groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("s_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_SUPPLIER_COUNTS = """
+SELECT p.p_brand, p.p_size, COUNT(DISTINCT s.s_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE p.p_brand NOT IN ('Brand#1')
+GROUP BY p.p_brand, p.p_size
+"""
+
+
+def q_big_spenders(spark, sf_dir):
+    """Q18 shape: GROUP BY ... HAVING SUM over a join."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "total_qty")
+    )
+
+
+SQL_BIG_SPENDERS = """
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, b.total_qty
+FROM orders o
+JOIN (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING ROUND(SUM(l_quantity), 2) > 150) b
+ON o.o_orderkey = b.l_orderkey
+"""
+
+
+def q_above_avg_orders(spark, sf_dir):
+    """Q17/Q2 shape: correlated scalar subquery — orders above their
+    customer's average order value. Spark decorrelates this into an
+    aggregation + join automatically (no per-row re-execution)."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("tpch_orders_src")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS amount
+        FROM tpch_orders_src o
+        WHERE o_totalprice > (
+          SELECT 1.5 * AVG(o_totalprice) FROM tpch_orders_src i
+          WHERE i.o_custkey = o.o_custkey)
+    """)
+
+
+SQL_ABOVE_AVG_ORDERS = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS amount
+FROM orders o
+WHERE o_totalprice > (
+  SELECT 1.5 * AVG(o_totalprice) FROM orders i
+  WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+def q_parts_never_shipped_late(spark, sf_dir):
+    """Q21-ish anti-join with an extra predicate: parts that never
+    appear on a returned lineitem."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R") \
+        .select(F.col("l_partkey").alias("p_partkey")).distinct()
+    return (
+        part.join(returned, ["p_partkey"], "left_anti")
+        .select("p_partkey", "p_brand", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+SQL_PARTS_NEVER_SHIPPED_LATE = """
+SELECT p_partkey, p_brand, ROUND(p_retailprice, 2) AS price
+FROM part
+WHERE p_partkey NOT IN (
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+"""
+
+
+QUERIES = {
+    "supplier_counts": q_supplier_counts,
+    "big_spenders": q_big_spenders,
+    "above_avg_orders": q_above_avg_orders,
+    "parts_never_returned": q_parts_never_shipped_late,
+}
+
+ORACLES = {
+    "supplier_counts": SQL_SUPPLIER_COUNTS,
+    "big_spenders": SQL_BIG_SPENDERS,
+    "above_avg_orders": SQL_ABOVE_AVG_ORDERS,
+    "parts_never_returned": SQL_PARTS_NEVER_SHIPPED_LATE,
+}

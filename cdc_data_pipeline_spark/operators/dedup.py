@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cdc_data_pipeline_spark.functions.text import fingerprint, normalized_text, shingles, tokens
+from cdc_data_pipeline_spark.functions.text import fingerprint, shingles, tokens
 from cdc_data_pipeline_spark.sources.readers import ensure_parallelism
 
 
