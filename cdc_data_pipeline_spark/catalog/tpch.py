@@ -89,11 +89,12 @@ WHERE o_totalprice > (
 
 
 def q_parts_never_shipped_late(spark, sf_dir):
-    """Q21-ish anti-join with an extra predicate: parts that never
-    appear on a returned lineitem."""
+    """Q21-ish anti-join with an extra predicate: parts with no
+    returned lineitem since 2000."""
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
-    returned = li.filter(F.col("l_returnflag") == "R") \
+    returned = li.filter((F.col("l_returnflag") == "R")
+                         & (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))) \
         .select(F.col("l_partkey").alias("p_partkey")).distinct()
     return (
         part.join(returned, ["p_partkey"], "left_anti")
@@ -105,7 +106,8 @@ SQL_PARTS_NEVER_SHIPPED_LATE = """
 SELECT p_partkey, p_brand, ROUND(p_retailprice, 2) AS price
 FROM part
 WHERE p_partkey NOT IN (
-  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+  SELECT l_partkey FROM lineitem
+  WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00')
 """
 
 
