@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Scale soak: replicate the sf0.1 fixtures Nx on disk (shifted keys),
+run the headline operator shapes at 1x and Nx, and report the wall
+ratio per query. A scale-safe plan should grow ~linearly (ratio <~ N);
+anything quadratic explodes immediately.
+
+Not part of the driver bench — run on demand:
+    python scale_soak.py [N]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parent)
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cdc_data_pipeline_spark.operators import dedup as dd  # noqa: E402
+from cdc_data_pipeline_spark.operators import incremental as inc  # noqa: E402
+from cdc_data_pipeline_spark.session import get_spark  # noqa: E402
+from cdc_data_pipeline_spark.sources.readers import read_table  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+SHIFT = 100_000_000
+
+
+def replicate(spark, name, n, out_dir, key_cols):
+    base = read_table(spark, SF_DIR, name)
+    parts = [base]
+    for i in range(1, n):
+        shifted = base
+        for k in key_cols:
+            shifted = shifted.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+        parts.append(shifted)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    path = f"{out_dir}/{name}.parquet"
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
+def timed(fn):
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 2)
+
+
+def run_suite(spark, li_path, doc_path):
+    li = spark.read.parquet(li_path)
+    docs = spark.read.parquet(doc_path)
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    return {
+        "pricing_summary": timed(lambda: noop(
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))))),
+        "upsert_dedup": timed(lambda: noop(
+            inc.latest_per_key(
+                li.select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+                  .unionByName(li.select("l_orderkey", "l_linenumber",
+                                         (F.col("l_shipdate") + F.expr("INTERVAL 1 DAY")).alias("l_shipdate"),
+                                         "l_quantity")),
+                ["l_orderkey", "l_linenumber"], "l_shipdate", ["l_quantity"]))),
+        "dedup_exact": timed(lambda: noop(dd.dedup_exact(docs))),
+        "minhash_lsh": timed(lambda: noop(dd.lsh_candidate_pairs(docs))),
+    }
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    spark = get_spark("scale-soak")
+    spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode("overwrite").save()
+    tmp = tempfile.mkdtemp(prefix="soak_")
+    try:
+        li_1 = replicate(spark, "lineitem", 1, tmp + "/x1", ["l_orderkey"])
+        doc_1 = replicate(spark, "documents", 1, tmp + "/x1", ["doc_id"])
+        li_n = replicate(spark, "lineitem", n, tmp + "/xN", ["l_orderkey"])
+        doc_n = replicate(spark, "documents", n, tmp + "/xN", ["doc_id"])
+
+        base = run_suite(spark, li_1, doc_1)
+        big = run_suite(spark, li_n, doc_n)
+        ratios = {k: round(big[k] / max(base[k], 0.05), 1) for k in base}
+        print(json.dumps({"metric": "scale_soak", "n": n, "x1_sec": base,
+                          "xN_sec": big, "ratio": ratios}))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
