@@ -51,3 +51,55 @@ def stream_upsert_to_parquet(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_scd2_to_parquet(
+    stream: DataFrame,
+    target_path: str,
+    keys,
+    check_cols,
+    checkpoint_dir: str,
+    ts_of_batch=None,
+    trigger_available_now: bool = True,
+):
+    """Maintain an SCD2 snapshot from a change stream: each micro-batch
+    is merged with the `check` strategy (reference: the users snapshot,
+    dbt_project/dbt/snapshots/users_snapshot.sql:1-18, fed hourly by
+    cron — here the feed is a real stream).
+
+    ``ts_of_batch(batch_id) -> str`` supplies the version timestamp per
+    micro-batch (defaults to batch id as an epoch offset so tests are
+    deterministic). The open slice is filter-pruned on read; history
+    rows pass through untouched.
+    """
+    import os
+
+    from cdc_data_pipeline_spark.operators.scd2 import scd2_merge
+
+    spark = stream.sparkSession
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        snapshot = None
+        if os.path.exists(target_path):
+            try:
+                snapshot = spark.read.parquet(target_path)
+            except Exception:
+                snapshot = None
+        run_ts = (ts_of_batch(batch_id) if ts_of_batch
+                  else f"2024-01-01 00:00:{batch_id % 60:02d}")
+        merged = scd2_merge(snapshot, batch, keys, check_cols, run_ts)
+        merged = merged.persist()
+        merged.count()
+        merged.write.mode("overwrite").parquet(target_path)
+        merged.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

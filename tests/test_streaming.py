@@ -189,3 +189,38 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
     assert got.count() > 0
+
+
+def test_stream_scd2_snapshot(spark, tmp_path):
+    """SCD2 maintained from a file stream: a changed key gets a closed
+    v1 + open v2 across micro-batches."""
+    import time as _time
+
+    from cdc_data_pipeline_spark.streaming.cdc import stream_scd2_to_parquet
+
+    src = tmp_path / "scd_src"
+    src.mkdir()
+    tgt = str(tmp_path / "scd_tgt")
+    ckpt = str(tmp_path / "scd_ckpt")
+    schema = "user_id long, occ string"
+    ts_of = lambda i: f"2024-01-0{i + 1} 00:00:00"  # noqa: E731
+
+    spark.createDataFrame([(1, "eng"), (2, "ops")], schema) \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    q = stream_scd2_to_parquet(
+        spark.readStream.schema(schema).parquet(f"{src}/*"),
+        tgt, ["user_id"], ["occ"], ckpt, ts_of_batch=ts_of)
+    q.awaitTermination(120)
+
+    _time.sleep(1.1)
+    spark.createDataFrame([(1, "mgmt"), (2, "ops"), (3, "new")], schema) \
+        .coalesce(1).write.parquet(str(src / "b2"))
+    q2 = stream_scd2_to_parquet(
+        spark.readStream.schema(schema).parquet(f"{src}/*"),
+        tgt, ["user_id"], ["occ"], ckpt, ts_of_batch=ts_of)
+    q2.awaitTermination(120)
+
+    snap = spark.read.parquet(tgt).collect()
+    state = sorted((r.user_id, r.occ, r.dbt_valid_to is None) for r in snap)
+    assert state == [(1, "eng", False), (1, "mgmt", True),
+                     (2, "ops", True), (3, "new", True)], state
