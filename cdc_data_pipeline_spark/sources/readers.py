@@ -101,3 +101,19 @@ def read_json_staging(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_csv_source(spark: SparkSession, path: str, schema=None,
+                    header: bool = True, sep: str = ",") -> DataFrame:
+    """CSV source (flat-file extracts). PERMISSIVE like the JSON path:
+    malformed rows land in ``_corrupt_record`` when the schema declares
+    it rather than failing the scan. Schema-on-read inference is
+    available but an explicit schema avoids the extra inference pass
+    over the files — at 100 TB, inference is a full scan."""
+    reader = (spark.read.option("mode", "PERMISSIVE")
+              .option("header", str(header).lower()).option("sep", sep))
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)

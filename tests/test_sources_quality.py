@@ -153,3 +153,15 @@ def test_churn_simulator_drives_upsert(spark, sf_dir):
         assert batch.exceptAll(again).count() == 0
         state = inc.upsert_dedup(state, batch, ["o_orderkey"], "o_orderdate")
     assert state.count() == n0 + 3 * n_ins
+
+
+def test_csv_source_roundtrip(spark, tmp_path):
+    from cdc_data_pipeline_spark.sources.readers import read_csv_source
+
+    p = tmp_path / "extract.csv"
+    p.write_text("k,v\n1,a\n2,b\nnot_a_number,c\n")
+    df = read_csv_source(spark, str(p), schema="k long, v string, _corrupt_record string").cache()
+    df.count()
+    good = df.filter("_corrupt_record IS NULL")
+    assert sorted((r.k, r.v) for r in good.collect()) == [(1, "a"), (2, "b")]
+    assert df.filter("_corrupt_record IS NOT NULL").count() == 1
