@@ -182,8 +182,27 @@ JOIN (SELECT * FROM events WHERE event_type = 'error') e
 """
 
 
+def q_quality_accepted_values(spark, sf_dir):
+    """dbt accepted_values test as a query: order statuses outside the
+    allowed domain, with counts ('P' is deliberately excluded so the
+    check reports real violations on the fixture)."""
+    from cdc_data_pipeline_spark.operators.quality import accepted_values_violations
+
+    return accepted_values_violations(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", ["F", "O"])
+
+
+SQL_QUALITY_ACCEPTED_VALUES = """
+SELECT o_orderstatus, COUNT(*) AS cnt
+FROM orders
+WHERE o_orderstatus NOT IN ('F', 'O') AND o_orderstatus IS NOT NULL
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "doc_normalize": q_doc_normalize,
+    "quality_accepted_values": q_quality_accepted_values,
     "click_error_correlation": q_click_error_correlation,
     "events_session_native": q_events_session_native,
     "running_user_stats": q_running_user_stats,
@@ -194,6 +213,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_normalize": SQL_DOC_NORMALIZE,
+    "quality_accepted_values": SQL_QUALITY_ACCEPTED_VALUES,
     "click_error_correlation": SQL_CLICK_ERROR_CORRELATION,
     "events_session_native": SQL_EVENTS_SESSION_NATIVE,
     "running_user_stats": SQL_RUNNING_USER_STATS,
