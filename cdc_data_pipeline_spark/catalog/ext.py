@@ -55,27 +55,31 @@ SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
 
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization as a composition of window functions —
-    the batch-equivalent of session_window (15 min gap)."""
+    the batch-equivalent of session_window (15 min gap). Pure DataFrame
+    API (no temp views): one shuffle on user_id serves both windows."""
+    from pyspark.sql import Window
+
     e = _t(spark, sf_dir, "events")
-    e.createOrReplaceTempView("events_sess_src")
-    return spark.sql("""
-        WITH flagged AS (
-          SELECT user_id, ts, event_id,
-                 CASE WHEN lag(ts) OVER w IS NULL
-                           OR ts - lag(ts) OVER w > INTERVAL 15 MINUTE
-                      THEN 1 ELSE 0 END AS new_sess
-          FROM events_sess_src
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ), sess AS (
-          SELECT user_id, ts,
-                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS session_id
-          FROM flagged
-        )
-        SELECT user_id, session_id, MIN(ts) AS session_start,
-               MAX(ts) AS session_end, COUNT(*) AS n_events
-        FROM sess GROUP BY user_id, session_id
-    """)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 15 MINUTE")),
+            1,
+        ).otherwise(0).alias("new_sess"),
+    )
+    sess = flagged.select(
+        "user_id", "ts",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_id"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
 
 
 SQL_EVENTS_SESSIONIZE = """
