@@ -191,7 +191,32 @@ WHERE c_custkey NOT IN (
 """
 
 
+def q_order_value_percentiles(spark, sf_dir):
+    """Exact percentiles (median / p95, linear interpolation) per order
+    priority — Spark `percentile` and DuckDB `quantile_cont` share the
+    same interpolated definition."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_ORDER_VALUE_PERCENTILES = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "order_value_percentiles": q_order_value_percentiles,
     "sales_cube": q_sales_cube,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_without_orders": q_customers_without_orders,
@@ -204,6 +229,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "order_value_percentiles": SQL_ORDER_VALUE_PERCENTILES,
     "sales_cube": SQL_SALES_CUBE,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
