@@ -165,3 +165,18 @@ def test_csv_source_roundtrip(spark, tmp_path):
     good = df.filter("_corrupt_record IS NULL")
     assert sorted((r.k, r.v) for r in good.collect()) == [(1, "a"), (2, "b")]
     assert df.filter("_corrupt_record IS NOT NULL").count() == 1
+
+
+def test_winnow_vectorized_equals_native(spark, sf_dir):
+    """The Arrow-batched winnowing fingerprints must be bit-identical
+    to the native-expression formulation."""
+    from pyspark.sql import functions as F
+
+    from cdc_data_pipeline_spark.functions import text as tx
+    from cdc_data_pipeline_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents").filter(F.length("text") >= 11).limit(30)
+    native = d.select("doc_id", F.explode(tx.winnow_fingerprints("text")).alias("fp"))
+    vec = d.select("doc_id",
+                   F.explode(tx.winnow_fingerprints_vectorized()(F.col("text"))).alias("fp"))
+    assert sorted(map(tuple, native.collect())) == sorted(map(tuple, vec.collect()))
