@@ -221,3 +221,77 @@ ORACLES = {
     "parts_by_brand": SQL_PARTS_BY_BRAND,
     "events_sliding_window": SQL_EVENTS_SLIDING,
 }
+
+
+def _merge_inputs(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    proj = orders.select(F.col("o_orderkey").alias("plan_id"),
+                         F.round("o_totalprice", 2).alias("amount"))
+    target = proj.filter(F.col("plan_id") % 10 < 8).withColumn("op", F.lit("U"))
+    source = (
+        proj.filter(F.col("plan_id") % 10 >= 5)
+        .withColumn("amount", F.round(F.col("amount") + 10.0, 2))
+        .withColumn("op", F.when(F.col("plan_id") % 3 == 0, "D").otherwise("U"))
+    )
+    return target, source
+
+
+def q_merge_mixed(spark, sf_dir):
+    """Generalized MERGE: matched+op='D' deletes, matched+op='U'
+    updates, unmatched non-delete rows insert — the full
+    MERGE INTO surface as one pure DataFrame function."""
+    from cdc_data_pipeline_spark.operators.merge import merge
+
+    target, source = _merge_inputs(spark, sf_dir)
+    return merge(target, source, ["plan_id"], delete_when=F.col("op") == "D")
+
+
+_SQL_MERGE_CTE = """
+WITH target AS (
+  SELECT o_orderkey AS plan_id, ROUND(o_totalprice,2) AS amount, 'U' AS op
+  FROM orders WHERE o_orderkey % 10 < 8),
+src AS (
+  SELECT o_orderkey AS plan_id, ROUND(ROUND(o_totalprice,2) + 10.0, 2) AS amount,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders WHERE o_orderkey % 10 >= 5)
+"""
+
+SQL_MERGE_MIXED = _SQL_MERGE_CTE + """
+SELECT * FROM target WHERE plan_id NOT IN (SELECT plan_id FROM src)
+UNION ALL
+SELECT * FROM src WHERE op <> 'D' AND plan_id IN (SELECT plan_id FROM target)
+UNION ALL
+SELECT * FROM src WHERE op <> 'D' AND plan_id NOT IN (SELECT plan_id FROM target)
+"""
+
+
+def q_merge_cdf(spark, sf_dir):
+    """Change data feed emitted by the merge: insert / update_preimage
+    / update_postimage / delete rows (Delta-CDF shape) so downstream
+    consumers subscribe to changes instead of diffing snapshots."""
+    from cdc_data_pipeline_spark.operators.merge import merge_with_cdf
+
+    target, source = _merge_inputs(spark, sf_dir)
+    _, changes = merge_with_cdf(target, source, ["plan_id"],
+                                delete_when=F.col("op") == "D")
+    return changes
+
+
+SQL_MERGE_CDF = _SQL_MERGE_CTE + """
+SELECT t.*, 'update_preimage' AS _change_type FROM target t
+WHERE plan_id IN (SELECT plan_id FROM src WHERE op <> 'D')
+UNION ALL
+SELECT s.*, 'update_postimage' FROM src s
+WHERE op <> 'D' AND plan_id IN (SELECT plan_id FROM target)
+UNION ALL
+SELECT t.*, 'delete' FROM target t
+WHERE plan_id IN (SELECT plan_id FROM src WHERE op = 'D')
+UNION ALL
+SELECT s.*, 'insert' FROM src s
+WHERE op <> 'D' AND plan_id NOT IN (SELECT plan_id FROM target)
+"""
+
+QUERIES["merge_mixed"] = q_merge_mixed
+QUERIES["merge_cdf"] = q_merge_cdf
+ORACLES["merge_mixed"] = SQL_MERGE_MIXED
+ORACLES["merge_cdf"] = SQL_MERGE_CDF

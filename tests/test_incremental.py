@@ -84,3 +84,31 @@ def test_write_merged_self_dependency(spark, tmp_path):
     write_merged(upsert(target, batch, ["k"]), path)
     out = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert out == {1: "a", 2: "b2"}
+
+
+def test_merge_cdf_replays_to_new_state(spark):
+    """Applying the change feed to the old state must reproduce the
+    merge result exactly: state' = state - preimages - deletes
+    + postimages + inserts."""
+    from pyspark.sql import functions as F
+
+    from cdc_data_pipeline_spark.operators.merge import CDF_COL, merge_with_cdf
+
+    target = spark.createDataFrame(
+        [(1, 10.0, "U"), (2, 20.0, "U"), (3, 30.0, "U")], "k long, v double, op string")
+    source = spark.createDataFrame(
+        [(2, 99.0, "U"),    # update
+         (3, 0.0, "D"),     # delete
+         (4, 40.0, "U"),    # insert
+         (5, 0.0, "D")],    # delete of an absent key: no-op
+        "k long, v double, op string")
+    state, changes = merge_with_cdf(target, source, ["k"], delete_when=F.col("op") == "D")
+
+    got_changes = {(r.k, r[CDF_COL]) for r in changes.collect()}
+    assert got_changes == {(2, "update_preimage"), (2, "update_postimage"),
+                           (3, "delete"), (4, "insert")}
+
+    removed = changes.filter(F.col(CDF_COL).isin("update_preimage", "delete")).drop(CDF_COL)
+    added = changes.filter(F.col(CDF_COL).isin("update_postimage", "insert")).drop(CDF_COL)
+    replayed = target.exceptAll(removed).unionByName(added)
+    assert sorted(map(tuple, replayed.collect())) == sorted(map(tuple, state.collect()))
