@@ -129,3 +129,33 @@ def test_bucketed_upsert_rewrites_only_affected_buckets(spark, sf_dir, tmp_path)
     assert final.count() == n0
     k = batch.first().o_orderkey
     assert final.filter(F.col("o_orderkey") == k).first().amount == 999.99
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    """Orders and lineitem bucketed on the join key: the join plan must
+    contain NO shuffle exchange on either side."""
+    from cdc_data_pipeline_spark.sources.readers import write_bucketed_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    try:
+        write_bucketed_table(orders, "bt_orders", "o_orderkey", 8, "o_orderkey")
+        write_bucketed_table(li, "bt_lineitem", "l_orderkey", 8, "l_orderkey")
+        joined = (
+            spark.table("bt_lineitem")
+            .join(spark.table("bt_orders"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            join_part = plan[:plan.index("HashAggregate")] if "HashAggregate" in plan else plan
+            assert "Exchange hashpartitioning" not in join_part, join_part[:2000]
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
