@@ -295,3 +295,24 @@ QUERIES["merge_mixed"] = q_merge_mixed
 QUERIES["merge_cdf"] = q_merge_cdf
 ORACLES["merge_mixed"] = SQL_MERGE_MIXED
 ORACLES["merge_cdf"] = SQL_MERGE_CDF
+
+
+def q_status_sets(spark, sf_dir):
+    """Salted two-stage collect_set: the distinct order statuses per
+    customer, skew-safe (hot keys split across salt sub-keys)."""
+    from cdc_data_pipeline_spark.operators.skew import salted_collect_set
+
+    orders = _t(spark, sf_dir, "orders")
+    return salted_collect_set(orders, ["o_custkey"], "o_orderstatus", salt=8) \
+        .withColumnRenamed("values", "statuses") \
+        .withColumn("statuses", F.array_join("statuses", ","))
+
+
+SQL_STATUS_SETS = """
+SELECT o_custkey,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
+FROM orders GROUP BY o_custkey
+"""
+
+QUERIES["status_sets"] = q_status_sets
+ORACLES["status_sets"] = SQL_STATUS_SETS

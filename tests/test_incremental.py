@@ -112,3 +112,17 @@ def test_merge_cdf_replays_to_new_state(spark):
     added = changes.filter(F.col(CDF_COL).isin("update_postimage", "insert")).drop(CDF_COL)
     replayed = target.exceptAll(removed).unionByName(added)
     assert sorted(map(tuple, replayed.collect())) == sorted(map(tuple, state.collect()))
+
+
+def test_salted_collect_equals_direct(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cdc_data_pipeline_spark.operators.skew import salted_collect_set
+    from cdc_data_pipeline_spark.sources.readers import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    salted = salted_collect_set(orders, ["o_custkey"], "o_orderstatus", salt=8)
+    direct = orders.groupBy("o_custkey") \
+        .agg(F.array_sort(F.collect_set("o_orderstatus")).alias("values"))
+    assert sorted((r.o_custkey, tuple(r["values"])) for r in salted.collect()) == \
+           sorted((r.o_custkey, tuple(r["values"])) for r in direct.collect())
