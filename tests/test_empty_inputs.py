@@ -59,3 +59,17 @@ def test_dedup_ops_on_empty_corpus(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert dedup_exact(empty).count() == 0
     assert lsh_candidate_pairs(empty).count() == 0
+
+
+def test_merge_empty_source_is_noop(spark):
+    from pyspark.sql import functions as F
+
+    from cdc_data_pipeline_spark.operators.merge import merge, merge_with_cdf
+
+    target = _t3(spark, [(1, 1, "a"), (2, 1, "b")])
+    empty = target.limit(0)
+    out = merge(target, empty, ["k"], delete_when=F.col("v") == "zzz")
+    assert sorted(map(tuple, out.collect())) == [(1, 1, "a"), (2, 1, "b")]
+    state, changes = merge_with_cdf(target, empty, ["k"])
+    assert changes.count() == 0
+    assert state.count() == 2
