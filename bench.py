@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "upsert",
     "upsert_dedup",
     "scd2_check",
+    "merge_mixed",
     "events_sessionize",
     "events_tumbling_window",
     "dedup_exact",
@@ -42,6 +43,7 @@ BENCH_QUERIES = [
     "topk_cosine",
     "ann_lsh_topk",
     "text_stats",
+    "winnow_fingerprints",
     "media_features",
 ]
 

@@ -114,3 +114,18 @@ def test_scd2_invariants_over_batch_sequences(spark, seq):
                   for r in again.collect()) == \
            sorted((r.user_id, r.occ, r.dbt_valid_from, r.dbt_valid_to)
                   for r in state)
+
+
+@given(b1=ROWS, b2=ROWS)
+@settings(**SETTINGS)
+def test_merge_without_deletes_equals_upsert(spark, b1, b2):
+    """merge() with no delete/guard conditions must degenerate exactly
+    to the delete+insert upsert (M2)."""
+    from cdc_data_pipeline_spark.operators.merge import merge
+
+    target = inc.latest_per_key(_df(spark, b1), ["k"], "t", ["v"])
+    batch = inc.latest_per_key(_df(spark, b2), ["k"], "t", ["v"])
+    via_merge = merge(target, batch, ["k"])
+    via_upsert = inc.upsert(target, batch, ["k"])
+    assert sorted(map(tuple, via_merge.collect())) == \
+           sorted(map(tuple, via_upsert.collect()))
