@@ -531,3 +531,27 @@ SELECT doc_id, unnest(fps) AS fingerprint FROM w
 
 QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
 ORACLES["winnow_fingerprints"] = SQL_WINNOW_FINGERPRINTS
+
+
+def q_vector_norms(spark, sf_dir):
+    """Vector math surface as its own entry: L2 norm and self-dot per
+    embedding, native zip_with/aggregate arithmetic."""
+    from cdc_data_pipeline_spark.functions.vectors import dot, norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(norm("embedding"), 6).alias("l2_norm"),
+        F.round(dot("embedding", "embedding"), 6).alias("self_dot"),
+    )
+
+
+SQL_VECTOR_NORMS = """
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm,
+       ROUND(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 6) AS self_dot
+FROM embeddings
+"""
+
+QUERIES["vector_norms"] = q_vector_norms
+ORACLES["vector_norms"] = SQL_VECTOR_NORMS
