@@ -162,8 +162,8 @@ def q_top_orders_per_customer(spark, sf_dir):
 
 SQL_TOP_ORDERS_PER_CUSTOMER = """
 SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS amount,
-       row_number() OVER (PARTITION BY o_custkey
-                          ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey ASC) AS rank
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey ASC) AS INTEGER) AS rank
 FROM orders
 QUALIFY rank <= 3
 """

@@ -92,8 +92,10 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         -- CAST: DuckDB's SUM over integers yields HUGEINT; Spark's sum
+         -- window yields BIGINT — align dtypes so value hashes match
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, MIN(ts) AS session_start,
@@ -316,9 +318,11 @@ WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.3
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs with an EXACT oracle: the md5-based token
     hash is bit-compatible with DuckDB's md5_number_lower, so signature,
-    pigeonhole blocking, and Hamming filter all reproduce in SQL."""
+    pigeonhole blocking, and Hamming filter all reproduce in SQL.
+    max_hamming=3 < blocks=4 so pigeonhole blocking has FULL recall —
+    the entry's contract ("all pairs at distance <= 3") is exact."""
     return dd.simhash_near_pairs(_t(spark, sf_dir, "documents"),
-                                 bits=32, max_hamming=6, blocks=4, hash_fn="md5")
+                                 bits=32, max_hamming=3, blocks=4, hash_fn="md5")
 
 
 _SIMHASH_VOTES = ",\n    ".join(
@@ -343,8 +347,8 @@ cand AS (
          a.simhash AS h_a, b.simhash AS h_b
   FROM blocked a JOIN blocked b
     ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id)
-SELECT id_a, id_b, bit_count(xor(h_a, h_b)) AS hamming
-FROM cand WHERE bit_count(xor(h_a, h_b)) <= 6
+SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
 """
 
 
@@ -387,7 +391,8 @@ scored AS (
          ROUND(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
   FROM q JOIN embeddings e ON q.query_id <> e.vec_id)
 SELECT query_id, neighbor_id, cos,
-       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       -- INTEGER cast: DuckDB row_number() is BIGINT, Spark's is int
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
 FROM scored
 QUALIFY rank <= 5
 """
@@ -422,7 +427,7 @@ scored AS (
          ROUND(list_cosine_similarity(q.qv::DOUBLE[], a.embedding::DOUBLE[]), 6) AS cos
   FROM q JOIN assign a ON q.cid = a.cid AND q.query_id <> a.vec_id)
 SELECT query_id, neighbor_id, cos,
-       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
 FROM scored
 QUALIFY rank <= 5
 """

@@ -216,13 +216,25 @@ def simhash_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        bits: int = 32, max_hamming: int = 3, blocks: int = 4,
-                       hash_fn: str = "xxhash64") -> DataFrame:
+                       hash_fn: str = "xxhash64", allow_partial_recall: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Pigeonhole blocking: split the hash into ``blocks`` chunks; any pair
     within distance d < blocks must agree on >= 1 full chunk, so the
     join key is (chunk_index, chunk_value) — no cross join.
+
+    Full recall REQUIRES ``max_hamming < blocks``: a pair at distance
+    d >= blocks can differ in every chunk and never collide. Such
+    configurations are rejected unless ``allow_partial_recall=True``
+    (an intentional recall/cost tradeoff, e.g. few wide blocks over a
+    very hot corpus).
     """
+    if max_hamming >= blocks and not allow_partial_recall:
+        raise ValueError(
+            f"pigeonhole blocking misses pairs at Hamming distance >= blocks "
+            f"({max_hamming=} >= {blocks=}); raise blocks or pass "
+            f"allow_partial_recall=True to accept approximate recall"
+        )
     bits_per_block = bits // blocks
     mask = (1 << bits_per_block) - 1
     if hash_fn == "md5":

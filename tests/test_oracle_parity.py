@@ -21,9 +21,42 @@ def duck_result(sql: str, sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    return cols, cur.fetchall()
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    types = [str(t) for t in rel.types]
+    return cols, types, rel.fetchall()
+
+
+# Spark simpleString dtype -> the DuckDB type the driver's value-hash
+# treats as equivalent. Anything not mapped here (arrays, structs) is
+# compared loosely. HUGEINT is deliberately NOT accepted for bigint:
+# that exact drift (DuckDB SUM(int) OVER -> HUGEINT) produced the one
+# round-1 driver hash mismatch while the stringified local canon passed.
+_DTYPE_EQUIV = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER"},
+    "smallint": {"SMALLINT"},
+    "tinyint": {"TINYINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "boolean": {"BOOLEAN"},
+}
+
+
+def assert_dtypes_compatible(name, spark_dtypes, d_cols, d_types):
+    duck = dict(zip(d_cols, d_types))
+    for col, sdt in spark_dtypes:
+        expected = _DTYPE_EQUIV.get(sdt)
+        if expected is None:  # array/struct/decimal: values-only compare
+            continue
+        assert duck[col] in expected, (
+            f"{name}.{col}: Spark dtype {sdt} vs DuckDB {duck[col]} — "
+            f"dtype drift would break the driver's value hash even when "
+            f"stringified values agree (round-1 sessionize failure mode)"
+        )
 
 
 def canon(cols, rows):
@@ -52,8 +85,9 @@ def test_oracle_parity(spark, name):
     sdf = QUERIES[name](spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
-    d_cols, d_rows = duck_result(ORACLES[name], sf_dir)
+    d_cols, d_types, d_rows = duck_result(ORACLES[name], sf_dir)
 
+    assert_dtypes_compatible(name, sdf.dtypes, d_cols, d_types)
     c1, r1 = canon(s_cols, s_rows)
     c2, r2 = canon(d_cols, d_rows)
     assert c1 == c2, f"{name}: column mismatch {c1} vs {c2}"
