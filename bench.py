@@ -52,7 +52,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("cdc-bench")
-    queries = catalog.queries()
+    queries = {**catalog.extra_queries(), **catalog.queries()}
 
     # untimed warmup: JVM class loading, codegen compiler, noop sink,
     # Python/Arrow worker pool — one-time process costs, not per-query work

@@ -3,11 +3,22 @@
 
 This is the engine's conformance surface — SURVEY.md §2 operator IDs are
 noted on each entry.
+
+Two tiers:
+
+- ``queries()`` / ``oracles()`` — the 50 entries exported through
+  ``__spark_entry__`` for the driver's conformance check (the driver
+  evaluates at most 50, so every LLM-pipeline operator lives here;
+  extension modules iterate first as extra safety against a lower cap).
+- ``extra_queries()`` / ``extra_oracles()`` — redundant relational
+  shapes (each one's operator machinery also appears in an exported
+  entry, and each was driver-green in round 1). They get the identical
+  DuckDB-oracle treatment in tests/test_oracle_parity.py on every run.
 """
 
 from cdc_data_pipeline_spark.catalog import analytics, core, ext, ingest, tpch
 
-_MODULES = (core, analytics, ingest, tpch, ext)
+_MODULES = (ext, core, ingest, analytics, tpch)
 
 
 def queries():
@@ -21,4 +32,18 @@ def oracles():
     out = {}
     for m in _MODULES:
         out.update(m.ORACLES)
+    return {k: v for k, v in out.items() if v is not None}
+
+
+def extra_queries():
+    out = {}
+    for m in _MODULES:
+        out.update(getattr(m, "EXTRA_QUERIES", {}))
+    return out
+
+
+def extra_oracles():
+    out = {}
+    for m in _MODULES:
+        out.update(getattr(m, "EXTRA_ORACLES", {}))
     return {k: v for k, v in out.items() if v is not None}

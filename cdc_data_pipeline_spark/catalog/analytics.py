@@ -217,26 +217,39 @@ FROM orders GROUP BY o_orderpriority
 
 QUERIES = {
     "order_value_percentiles": q_order_value_percentiles,
-    "sales_cube": q_sales_cube,
-    "top_orders_per_customer": q_top_orders_per_customer,
-    "customers_without_orders": q_customers_without_orders,
-    "running_total": q_running_total,
     "status_pivot": q_status_pivot,
     "sales_rollup": q_sales_rollup,
-    "distinct_priorities": q_distinct_priorities,
     "monthly_shipments": q_monthly_shipments,
     "asof_order_state": q_asof_order_state,
 }
 
 ORACLES = {
     "order_value_percentiles": SQL_ORDER_VALUE_PERCENTILES,
+    "status_pivot": SQL_STATUS_PIVOT,
+    "sales_rollup": SQL_SALES_ROLLUP,
+    "monthly_shipments": SQL_MONTHLY_SHIPMENTS,
+    "asof_order_state": SQL_ASOF_ORDER_STATE,
+}
+
+# Local-parity-only tier (driver caps conformance at 50 entries; these
+# shapes are redundant with exported entries — cube repeats rollup's
+# grouping-sets machinery, window rank/cumsum repeat upsert_dedup's
+# QUALIFY row_number and events_sessionize's running SUM frame,
+# anti-join repeats parts_never_returned, distinct repeats
+# supplier_counts — and all five were driver-green in round 1).
+# Still oracle-verified by tests/test_oracle_parity.py on every run.
+EXTRA_QUERIES = {
+    "sales_cube": q_sales_cube,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "customers_without_orders": q_customers_without_orders,
+    "running_total": q_running_total,
+    "distinct_priorities": q_distinct_priorities,
+}
+
+EXTRA_ORACLES = {
     "sales_cube": SQL_SALES_CUBE,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "running_total": SQL_RUNNING_TOTAL,
-    "status_pivot": SQL_STATUS_PIVOT,
-    "sales_rollup": SQL_SALES_ROLLUP,
     "distinct_priorities": SQL_DISTINCT_PRIORITIES,
-    "monthly_shipments": SQL_MONTHLY_SHIPMENTS,
-    "asof_order_state": SQL_ASOF_ORDER_STATE,
 }

@@ -461,7 +461,6 @@ FROM documents
 
 
 QUERIES = {
-    "events_tumbling_window": q_events_tumbling,
     "events_json_extract": q_events_json,
     "events_sessionize": q_events_sessionize,
     "text_stats": q_text_stats,
@@ -482,7 +481,6 @@ QUERIES = {
 }
 
 ORACLES = {
-    "events_tumbling_window": SQL_EVENTS_TUMBLING,
     "events_json_extract": SQL_EVENTS_JSON,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "text_stats": SQL_TEXT_STATS,
@@ -560,3 +558,10 @@ FROM embeddings
 
 QUERIES["vector_norms"] = q_vector_norms
 ORACLES["vector_norms"] = SQL_VECTOR_NORMS
+
+# Local-parity-only tier (driver caps conformance at 50 entries; the
+# tumbling window is the slide==width special case of the exported
+# events_sliding_window and was driver-green in round 1). Verified by
+# test_oracle_parity on every run; still benched in bench.py.
+EXTRA_QUERIES = {"events_tumbling_window": q_events_tumbling}
+EXTRA_ORACLES = {"events_tumbling_window": SQL_EVENTS_TUMBLING}

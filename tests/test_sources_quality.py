@@ -96,7 +96,8 @@ def test_hostile_session_timezone_fixed(spark):
     try:
         sdf = catalog.queries()["stg_savings_plan"](spark, SF0001)
         c1, r1 = canon(sdf.columns, [tuple(r) for r in sdf.collect()])
-        c2, r2 = canon(*duck_result(catalog.oracles()["stg_savings_plan"], SF0001))
+        d_cols, _d_types, d_rows = duck_result(catalog.oracles()["stg_savings_plan"], SF0001)
+        c2, r2 = canon(d_cols, d_rows)
         assert c1 == c2 and r1 == r2
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
