@@ -295,12 +295,19 @@ FROM banded a JOIN banded b
 
 def q_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard similarity via inverted shingle index (no cross
-    join); threshold on the 6dp-rounded ratio."""
-    return dd.jaccard_pairs(_t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.3)
+    join); threshold on the 6dp-rounded ratio. max_df=500 exercises the
+    stop-shingle cap (Jaccard over the df-capped shingle space) that
+    bounds join fan-out at web scale; the oracle replicates the capped
+    semantics exactly."""
+    return dd.jaccard_pairs(_t(spark, sf_dir, "documents"), shingle_k=3,
+                            threshold=0.3, max_df=500)
 
 
 SQL_JACCARD_PAIRS = _DUCK_SHINGLES + """,
-ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+exall AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+freq AS (SELECT s, count(*) AS df FROM exall GROUP BY s),
+ex AS (SELECT e.doc_id, e.s FROM exall e JOIN freq f ON e.s = f.s
+       WHERE f.df <= 500),
 sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i

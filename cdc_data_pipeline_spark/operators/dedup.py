@@ -126,18 +126,42 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 # --------------------------------------------------------------------------
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  shingle_k: int = 3, threshold: float = 0.5) -> DataFrame:
+                  shingle_k: int = 3, threshold: float = 0.5,
+                  max_df: int | None = None) -> DataFrame:
     """Pairs with shingle-set Jaccard >= threshold, via an inverted
     shingle index (explode + self-join on shingle), never a cross join.
 
     intersection = co-occurring distinct shingles; union = |A|+|B|-∩.
     Jaccard is rounded to 6dp before thresholding so float noise cannot
     flip membership between engines.
+
+    ``max_df`` is the stop-shingle cap, REQUIRED for web-scale corpora:
+    the inverted-index join is O(Σ df(shingle)²), so one shingle shared
+    by n documents ("of the and") alone yields n² candidate rows. With
+    the cap, shingles whose document frequency exceeds ``max_df`` are
+    dropped from the shingle space entirely (sizes AND intersections),
+    bounding per-key join fan-out at max_df² while barely moving
+    Jaccard — a df>max_df shingle contributes the same ~0 evidence to
+    every pair. Semantics = exact Jaccard over the df-capped space
+    (deterministic, SQL-reproducible), not an approximation heuristic.
+
+    Shingles with df == 1 are additionally excluded from the self-join
+    input (never from sizes): they cannot co-occur, so this halves the
+    join on mostly-unique corpora without changing any result.
     """
+    from pyspark.sql import Window
+
     sh = ensure_parallelism(df).select(
         F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("sh"))
+    # document frequency via a windowed count: one shuffle keyed on the
+    # shingle — the SAME key the self-join below needs, so the exchange
+    # is reused and the df computation adds no extra shuffle of `sh`.
+    sh = sh.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+    if max_df is not None:
+        sh = sh.filter(F.col("__df") <= max_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    joinable = sh.filter(F.col("__df") >= 2).drop("__df")
+    a, b = joinable.alias("a"), joinable.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))

@@ -43,6 +43,28 @@ def test_lsh_dedup_scales_near_linearly(spark, sf_dir):
     assert t_big < t_small * 8, f"superlinear: 4x={t_small:.1f}s 16x={t_big:.1f}s"
 
 
+def test_jaccard_stop_shingle_cap_bounds_candidates(spark):
+    """A shingle planted in EVERY document must not drive quadratic
+    candidate growth once the df cap excludes it, while genuinely
+    near-duplicate documents (sharing rare shingles) are still found.
+
+    60 docs share one stop-shingle and are otherwise unique: uncapped
+    at threshold 0 the inverted index yields all C(60,2)+C(2,2) pairs;
+    with max_df=10 the stop-shingle is dropped and only the planted
+    near-dup pair (ids 1000/1001, identical rare tails) survives."""
+    rows = [(i, f"common alpha beta u{i} v{i} w{i} x{i}") for i in range(60)]
+    rows += [(1000, "common alpha beta z1 z2 z3 z4"),
+             (1001, "common alpha beta z1 z2 z3 z4")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dd.jaccard_pairs(df, shingle_k=3, threshold=0.0)
+    assert uncapped.count() == 62 * 61 // 2  # every pair shares the stop-shingle
+
+    capped = dd.jaccard_pairs(df, shingle_k=3, threshold=0.0, max_df=10)
+    got = [(r.id_a, r.id_b, r.jaccard) for r in capped.collect()]
+    assert got == [(1000, 1001, 1.0)]
+
+
 def test_snapshot_write_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
     """Dynamic partition overwrite: writing one month's snapshot must
     leave every other month's files untouched on disk."""
