@@ -360,24 +360,44 @@ FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
 
 
 def q_embed_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, exact within a label block."""
+    """Embedding-cosine near-dup pairs blocked by multi-table
+    random-hyperplane LSH (2^nbits buckets per table — the 100 TB
+    path; occupancy shrinks as nbits grows), exact cosine within
+    buckets. The hyperplanes are seed-derived constants, so the DuckDB
+    oracle reproduces the EXACT same blocking from inlined plane
+    literals — approximate recall, exactly-checkable output."""
     e = _t(spark, sf_dir, "embeddings")
-    from cdc_data_pipeline_spark.functions.vectors import cosine
-    a, b = e.alias("a"), e.alias("b")
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .withColumn("cos", F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6))
-        .filter(F.col("cos") >= 0.8)
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "cos")
-    )
+    return dd.embedding_near_dup_pairs(e, dim=64, threshold=0.8,
+                                       nbits=_ND_NBITS, tables=_ND_TABLES, seed=_ND_SEED)
 
 
-SQL_EMBED_NEAR_DUP = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.8
+_ND_NBITS, _ND_TABLES, _ND_SEED = 4, 2, 7
+
+
+def _nd_bucket_sql(t: int) -> str:
+    from cdc_data_pipeline_spark.operators.similarity import _gaussian_planes
+
+    planes = _gaussian_planes(_ND_NBITS, 64, _ND_SEED + t)
+    terms = []
+    for j, p in enumerate(planes):
+        lit = "[" + ",".join(repr(x) for x in p) + "]"
+        terms.append(f"(CASE WHEN list_inner_product(e, {lit}::DOUBLE[]) >= 0"
+                     f" THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+SQL_EMBED_NEAR_DUP = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e,
+             {_nd_bucket_sql(0)} AS b0,
+             {_nd_bucket_sql(1)} AS b1
+      FROM v),
+cand AS (
+  SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+         ROUND(list_cosine_similarity(a.e, bb.e), 6) AS cos
+  FROM b a JOIN b bb
+    ON a.vec_id < bb.vec_id AND (a.b0 = bb.b0 OR a.b1 = bb.b1))
+SELECT id_a, id_b, cos FROM cand WHERE cos >= 0.8
 """
 
 

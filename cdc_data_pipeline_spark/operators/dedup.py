@@ -299,33 +299,73 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
 
-def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
-                             threshold: float = 0.95, buckets: int = 8) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine >= threshold.
+def embedding_near_dup_pairs(df: DataFrame, dim: int, vec_col: str = "embedding",
+                             id_col: str = "vec_id", threshold: float = 0.95,
+                             nbits: int = 8, tables: int = 4, seed: int = 42,
+                             multiprobe: bool = False) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold, blocked by
+    multi-table random-hyperplane LSH (the same machinery as
+    similarity.ann_lsh_topk: one Arrow-batched matmul computes all
+    ``tables * nbits`` plane dots and packs them into one long).
 
-    Blocking via random-hyperplane sign buckets (deterministic
-    pseudo-hyperplanes derived from dimension parity) keeps the
-    self-join keyed; within-bucket pairs get exact cosine. For the
-    oracle-checked variant at test scale see queries.q_embed_near_dup
-    (exact, index-join based).
+    Scale design: each table hashes a vector into one of 2^nbits
+    buckets, so within-bucket all-pairs cost is (occupancy)^2 with
+    occupancy ~ n/2^nbits — tune ``nbits ~ log2(n / target_bucket)`` as
+    the corpus grows (nbits=16, tables=4 fits the 64-bit packing). The
+    self-join is keyed on (table, bucket): no cross join anywhere, and
+    candidate pairs are deduped across tables BEFORE the exact-cosine
+    verification so each pair is scored once.
+
+    Recall: a pair at angle θ collides in one table with probability
+    (1-θ/π)^nbits; across T tables 1-(1-p)^T. ``multiprobe`` extends
+    each vector's probe side to every bucket at Hamming distance 1,
+    catching pairs whose table signature differs by one bit (recall
+    pinned vs the exact join in tests).
+
+    Deterministic: hyperplanes derive from ``seed`` (table t uses
+    seed+t), so results are stable across runs, executors, and engines
+    — the catalog oracle inlines the same planes as SQL literals.
     """
     from cdc_data_pipeline_spark.functions.vectors import cosine
+    from cdc_data_pipeline_spark.operators.similarity import _packed_signature_udf
 
-    # deterministic cheap LSH: sign of sum of even dims / odd dims / halves
-    v = F.col(vec_col)
-    n = F.size(v)
-    half = (n / 2).cast("int")
-    sigs = [
-        F.aggregate(F.slice(v, 1, half), F.lit(0.0), lambda a, x: a + x.cast("double")) > 0,
-        F.aggregate(F.slice(v, half + 1, n - half), F.lit(0.0), lambda a, x: a + x.cast("double")) > 0,
-        F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double")) > 0,
-    ]
-    bucket = F.concat_ws("", *[s.cast("int").cast("string") for s in sigs])
-    vecs = df.select(F.col(id_col), v.alias("v"), bucket.alias("bucket"))
-    a, b = vecs.alias("a"), vecs.alias("b")
+    sig_udf = _packed_signature_udf(nbits, tables, dim, seed)
+    mask = (1 << nbits) - 1
+    base = df.select(F.col(id_col), F.col(vec_col).alias("__v"),
+                     sig_udf(F.col(vec_col)).alias("__sig"))
+
+    def bucket(t: int):
+        return F.shiftrightunsigned(F.col("__sig"), nbits * t).bitwiseAND(F.lit(mask))
+
+    blocked = base.select(
+        id_col, "__v",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bucket"))
+            for t in range(tables)
+        ])).alias("tb"),
+    ).select(id_col, "__v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    # shared Exchange (simhash_near_pairs pattern): both join sides
+    # canonicalize to the same subplan, so the signature UDF runs once
+    blocked = blocked.repartition(F.col("tbl"), F.col("bucket"))
+    if multiprobe:
+        probe_structs = []
+        for t in range(tables):
+            probes = [bucket(t)] + [bucket(t).bitwiseXOR(F.lit(1 << j)) for j in range(nbits)]
+            probe_structs += [F.struct(F.lit(t).alias("tbl"), p.alias("bucket")) for p in probes]
+        probe = base.select(
+            id_col, "__v", F.explode(F.array(*probe_structs)).alias("tb"),
+        ).select(id_col, "__v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        probe = probe.repartition(F.col("tbl"), F.col("bucket"))
+    else:
+        probe = blocked
+    a, b = blocked.alias("a"), probe.alias("b")
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .withColumn("cos", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl")) & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.__v").alias("__va"), F.col("b.__v").alias("__vb"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos", F.round(cosine("__va", "__vb"), 6))
         .filter(F.col("cos") >= threshold)
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "cos")
+        .select("id_a", "id_b", "cos")
     )

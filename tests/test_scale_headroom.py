@@ -43,6 +43,57 @@ def test_lsh_dedup_scales_near_linearly(spark, sf_dir):
     assert t_big < t_small * 8, f"superlinear: 4x={t_small:.1f}s 16x={t_big:.1f}s"
 
 
+def test_embed_near_dup_recall_with_multiprobe(spark):
+    """LSH-blocked near-dup must find >= 90% of planted near-duplicate
+    pairs (jittered copies, true cosine ~0.999) with multiprobe on,
+    and every reported pair must be a true near-dup (cosine is
+    verified exactly within buckets)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(300, 16))
+    jit = base[:80] + rng.normal(scale=0.05, size=(80, 16))
+    X = np.vstack([base, jit]).astype("float32")
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))],
+        "vec_id long, embedding array<float>")
+
+    got = dd.embedding_near_dup_pairs(df, dim=16, threshold=0.95,
+                                      nbits=8, tables=4, multiprobe=True)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    planted = {(i, 300 + i) for i in range(80)}
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.9, f"planted-pair recall {recall}"
+
+    # precision: every reported pair is genuinely similar (margin for
+    # engine-vs-numpy float noise at the 6dp boundary)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    for i, j in pairs:
+        assert S[i, j] >= 0.94, (i, j, S[i, j])
+
+
+def test_embed_near_dup_nbits_tuning_keeps_candidates_linear(spark):
+    """The documented scale rule — grow nbits with the corpus so bucket
+    occupancy stays flat — must keep candidate-pair counts ~linear: 4x
+    the vectors with +2 bits should yield ~4x candidates, far under
+    the quadratic 16x (threshold=-1 surfaces every candidate)."""
+    import numpy as np
+
+    def vecs(n, seed):
+        rng = np.random.default_rng(seed)
+        X = rng.normal(size=(n, 16)).astype("float32")
+        return spark.createDataFrame(
+            [(i, X[i].tolist()) for i in range(n)],
+            "vec_id long, embedding array<float>")
+
+    c1 = dd.embedding_near_dup_pairs(vecs(1500, 3), dim=16, threshold=-1.0,
+                                     nbits=8, tables=4).count()
+    c2 = dd.embedding_near_dup_pairs(vecs(6000, 4), dim=16, threshold=-1.0,
+                                     nbits=10, tables=4).count()
+    assert c2 <= c1 * 8, f"superlinear: n=1500 -> {c1} cands, n=6000 -> {c2}"
+
+
 def test_jaccard_stop_shingle_cap_bounds_candidates(spark):
     """A shingle planted in EVERY document must not drive quadratic
     candidate growth once the df cap excludes it, while genuinely
