@@ -134,6 +134,52 @@ def bucket_of(keys: Sequence[str], n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
 
 
+def _replace_dir(dst: str, src: str) -> None:
+    """Swap ``src`` into place at ``dst`` via sibling renames.
+
+    The previous ``dst`` is renamed aside before the new data moves in,
+    so the fully-written result is durable on disk before anything is
+    deleted — no window where a lost cache partition could recompute
+    from half-deleted input (the persist+count hazard). A crash between
+    the two renames leaves ``<dst>.__old__`` intact for recovery.
+    """
+    import os
+    import shutil
+
+    old = dst.rstrip("/") + ".__old__"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(dst):
+        os.rename(dst, old)
+    os.rename(src, dst)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def _overwrite_buckets_atomic(merged: DataFrame, target_path: str,
+                              buckets: Sequence) -> None:
+    """Write ``merged`` (carrying BUCKET_COL) to a staging sibling, then
+    swap ONLY the affected bucket directories into the target.
+
+    The merge plan reads the target's files; staging breaks the
+    read-then-overwrite self-dependency WITHOUT relying on cache
+    pinning (persist+count) or on partitionOverwriteMode=dynamic being
+    set in the caller's session — correctness is self-contained.
+    """
+    import os
+    import shutil
+
+    tmp = target_path.rstrip("/") + ".__staging__"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+    for b in buckets:
+        src = os.path.join(tmp, f"{BUCKET_COL}={b}")
+        if os.path.exists(src):
+            _replace_dir(os.path.join(target_path, f"{BUCKET_COL}={b}"), src)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def upsert_bucketed(
     spark: SparkSession,
     target_path: str,
@@ -177,22 +223,25 @@ def upsert_bucketed(
     # partition filter prunes the scan to the affected buckets only
     affected = target.filter(F.col(BUCKET_COL).isin(buckets))
     merged = upsert_dedup(affected, deduped, keys, tracking_column, tiebreakers)
-    merged = merged.persist()
-    merged.count()  # localize before overwriting what we read
-    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
-    merged.unpersist()
+    _overwrite_buckets_atomic(merged, target_path, buckets)
 
 
 def write_merged(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> None:
     """Materialize a merge result, handling the read-then-overwrite
     self-dependency (SURVEY §7.2): the merged plan reads the target
-    path, so overwriting in place would corrupt the scan. Localize
-    the result first (cheap checkpoint via persist+count), then write.
+    path, so overwriting in place would corrupt the scan. The result
+    is fully written to a staging sibling first, then swapped into
+    place — durable before anything is deleted, with no reliance on
+    cache pinning surviving memory pressure.
     """
-    df = df.persist()
-    df.count()
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + ".__staging__"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
-    df.unpersist()
+    writer.parquet(tmp)
+    _replace_dir(path, tmp)

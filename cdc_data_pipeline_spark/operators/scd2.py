@@ -125,3 +125,56 @@ def scd2_merge(
 def scd2_current(snapshot: DataFrame) -> DataFrame:
     """R5: current-version filter — ``WHERE dbt_valid_to IS NULL``."""
     return snapshot.filter(F.col("dbt_valid_to").isNull())
+
+
+def scd2_bucketed(
+    spark,
+    target_path: str,
+    batch: DataFrame,
+    keys: Sequence[str],
+    check_cols: Sequence[str],
+    run_ts: str,
+    n_buckets: int = 64,
+    close_deleted: bool = False,
+) -> None:
+    """Maintain an SCD2 snapshot at ``target_path`` partitioned by key
+    hash, merging ``batch`` while touching ONLY the buckets its keys
+    hash into — O(batch) per merge, not O(table).
+
+    Mirrors ``incremental.upsert_bucketed``: a key's entire version
+    history lives in one bucket (the hash covers only ``keys``), so the
+    merge scans just the affected partitions and the write swaps just
+    those bucket directories via the atomic staging path.
+
+    ``close_deleted=True`` must observe every key to detect absences,
+    so it degrades to a full-table merge (all buckets affected) — the
+    cost is inherent to hard-delete detection, not to this layout.
+    """
+    import os
+
+    from cdc_data_pipeline_spark.operators.incremental import (
+        BUCKET_COL, _overwrite_buckets_atomic, bucket_of)
+
+    if batch.isEmpty():
+        return
+    target = None
+    if os.path.exists(target_path):
+        try:
+            target = spark.read.parquet(target_path)
+        except Exception:
+            target = None
+    if target is None:
+        merged = scd2_merge(None, batch, keys, check_cols, run_ts)
+        merged.withColumn(BUCKET_COL, bucket_of(keys, n_buckets)) \
+            .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
+        return
+    if close_deleted:
+        buckets = list(range(n_buckets))
+        affected = target.drop(BUCKET_COL)
+    else:
+        buckets = [r[0] for r in
+                   batch.select(bucket_of(keys, n_buckets).alias("b")).distinct().collect()]
+        affected = target.filter(F.col(BUCKET_COL).isin(buckets)).drop(BUCKET_COL)
+    merged = scd2_merge(affected, batch, keys, check_cols, run_ts, close_deleted)
+    stamped = merged.withColumn(BUCKET_COL, bucket_of(keys, n_buckets))
+    _overwrite_buckets_atomic(stamped, target_path, buckets)

@@ -16,6 +16,17 @@ from pyspark.sql import DataFrame
 from cdc_data_pipeline_spark.operators.incremental import upsert_bucketed
 
 
+def default_batch_ts(batch_id: int) -> str:
+    """Deterministic, strictly monotonic version timestamp per
+    micro-batch: a fixed epoch plus batch_id seconds. Never wraps —
+    a repeated version timestamp would collide dbt_scd_ids and break
+    validity-interval monotonicity in a long-running stream."""
+    from datetime import datetime, timedelta
+
+    return (datetime(2024, 1, 1) + timedelta(seconds=batch_id)) \
+        .strftime("%Y-%m-%d %H:%M:%S")
+
+
 def stream_upsert_to_parquet(
     stream: DataFrame,
     target_path: str,
@@ -61,6 +72,7 @@ def stream_scd2_to_parquet(
     checkpoint_dir: str,
     ts_of_batch=None,
     trigger_available_now: bool = True,
+    n_buckets: int = 64,
 ):
     """Maintain an SCD2 snapshot from a change stream: each micro-batch
     is merged with the `check` strategy (reference: the users snapshot,
@@ -68,32 +80,26 @@ def stream_scd2_to_parquet(
     cron — here the feed is a real stream).
 
     ``ts_of_batch(batch_id) -> str`` supplies the version timestamp per
-    micro-batch (defaults to batch id as an epoch offset so tests are
-    deterministic). The open slice is filter-pruned on read; history
-    rows pass through untouched.
-    """
-    import os
+    micro-batch. The default derives it monotonically from the full
+    batch_id (no wrap, ever: a long-running stream must never reuse a
+    version timestamp or dbt_scd_id collides and validity intervals go
+    non-monotonic), staying deterministic for replay.
 
-    from cdc_data_pipeline_spark.operators.scd2 import scd2_merge
+    The snapshot is partitioned by key-hash bucket and each micro-batch
+    rewrites only the buckets its keys fall in (scd2.scd2_bucketed) —
+    per-batch cost stays O(batch), not O(table), same design as the
+    upsert sink above.
+    """
+    from cdc_data_pipeline_spark.operators.scd2 import scd2_bucketed
 
     spark = stream.sparkSession
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        snapshot = None
-        if os.path.exists(target_path):
-            try:
-                snapshot = spark.read.parquet(target_path)
-            except Exception:
-                snapshot = None
-        run_ts = (ts_of_batch(batch_id) if ts_of_batch
-                  else f"2024-01-01 00:00:{batch_id % 60:02d}")
-        merged = scd2_merge(snapshot, batch, keys, check_cols, run_ts)
-        merged = merged.persist()
-        merged.count()
-        merged.write.mode("overwrite").parquet(target_path)
-        merged.unpersist()
+        run_ts = ts_of_batch(batch_id) if ts_of_batch else default_batch_ts(batch_id)
+        scd2_bucketed(spark, target_path, batch, keys, check_cols, run_ts,
+                      n_buckets=n_buckets)
 
     writer = (
         stream.writeStream.foreachBatch(merge_batch)

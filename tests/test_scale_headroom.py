@@ -204,6 +204,64 @@ def test_bucketed_upsert_rewrites_only_affected_buckets(spark, sf_dir, tmp_path)
     assert final.filter(F.col("o_orderkey") == k).first().amount == 999.99
 
 
+def test_bucketed_scd2_rewrites_only_affected_buckets(spark, sf_dir, tmp_path):
+    """An SCD2 micro-batch touching one key must rewrite only that
+    key's hash bucket — untouched bucket files keep their mtimes —
+    while producing the correct closed-v1/open-v2 history."""
+    import os
+
+    from cdc_data_pipeline_spark.operators.scd2 import scd2_bucketed
+
+    path = str(tmp_path / "scd2_bucketed")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("occ"))
+    scd2_bucketed(spark, path, cust, ["user_id"], ["occ"], "2024-01-01 00:00:00",
+                  n_buckets=16)
+    n0 = spark.read.parquet(path).count()
+    assert n0 == cust.count()
+
+    def mtimes():
+        out = {}
+        for root, _, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = mtimes()
+    one = cust.limit(1).withColumn("occ", F.lit("CHANGED"))
+    scd2_bucketed(spark, path, one, ["user_id"], ["occ"], "2024-02-01 00:00:00",
+                  n_buckets=16)
+
+    after = mtimes()
+    changed_dirs = {p.split("/__kb=")[1].split("/")[0]
+                    for p in set(after) - set(before)}
+    assert len(changed_dirs) == 1, changed_dirs
+    untouched = {p: t for p, t in before.items()
+                 if f"__kb={next(iter(changed_dirs))}/" not in p}
+    for p, t in untouched.items():
+        assert p in after and after[p] == t, f"rewrote {p}"
+
+    snap = spark.read.parquet(path)
+    assert snap.count() == n0 + 1  # one new open version
+    k = one.first().user_id
+    hist = sorted((r.occ, r.dbt_valid_to is None)
+                  for r in snap.filter(F.col("user_id") == k).collect())
+    assert ("CHANGED", True) in hist and len(hist) == 2
+    assert sum(1 for _, is_open in hist if not is_open) == 1
+
+
+def test_stream_scd2_default_ts_never_wraps():
+    """The default per-batch version timestamp must be strictly
+    monotonic far past 60 micro-batches (the old batch_id % 60 default
+    wrapped and reused version timestamps)."""
+    from cdc_data_pipeline_spark.streaming.cdc import default_batch_ts
+
+    seen = [default_batch_ts(i) for i in range(0, 100000, 977)]
+    assert seen == sorted(seen) and len(set(seen)) == len(seen)
+
+
 def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
     """Orders and lineitem bucketed on the join key: the join plan must
     contain NO shuffle exchange on either side."""
