@@ -1,16 +1,21 @@
 """Generalized MERGE and change-data-feed — the full merge semantics a
 warehouse user expects (MERGE INTO ... WHEN MATCHED UPDATE / WHEN
-MATCHED DELETE / WHEN NOT MATCHED INSERT), built from the same
-anti-join + union algebra as the reference's delete+insert strategy
-(reference: base_loader.py:275-338 implements only the
-update-or-insert subset).
+MATCHED DELETE / WHEN NOT MATCHED INSERT), built on one full-outer
+key join (the reference's delete+insert strategy, base_loader.py:275-338,
+implements only the update-or-insert subset).
 
-Scale notes: one key-equi full-outer join between target and source;
-the source (change-batch) side is small in the CDC case, so Catalyst
-broadcasts it and the target is never shuffled. The CDF variant emits
-the per-row change log (insert/update_pre/update_post/delete) the way
-Delta's change data feed does — downstream consumers can subscribe to
-changes without diffing snapshots.
+Scale notes: ONE key-equi full-outer join between target and source
+decides every row's fate via case routing — the target is scanned
+once (the previous formulation ran four separate semi/anti joins
+against it). The source (change-batch) side is small in the CDC case,
+so AQE picks a broadcast-ish plan and the target is never shuffled
+twice. The CDF variant emits the per-row change log
+(insert/update_pre/update_post/delete) the way Delta's change data
+feed does, from the same single join via an exploded event array.
+
+Like SQL MERGE, the join expects at most one source row and one
+target row per key (dedupe upstream with ``latest_per_key``); a WHEN
+condition that evaluates NULL counts as not-taken (SQL semantics).
 """
 
 from __future__ import annotations
@@ -19,6 +24,34 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _routing(target: DataFrame, source: DataFrame, keys: Sequence[str],
+             delete_when, update_when, insert_when):
+    """Shared full-outer join + routing predicates for merge/CDF."""
+    keys = list(keys)
+    payload = list(target.columns)
+    # WHEN conditions reference SOURCE columns (documented contract), so
+    # they are evaluated on the source frame BEFORE the join — both to
+    # avoid post-join reference ambiguity and so each predicate runs
+    # once per source row, not once per joined row
+    src = source.withColumn("__s", F.lit(True)) \
+        .withColumn("__del", delete_when if delete_when is not None else F.lit(False)) \
+        .withColumn("__upd", update_when if update_when is not None else F.lit(True)) \
+        .withColumn("__ins", insert_when if insert_when is not None else F.lit(True)) \
+        .alias("s")
+    # presence flags survive the outer join even when key columns are
+    # NULL; plain `==` join (not null-safe) preserves the anti/semi
+    # behavior of the delete+insert algebra: NULL keys never match
+    tgt = target.withColumn("__t", F.lit(True)).alias("t")
+    cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
+    j = tgt.join(src, cond, "full_outer")
+    in_t = F.col("t.__t").isNotNull()
+    in_s = F.col("s.__s").isNotNull()
+    del_ = F.coalesce(F.col("s.__del"), F.lit(False))
+    upd_ = F.coalesce(F.col("s.__upd"), F.lit(False))
+    ins_ = F.coalesce(F.col("s.__ins"), F.lit(False))
+    return j, payload, in_t & in_s, in_t & ~in_s, ~in_t & in_s, del_, upd_, ins_
 
 
 def merge(
@@ -37,27 +70,19 @@ def merge(
     - not matched + ``insert_when`` (def all, unless delete-only row)
                                            -> source row inserted
     Conditions are evaluated against SOURCE columns.
+
+    Single-pass plan: one full-outer join, one filter, one projection —
+    no unions, no repeated scans of the target.
     """
-    keys = list(keys)
-    delete_when = delete_when if delete_when is not None else F.lit(False)
-    update_when = update_when if update_when is not None else F.lit(True)
-    insert_when = insert_when if insert_when is not None else F.lit(True)
+    j, payload, matched, only_t, only_s, del_, upd_, ins_ = _routing(
+        target, source, keys, delete_when, update_when, insert_when)
 
-    src_keys = source.select(*keys).distinct()
-    untouched = target.join(src_keys, keys, "left_anti")
-
-    matched_src = source.join(target.select(*keys).distinct(), keys, "left_semi")
-    updates = matched_src.filter(~delete_when & update_when)
-    kept_matched = (
-        target.join(src_keys, keys, "left_semi")
-        .join(matched_src.filter(delete_when | update_when).select(*keys).distinct(),
-              keys, "left_anti")
-    )
-    inserts = (
-        source.join(target.select(*keys).distinct(), keys, "left_anti")
-        .filter(~delete_when & insert_when)
-    )
-    return untouched.unionByName(kept_matched).unionByName(updates).unionByName(inserts)
+    keep = only_t | (matched & ~del_) | (only_s & ~del_ & ins_)
+    use_src = (matched & ~del_ & upd_) | only_s
+    return j.filter(keep).select(*[
+        F.when(use_src, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in payload
+    ])
 
 
 CDF_COL = "_change_type"
@@ -72,26 +97,30 @@ def merge_with_cdf(
     """Upsert-or-delete merge that ALSO returns the change feed:
     one row per change with ``_change_type`` in
     ``insert | update_preimage | update_postimage | delete`` —
-    the Delta-CDF shape, derivable with the same single join.
-    """
-    keys = list(keys)
-    delete_when = delete_when if delete_when is not None else F.lit(False)
+    the Delta-CDF shape.
 
+    The feed derives from one full-outer join: each joined row emits
+    its 0-2 change events through an exploded conditional array (a
+    matched update yields preimage + postimage), so the target is
+    scanned once for the feed rather than once per change type.
+    """
     new_state = merge(target, source, keys, delete_when=delete_when)
 
-    tgt_keys = target.select(*keys).distinct()
-    matched_src = source.join(tgt_keys, keys, "left_semi")
-    pre = target.join(
-        matched_src.filter(~delete_when).select(*keys).distinct(), keys, "left_semi"
-    ).withColumn(CDF_COL, F.lit("update_preimage"))
-    post = matched_src.filter(~delete_when).withColumn(CDF_COL, F.lit("update_postimage"))
-    deleted = target.join(
-        matched_src.filter(delete_when).select(*keys).distinct(), keys, "left_semi"
-    ).withColumn(CDF_COL, F.lit("delete"))
-    inserted = (
-        source.join(tgt_keys, keys, "left_anti")
-        .filter(~delete_when)
-        .withColumn(CDF_COL, F.lit("insert"))
+    j, payload, matched, _only_t, only_s, del_, _upd_, _ins_ = _routing(
+        target, source, keys, delete_when, None, None)
+
+    def evt(tag: str, side: str) -> Column:
+        return F.struct(*[F.col(f"{side}.{c}").alias(c) for c in payload],
+                        F.lit(tag).alias(CDF_COL))
+
+    events = F.array(
+        F.when(matched & ~del_, evt("update_preimage", "t")),
+        F.when(matched & ~del_, evt("update_postimage", "s")),
+        F.when(matched & del_, evt("delete", "t")),
+        F.when(only_s & ~del_, evt("insert", "s")),
     )
-    changes = pre.unionByName(post).unionByName(deleted).unionByName(inserted)
+    changes = (
+        j.select(F.explode(F.filter(events, lambda x: x.isNotNull())).alias("__e"))
+        .select("__e.*")
+    )
     return new_state, changes

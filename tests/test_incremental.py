@@ -86,6 +86,19 @@ def test_write_merged_self_dependency(spark, tmp_path):
     assert out == {1: "a", 2: "b2"}
 
 
+def test_merge_plan_has_single_join(spark):
+    """The generalized MERGE must decide every row's fate from ONE
+    full-outer join — the target is scanned once, not four times
+    (anti + semi + semi/anti + anti)."""
+    from cdc_data_pipeline_spark.operators.merge import merge
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    source = spark.createDataFrame([(2, "B"), (3, "C")], "k long, v string")
+    out = merge(target, source, ["k"], delete_when=F.col("v") == "zzz")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join ") == 1, plan
+
+
 def test_merge_cdf_replays_to_new_state(spark):
     """Applying the change feed to the old state must reproduce the
     merge result exactly: state' = state - preimages - deletes
