@@ -103,6 +103,66 @@ def infer_refined_schema(df: DataFrame, sample_rows: int = 1000, probe_values: i
     return refined
 
 
+def infer_document_schema(docs, sample_rows: int = 1000,
+                          probe_values: int = 20) -> T.StructType:
+    """Full schema vote over raw semi-structured documents (S7).
+
+    Mirrors the reference's table-creation inference
+    (base_loader.py:762-855) for a staged JSON batch whose target table
+    does not exist yet:
+
+    - sample <= ``sample_rows`` documents and take the UNION of all
+      keys (a key absent from early docs still gets a column);
+    - vote one type per column from its non-null sampled values:
+      bool -> Boolean, int -> Long, float (or int+float mix, which the
+      reference's float() coercion makes indistinguishable) -> Double;
+    - MIXED python types -> String (base_loader.py:808-813);
+    - nested dict/list -> String (stored as serialized JSON,
+      base_loader.py:837-838);
+    - string columns refine by the >=80% regex vote over the first
+      ``probe_values`` values: timestamp-pattern -> Timestamp,
+      date-pattern -> Date, otherwise String;
+    - a column with NO non-null sample -> nullable String
+      (base_loader.py:788-791).
+
+    Driver-side over a bounded sample, like the reference; the
+    returned StructType then drives a distributed ``spark.read.json``
+    / ``apply_refined_schema`` pass.
+    """
+    sample = list(docs)[:sample_rows]
+    keys: list[str] = []
+    for d in sample:
+        for k in d:
+            if k not in keys:
+                keys.append(k)
+
+    fields = []
+    for k in keys:
+        values = [d[k] for d in sample if d.get(k) is not None]
+        dtype: T.DataType = T.StringType()
+        if values:
+            # bool is a subclass of int: check it first, and treat a
+            # bool/int mixture as MIXED, not as int
+            py_types = {bool if isinstance(v, bool) else type(v) for v in values}
+            if py_types == {bool}:
+                dtype = T.BooleanType()
+            elif py_types == {int}:
+                dtype = T.LongType()
+            elif py_types in ({float}, {int, float}):
+                dtype = T.DoubleType()
+            elif py_types == {str}:
+                probe = values[:probe_values]
+                ts_hits = sum(1 for v in probe if _TS_RE.match(v))
+                date_hits = sum(1 for v in probe if _DATE_RE.match(v))
+                if ts_hits / len(probe) >= 0.8:
+                    dtype = T.TimestampType()
+                elif date_hits / len(probe) >= 0.8:
+                    dtype = T.DateType()
+            # dict/list or mixed python types -> String fallback
+        fields.append(T.StructField(k, dtype, nullable=True))
+    return T.StructType(fields)
+
+
 def apply_refined_schema(df: DataFrame, refined) -> DataFrame:
     out = df
     for c, dtype in refined.items():

@@ -89,6 +89,95 @@ def incremental_scan(
     return df.filter(col >= F.lit(last_value) if inclusive else col > F.lit(last_value))
 
 
+def _sql_literal(value) -> str:
+    """Render a watermark value as a SQL literal for the pushed-down
+    source query. Values come from ``get_watermark`` (engine-computed
+    MAX, not user input); strings/timestamps are quoted with doubled
+    single quotes, numbers pass through."""
+    import datetime
+
+    if isinstance(value, (int, float)):
+        return repr(value)
+    if isinstance(value, (datetime.datetime, datetime.date)):
+        value = str(value)
+    return "'" + str(value).replace("'", "''") + "'"
+
+
+def jdbc_incremental_query(
+    table: str,
+    tracking_column: str,
+    last_value=None,
+    inclusive: bool = False,
+    columns=None,
+) -> str:
+    """Source-side subquery for an incremental JDBC extract: the
+    watermark predicate is INSIDE the query the database executes, so
+    only new rows ever cross the wire (reference semantics:
+    postgres_loader.py:101-103 — exclusive ``>``; Mongo's ``$gte``
+    is ``inclusive=True``).
+    """
+    cols = ", ".join(columns) if columns else "*"
+    q = f"SELECT {cols} FROM {table}"
+    if last_value is not None:
+        op = ">=" if inclusive else ">"
+        q += f" WHERE {tracking_column} {op} {_sql_literal(last_value)}"
+    return f"({q}) AS __src"
+
+
+def read_jdbc_incremental(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    tracking_column: str,
+    last_value=None,
+    inclusive: bool = False,
+    columns=None,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    fetchsize: int = 10_000,
+    properties: dict | None = None,
+) -> DataFrame:
+    """S1/S2 against a live relational source: incremental JDBC scan
+    with the high-watermark predicate pushed INTO the source query
+    (``dbtable`` subquery), true to the reference's server-side
+    ``WHERE updated_at > %s`` cursor (postgres_loader.py:73-153).
+
+    Parallelism: pass ``partition_column``/``num_partitions`` (+
+    numeric/temporal ``lower_bound``/``upper_bound``) and Spark issues
+    one range-sliced query per partition — the JDBC analogue of the
+    reference's ``fetchmany`` batching (base_loader.py:668-671), but
+    concurrent. The tracking column is the natural partition column
+    for CDC batches (recent rows cluster in its range).
+
+    There is no live database in the test sandbox, so the query
+    construction is unit-tested (tests/test_sources_quality.py) and
+    the predicate-reaches-scan property is pinned on the parquet path
+    (test_incremental_filter_pushdown); against a real database this
+    function is the only seam that changes.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", jdbc_incremental_query(table, tracking_column,
+                                                  last_value, inclusive, columns))
+        .option("fetchsize", str(fetchsize))
+    )
+    if partition_column is not None:
+        assert num_partitions and lower_bound is not None and upper_bound is not None, \
+            "partitioned JDBC reads need num_partitions + lower/upper bounds"
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def read_json_staging(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """Read a staged JSON change-batch (S5/S6 equivalent).
 

@@ -66,6 +66,64 @@ def test_schema_inference_date_rules(spark):
     assert out.filter("ts_str IS NULL OR d_str IS NULL").count() == 0
 
 
+def test_jdbc_incremental_query_embeds_watermark():
+    """S2 true-to-form: the watermark predicate must live INSIDE the
+    query the database executes (reference: postgres_loader.py:101-103
+    exclusive `>`; Mongo's $gte is the inclusive mode), so only new
+    rows cross the wire. No live DB in the sandbox — the pushed-down
+    query construction is the unit under test; the predicate-reaches-
+    scan property is pinned on the parquet path by
+    test_incremental_filter_pushdown."""
+    from cdc_data_pipeline_spark.sources.readers import jdbc_incremental_query
+
+    q = jdbc_incremental_query("public.savings_plan", "updated_at",
+                               "2024-01-01 10:00:00")
+    assert q == ("(SELECT * FROM public.savings_plan "
+                 "WHERE updated_at > '2024-01-01 10:00:00') AS __src")
+
+    q = jdbc_incremental_query("t", "updated_at", "2024-01-01", inclusive=True,
+                               columns=["id", "updated_at"])
+    assert q == ("(SELECT id, updated_at FROM t "
+                 "WHERE updated_at >= '2024-01-01') AS __src")
+
+    assert jdbc_incremental_query("t", "seq", 42) == \
+        "(SELECT * FROM t WHERE seq > 42) AS __src"
+    # first run: no watermark -> full scan, no WHERE
+    assert jdbc_incremental_query("t", "seq") == "(SELECT * FROM t) AS __src"
+    # quotes in a (string) watermark value cannot break out of the literal
+    assert "WHERE c > '''; DROP'" in jdbc_incremental_query("t", "c", "'; DROP")
+
+
+def test_document_schema_vote_mixed_and_nulls():
+    """Reference vote rules (base_loader.py:788-855): union of keys,
+    mixed python types -> String, bool before int, int+float -> Double,
+    nested -> String, all-NULL -> nullable String, >=80% date regex on
+    strings -> Date/Timestamp."""
+    from cdc_data_pipeline_spark.sources.normalize import infer_document_schema
+
+    docs = [
+        {"i": 1, "f": 1.5, "b": True, "mixed": 7, "allnull": None,
+         "nested": {"a": 1}, "ts": "2024-01-01 10:00:00", "num_or_str": 1},
+        {"i": 2, "f": 2, "b": False, "mixed": "seven",
+         "ts": "2024-01-02 11:00:00", "num_or_str": 2, "late_key": "x"},
+        {"i": 3, "f": 2.5, "b": True, "mixed": 8.0, "allnull": None,
+         "ts": "2024-01-03 12:00:00", "num_or_str": "three"},
+    ]
+    schema = infer_document_schema(docs)
+    by_name = {f.name: f.dataType for f in schema.fields}
+
+    assert isinstance(by_name["i"], T.LongType)
+    assert isinstance(by_name["f"], T.DoubleType)          # int+float -> Double
+    assert isinstance(by_name["b"], T.BooleanType)
+    assert isinstance(by_name["mixed"], T.StringType)      # int/str/float mix
+    assert isinstance(by_name["allnull"], T.StringType)    # no non-null sample
+    assert isinstance(by_name["nested"], T.StringType)     # dict -> serialized
+    assert isinstance(by_name["ts"], T.TimestampType)      # 3/3 regex hits
+    assert isinstance(by_name["num_or_str"], T.StringType) # mixed, not Long
+    assert "late_key" in by_name                           # union of keys
+    assert [f.nullable for f in schema.fields] == [True] * len(schema.fields)
+
+
 def test_unique_and_not_null(spark):
     df = spark.createDataFrame([(1, "a"), (1, None), (2, "b")], "k long, v string")
     assert unique_violations(df, ["k"]).count() == 1
