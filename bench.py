@@ -81,6 +81,37 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }))
+    _report_deltas(timings, sf)
+
+
+def _report_deltas(timings: dict[str, float], sf: float) -> None:
+    """Per-query delta vs the most recent recorded round (BENCH_r*.json)
+    on stderr — the stdout contract stays ONE JSON line."""
+    import glob
+    import re
+
+    runs = sorted(glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")),
+                  key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)))
+    if not runs:
+        return
+    try:
+        with open(runs[-1]) as f:
+            prev = json.load(f).get("parsed", {})
+    except (OSError, json.JSONDecodeError):
+        return
+    if prev.get("sf") != sf or not prev.get("queries"):
+        return
+    label = os.path.basename(runs[-1])
+    print(f"-- delta vs {label} (sf={sf}) --", file=sys.stderr)
+    for name, t in timings.items():
+        p = prev["queries"].get(name)
+        if p:
+            pct = 100.0 * (t - p) / p
+            flag = "  <-- regression" if pct > 25 and t - p > 0.5 else ""
+            print(f"{name:28s} {p:7.2f}s -> {t:7.2f}s  {pct:+6.1f}%{flag}",
+                  file=sys.stderr)
+        else:
+            print(f"{name:28s}    new -> {t:7.2f}s", file=sys.stderr)
 
 
 if __name__ == "__main__":
