@@ -16,6 +16,25 @@ from pyspark.sql import DataFrame
 from cdc_data_pipeline_spark.operators.incremental import upsert_bucketed
 
 
+def apply_trigger(writer, trigger_available_now: bool = True,
+                  processing_time: str | None = None):
+    """Micro-batch cadence (O4 — the reference's cron schedules,
+    schedules/all_schedules.py:12-52, hourly transactions / daily
+    users within a 15-minute freshness target).
+
+    ``processing_time`` (e.g. ``"1 hour"``, ``"15 minutes"``) maps a
+    cron cadence onto a continuously-running query — strictly fresher
+    than cron-launched batch runs and with no per-run startup cost.
+    ``trigger_available_now`` is the catch-up/backfill mode: drain
+    everything available, then stop (the cron-job-shaped execution).
+    """
+    if processing_time is not None:
+        return writer.trigger(processingTime=processing_time)
+    if trigger_available_now:
+        return writer.trigger(availableNow=True)
+    return writer
+
+
 def default_batch_ts(batch_id: int) -> str:
     """Deterministic, strictly monotonic version timestamp per
     micro-batch: a fixed epoch plus batch_id seconds. Never wraps —
@@ -35,6 +54,7 @@ def stream_upsert_to_parquet(
     checkpoint_dir: str,
     trigger_available_now: bool = True,
     n_buckets: int = 64,
+    processing_time: str | None = None,
 ):
     """Run a streaming query that upsert-dedup-merges every micro-batch
     into a hash-bucketed parquet target. Exactly-once-ish: the merge is
@@ -59,9 +79,7 @@ def stream_upsert_to_parquet(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return apply_trigger(writer, trigger_available_now, processing_time).start()
 
 
 def stream_scd2_to_parquet(
@@ -73,6 +91,7 @@ def stream_scd2_to_parquet(
     ts_of_batch=None,
     trigger_available_now: bool = True,
     n_buckets: int = 64,
+    processing_time: str | None = None,
 ):
     """Maintain an SCD2 snapshot from a change stream: each micro-batch
     is merged with the `check` strategy (reference: the users snapshot,
@@ -106,6 +125,4 @@ def stream_scd2_to_parquet(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return apply_trigger(writer, trigger_available_now, processing_time).start()

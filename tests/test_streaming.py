@@ -84,6 +84,78 @@ def test_stream_upsert_foreachbatch(spark, tmp_path):
     assert out == {1: "a", 2: "b2", 3: "c"}
 
 
+def test_stream_upsert_processing_time_cadence(spark, tmp_path):
+    """O4: a cron cadence maps onto a processingTime trigger — the
+    query keeps running on the interval (does not drain-and-stop like
+    availableNow) and merges what arrives."""
+    import time as _time
+
+    src = tmp_path / "pt_src"
+    src.mkdir()
+    tgt = str(tmp_path / "pt_tgt")
+    ckpt = str(tmp_path / "pt_ckpt")
+
+    b1 = spark.createDataFrame([(1, "2024-01-01", "a")],
+                               "k long, updated_at string, v string")
+    b1.write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(b1.schema).parquet(f"{src}/*")
+    q = stream_upsert_to_parquet(stream, tgt, ["k"], "updated_at", ckpt,
+                                 trigger_available_now=False,
+                                 processing_time="1 seconds")
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            try:
+                if spark.read.parquet(tgt).count() == 1:
+                    break
+            except Exception:
+                pass
+            _time.sleep(0.5)
+        assert q.isActive  # cadence trigger keeps running, unlike availableNow
+        out = {r.k: r.v for r in spark.read.parquet(tgt).collect()}
+        assert out == {1: "a"}
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_within_watermark_matches_batch(spark, tmp_path):
+    """Duplicate events re-sent across micro-batches (within the
+    watermark) must reach the sink exactly once, with bounded state —
+    and agree with the batch dropDuplicates result."""
+    import datetime
+
+    from cdc_data_pipeline_spark.streaming.dedup import dedup_events
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, v string"
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def mk(rows, name):
+        spark.createDataFrame(
+            [(i, t0 + datetime.timedelta(minutes=m), v) for i, m, v in rows],
+            schema).coalesce(1).write.parquet(str(src / name))
+
+    mk([(1, 0, "a"), (2, 1, "b"), (1, 0, "a")], "b1")          # dup inside batch
+    mk([(2, 1, "b"), (3, 2, "c")], "b2")                        # dup across batches
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1) \
+        .parquet(f"{src}/*")
+    q = (
+        dedup_events(stream, ["event_id"], event_time_col="ts", watermark="30 minutes")
+        .writeStream.format("memory").queryName("dedup_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.event_id, r.v) for r in spark.sql("SELECT * FROM dedup_test").collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+    batch = spark.read.parquet(f"{src}/*")
+    expected = sorted((r.event_id, r.v)
+                      for r in dedup_events(batch, ["event_id"]).collect())
+    assert got == expected
+
+
 def test_stateful_running_stats_matches_batch(spark, tmp_path):
     """applyInPandasWithState accumulates across micro-batches to the
     same final state as a batch groupBy."""
