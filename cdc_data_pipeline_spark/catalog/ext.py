@@ -528,6 +528,40 @@ ORACLES = {
 }
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Cluster-level dedup: connected components over the MinHash-LSH
+    candidate pairs (min-label propagation — O(E) keyed joins per hop,
+    iterations = component diameter), then canonical = lowest id per
+    cluster. The oracle reproduces the same clustering with a
+    recursive transitive-closure CTE over the identical md5 pair set."""
+    docs = _docs(spark, sf_dir)
+    pairs = dd.lsh_candidate_pairs(docs, num_hashes=8, bands=4, shingle_k=3)
+    return dd.dedup_clusters(docs, pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH_PAIRS}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a AS node, b AS dst FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+canon AS (
+  SELECT node, LEAST(node, MIN(dst)) AS canonical
+  FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.canonical, d.doc_id) AS canonical_id,
+       COALESCE(c.canonical, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN canon c ON d.doc_id = c.node
+"""
+
+QUERIES["dedup_clusters"] = q_dedup_clusters
+ORACLES["dedup_clusters"] = SQL_DEDUP_CLUSTERS
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Rolling-hash document fingerprinting (winnowing): distinct
     window-minima of 8-gram polynomial hashes, one row per

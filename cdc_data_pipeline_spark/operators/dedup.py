@@ -296,6 +296,80 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 # --------------------------------------------------------------------------
+# dedup clustering (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                         max_iterations: int = 30) -> DataFrame:
+    """Connected components of the near-dup pair graph by min-label
+    propagation: every node ends up labeled with the smallest id in
+    its component. Returns (node, label).
+
+    Each iteration is one keyed join + map-side-combined min per node
+    — O(E) work, no cross join — and labels propagate one hop, so the
+    iteration count is the component DIAMETER, not the corpus size.
+    Near-dup clusters are dense and shallow (a template and its copies
+    all pair with each other), so a handful of iterations converges;
+    the loop stops at the first fixpoint and raises if
+    ``max_iterations`` was too small for a pathological chain graph.
+
+    Lineage is truncated per iteration (localCheckpoint): iterative
+    self-referencing plans otherwise grow analysis time quadratically.
+    On a cluster where executor loss during the loop matters, set a
+    reliable checkpoint dir and swap in ``.checkpoint()``.
+    """
+    sym = pairs.select(F.col(id_a).alias("node"), F.col(id_b).alias("nbr")).unionByName(
+        pairs.select(F.col(id_b).alias("node"), F.col(id_a).alias("nbr")))
+    labels = sym.select("node").distinct().withColumn("label", F.col("node"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node").agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select("node", F.least(F.col("label"),
+                                    F.coalesce("nbr_label", "label")).alias("label"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label")).count()
+        )
+        labels, old = new_labels, labels
+        old.unpersist()
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations; "
+        f"raise max_iterations (component diameter exceeds it)")
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Cluster-level dedup decision: every document maps to the
+    canonical (lowest) id of its near-dup cluster; documents in no
+    pair are their own canonical. ``is_canonical`` marks the one
+    survivor per cluster — ``filter(is_canonical)`` IS the dedup, and
+    the (doc -> canonical) mapping is the provenance record a training
+    pipeline keeps.
+
+    Pair producers compose: exact_duplicate_pairs, lsh_candidate_pairs,
+    simhash_near_pairs, jaccard_pairs, embedding_near_dup_pairs all
+    emit (id_a, id_b) and can be unioned before clustering.
+    """
+    cc = connected_components(pairs, id_a, id_b)
+    return (
+        df.select(F.col(id_col))
+        .join(cc.withColumnRenamed("node", id_col), [id_col], "left")
+        .select(F.col(id_col),
+                F.coalesce("label", F.col(id_col)).alias("canonical_id"))
+        .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
+    )
+
+
+# --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
 

@@ -43,6 +43,30 @@ def test_lsh_dedup_scales_near_linearly(spark, sf_dir):
     assert t_big < t_small * 8, f"superlinear: 4x={t_small:.1f}s 16x={t_big:.1f}s"
 
 
+def test_dedup_clusters_components_and_canonicals(spark):
+    """Connected components over pairs: a 4-chain (worst-case diameter
+    for label propagation), a separate 2-cluster, and an unpaired doc
+    must resolve to min-id canonicals with exactly one survivor per
+    cluster."""
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)],
+                                 "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (10, 11)],
+                                  "id_a long, id_b long")
+    got = {r.doc_id: (r.canonical_id, r.is_canonical)
+           for r in dd.dedup_clusters(docs, pairs).collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+                   10: (10, True), 11: (10, False), 99: (99, True)}
+
+
+def test_connected_components_raises_when_diameter_exceeds_budget(spark):
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 8)],
+                                  "id_a long, id_b long")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(pairs, max_iterations=2)
+
+
 def test_embed_near_dup_recall_with_multiprobe(spark):
     """LSH-blocked near-dup must find >= 90% of planted near-duplicate
     pairs (jittered copies, true cosine ~0.999) with multiprobe on,
