@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "text_stats",
     "winnow_fingerprints",
     "media_features",
+    "events_rollup_incremental",
 ]
 
 

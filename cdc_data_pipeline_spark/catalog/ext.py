@@ -240,13 +240,25 @@ FROM documents GROUP BY 2
 
 
 def q_dedup_exact_pairs(spark, sf_dir):
-    return dd.exact_duplicate_pairs(_t(spark, sf_dir, "documents"))
+    """Exact duplicate pairs. The fixture corpus contains no exact
+    duplicates (every text is unique at every SF), which would make
+    this a trivially-empty check — so every 50th document is re-sent
+    under a shifted id (the CDC re-extract shape) and the entry must
+    find exactly those planted pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    resent = docs.filter(F.col("doc_id") % 50 == 0) \
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    return dd.exact_duplicate_pairs(docs.unionByName(resent))
 
 
 SQL_DEDUP_EXACT_PAIRS = """
-WITH fp AS (
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+fp AS (
   SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
-  FROM documents)
+  FROM corpus)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
 """
@@ -365,13 +377,19 @@ def q_embed_near_dup(spark, sf_dir):
     path; occupancy shrinks as nbits grows), exact cosine within
     buckets. The hyperplanes are seed-derived constants, so the DuckDB
     oracle reproduces the EXACT same blocking from inlined plane
-    literals — approximate recall, exactly-checkable output."""
+    literals — approximate recall, exactly-checkable output.
+
+    The fixture embeddings are near-random (no pair exceeds cosine
+    ~0.6 at any SF), so the entry thresholds at 0.35 with 4 short
+    tables — parameters that yield a non-trivial pair set at every
+    test scale; real near-dup corpora run the production defaults
+    (threshold ~0.95, nbits tuned to corpus size)."""
     e = _t(spark, sf_dir, "embeddings")
-    return dd.embedding_near_dup_pairs(e, dim=64, threshold=0.8,
+    return dd.embedding_near_dup_pairs(e, dim=64, threshold=0.35,
                                        nbits=_ND_NBITS, tables=_ND_TABLES, seed=_ND_SEED)
 
 
-_ND_NBITS, _ND_TABLES, _ND_SEED = 4, 2, 7
+_ND_NBITS, _ND_TABLES, _ND_SEED = 4, 4, 7
 
 
 def _nd_bucket_sql(t: int) -> str:
@@ -390,14 +408,17 @@ SQL_EMBED_NEAR_DUP = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 b AS (SELECT vec_id, e,
              {_nd_bucket_sql(0)} AS b0,
-             {_nd_bucket_sql(1)} AS b1
+             {_nd_bucket_sql(1)} AS b1,
+             {_nd_bucket_sql(2)} AS b2,
+             {_nd_bucket_sql(3)} AS b3
       FROM v),
 cand AS (
   SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
          ROUND(list_cosine_similarity(a.e, bb.e), 6) AS cos
   FROM b a JOIN b bb
-    ON a.vec_id < bb.vec_id AND (a.b0 = bb.b0 OR a.b1 = bb.b1))
-SELECT id_a, id_b, cos FROM cand WHERE cos >= 0.8
+    ON a.vec_id < bb.vec_id
+   AND (a.b0 = bb.b0 OR a.b1 = bb.b1 OR a.b2 = bb.b2 OR a.b3 = bb.b3))
+SELECT id_a, id_b, cos FROM cand WHERE cos >= 0.35
 """
 
 
@@ -560,6 +581,40 @@ FROM documents d LEFT JOIN canon c ON d.doc_id = c.node
 
 QUERIES["dedup_clusters"] = q_dedup_clusters
 ORACLES["dedup_clusters"] = SQL_DEDUP_CLUSTERS
+
+
+def q_events_rollup(spark, sf_dir):
+    """Incremental time-bucket rollup (continuous-aggregate
+    maintenance): the events table arrives as two change batches whose
+    per-hour partials are MERGED — count by sum, sum by sum, min/max by
+    min/max — and must equal the one-shot aggregation the oracle
+    computes. The disk-maintenance variant (only touched buckets
+    rewritten) is pinned by test_incremental_rollup_touches_only_
+    affected_buckets."""
+    from cdc_data_pipeline_spark.operators import rollup as ru
+
+    e = _t(spark, sf_dir, "events")
+    specs = [("count", None, "n_events"), ("sum", "value", "sum_value"),
+             ("min", "value", "min_value"), ("max", "ts", "max_ts")]
+    d1 = ru.rollup_delta(e.filter(F.col("event_id") % 2 == 0), "ts", "1 hour",
+                         ["event_type"], specs)
+    d2 = ru.rollup_delta(e.filter(F.col("event_id") % 2 == 1), "ts", "1 hour",
+                         ["event_type"], specs)
+    out = ru.merge_rollup([d1, d2], ["event_type"], specs)
+    return out.select("bucket", "event_type", "n_events",
+                      F.round("sum_value", 2).alias("sum_value"),
+                      "min_value", "max_ts")
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value,
+       MIN(value) AS min_value, MAX(ts) AS max_ts
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["events_rollup_incremental"] = q_events_rollup
+ORACLES["events_rollup_incremental"] = SQL_EVENTS_ROLLUP
 
 
 def q_winnow_fingerprints(spark, sf_dir):

@@ -157,9 +157,11 @@ def _replace_dir(dst: str, src: str) -> None:
 
 
 def _overwrite_buckets_atomic(merged: DataFrame, target_path: str,
-                              buckets: Sequence) -> None:
-    """Write ``merged`` (carrying BUCKET_COL) to a staging sibling, then
-    swap ONLY the affected bucket directories into the target.
+                              buckets: Sequence,
+                              partition_col: str = BUCKET_COL) -> None:
+    """Write ``merged`` (carrying ``partition_col``) to a staging
+    sibling, then swap ONLY the affected partition directories into
+    the target.
 
     The merge plan reads the target's files; staging breaks the
     read-then-overwrite self-dependency WITHOUT relying on cache
@@ -172,11 +174,11 @@ def _overwrite_buckets_atomic(merged: DataFrame, target_path: str,
     tmp = target_path.rstrip("/") + ".__staging__"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
     for b in buckets:
-        src = os.path.join(tmp, f"{BUCKET_COL}={b}")
+        src = os.path.join(tmp, f"{partition_col}={b}")
         if os.path.exists(src):
-            _replace_dir(os.path.join(target_path, f"{BUCKET_COL}={b}"), src)
+            _replace_dir(os.path.join(target_path, f"{partition_col}={b}"), src)
     shutil.rmtree(tmp, ignore_errors=True)
 
 

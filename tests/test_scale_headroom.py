@@ -286,6 +286,53 @@ def test_stream_scd2_default_ts_never_wraps():
     assert seen == sorted(seen) and len(set(seen)) == len(seen)
 
 
+def test_incremental_rollup_touches_only_affected_buckets(spark, sf_dir, tmp_path):
+    """Continuous-aggregate maintenance: a late batch for one hour must
+    rewrite only that hour's partition (other partitions keep their
+    mtimes) and the merged rollup must equal a one-shot aggregation of
+    everything."""
+    import os
+
+    from cdc_data_pipeline_spark.operators import rollup as ru
+
+    path = str(tmp_path / "rollup")
+    e = read_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    specs = [("count", None, "n_events"), ("sum", "value", "sum_value")]
+
+    first = e.filter(F.col("event_id") % 10 != 0)
+    late = e.filter(F.col("event_id") % 10 == 0)
+    ru.incremental_rollup(spark, path, first, "ts", "1 hour", ["event_type"], specs)
+
+    def mtimes():
+        out = {}
+        for root, _, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = mtimes()
+    # late data confined to ONE hour bucket
+    one_hour = late.withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 05:30:00")))
+    ru.incremental_rollup(spark, path, one_hour, "ts", "1 hour", ["event_type"], specs)
+
+    after = mtimes()
+    changed_dirs = {p.split("/__pb=")[1].split("/")[0]
+                    for p in set(after) - set(before)}
+    assert changed_dirs == {"2024-01-01T05-00-00"}, changed_dirs
+    for p, t in before.items():
+        if "__pb=2024-01-01T05-00-00" not in p:
+            assert p in after and after[p] == t, f"rewrote {p}"
+
+    # merged state == one-shot aggregation of the same rows
+    expected = ru.rollup_delta(first.unionByName(one_hour), "ts", "1 hour",
+                               ["event_type"], specs)
+    got = spark.read.parquet(path).drop("__pb")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
 def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
     """Orders and lineitem bucketed on the join key: the join plan must
     contain NO shuffle exchange on either side."""
