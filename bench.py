@@ -46,6 +46,11 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "media_features",
     "events_rollup_incremental",
+    "decontaminate",
+    "kmv_distinct",
+    "token_shards",
+    "kmeans_clusters",
+    "semdedup_pairs",
 ]
 
 

@@ -16,9 +16,9 @@ Two tiers:
   DuckDB-oracle treatment in tests/test_oracle_parity.py on every run.
 """
 
-from cdc_data_pipeline_spark.catalog import analytics, core, ext, ingest, tpch
+from cdc_data_pipeline_spark.catalog import analytics, core, ext, ingest, llm, tpch
 
-_MODULES = (ext, core, ingest, analytics, tpch)
+_MODULES = (ext, llm, core, ingest, analytics, tpch)
 
 
 def queries():

@@ -216,18 +216,10 @@ FROM orders GROUP BY o_orderpriority
 
 
 QUERIES = {
-    "order_value_percentiles": q_order_value_percentiles,
-    "status_pivot": q_status_pivot,
-    "sales_rollup": q_sales_rollup,
-    "monthly_shipments": q_monthly_shipments,
     "asof_order_state": q_asof_order_state,
 }
 
 ORACLES = {
-    "order_value_percentiles": SQL_ORDER_VALUE_PERCENTILES,
-    "status_pivot": SQL_STATUS_PIVOT,
-    "sales_rollup": SQL_SALES_ROLLUP,
-    "monthly_shipments": SQL_MONTHLY_SHIPMENTS,
     "asof_order_state": SQL_ASOF_ORDER_STATE,
 }
 
@@ -244,6 +236,10 @@ EXTRA_QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "running_total": q_running_total,
     "distinct_priorities": q_distinct_priorities,
+    "order_value_percentiles": q_order_value_percentiles,
+    "status_pivot": q_status_pivot,
+    "sales_rollup": q_sales_rollup,
+    "monthly_shipments": q_monthly_shipments,
 }
 
 EXTRA_ORACLES = {
@@ -252,4 +248,8 @@ EXTRA_ORACLES = {
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "running_total": SQL_RUNNING_TOTAL,
     "distinct_priorities": SQL_DISTINCT_PRIORITIES,
+    "order_value_percentiles": SQL_ORDER_VALUE_PERCENTILES,
+    "status_pivot": SQL_STATUS_PIVOT,
+    "sales_rollup": SQL_SALES_ROLLUP,
+    "monthly_shipments": SQL_MONTHLY_SHIPMENTS,
 }

@@ -205,7 +205,6 @@ QUERIES = {
     "click_error_correlation": q_click_error_correlation,
     "events_session_native": q_events_session_native,
     "running_user_stats": q_running_user_stats,
-    "events_sliding_window": q_events_sliding,
 }
 
 ORACLES = {
@@ -213,7 +212,6 @@ ORACLES = {
     "click_error_correlation": SQL_CLICK_ERROR_CORRELATION,
     "events_session_native": SQL_EVENTS_SESSION_NATIVE,
     "running_user_stats": SQL_RUNNING_USER_STATS,
-    "events_sliding_window": SQL_EVENTS_SLIDING,
 }
 
 # Local-parity-only tier (driver caps conformance at 50 entries;
@@ -227,12 +225,14 @@ EXTRA_QUERIES = {
     "quality_accepted_values": q_quality_accepted_values,
     "parts_by_brand": q_parts_by_brand,
     "full_load_suppliers": q_full_load_suppliers,
+    "events_sliding_window": q_events_sliding,
 }
 
 EXTRA_ORACLES = {
     "quality_accepted_values": SQL_QUALITY_ACCEPTED_VALUES,
     "parts_by_brand": SQL_PARTS_BY_BRAND,
     "full_load_suppliers": SQL_FULL_LOAD_SUPPLIERS,
+    "events_sliding_window": SQL_EVENTS_SLIDING,
 }
 
 

@@ -1,0 +1,347 @@
+"""LLM-training-data curation catalog: decontamination, repetition
+filters, PII scrubbing, deterministic sampling, KMV sketches, token
+packing, k-means + SemDeDup.
+
+Every entry has an EXACT DuckDB oracle. The shared trick is
+``functions.hashing.uniform_hash``: md5 → 60-bit int → [0,1) double,
+identical in both engines, which makes sampling, sketching and k-means
+init reproducible cross-engine. Floating aggregates are ROUNDed before
+they feed a comparison or the output, so summation-order noise can't
+flip a result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.catalog.core import _t
+from cdc_data_pipeline_spark.functions import text as tx
+from cdc_data_pipeline_spark.functions.hashing import uniform_hash_sql
+from cdc_data_pipeline_spark.operators import clustering as cl
+from cdc_data_pipeline_spark.operators import curation as cu
+from cdc_data_pipeline_spark.operators import packing as pk
+from cdc_data_pipeline_spark.operators import sampling as sp
+from cdc_data_pipeline_spark.operators import sketches as sk
+from cdc_data_pipeline_spark.sources.readers import ensure_parallelism
+
+
+def _docs(spark, sf_dir):
+    return ensure_parallelism(_t(spark, sf_dir, "documents"))
+
+
+# DuckDB tokenization identical to functions.text.tokens
+_DUCK_TOKS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents)
+"""
+
+
+# --------------------------------------------------------- decontamination
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per-document 3-gram overlap against
+    an eval set (every 97th document stands in for the benchmark — the
+    fixture vocabulary is tiny, so 3-grams give a graded overlap
+    signal; production runs use 13-grams per GPT-3/Gopher practice).
+    Eval n-grams are broadcast; corpus side is explode + left join +
+    per-doc re-aggregate."""
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    out = cu.contamination(docs, ev, n=3)
+    return out.select("doc_id", F.col("n_ngrams").cast("long").alias("n_ngrams"),
+                      F.col("n_hit").cast("long").alias("n_hit"), "overlap")
+
+
+SQL_DECONTAMINATE = _DUCK_TOKS + """,
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1),
+                                  i -> array_to_string(t[i:i+2], ' '))
+              ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks),
+ex AS (SELECT DISTINCT doc_id, unnest(g) AS g FROM sh),
+ev AS (SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0)
+SELECT e.doc_id,
+       COUNT(*) AS n_ngrams,
+       CAST(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS overlap
+FROM ex e LEFT JOIN ev ON e.g = ev.g
+GROUP BY e.doc_id
+"""
+
+
+# ------------------------------------------------------- repetition filters
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition panel: duplicate-token mass, duplicate
+    2-gram mass, most-frequent-token mass — all higher-order-function
+    expressions, no shuffle."""
+    return cu.repetition_metrics(_docs(spark, sf_dir))
+
+
+SQL_REPETITION = _DUCK_TOKS + """,
+m AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)),
+                                  i -> array_to_string(t[i:i+1], ' '))
+              ELSE [array_to_string(t, ' ')] END AS g2
+  FROM toks)
+SELECT doc_id,
+  CASE WHEN len(t) <= 0 THEN 0.0
+       ELSE ROUND(1.0 - len(list_distinct(t)) * 1.0 / len(t), 6)
+  END AS dup_token_ratio,
+  CASE WHEN len(g2) <= 0 THEN 0.0
+       ELSE ROUND(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 6)
+  END AS dup_2gram_ratio,
+  CASE WHEN len(t) <= 0 THEN 0.0
+       ELSE ROUND(list_max(list_transform(list_distinct(t),
+                           d -> len(list_filter(t, x -> x = d)))) * 1.0
+                  / len(t), 6)
+  END AS top_token_ratio
+FROM m
+"""
+
+
+# --------------------------------------------------------------- PII scrub
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction metrics. The fixture corpus is PII-free, so every
+    7th document gets a planted email + phone + IPv4 (the CDC
+    re-extract shape: deterministic, reproduced by the oracle) and the
+    entry must count and scrub exactly those."""
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com or 555-123-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 ok"))).otherwise(F.col("text")))
+    m = cu.pii_metrics(planted)
+    return m.select("doc_id", F.col("n_email").cast("long").alias("n_email"),
+                    F.col("n_phone").cast("long").alias("n_phone"),
+                    F.col("n_ip").cast("long").alias("n_ip"), "scrubbed_md5")
+
+
+SQL_PII_SCRUB = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || doc_id
+                   || '@mail.example.com or 555-123-'
+                   || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                   || ' at 10.0.' || (doc_id % 256) || '.7 ok'
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{cu.EMAIL_RE}')) AS n_email,
+  len(regexp_extract_all(text, '{cu.PHONE_RE}')) AS n_phone,
+  len(regexp_extract_all(text, '{cu.IPV4_RE}')) AS n_ip,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        '{cu.EMAIL_RE}', '<EMAIL>', 'g'),
+        '{cu.PHONE_RE}', '<PHONE>', 'g'),
+        '{cu.IPV4_RE}', '\\1<IP>\\3', 'g')) AS scrubbed_md5
+FROM corpus
+"""
+
+
+# ----------------------------------------------------------------- sampling
+
+def q_stratified_sample(spark, sf_dir):
+    """Exactly 5 documents per language — the 5 smallest doc_id
+    hashes (deterministic; re-runs and backfills select the same
+    rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sp.stratified_sample_exact(docs, ["lang"], 5, "doc_id") \
+             .select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH u AS (SELECT doc_id, lang, {uniform_hash_sql('doc_id')} AS u FROM documents),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+      FROM u)
+SELECT doc_id, lang FROM r WHERE rn <= 5
+"""
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    top 8 per source, inclusion probability proportional to n_chars —
+    the quality-weighted corpus-rebalancing shape."""
+    docs = _t(spark, sf_dir, "documents")
+    return sp.weighted_sample_topk(docs, ["source"], 8, "n_chars", "doc_id") \
+             .select("doc_id", "source", "n_chars")
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH u AS (SELECT doc_id, source, n_chars,
+                  {uniform_hash_sql('doc_id')} AS u
+           FROM documents WHERE n_chars > 0),
+r AS (SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY -ln(u) / n_chars, doc_id) AS rn
+      FROM u)
+SELECT doc_id, source, n_chars FROM r WHERE rn <= 8
+"""
+
+
+# ------------------------------------------------------------- KMV sketch
+
+_KMV_K = 32
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """Distinct users per event type via a k-minimum-values sketch
+    (k=32): deterministic, mergeable, exactly reproducible in SQL —
+    the portable alternative to HyperLogLog register blobs."""
+    e = _t(spark, sf_dir, "events")
+    return sk.kmv_estimate(e, ["event_type"], "user_id", k=_KMV_K)
+
+
+SQL_KMV_DISTINCT = f"""
+WITH pts AS (SELECT DISTINCT event_type,
+                    {uniform_hash_sql('user_id')} AS u
+             FROM events),
+r AS (SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+      FROM pts),
+kept AS (SELECT * FROM r WHERE rn <= {_KMV_K})
+SELECT event_type, COUNT(*) AS n_kept,
+       ROUND(CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*) * 1.0
+                  ELSE {_KMV_K - 1}.0 / MAX(u) END, 4) AS distinct_est
+FROM kept GROUP BY event_type
+"""
+
+
+# ------------------------------------------------------------ token packing
+
+_SHARD_BUDGET = 2000
+
+
+def q_token_shards(spark, sf_dir):
+    """Greedy token-budget shard packing over doc_id order: 2000
+    whitespace-tokens per shard. Two-stage cumsum (chunk offsets +
+    within-chunk window) — no global single-partition window."""
+    docs = _t(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id", tx.token_count("text").cast("long").alias("n_tokens"))
+    packed = pk.pack_token_shards(with_counts, _SHARD_BUDGET,
+                                  "n_tokens", "doc_id", chunk=128)
+    return packed.select("doc_id", "n_tokens", "shard_id")
+
+
+SQL_TOKEN_SHARDS = _DUCK_TOKS + f"""
+SELECT doc_id, len(t)::BIGINT AS n_tokens,
+       CAST(FLOOR((CAST(SUM(len(t)) OVER (ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   - len(t)) * 1.0 / {_SHARD_BUDGET}) AS BIGINT) AS shard_id
+FROM toks
+"""
+
+
+# --------------------------------------------------- k-means and SemDeDup
+
+_KM_K, _KM_ITERS, _SD_THRESHOLD = 8, 2, 0.30
+_DIM = 64
+
+
+def _km_sql_ctes() -> str:
+    """CTE chain replicating kmeans(k=8, iters=2) exactly: hash-min
+    init, rounded-distance argmin assignment, rounded-mean recompute,
+    final assignment."""
+    dist = ("ROUND(list_sum(list_transform(range(1, {d} + 1), "
+            "i -> (a.e[i] - c.e[i]) * (a.e[i] - c.e[i]))), 6)").format(d=_DIM)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+h AS (SELECT vec_id, e, {uniform_hash_sql('vec_id')} AS u FROM v),
+c0 AS (SELECT row_number() OVER (ORDER BY u, vec_id) - 1 AS cid, e
+       FROM (SELECT * FROM h ORDER BY u, vec_id LIMIT {_KM_K})),
+d1 AS (SELECT a.vec_id, a.e, c.cid, {dist} AS d
+       FROM v a CROSS JOIN c0 c),
+a1 AS (SELECT vec_id, e, cid
+       FROM (SELECT vec_id, e, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d, cid) AS rn
+             FROM d1) WHERE rn = 1),
+c1 AS (SELECT cid, list(m ORDER BY pos) AS e
+       FROM (SELECT cid, i AS pos, ROUND(AVG(e[i]), 6) AS m
+             FROM a1 CROSS JOIN range(1, {_DIM} + 1) AS t(i)
+             GROUP BY cid, i)
+       GROUP BY cid),
+d2 AS (SELECT a.vec_id, a.e, c.cid, {dist} AS d
+       FROM v a CROSS JOIN c1 c),
+a2 AS (SELECT vec_id, e, cid
+       FROM (SELECT vec_id, e, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d, cid) AS rn
+             FROM d2) WHERE rn = 1)
+"""
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Lloyd's k-means (k=8, 2 assignment rounds) with deterministic
+    hash-min init; final per-vector assignment. Assignment is a pure
+    projection over plan-literal centroids — no join, no shuffle."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = cl.kmeans(e, k=_KM_K, iters=_KM_ITERS)
+    return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+
+
+SQL_KMEANS_CLUSTERS = _km_sql_ctes() + """
+SELECT vec_id, cid::INT AS cluster FROM a2
+"""
+
+
+def q_semdedup_pairs(spark, sf_dir):
+    """SemDeDup: near-duplicate pairs compared only within their
+    k-means cluster — learned blocking instead of hash-random LSH
+    blocking. Threshold 0.30 suits the near-random fixture embeddings
+    (max pairwise cosine ~0.6); production corpora run ~0.95."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = cl.semdedup_pairs(e, k=_KM_K, threshold=_SD_THRESHOLD,
+                            iters=_KM_ITERS)
+    return out.select(F.col("cluster").cast("int").alias("cluster"),
+                      "id_a", "id_b", "cos")
+
+
+SQL_SEMDEDUP_PAIRS = _km_sql_ctes() + f"""
+SELECT a.cid::INT AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
+FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= {_SD_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "decontaminate": q_decontaminate,
+    "repetition_metrics": q_repetition,
+    "pii_scrub": q_pii_scrub,
+    "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
+    "kmv_distinct": q_kmv_distinct,
+    "token_shards": q_token_shards,
+    "kmeans_clusters": q_kmeans_clusters,
+    "semdedup_pairs": q_semdedup_pairs,
+}
+
+ORACLES = {
+    "decontaminate": SQL_DECONTAMINATE,
+    "repetition_metrics": SQL_REPETITION,
+    "pii_scrub": SQL_PII_SCRUB,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "kmv_distinct": SQL_KMV_DISTINCT,
+    "token_shards": SQL_TOKEN_SHARDS,
+    "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+    "semdedup_pairs": SQL_SEMDEDUP_PAIRS,
+}

@@ -1,0 +1,139 @@
+"""Embedding clustering (Lloyd's k-means) and semantic deduplication.
+
+SemDeDup (Abbas et al. 2023) is the embedding-space complement of
+MinHash dedup: cluster the corpus with k-means, then compare vectors
+ONLY within their cluster — near-duplicate pairs are overwhelmingly
+co-clustered, so the quadratic all-pairs cost collapses to
+sum(cluster_size^2) with learned (data-adaptive) blocking instead of
+the hash-random blocking of LSH.
+
+Determinism (what makes an exact SQL oracle possible):
+- init centroids = the k vectors with the smallest md5 key-hash
+  (``uniform_hash``) — a pure function of ids, not of partitioning;
+- every distance and every recomputed centroid coordinate is ROUNDed
+  (6 dp) before it feeds a comparison, so float summation-order noise
+  (~1e-15) can't flip an argmin across engines or runs;
+- argmin ties break on the lower cluster id.
+
+Scale: assignment is a narrow map — k*dim literal constants compiled
+into the plan (broadcast-by-codegen), no shuffle, no join. The only
+shuffles are the per-iteration centroid recompute (groupBy cluster —
+k rows out) and the final cluster-keyed self-join in semdedup. The
+k*dim driver collect per iteration is scalar-scale (MLlib's KMeans
+does the same); iterations are bounded and each materializes only k
+centroids, so lineage stays flat.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.functions.hashing import uniform_hash
+from cdc_data_pipeline_spark.functions.vectors import cosine
+
+
+def _dist_sq_to(vec: Column, centroid: Sequence[float]) -> Column:
+    """ROUND(sum((v_i - c_i)^2), 6) against a literal centroid —
+    left-to-right fold, same order as the oracle's list_sum."""
+    arr = F.array(*[F.lit(float(x)) for x in centroid])
+    diffs = F.zip_with(vec, arr,
+                       lambda x, y: (x.cast("double") - y) * (x.cast("double") - y))
+    return F.round(F.aggregate(diffs, F.lit(0.0), lambda a, x: a + x), 6)
+
+
+def assign_clusters(df: DataFrame, centroids: Sequence[tuple[int, Sequence[float]]],
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Nearest-centroid assignment: adds a ``cluster`` column.
+
+    ``centroids`` is [(cluster_id, vector), ...] — explicit ids so an
+    empty cluster (which simply has no centroid next round) never
+    renumbers the survivors. Centroids are plan literals → a pure
+    projection (no join/shuffle); argmin by rounded distance, ties to
+    the lowest cluster id.
+    """
+    v = F.col(vec_col)
+    dists = {cid: _dist_sq_to(v, c) for cid, c in centroids}
+    ordered = sorted(dists)
+    best = F.least(*dists.values()) if len(dists) > 1 else dists[ordered[0]]
+    cluster = F.lit(ordered[-1])
+    for cid in reversed(ordered[:-1]):
+        cluster = F.when(dists[cid] == best, F.lit(cid)).otherwise(cluster)
+    return df.withColumn("cluster", cluster)
+
+
+def init_centroids(df: DataFrame, k: int, vec_col: str = "embedding",
+                   id_col: str = "vec_id", seed: int = 0) -> list[tuple[int, list[float]]]:
+    """Deterministic init: the k vectors with the smallest
+    ``uniform_hash(id)`` (hash-uniform ≈ a uniform random draw, but
+    reproducible). Cluster i is the i-th by (hash, id) order."""
+    rows = (df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+                      uniform_hash(id_col, seed).alias("__u"))
+              .orderBy("__u", "__id").limit(k).collect())
+    return [(i, [float(x) for x in r["__v"]]) for i, r in enumerate(rows)]
+
+
+def recompute_centroids(assigned: DataFrame,
+                        vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Per-cluster coordinate means, rounded to 6 dp. One shuffle
+    keyed (cluster, position) with map-side partial aggregation; k*dim
+    scalars come back to the driver. Empty clusters drop out but keep
+    everyone else's id (ids are explicit, never positional)."""
+    pos = (assigned.select("cluster", F.posexplode(F.col(vec_col))
+                           .alias("pos", "val"))
+           .groupBy("cluster", "pos")
+           .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+           .groupBy("cluster")
+           .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+           .orderBy("cluster")
+           .collect())
+    return [(int(r["cluster"]), [float(e["m"]) for e in r["pm"]]) for r in pos]
+
+
+def kmeans(df: DataFrame, k: int, iters: int = 2, vec_col: str = "embedding",
+           id_col: str = "vec_id", seed: int = 0) -> DataFrame:
+    """Lloyd's k-means for ``iters`` assignment rounds (init → assign
+    → recompute, ending on an assignment). Returns the input plus a
+    ``cluster`` column from the final assignment."""
+    cents = init_centroids(df, k, vec_col, id_col, seed)
+    assigned = assign_clusters(df, cents, vec_col, id_col)
+    for _ in range(iters - 1):
+        cents = recompute_centroids(assigned, vec_col)
+        assigned = assign_clusters(df, cents, vec_col, id_col)
+    return assigned
+
+
+def semdedup_pairs(df: DataFrame, k: int, threshold: float, iters: int = 2,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   seed: int = 0) -> DataFrame:
+    """Within-cluster near-duplicate pairs: (id_a, id_b, cos) for
+    co-clustered vectors with rounded cosine >= threshold.
+
+    The self-join is keyed on ``cluster`` — shuffle partitions hold one
+    cluster's slice, pair expansion is cluster-local. Against LSH
+    blocking this trades two cheap global passes (the k-means iters)
+    for much tighter candidate sets on clusterable corpora.
+    """
+    assigned = kmeans(df, k, iters, vec_col, id_col, seed)
+    a = assigned.select(F.col("cluster"), F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("__va"))
+    b = assigned.select(F.col("cluster"), F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("__vb"))
+    pairs = (a.join(b, "cluster")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .select("cluster", "id_a", "id_b",
+                      F.round(cosine("__va", "__vb"), 6).alias("cos")))
+    return pairs.filter(F.col("cos") >= threshold)
+
+
+def semdedup_prune(df: DataFrame, k: int, threshold: float, iters: int = 2,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   seed: int = 0) -> DataFrame:
+    """SemDeDup keep-set: drop every vector that has a near-duplicate
+    with a LOWER id in its cluster (keep-lowest representative —
+    same convention as ``dedup.dedup_exact``)."""
+    doomed = (semdedup_pairs(df, k, threshold, iters, vec_col, id_col, seed)
+              .select(F.col("id_b").alias(id_col)).distinct())
+    return df.join(doomed, id_col, "left_anti")

@@ -1,0 +1,102 @@
+"""Deterministic sampling operators for training-data curation.
+
+A 100 TB corpus is never trained on whole: it is split, subsampled,
+and rebalanced. The operators here make every one of those decisions a
+pure function of (row key, seed) via ``functions.hashing.uniform_hash``
+— so a re-run, a backfill, or a different cluster selects the exact
+same rows, and every sample has an exact SQL oracle.
+
+- ``hash_sample``     — Bernoulli(p) by key hash. No shuffle: a pure
+                        filter that pushes past the scan.
+- ``split_column``    — named train/valid/test split from hash ranges;
+                        one pass, no shuffle, mutually exclusive and
+                        exhaustive by construction.
+- ``stratified_sample_exact`` — exactly k rows per stratum, the k
+                        smallest hashes (one shuffle on strata cols).
+- ``weighted_sample_topk``    — Efraimidis–Spirakis A-ES weighted
+                        sampling without replacement: key
+                        -ln(u)/weight, keep the k smallest per
+                        stratum. P(selection) proportional to weight.
+
+Scale: per-stratum top-k uses a rank window partitioned by the strata
+columns — the shuffle carries only (strata, key, hash); with many
+strata this parallelizes across them. For a GLOBAL top-k over few/one
+strata, pre-reduce with a per-partition top-k (sort within partitions,
+mapPartitions head-k) before the final window — the driver never sees
+more than partitions*k rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.functions.hashing import uniform_hash
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str,
+                seed: int = 0, fast: bool = False) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows with u(key) < fraction.
+
+    Unlike ``df.sample``, membership is a function of the key, not of
+    partition layout — stable under repartitioning and re-runs.
+    """
+    return df.filter(uniform_hash(key_col, seed, fast=fast) < F.lit(fraction))
+
+
+def split_column(key_col: str, splits: Sequence[tuple[str, float]],
+                 seed: int = 0, fast: bool = False) -> Column:
+    """A labeled split column from consecutive hash ranges.
+
+    ``splits`` is [(name, fraction), ...]; fractions must sum to <= 1,
+    remainder (if any) falls in the LAST split. Example:
+    ``split_column("doc_id", [("test", .1), ("valid", .1), ("train", .8)])``.
+    """
+    fracs = [f for _, f in splits]
+    assert sum(fracs) <= 1.0 + 1e-9, "split fractions exceed 1"
+    u = uniform_hash(key_col, seed, fast=fast)
+    expr = None
+    edge = 0.0
+    # CASE chain over cumulative hash edges: first matching edge wins
+    for name, frac in splits[:-1]:
+        edge += frac
+        cond = u < F.lit(edge)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return F.lit(splits[-1][0]) if expr is None else expr.otherwise(F.lit(splits[-1][0]))
+
+
+def stratified_sample_exact(df: DataFrame, strata_cols: Sequence[str], k: int,
+                            key_col: str, seed: int = 0,
+                            fast: bool = False) -> DataFrame:
+    """EXACTLY min(k, |stratum|) rows per stratum: the k smallest
+    key-hashes, ties broken by key (total order — fully deterministic).
+
+    ``df.sampleBy`` gives only expected fractions and is layout-
+    dependent; this gives exact counts and reproducibility. One shuffle
+    on the strata columns.
+    """
+    u = uniform_hash(key_col, seed, fast=fast)
+    w = Window.partitionBy(*strata_cols).orderBy(u.asc(), F.col(key_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def weighted_sample_topk(df: DataFrame, strata_cols: Sequence[str], k: int,
+                         weight_col: str, key_col: str, seed: int = 0,
+                         fast: bool = False) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): per stratum keep the k rows minimizing -ln(u)/w — each row's
+    inclusion probability is proportional to its weight. The standard
+    tool for quality-weighted corpus re-balancing (upweight high
+    quality-score documents without discarding the tail entirely).
+
+    Rows with weight <= 0 are excluded (zero probability).
+    """
+    u = uniform_hash(key_col, seed, fast=fast)
+    es_key = -F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*strata_cols).orderBy(es_key.asc(), F.col(key_col).asc())
+    return (df.filter(F.col(weight_col) > 0)
+              .withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= k).drop("__rn"))

@@ -1,0 +1,225 @@
+"""Operator-level tests for the curation / sampling / sketch / packing
+/ clustering families (the catalog oracle parity in
+test_oracle_parity.py covers end-to-end values; these pin the operator
+CONTRACTS: determinism, exactness, mergeability, scale shape)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cdc_data_pipeline_spark.functions.hashing import uniform_hash
+from cdc_data_pipeline_spark.functions.text import token_count
+from cdc_data_pipeline_spark.operators import clustering as cl
+from cdc_data_pipeline_spark.operators import curation as cu
+from cdc_data_pipeline_spark.operators import packing as pk
+from cdc_data_pipeline_spark.operators import sampling as sp
+from cdc_data_pipeline_spark.operators import sketches as sk
+from cdc_data_pipeline_spark.sources.readers import read_table
+
+
+# ------------------------------------------------------------------ sampling
+
+def test_hash_sample_deterministic_and_layout_independent(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in sp.hash_sample(docs, 0.3, "doc_id").select("doc_id").collect()}
+    b = {r.doc_id for r in
+         sp.hash_sample(docs.repartition(7), 0.3, "doc_id").select("doc_id").collect()}
+    assert a == b and a  # same membership regardless of partitioning
+    n = docs.count()
+    assert 0.2 * n < len(a) < 0.4 * n  # ~Bernoulli(0.3)
+
+
+def test_fast_hash_sample_matches_contract(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.count()
+    got = sp.hash_sample(docs, 0.3, "doc_id", fast=True).count()
+    assert 0.2 * n < got < 0.4 * n
+
+
+def test_split_column_exclusive_exhaustive(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    lab = docs.withColumn("split", sp.split_column(
+        "doc_id", [("test", 0.1), ("valid", 0.1), ("train", 0.8)]))
+    counts = {r["split"]: r["cnt"] for r in
+              lab.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n  # exhaustive
+    assert 0.6 * n < counts["train"]
+    assert counts["test"] and counts["valid"]
+    # membership is stable: re-derive and compare
+    again = docs.withColumn("split", sp.split_column(
+        "doc_id", [("test", 0.1), ("valid", 0.1), ("train", 0.8)]))
+    assert lab.exceptAll(again).count() == 0
+
+
+def test_stratified_sample_exact_counts(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = sp.stratified_sample_exact(docs, ["lang"], 5, "doc_id")
+    per = {r.lang: r.cnt for r in
+           out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    avail = {r.lang: r.cnt for r in
+             docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    for lang, cnt in per.items():
+        assert cnt == min(5, avail[lang])
+
+
+def test_weighted_sample_prefers_heavy_rows(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = sp.weighted_sample_topk(docs, ["lang"], 10, "n_chars", "doc_id")
+    sample_mean = out.agg(F.avg("n_chars")).first()[0]
+    pop_mean = docs.agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > pop_mean  # inclusion prob proportional to weight
+
+
+# ------------------------------------------------------------------ sketches
+
+def test_kmv_estimate_accuracy(spark, sf_dir):
+    e = read_table(spark, sf_dir, "events")
+    est = {r.event_type: r.distinct_est
+           for r in sk.kmv_estimate(e, ["event_type"], "user_id", k=64).collect()}
+    true = {r.event_type: r.cnt for r in
+            e.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("cnt")).collect()}
+    for t, d in true.items():
+        rel = abs(est[t] - d) / d
+        assert rel < 0.35, (t, est[t], d)  # KMV k=64 → ~1/sqrt(64) error
+
+
+def test_kmv_partials_merge_equals_oneshot(spark, sf_dir):
+    e = read_table(spark, sf_dir, "events")
+    oneshot = sk.kmv_estimate(e, ["event_type"], "user_id", k=32)
+    # split the data arbitrarily, sketch each part, merge
+    p1 = sk.kmv_partials(e.filter(F.col("event_id") % 3 != 0),
+                         ["event_type"], "user_id", k=32, shards=8)
+    p2 = sk.kmv_partials(e.filter(F.col("event_id") % 3 == 0),
+                         ["event_type"], "user_id", k=32, shards=8)
+    merged = sk.kmv_merge(p1.unionByName(p2), ["event_type"], k=32)
+    assert merged.exceptAll(oneshot).count() == 0
+    assert oneshot.exceptAll(merged).count() == 0
+
+
+# ------------------------------------------------------------------- packing
+
+def test_pack_token_shards_matches_naive_global_cumsum(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tok"))
+    packed = pk.pack_token_shards(docs, 1500, "n_tok", "doc_id", chunk=64)
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = docs.withColumn(
+        "shard_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 1500).cast("long"))
+    assert packed.select("doc_id", "shard_id") \
+                 .exceptAll(naive.select("doc_id", "shard_id")).count() == 0
+
+
+def test_pack_token_shards_budget_invariants(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tok"))
+    packed = pk.pack_token_shards(docs, 1500, "n_tok", "doc_id", chunk=64)
+    man = pk.shard_manifest(packed, "n_tok").orderBy("shard_id").collect()
+    max_doc = docs.agg(F.max("n_tok")).first()[0]
+    # a shard deviates from budget by at most one document's tokens:
+    # under-full only when the previous shard's last doc overflowed in,
+    # over-full only by its own boundary-crossing last doc
+    for row in man[:-1]:
+        assert 1500 - max_doc < row.n_tokens < 1500 + max_doc, row
+    assert sum(r.n_docs for r in man) == docs.count()
+
+
+# ------------------------------------------------------------------ curation
+
+def test_contamination_flags_planted_eval_docs(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    cont = cu.contamination(docs, ev, n=3)
+    # the eval docs themselves overlap fully
+    self_rows = cont.filter(F.col("doc_id") % 50 == 0).collect()
+    assert self_rows and all(r.overlap == 1.0 for r in self_rows)
+    cleaned = cu.decontaminate(docs, ev, n=3, max_overlap=0.99)
+    assert cleaned.filter(F.col("doc_id") % 50 == 0).count() == 0
+    assert cleaned.count() == docs.count() - len(self_rows)
+
+
+def test_scrub_pii_removes_all_matches(spark):
+    rows = [
+        (1, "mail me at alice.smith+x@corp.example.org today"),
+        (2, "call 555-123-4567 or +44 123-456-7890x"),
+        (3, "server at 192.168.0.1 and 10.0.255.7."),
+        (4, "clean text with no pii at all"),
+        (5, "10.1.2.3 leading and trailing 172.16.0.9"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    scrubbed = df.select("doc_id", cu.scrub_pii("text").alias("text"))
+    m = cu.pii_metrics(scrubbed)
+    leftover = m.filter((F.col("n_email") > 0) | (F.col("n_phone") > 0)
+                        | (F.col("n_ip") > 0))
+    assert leftover.count() == 0
+    kept = {r.doc_id: r.text for r in scrubbed.collect()}
+    assert "<EMAIL>" in kept[1] and "alice" not in kept[1]
+    assert "<PHONE>" in kept[2]
+    assert kept[3].count("<IP>") == 2
+    assert kept[4] == "clean text with no pii at all"
+    assert kept[5].startswith("<IP>") and kept[5].endswith("<IP>")
+
+
+def test_repetition_metrics_on_degenerate_text(spark):
+    rows = [
+        (1, "spam spam spam spam"),          # one token repeated
+        (2, "all words here are unique"),    # no repetition
+        (3, ""),                             # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    m = {r.doc_id: r for r in cu.repetition_metrics(df).collect()}
+    assert m[1].dup_token_ratio == 0.75 and m[1].top_token_ratio == 1.0
+    assert m[2].dup_token_ratio == 0.0 and m[2].dup_2gram_ratio == 0.0
+    assert m[3].dup_token_ratio == 0.0
+
+
+# ---------------------------------------------------------------- clustering
+
+def test_kmeans_deterministic_and_complete(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    a = cl.kmeans(e, k=4, iters=2).select("vec_id", "cluster")
+    b = cl.kmeans(e.repartition(5), k=4, iters=2).select("vec_id", "cluster")
+    assert a.exceptAll(b).count() == 0  # layout-independent
+    assert a.count() == e.count()
+    assert a.select("cluster").distinct().count() <= 4
+
+
+def test_kmeans_iterations_reduce_inertia(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    cents0 = cl.init_centroids(e, 4)
+
+    def inertia(assigned, cents):
+        by_cid = dict(cents)
+        total = 0.0
+        for r in assigned.select("cluster", "embedding").collect():
+            c = by_cid[r.cluster]
+            total += sum((float(x) - y) ** 2 for x, y in zip(r.embedding, c))
+        return total
+
+    a1 = cl.assign_clusters(e, cents0)
+    cents1 = cl.recompute_centroids(a1)
+    a2 = cl.assign_clusters(e, cents1)
+    assert inertia(a2, cents1) < inertia(a1, cents0)
+
+
+def test_semdedup_prune_drops_higher_id_of_each_pair(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    pairs = cl.semdedup_pairs(e, k=4, threshold=0.3)
+    doomed = {r.id_b for r in pairs.select("id_b").distinct().collect()}
+    kept = cl.semdedup_prune(e, k=4, threshold=0.3)
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    assert doomed and not (doomed & kept_ids)
+    assert kept_ids | doomed == {r.vec_id for r in e.select("vec_id").collect()}
+
+
+def test_uniform_hash_fast_and_oracle_paths_are_uniformish(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    for fast in (False, True):
+        mean = docs.select(F.avg(uniform_hash("doc_id", fast=fast))).first()[0]
+        assert 0.4 < mean < 0.6
