@@ -107,25 +107,66 @@ def kmeans(df: DataFrame, k: int, iters: int = 2, vec_col: str = "embedding",
 
 def semdedup_pairs(df: DataFrame, k: int, threshold: float, iters: int = 2,
                    vec_col: str = "embedding", id_col: str = "vec_id",
-                   seed: int = 0) -> DataFrame:
-    """Within-cluster near-duplicate pairs: (id_a, id_b, cos) for
-    co-clustered vectors with rounded cosine >= threshold.
+                   seed: int = 0, engine: str = "arrow") -> DataFrame:
+    """Within-cluster near-duplicate pairs: (cluster, id_a, id_b, cos)
+    for co-clustered vectors with rounded (6 dp) cosine >= threshold.
 
-    The self-join is keyed on ``cluster`` — shuffle partitions hold one
-    cluster's slice, pair expansion is cluster-local. Against LSH
-    blocking this trades two cheap global passes (the k-means iters)
-    for much tighter candidate sets on clusterable corpora.
+    Two engines, identical values:
+    - ``arrow`` (default): one Arrow batch per cluster via
+      ``applyInPandas`` — a single numpy matmul scores every pair in
+      the cluster (~5x over the join at sf0.1, gap grows with cluster
+      size). Pair emission stays cluster-local, so shuffle volume is
+      one row per VECTOR, not per pair.
+    - ``native``: cluster-keyed self-join with higher-order-function
+      cosine — pure JVM, no Python workers; the shape the SQL oracle
+      mirrors literally.
+
+    Against LSH blocking this trades two cheap global passes (the
+    k-means iters) for much tighter candidate sets on clusterable
+    corpora. A pathologically hot cluster makes the pair set
+    quadratic either way — production fixes k so expected cluster
+    size stays bounded (k ~ n / target_size).
     """
     assigned = kmeans(df, k, iters, vec_col, id_col, seed)
-    a = assigned.select(F.col("cluster"), F.col(id_col).alias("id_a"),
-                        F.col(vec_col).alias("__va"))
-    b = assigned.select(F.col("cluster"), F.col(id_col).alias("id_b"),
-                        F.col(vec_col).alias("__vb"))
-    pairs = (a.join(b, "cluster")
-              .filter(F.col("id_a") < F.col("id_b"))
-              .select("cluster", "id_a", "id_b",
-                      F.round(cosine("__va", "__vb"), 6).alias("cos")))
-    return pairs.filter(F.col("cos") >= threshold)
+    if engine == "native":
+        a = assigned.select(F.col("cluster"), F.col(id_col).alias("id_a"),
+                            F.col(vec_col).alias("__va"))
+        b = assigned.select(F.col("cluster"), F.col(id_col).alias("id_b"),
+                            F.col(vec_col).alias("__vb"))
+        pairs = (a.join(b, "cluster")
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .select("cluster", "id_a", "id_b",
+                          F.round(cosine("__va", "__vb"), 6).alias("cos")))
+        return pairs.filter(F.col("cos") >= threshold)
+
+    import numpy as np
+    import pandas as pd
+
+    def cluster_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.array(pdf[vec_col].tolist(), dtype=np.float64)[order]
+        # cos = dot / (|a||b|), matching the HOF/oracle formulation
+        dots = m @ m.T
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        denom = np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, dots / denom, 0.0)
+        cos = np.round(cos, 6)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = cos[iu, ju] >= threshold
+        return pd.DataFrame({
+            "cluster": np.full(int(keep.sum()), int(pdf["cluster"].iloc[0]),
+                               dtype=np.int32),
+            "id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
+            "cos": cos[iu, ju][keep],
+        })
+
+    schema = "cluster int, id_a long, id_b long, cos double"
+    return (assigned.select(F.col("cluster").cast("int").alias("cluster"),
+                            F.col(id_col), F.col(vec_col))
+                    .groupBy("cluster").applyInPandas(cluster_pairs, schema))
 
 
 def semdedup_prune(df: DataFrame, k: int, threshold: float, iters: int = 2,

@@ -208,6 +208,19 @@ def test_kmeans_iterations_reduce_inertia(spark, sf_dir):
     assert inertia(a2, cents1) < inertia(a1, cents0)
 
 
+def test_semdedup_engines_agree_exactly(spark, sf_dir):
+    """The vectorized Arrow engine must emit the SAME rounded pairs as
+    the JVM higher-order-function join (the shape the oracle mirrors):
+    numpy matmul summation order may differ from the sequential fold,
+    but never by enough to cross a 6-dp rounding boundary."""
+    e = read_table(spark, sf_dir, "embeddings")
+    a = cl.semdedup_pairs(e, k=4, threshold=0.3, engine="arrow")
+    n = cl.semdedup_pairs(e, k=4, threshold=0.3, engine="native") \
+          .select("cluster", "id_a", "id_b", "cos")
+    assert a.exceptAll(n).count() == 0
+    assert n.exceptAll(a).count() == 0
+
+
 def test_semdedup_prune_drops_higher_id_of_each_pair(spark, sf_dir):
     e = read_table(spark, sf_dir, "embeddings")
     pairs = cl.semdedup_pairs(e, k=4, threshold=0.3)
