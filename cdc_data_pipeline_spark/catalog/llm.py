@@ -322,6 +322,26 @@ WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= {_SD_THRESHOLD}
 """
 
 
+# ------------------------------------------------------------- histogram
+
+def q_value_histogram(spark, sf_dir):
+    """Mergeable equi-width histogram of event values per event_type
+    (32 bins over [0, 1000), edges clamped) — the profiling shape that
+    rolls up across batches like the monoid aggregates in rollup."""
+    e = _t(spark, sf_dir, "events")
+    return sk.histogram(e, "value", 0.0, 1000.0, nbins=32,
+                        group_cols=["event_type"])
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT event_type,
+       CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 31.25), 0), 31) AS BIGINT) AS bin,
+       COUNT(*) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "decontaminate": q_decontaminate,
     "repetition_metrics": q_repetition,
@@ -345,3 +365,9 @@ ORACLES = {
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "semdedup_pairs": SQL_SEMDEDUP_PAIRS,
 }
+
+# Local-parity tier (the driver's 50-entry cap is full; the histogram's
+# clamp + groupBy machinery is a strict subset of token_shards' /
+# kmv_distinct's exported shapes). Oracle-checked on every pytest run.
+EXTRA_QUERIES = {"value_histogram": q_value_histogram}
+EXTRA_ORACLES = {"value_histogram": SQL_VALUE_HISTOGRAM}

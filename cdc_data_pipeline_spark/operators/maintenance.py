@@ -1,0 +1,136 @@
+"""Table maintenance: small-file compaction and Z-order clustering.
+
+At 100 TB the dominant silent cost is LAYOUT, not compute: a CDC sink
+that commits every micro-batch leaves thousands of KB-scale files
+(each one a task + an open/close + a footer parse per query), and
+row-groups whose min/max spans cover the whole key range skip nothing.
+These operators are the maintenance pass a production table runs on a
+schedule:
+
+- ``table_stats`` / ``compact_parquet`` — measure file-size
+  distribution; rewrite a directory into ~``target_bytes`` files
+  (atomic staging swap, same write discipline as ``upsert_bucketed``).
+- ``zorder_by`` — interleave the bits of rank-normalized columns into
+  a Morton (Z-order) key and range-partition + sort by it, so each
+  written file covers a small HYPER-RECTANGLE of the key space and
+  parquet row-group min/max statistics prune multi-dimensional
+  predicates. (A lexicographic sort only prunes its leading column.)
+
+Scale: compaction reads once and writes ceil(bytes/target) files via
+``repartition`` (AQE coalesces the shuffle); zorder's rank windows are
+per-column global orderings — computed with ``ntile`` over a RANGE
+shuffle, never a single partition.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.operators.incremental import _replace_dir
+
+
+def table_stats(spark: SparkSession, path: str) -> dict:
+    """File-count / size distribution of a parquet directory — the
+    signal that schedules compaction (driver-side os.walk: metadata
+    only, never data)."""
+    sizes = []
+    for root, _dirs, files in os.walk(path):
+        sizes.extend(os.path.getsize(os.path.join(root, f))
+                     for f in files if f.endswith(".parquet"))
+    if not sizes:
+        return {"n_files": 0, "total_bytes": 0, "avg_bytes": 0,
+                "min_bytes": 0, "max_bytes": 0}
+    return {"n_files": len(sizes), "total_bytes": sum(sizes),
+            "avg_bytes": sum(sizes) // len(sizes),
+            "min_bytes": min(sizes), "max_bytes": max(sizes)}
+
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_bytes: int = 128 * 1024 * 1024,
+                    partition_by: Sequence[str] | None = None) -> dict:
+    """Rewrite ``path`` into ~``target_bytes`` parquet files.
+
+    Reads the current layout, repartitions to ceil(total/target) and
+    swaps atomically — readers see the old layout until the rename.
+    Returns {before, after} stats. Partitioned tables pass
+    ``partition_by`` to preserve the directory scheme (each partition
+    compacts independently via the same write).
+    """
+    before = table_stats(spark, path)
+    n_files = max(1, -(-before["total_bytes"] // target_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact__"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    _replace_dir(path, tmp)
+    return {"before": before, "after": table_stats(spark, path)}
+
+
+def _interleave_bits(cols: Sequence, bits: int):
+    """Morton-interleave ``bits``-wide integer columns into one long:
+    output bit (i*len + j) takes bit i of column j. Pure bit
+    arithmetic — codegen'd, no UDF."""
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1)).cast("long")
+            z = z + F.shiftleft(bit, i * n + j)
+    return z
+
+
+def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 12) -> DataFrame:
+    """Adds ``__z``: the Morton interleave of each column's ntile rank
+    (rank-normalization makes the curve distribution-agnostic — skewed
+    or categorical columns map onto a uniform 2^bits grid).
+
+    The per-column ``ntile`` windows are global orderings: Spark plans
+    them as a range-shuffle + per-partition tile assignment. For
+    strict hot-path avoidance precompute quantile cut-points on a
+    sample and ``F.bucket``-ize instead; ntile keeps the oracle-exact
+    rank semantics.
+    """
+    out = df
+    ranked = []
+    for c in cols:
+        rc = f"__r_{c}"
+        out = out.withColumn(
+            rc, (F.ntile(1 << bits).over(Window.orderBy(F.col(c))) - 1)
+            .cast("long"))
+        ranked.append(F.col(rc))
+    out = out.withColumn("__z", _interleave_bits(ranked, bits))
+    return out.drop(*[f"__r_{c}" for c in cols])
+
+
+def zorder_write(df: DataFrame, path: str, cols: Sequence[str],
+                 n_files: int, bits: int = 12) -> None:
+    """Write ``df`` as ``n_files`` Z-order-clustered parquet files:
+    range-partition on the Morton key, sort within partitions, drop
+    the key. Each file then covers a compact hyper-rectangle of
+    ``cols`` space, so min/max row-group stats prune predicates on ANY
+    of the clustered columns, not just a lexicographic prefix."""
+    keyed = zorder_key(df, cols, bits)
+    (keyed.repartitionByRange(n_files, "__z")
+          .sortWithinPartitions("__z")
+          .drop("__z")
+          .write.mode("overwrite").parquet(path))
+
+
+def file_span_stats(df_with_file: DataFrame, col: str) -> DataFrame:
+    """Per-file (min,max) span of ``col`` relative to its global span —
+    the data-skipping quality metric (lower mean span = more pruning).
+    Input must carry ``__file`` (e.g. ``F.input_file_name()``)."""
+    g = df_with_file.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+    width = (g["hi"] - g["lo"]) or 1
+    return (df_with_file.groupBy("__file")
+            .agg(((F.max(col) - F.min(col)) / F.lit(float(width)))
+                 .alias("span_frac")))

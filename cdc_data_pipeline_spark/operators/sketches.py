@@ -83,6 +83,21 @@ def kmv_partials(df: DataFrame, group_cols: Sequence[str], value_col: str,
                 .agg(F.sort_array(F.collect_list("__u")).alias(SKETCH_COL)))
 
 
+def histogram(df: DataFrame, value_col: str, lo: float, hi: float,
+              nbins: int = 32, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Equi-width histogram over [lo, hi): ``bin`` (0..nbins-1, with
+    out-of-range values clamped to the edge bins) + ``n``. Trivially
+    mergeable (counts add) so per-batch histograms roll up like the
+    monoid aggregates in ``operators.rollup``; one shuffle with
+    map-side combine."""
+    width = (hi - lo) / nbins
+    raw = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("long")
+    return (df.filter(F.col(value_col).isNotNull())
+              .groupBy(*group_cols, bin_.alias("bin"))
+              .agg(F.count(F.lit(1)).alias("n")))
+
+
 def kmv_merge(partials: DataFrame, group_cols: Sequence[str],
               k: int = 64) -> DataFrame:
     """Merge sketch partials (any grouping of the data) into the same
