@@ -173,3 +173,35 @@ def apply_refined_schema(df: DataFrame, refined) -> DataFrame:
         else:
             out = out.withColumn(c, F.col(c).cast(dtype))
     return out
+
+
+def schema_diff(old: T.StructType, new: T.StructType) -> dict:
+    """CDC schema-evolution report between two extract snapshots:
+    ``added`` / ``removed`` column names and ``changed`` name ->
+    (old_type, new_type) pairs (simpleString form). The decision input
+    for evolve-vs-fail policies (the reference recreates staging
+    tables on drift; ``align_to_schema`` below is the permissive
+    evolve path)."""
+    o = {f.name: f.dataType.simpleString() for f in old.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.fields}
+    return {
+        "added": sorted(set(n) - set(o)),
+        "removed": sorted(set(o) - set(n)),
+        "changed": {k: (o[k], n[k]) for k in sorted(set(o) & set(n))
+                    if o[k] != n[k]},
+    }
+
+
+def align_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Evolve ``df`` onto ``target``: missing columns appear as typed
+    NULLs, extra columns drop, shared columns cast. Column order
+    follows ``target`` so unions across snapshot generations line up
+    positionally as well as by name."""
+    have = {f.name for f in df.schema.fields}
+    cols = []
+    for f in target.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

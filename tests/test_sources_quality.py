@@ -239,3 +239,77 @@ def test_winnow_vectorized_equals_native(spark, sf_dir):
     vec = d.select("doc_id",
                    F.explode(tx.winnow_fingerprints_vectorized()(F.col("text"))).alias("fp"))
     assert sorted(map(tuple, native.collect())) == sorted(map(tuple, vec.collect()))
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from cdc_data_pipeline_spark.operators.skew import salted_join
+    from cdc_data_pipeline_spark.sources.readers import read_table
+    import pyspark.sql.functions as F
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name").withColumnRenamed("c_custkey", "o_custkey")
+    # plant a hot key: half the orders point at customer 1
+    skewed = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(1)).otherwise(F.col("o_custkey")))
+    for how in ("inner", "left"):
+        want = skewed.join(cust, ["o_custkey"], how)
+        got = salted_join(skewed, cust, ["o_custkey"], how=how, salt=8)
+        assert got.exceptAll(want.select(*got.columns)).count() == 0
+        assert want.select(*got.columns).exceptAll(got).count() == 0
+
+
+def test_salted_join_spreads_hot_key_over_salt_partitions(spark, sf_dir):
+    from cdc_data_pipeline_spark.operators.skew import salted_join
+    from cdc_data_pipeline_spark.sources.readers import read_table
+    import pyspark.sql.functions as F
+
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey") \
+        .withColumn("k", F.lit(1))  # ONE key for every row
+    dim = spark.createDataFrame([(1, "hot")], ["k", "label"])
+    joined = salted_join(orders, dim, ["k"], salt=8)
+    # pre-drop the salt column the join shuffles on: 8 distinct
+    # (k, salt) shuffle keys exist, so no single reducer saw all rows
+    n = orders.count()
+    assert joined.count() == n
+    salted = orders.withColumn(
+        "__salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(8)))
+    per_salt = salted.groupBy("__salt").count().collect()
+    assert len(per_salt) == 8
+    assert max(r["count"] for r in per_salt) < 0.3 * n
+
+
+def test_schema_diff_and_align(spark):
+    import pyspark.sql.types as T
+    import pyspark.sql.functions as F
+    from cdc_data_pipeline_spark.sources.normalize import align_to_schema, schema_diff
+
+    old = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("amount", T.IntegerType()),
+        T.StructField("legacy", T.StringType()),
+    ])
+    new = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("amount", T.DoubleType()),   # widened
+        T.StructField("created_at", T.TimestampType()),  # added
+    ])
+    d = schema_diff(old, new)
+    assert d["added"] == ["created_at"]
+    assert d["removed"] == ["legacy"]
+    assert d["changed"] == {"amount": ("int", "double")}
+
+    df = spark.createDataFrame([(1, "a", 5, "x")], schema=old)
+    evolved = align_to_schema(df, new)
+    assert [f.name for f in evolved.schema.fields] == [
+        "id", "name", "amount", "created_at"]
+    row = evolved.first()
+    assert row.amount == 5.0 and row.created_at is None
+    # old and new generations union positionally after alignment
+    new_df = spark.createDataFrame(
+        [(2, "b", 7.5, None)], schema=new)
+    assert new_df.unionByName(evolved).count() == 2
