@@ -126,3 +126,44 @@ def stream_scd2_to_parquet(
         .outputMode("update")
     )
     return apply_trigger(writer, trigger_available_now, processing_time).start()
+
+
+def stream_rollup_to_parquet(
+    stream: DataFrame,
+    target_path: str,
+    time_col: str,
+    width: str,
+    group_cols: Sequence[str],
+    specs: Sequence[tuple],
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Continuous-aggregate maintenance as a streaming sink: every
+    micro-batch's per-bucket partials merge into the rollup table via
+    ``operators.rollup.incremental_rollup`` — only the time partitions
+    the batch touches are rewritten (atomic staging swap), so per-batch
+    cost tracks batch size, not table size or stream age.
+
+    Versus a windowed streaming aggregation with watermarking, this
+    trades bounded state for bounded WRITES: there is no state store
+    at all (the rollup table IS the state, merged as a monoid), late
+    data of ANY lateness folds in correctly, and the output is a plain
+    parquet table that batch queries read directly.
+    """
+    from cdc_data_pipeline_spark.operators.rollup import incremental_rollup
+
+    spark = stream.sparkSession
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        incremental_rollup(spark, target_path, batch, time_col, width,
+                           group_cols, specs)
+
+    writer = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    return apply_trigger(writer, trigger_available_now, processing_time).start()

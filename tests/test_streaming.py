@@ -296,3 +296,51 @@ def test_stream_scd2_snapshot(spark, tmp_path):
     state = sorted((r.user_id, r.occ, r.dbt_valid_to is None) for r in snap)
     assert state == [(1, "eng", False), (1, "mgmt", True),
                      (2, "ops", True), (3, "new", True)], state
+
+
+def test_stream_rollup_foreachbatch_matches_oneshot(spark, tmp_path):
+    """Streaming continuous aggregate: micro-batches fold into the
+    rollup table as monoid partials; the final table equals a one-shot
+    aggregation of everything, including arbitrarily late rows."""
+    import pyspark.sql.functions as F
+
+    from cdc_data_pipeline_spark.operators import rollup as ru
+    from cdc_data_pipeline_spark.streaming.cdc import stream_rollup_to_parquet
+
+    src = tmp_path / "ru_src"
+    src.mkdir()
+    tgt = str(tmp_path / "ru_tgt")
+    ckpt = str(tmp_path / "ru_ckpt")
+    specs = [("count", None, "n"), ("sum", "value", "s"),
+             ("max", "value", "mx")]
+
+    def mk(rows):
+        raw = spark.createDataFrame(rows, "ts string, kind string, value double")
+        return raw.select(F.to_timestamp("ts").alias("ts"), "kind", "value")
+
+    b1 = mk([("2024-01-01 10:05:00", "a", 1.0), ("2024-01-01 10:55:00", "a", 2.0),
+             ("2024-01-01 11:05:00", "b", 3.0)])
+    b1.write.parquet(str(src / "b1"))
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+    q = stream_rollup_to_parquet(stream, tgt, "ts", "1 hour", ["kind"],
+                                 specs, ckpt)
+    q.awaitTermination(120)
+
+    # late batch lands in an ALREADY-written hour (no watermark limit)
+    b2 = mk([("2024-01-01 10:59:59", "a", 10.0),
+             ("2024-01-01 12:01:00", "a", 4.0)])
+    b2.write.parquet(str(src / "b2"))
+    stream2 = spark.readStream.schema(b1.schema).parquet(f"{src}/*")
+    q2 = stream_rollup_to_parquet(stream2, tgt, "ts", "1 hour", ["kind"],
+                                  specs, ckpt)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(tgt).drop("__pb")
+    want = ru.rollup_delta(b1.unionByName(b2), "ts", "1 hour", ["kind"], specs)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the late 10:59:59 row folded into the existing 10:00 bucket
+    row = got.filter((F.col("kind") == "a")
+                     & (F.hour("bucket") == 10)).first()
+    assert row.n == 3 and row.s == 13.0 and row.mx == 10.0
