@@ -1,0 +1,125 @@
+"""Persisted IVF index: build once, query with partition pruning.
+
+``operators/similarity.ivf_topk`` recomputes the coarse quantization
+per query batch — right for one-shot jobs, wrong for a serving corpus
+that is written once and queried forever. This module materializes the
+index as TABLES:
+
+    <path>/centroids/            k rows (centroid_id, embedding)
+    <path>/cells/centroid_id=N/  the corpus, partitioned by cell
+
+so a query batch (1) assigns itself to cells against the broadcast
+centroid table, (2) reads ONLY the probed cell partitions — Spark's
+partition pruning turns ``WHERE centroid_id IN (...)`` into a
+directory-level skip, the disk analogue of FAISS's inverted lists —
+and (3) scores within cells. ``nprobe`` trades recall for partitions
+touched, the standard IVF knob.
+
+Scale: centroids are trained with the deterministic Lloyd's machinery
+from ``operators.clustering`` on a hash-sample (training never needs
+the full corpus); the corpus-side assignment is a literal-centroid
+projection (no join); the only full-corpus shuffle ever is the
+partitioned write itself.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.functions.vectors import cosine
+from cdc_data_pipeline_spark.operators import clustering as cl
+from cdc_data_pipeline_spark.operators.sampling import hash_sample
+
+CELL = "centroid_id"
+
+
+def train_centroids(corpus: DataFrame, n_cells: int, iters: int = 3,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    sample_fraction: float = 1.0,
+                    seed: int = 0) -> list[tuple[int, list[float]]]:
+    """Lloyd's iterations on a deterministic hash-sample of the corpus
+    (IVF training is insensitive to sampling; FAISS trains on ~256
+    vectors per cell)."""
+    train = corpus if sample_fraction >= 1.0 else \
+        hash_sample(corpus, sample_fraction, id_col, seed=seed, fast=True)
+    cents = cl.init_centroids(train, n_cells, vec_col, id_col, seed)
+    for _ in range(iters):
+        assigned = cl.assign_clusters(train, cents, vec_col, id_col)
+        cents = cl.recompute_centroids(assigned, vec_col)
+    return cents
+
+
+def build_ivf_index(spark: SparkSession, corpus: DataFrame, path: str,
+                    n_cells: int = 64, iters: int = 3,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    sample_fraction: float = 1.0, seed: int = 0) -> dict:
+    """Train, assign, and persist. Returns {n_cells, n_vectors}.
+
+    The cells table is partitioned by ``centroid_id`` so probes prune
+    at the directory level; within a cell, files hold (id, embedding)
+    only — score-ready without a second lookup.
+    """
+    cents = train_centroids(corpus, n_cells, iters, vec_col, id_col,
+                            sample_fraction, seed)
+    cent_rows = [(cid, [float(x) for x in v]) for cid, v in cents]
+    cent_df = spark.createDataFrame(
+        cent_rows, f"{CELL} int, {vec_col} array<double>")
+    cent_df.coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, "centroids"))
+
+    assigned = (cl.assign_clusters(corpus, cents, vec_col, id_col)
+                .withColumn(CELL, F.col("cluster").cast("int"))
+                .select(id_col, vec_col, CELL))
+    assigned.write.mode("overwrite").partitionBy(CELL) \
+        .parquet(os.path.join(path, "cells"))
+    return {"n_cells": len(cents), "n_vectors": corpus.count()}
+
+
+def _assign_queries(queries: DataFrame, cent_df: DataFrame, nprobe: int,
+                    vec_col: str, id_col: str) -> DataFrame:
+    """Top-``nprobe`` cells per query by centroid cosine (broadcast
+    join + rank window — query batches are small by construction)."""
+    c = F.broadcast(cent_df.select(CELL, F.col(vec_col).alias("__centv")))
+    scored = (queries.select(F.col(id_col).alias("query_id"),
+                             F.col(vec_col).alias("__qv"))
+              .join(c, F.lit(True))
+              .withColumn("__sim", F.round(cosine("__qv", "__centv"), 9)))
+    w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(),
+                                               F.col(CELL).asc())
+    return (scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= nprobe)
+            .select("query_id", "__qv", CELL))
+
+
+def query_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
+                    k: int = 5, nprobe: int = 2,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Top-k per query over the persisted index, touching only probed
+    cell partitions.
+
+    The probed cell set (<= n_queries * nprobe ids, driver-side and
+    tiny) becomes a static IN-filter, so the scan prunes unprobed
+    directories before any file is opened. Scoring joins on the cell
+    id; output matches ``similarity.ivf_topk``'s shape
+    (query_id, neighbor_id, cos, rank).
+    """
+    cent_df = spark.read.parquet(os.path.join(path, "centroids"))
+    probes = _assign_queries(queries, cent_df, nprobe, vec_col, id_col)
+    cell_ids = [r[0] for r in probes.select(CELL).distinct().collect()]
+
+    cells = (spark.read.parquet(os.path.join(path, "cells"))
+             .filter(F.col(CELL).isin(cell_ids)))
+    scored = (cells.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).alias("__cv"), CELL)
+              .join(F.broadcast(probes), CELL)
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cos", F.round(cosine("__qv", "__cv"), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))
