@@ -513,11 +513,9 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "text_stats": q_text_stats,
     "token_counts": q_token_counts,
-    "text_fingerprint": q_text_fingerprint,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "dedup_exact": q_dedup_exact,
-    "dedup_exact_pairs": q_dedup_exact_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "jaccard_pairs": q_jaccard_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -533,11 +531,9 @@ ORACLES = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "text_stats": SQL_TEXT_STATS,
     "token_counts": SQL_TOKEN_COUNTS,
-    "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY_SCORE,
     "dedup_exact": SQL_DEDUP_EXACT,
-    "dedup_exact_pairs": SQL_DEDUP_EXACT_PAIRS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
@@ -675,9 +671,137 @@ FROM embeddings
 QUERIES["vector_norms"] = q_vector_norms
 ORACLES["vector_norms"] = SQL_VECTOR_NORMS
 
-# Local-parity-only tier (driver caps conformance at 50 entries; the
-# tumbling window is the slide==width special case of the exported
-# events_sliding_window and was driver-green in round 1). Verified by
+# ------------------------------------------------- segment-level dedup
+
+_LD_TOKS_PER_LINE = 8
+_LD_BOILER_5 = "subscribe to our newsletter today"
+_LD_BOILER_3 = "all rights reserved"
+
+
+def _lined_docs(spark, sf_dir):
+    """Fixture documents are single-line, so the entry deterministically
+    re-lines them (8-token lines) and plants boilerplate lines on every
+    5th/3rd document — the web-corpus shape segment dedup exists for.
+    The oracle replants the identical corpus (pii_scrub convention)."""
+    d = _docs(spark, sf_dir)
+    toks = tx.tokens("text")
+    n = F.size(toks)
+    last = F.floor((F.greatest(n, F.lit(1)) - F.lit(1)) / F.lit(_LD_TOKS_PER_LINE)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), last),
+        lambda i: F.array_join(
+            F.slice(toks, i * _LD_TOKS_PER_LINE + 1, _LD_TOKS_PER_LINE), " "))
+    text2 = F.concat(
+        F.array_join(lines, "\n"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("\n" + _LD_BOILER_5)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("\n" + _LD_BOILER_3)).otherwise(F.lit("")))
+    return d.select("doc_id", text2.alias("text"))
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style line-level exact dedup: keep only the corpus-wide
+    FIRST occurrence of each line; report per-document line counts and
+    the digest of the reassembled text. Election is groupBy(line hash)
+    -> min(struct) with map-side combine (not a window), so a
+    boilerplate line in billions of docs has no hot sort partition."""
+    from cdc_data_pipeline_spark.operators import segments as sg
+
+    lined = _lined_docs(spark, sf_dir)
+    out = sg.segment_dedup(lined, "text", "doc_id")
+    return out.select("doc_id", "n_segments", "n_kept", "kept_md5")
+
+
+SQL_LINE_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents),
+lined AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             range(0, CAST(FLOOR((GREATEST(len(t), 1) - 1) / {_LD_TOKS_PER_LINE}.0) AS BIGINT) + 1),
+             i -> array_to_string(t[i*{_LD_TOKS_PER_LINE}+1:i*{_LD_TOKS_PER_LINE}+{_LD_TOKS_PER_LINE}], ' ')),
+           chr(10))
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '{_LD_BOILER_5}' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_LD_BOILER_3}' ELSE '' END AS text
+  FROM toks),
+flat AS (
+  SELECT doc_id, u.pos AS pos, u.seg AS seg
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(string_split(text, chr(10))) + 1),
+                                     i -> {{'pos': i, 'seg': string_split(text, chr(10))[i]}})) AS u
+        FROM lined)),
+ranked AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn
+  FROM flat)
+SELECT doc_id, COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, chr(10) ORDER BY pos), '')) AS kept_md5
+FROM ranked GROUP BY doc_id
+"""
+
+QUERIES["line_dedup"] = q_line_dedup
+ORACLES["line_dedup"] = SQL_LINE_DEDUP
+
+
+# --------------------------------------- embedding projection + int8
+
+_PJ_OUT, _PJ_SEED = 8, 11
+
+
+def q_embed_project(spark, sf_dir):
+    """Random projection (JL) 64 -> 8 dims + per-vector int8
+    quantization — the 32x embedding storage shrink. One Arrow-batched
+    matmul per batch; quantization is native HOF arithmetic. Every
+    float step is rounded/normalized so the DuckDB oracle (planes
+    inlined as literals) reproduces it bit-identically."""
+    from cdc_data_pipeline_spark.operators import projection as pj
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pj.project_vectors(e, dim=64, out_dim=_PJ_OUT, seed=_PJ_SEED)
+
+
+def _pj_proj_sql() -> str:
+    planes = sim._gaussian_planes(_PJ_OUT, 64, _PJ_SEED)
+    exprs = []
+    for p in planes:
+        lit = "[" + ",".join(repr(x) for x in p) + "]"
+        exprs.append(f"ROUND(list_inner_product(e, {lit}::DOUBLE[]), 6) + 0.0")
+    return "[" + ", ".join(exprs) + "]"
+
+
+SQL_EMBED_PROJECT = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+p AS (SELECT vec_id, {_pj_proj_sql()} AS proj FROM v),
+s AS (SELECT vec_id, proj,
+             GREATEST(ROUND(list_max(list_transform(proj, x -> abs(x))) / 127.0, 6),
+                      0.000001) AS scale
+      FROM p)
+SELECT vec_id, proj, scale,
+       list_transform(proj, x -> CAST(FLOOR(x / scale + 0.5) AS INTEGER)) AS q
+FROM s
+"""
+
+QUERIES["embed_project"] = q_embed_project
+ORACLES["embed_project"] = SQL_EMBED_PROJECT
+
+
+# Local-parity-only tier (driver caps conformance at 50 entries; each
+# entry here was driver-green in round 1 and its operator machinery is
+# still exercised by an exported entry: the tumbling window is the
+# slide==width special case of events_sliding_window, text_fingerprint
+# is the md5-normalize primitive inside dedup_exact, dedup_exact_pairs
+# the keyed self-join sibling of dedup_exact). Verified by
 # test_oracle_parity on every run; still benched in bench.py.
-EXTRA_QUERIES = {"events_tumbling_window": q_events_tumbling}
-EXTRA_ORACLES = {"events_tumbling_window": SQL_EVENTS_TUMBLING}
+EXTRA_QUERIES = {
+    "events_tumbling_window": q_events_tumbling,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact_pairs": q_dedup_exact_pairs,
+}
+EXTRA_ORACLES = {
+    "events_tumbling_window": SQL_EVENTS_TUMBLING,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "dedup_exact_pairs": SQL_DEDUP_EXACT_PAIRS,
+}

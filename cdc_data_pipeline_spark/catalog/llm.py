@@ -366,8 +366,67 @@ ORACLES = {
     "semdedup_pairs": SQL_SEMDEDUP_PAIRS,
 }
 
+# ----------------------------------------------------- term analytics
+
+_TT_K, _TFIDF_TOP = 32, 3
+
+
+def q_top_tokens(spark, sf_dir):
+    """Exact corpus heavy hitters: top-32 tokens by total count with
+    document frequency. groupBy(token) with map-side combine, then a
+    TakeOrdered top-k (per-partition heaps, no global sort)."""
+    from cdc_data_pipeline_spark.operators import terms as tm
+
+    return tm.top_tokens(_docs(spark, sf_dir), k=_TT_K)
+
+
+SQL_TOP_TOKENS = _DUCK_TOKS + f""",
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks)
+SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+FROM ex GROUP BY token
+ORDER BY n DESC, token LIMIT {_TT_K}
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 terms by TF-IDF (6dp-rounded before ranking,
+    token tiebreak — deterministic cross-engine)."""
+    from cdc_data_pipeline_spark.operators import terms as tm
+
+    return tm.tfidf_top_terms(_docs(spark, sf_dir), top=_TFIDF_TOP)
+
+
+SQL_TFIDF_TOP_TERMS = _DUCK_TOKS + f""",
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY doc_id, token),
+dl AS (SELECT doc_id, token, tf,
+              SUM(tf) OVER (PARTITION BY doc_id) AS doc_len
+       FROM tf),
+idf AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+sc AS (SELECT d.doc_id, d.token, d.tf,
+              ROUND(d.tf * 1.0 / d.doc_len
+                    * ln(n.n_docs * 1.0 / i.df), 6) AS tfidf
+       FROM dl d JOIN idf i USING (token) CROSS JOIN n)
+SELECT doc_id, token, tf, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS INTEGER) AS rank
+FROM sc QUALIFY rank <= {_TFIDF_TOP}
+"""
+
+
 # Local-parity tier (the driver's 50-entry cap is full; the histogram's
 # clamp + groupBy machinery is a strict subset of token_shards' /
-# kmv_distinct's exported shapes). Oracle-checked on every pytest run.
-EXTRA_QUERIES = {"value_histogram": q_value_histogram}
-EXTRA_ORACLES = {"value_histogram": SQL_VALUE_HISTOGRAM}
+# kmv_distinct's exported shapes, and the term-analytics entries reuse
+# the exported explode/groupBy/window machinery of token_counts and
+# decontaminate). Oracle-checked on every pytest run.
+EXTRA_QUERIES = {
+    "value_histogram": q_value_histogram,
+    "top_tokens": q_top_tokens,
+    "tfidf_top_terms": q_tfidf_top_terms,
+}
+EXTRA_ORACLES = {
+    "value_histogram": SQL_VALUE_HISTOGRAM,
+    "top_tokens": SQL_TOP_TOKENS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+}

@@ -1,0 +1,82 @@
+"""Unit semantics for segment dedup, term analytics, and embedding
+projection/quantization (the oracle-parity suite covers the catalog
+entries end-to-end; these pin the operator contracts directly)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.operators.projection import project_vectors
+from cdc_data_pipeline_spark.operators.segments import segment_dedup
+from cdc_data_pipeline_spark.operators.terms import tfidf_top_terms, top_tokens
+
+
+def test_segment_dedup_keeps_first_occurrence_only(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nboiler\nbeta"),
+            (2, "boiler\ngamma"),       # 'boiler' first seen in doc 1
+            (3, "boiler\nalpha\ndelta"),  # both dups
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(df).collect()}
+    assert out[1]["n_segments"] == 3 and out[1]["n_kept"] == 3
+    assert out[2]["n_segments"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["kept_text"] == "gamma"
+    assert out[3]["n_segments"] == 3 and out[3]["n_kept"] == 1
+    assert out[3]["kept_text"] == "delta"
+
+
+def test_segment_dedup_within_doc_repeat_kept_once(spark):
+    df = spark.createDataFrame(
+        [(7, "x\ny\nx")], "doc_id long, text string")
+    row = segment_dedup(df).collect()[0]
+    # second 'x' inside the SAME doc is also a later occurrence
+    assert row["n_kept"] == 2
+    assert row["kept_text"] == "x\ny"
+
+
+def test_top_tokens_counts_and_df(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "b")], "doc_id long, text string")
+    rows = top_tokens(df, k=2).collect()
+    assert [(r["token"], r["n"], r["df"]) for r in rows] == [
+        ("a", 3, 2), ("b", 2, 2)]
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    df = spark.createDataFrame(
+        [(1, "common rare common"), (2, "common other")],
+        "doc_id long, text string")
+    rows = tfidf_top_terms(df, top=1).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    # 'common' appears in every doc -> idf 0; the doc-unique term wins
+    assert by_doc[1]["token"] == "rare"
+    assert by_doc[2]["token"] == "other"
+    assert all(r["rank"] == 1 for r in rows)
+
+
+def test_projection_dequantization_error_bound(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(64)
+    rows = project_vectors(e, dim=64, out_dim=8, seed=11).collect()
+    assert rows and all(len(r["proj"]) == 8 and len(r["q"]) == 8 for r in rows)
+    for r in rows:
+        for p, q in zip(r["proj"], r["q"]):
+            assert abs(q) <= 127
+            assert abs(q * r["scale"] - p) <= r["scale"] / 2 + 1e-9
+
+
+def test_projection_matches_plain_dot(spark):
+    from cdc_data_pipeline_spark.operators.similarity import _gaussian_planes
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(4)
+    local = {r["vec_id"]: list(r["embedding"]) for r in e.collect()}
+    planes = _gaussian_planes(8, 64, 11)
+    for r in project_vectors(e, dim=64, out_dim=8, seed=11).collect():
+        v = local[r["vec_id"]]
+        for j, p in enumerate(planes):
+            want = round(sum(a * b for a, b in zip(v, p)), 6)
+            assert math.isclose(r["proj"][j], want, abs_tol=1e-6)
