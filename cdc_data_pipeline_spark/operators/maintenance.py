@@ -17,9 +17,9 @@ schedule:
   predicates. (A lexicographic sort only prunes its leading column.)
 
 Scale: compaction reads once and writes ceil(bytes/target) files via
-``repartition`` (AQE coalesces the shuffle); zorder's rank windows are
-per-column global orderings — computed with ``ntile`` over a RANGE
-shuffle, never a single partition.
+``repartition`` (AQE coalesces the shuffle); zorder's per-column rank
+normalization is approxQuantile cut-points + map-side Bucketizer
+binning — no global sort, no window, no single-partition stage.
 """
 
 from __future__ import annotations
@@ -28,7 +28,7 @@ import os
 import shutil
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_data_pipeline_spark.operators.incremental import _replace_dir
@@ -89,26 +89,57 @@ def _interleave_bits(cols: Sequence, bits: int):
 
 
 def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 12) -> DataFrame:
-    """Adds ``__z``: the Morton interleave of each column's ntile rank
-    (rank-normalization makes the curve distribution-agnostic — skewed
-    or categorical columns map onto a uniform 2^bits grid).
+    """Adds ``__z``: the Morton interleave of each column's quantile
+    rank (rank-normalization makes the curve distribution-agnostic —
+    skewed or categorical columns map onto a uniform 2^bits grid).
 
-    The per-column ``ntile`` windows are global orderings: Spark plans
-    them as a range-shuffle + per-partition tile assignment. For
-    strict hot-path avoidance precompute quantile cut-points on a
-    sample and ``F.bucket``-ize instead; ntile keeps the oracle-exact
-    rank semantics.
+    Ranks come from ``approxQuantile`` cut-points (one aggregation
+    pass; the driver holds only 2^bits scalars per column) binned
+    JVM-side by ``Bucketizer`` (binary search per row). The whole key
+    computation is map-only — no shuffle, no window, no
+    single-partition global sort — so it parallelizes perfectly at
+    any scale. Null key values rank lowest, matching a NULLS FIRST
+    ordering.
     """
+    from pyspark.ml.feature import Bucketizer
+
+    n_tiles = 1 << bits
+    probs = [i / n_tiles for i in range(1, n_tiles)]
+    rel_err = 1.0 / (4 * n_tiles)
+
+    dcols = [f"__d_{c}" for c in cols]
     out = df
+    for c, dc in zip(cols, dcols):
+        out = out.withColumn(dc, F.col(c).cast("double"))
+
+    quantiles = out.approxQuantile(dcols, probs, rel_err)
+    splits_arr = []
+    for qs in quantiles:
+        # Bucketizer needs strictly increasing splits; duplicates mean
+        # a value spans multiple tiles — collapse them (fewer, wider
+        # buckets for heavy hitters is the correct rank behavior).
+        uniq = sorted(set(qs))
+        splits_arr.append([float("-inf"), *uniq, float("inf")])
+
+    rcols = [f"__r_{c}" for c in cols]
+    bucketizer = Bucketizer(
+        inputCols=dcols, outputCols=rcols,
+        splitsArray=splits_arr, handleInvalid="keep")
+    out = bucketizer.transform(out)
+    # handleInvalid=keep sends nulls to the extra top bucket — remap to
+    # rank 0 (NULLS FIRST) and clamp everything into [0, 2^bits).
     ranked = []
-    for c in cols:
-        rc = f"__r_{c}"
-        out = out.withColumn(
-            rc, (F.ntile(1 << bits).over(Window.orderBy(F.col(c))) - 1)
-            .cast("long"))
-        ranked.append(F.col(rc))
+    for c, rc, splits in zip(cols, rcols, splits_arr):
+        n_real = len(splits) - 1
+        r = F.when(F.col(c).isNull(), F.lit(0)).otherwise(
+            F.least(F.col(rc).cast("long"), F.lit(n_tiles - 1)))
+        # stretch collapsed bucket ranges back onto the 2^bits grid so
+        # each column still spends its full bit budget
+        if n_real < n_tiles:
+            r = F.floor(r * ((n_tiles - 1) / max(n_real - 1, 1))).cast("long")
+        ranked.append(r)
     out = out.withColumn("__z", _interleave_bits(ranked, bits))
-    return out.drop(*[f"__r_{c}" for c in cols])
+    return out.drop(*dcols, *rcols)
 
 
 def zorder_write(df: DataFrame, path: str, cols: Sequence[str],

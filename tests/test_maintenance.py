@@ -90,3 +90,15 @@ def test_zorder_point_query_scans_fewer_files(spark, sf_dir, tmp_path):
         & (F.col("value").between(lo_v, hi_v))).count()
     assert a == b
     assert files_touched(z_path) < files_touched(lex_path)
+
+
+def test_zorder_key_plan_has_no_window_or_single_partition(spark, sf_dir):
+    """The rank normalization must be map-only: approxQuantile happens
+    eagerly (its own job), and the keyed plan itself must contain no
+    WindowExec and no SinglePartition exchange — the round-1 ntile
+    design funneled every row through one task."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    keyed = mt.zorder_key(ev, ["user_id", "value"], bits=8)
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
