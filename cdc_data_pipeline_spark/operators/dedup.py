@@ -83,17 +83,15 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return sh.select(F.col(id_col), sig.alias("signature"))
 
 
-def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        num_hashes: int = 8, bands: int = 4, shingle_k: int = 3) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash LSH.
-
-    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
-    documents sharing any full band collide. The self-join key is
-    (band_index, band_hash) — linear in corpus size, no cross join.
-    """
+def banded_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 8, bands: int = 4,
+                      shingle_k: int = 3) -> DataFrame:
+    """(id, band, bucket) rows: the LSH collision key per document and
+    band. Shared by the in-memory pair expansion and the persisted
+    incremental index (``operators.dedup_index``)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
@@ -102,6 +100,17 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             for b in range(bands)
         ])).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        num_hashes: int = 8, bands: int = 4, shingle_k: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
+    documents sharing any full band collide. The self-join key is
+    (band_index, band_hash) — linear in corpus size, no cross join.
+    """
+    banded = banded_signatures(df, text_col, id_col, num_hashes, bands, shingle_k)
     # Pairs form INSIDE a bucket: one shuffle of (band,bucket,id) into a
     # sorted id list per bucket, then per-bucket combination expansion
     # (HOF, no join). A self-join formulation would execute the whole
