@@ -415,18 +415,141 @@ FROM sc QUALIFY rank <= {_TFIDF_TOP}
 """
 
 
+# ------------------------------------------------- context-window chunking
+
+_CHUNK, _CHUNK_OVERLAP = 32, 8
+_CHUNK_STEP = _CHUNK - _CHUNK_OVERLAP
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping context-window chunks (32 tokens, overlap 8) —
+    the retrieval/training window prep shape. Pure codegen flatMap:
+    no shuffle, no Python. chunk_md5 attests the exact chunk text."""
+    from cdc_data_pipeline_spark.operators import chunking as ch
+
+    out = ch.chunk_documents(_docs(spark, sf_dir), _CHUNK, _CHUNK_OVERLAP)
+    return out.select("doc_id", "chunk_id", "n_tokens",
+                      F.md5("chunk_text").alias("chunk_md5"))
+
+
+SQL_DOC_CHUNKS = _DUCK_TOKS + f""",
+s AS (SELECT doc_id, t,
+             unnest(range(0, greatest(len(t) - 1, 0) + 1, {_CHUNK_STEP})) AS start
+      FROM toks)
+SELECT doc_id,
+       CAST(start // {_CHUNK_STEP} AS INTEGER) AS chunk_id,
+       CAST(least({_CHUNK}, len(t) - start) AS INTEGER) AS n_tokens,
+       md5(array_to_string(list_slice(t, start + 1, start + {_CHUNK}), ' '))
+           AS chunk_md5
+FROM s
+"""
+
+
+# ------------------------------------------------ temperature resampling
+
+def q_temperature_resample(spark, sf_dir):
+    """Language rebalancing at temperature alpha=0.5 (the multilingual
+    up/down-sampling standard): keep each document of language L with
+    probability sqrt(n_L/n_max) so kept counts become proportional to
+    sqrt(n_L). Deterministic per (doc_id, seed); rates are bit-exact
+    cross-engine (sqrt over integer counts)."""
+    docs = _docs(spark, sf_dir)
+    return sp.temperature_resample(docs, "lang", "doc_id", alpha=0.5) \
+             .select("doc_id", "lang")
+
+
+SQL_TEMPERATURE_RESAMPLE = f"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT MAX(n) AS mx FROM c),
+r AS (SELECT lang, sqrt(n * 1.0 / mx) AS rate FROM c CROSS JOIN m)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE {uniform_hash_sql('d.doc_id')} < r.rate
+"""
+
+
+# ------------------------------------------------- stub batch inference
+
+_EMB_DIM = 8
+
+
+def q_embed_stub(spark, sf_dir):
+    """Arrow-batched inference plumbing (mapInPandas, per-partition
+    model construction) with the deterministic stub encoder; first and
+    last embedding components are bit-exact attestations."""
+    from cdc_data_pipeline_spark.operators import inference as inf
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return inf.embed_summary(docs, dim=_EMB_DIM)
+
+
+def _stub_component_sql(i: int) -> str:
+    return ("(('0x' || substr(md5('0|' || text || '|" + str(i) +
+            "'), 1, 15))::BIGINT / 1152921504606846976.0) * 2.0 - 1.0")
+
+
+SQL_EMBED_STUB = f"""
+SELECT doc_id, {_EMB_DIM} AS dim,
+       {_stub_component_sql(0)} AS e_first,
+       {_stub_component_sql(_EMB_DIM - 1)} AS e_last
+FROM documents
+"""
+
+
+# ------------------------------------------------ char-bigram LM scoring
+
+def q_lm_score(spark, sf_dir):
+    """CCNet-style model-based quality score: per-document mean
+    negative log-likelihood under a self-trained char-bigram LM with
+    add-one smoothing. Train = one vocabulary-sized shuffle; score =
+    broadcast join of the kilobyte model against the corpus."""
+    from cdc_data_pipeline_spark.operators import lm
+
+    return lm.lm_score(_docs(spark, sf_dir))
+
+
+SQL_LM_SCORE = """
+WITH bg2 AS (
+  SELECT doc_id, bg FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(length(text) - 1, 1) + 1),
+                                 i -> substr(text, i, 2))) AS bg
+    FROM documents)
+  WHERE length(bg) = 2),
+c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg2 GROUP BY bg),
+c1 AS (SELECT substr(bg, 1, 1) AS c1, SUM(c2) AS c1n FROM c2 GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT substr(bg, 2, 1)) AS v FROM bg2),
+m AS (SELECT bg, -ln((c2 + 1) * 1.0 / (c1n + v)) AS neg_log_p
+      FROM c2 JOIN c1 ON substr(c2.bg, 1, 1) = c1.c1 CROSS JOIN v),
+s AS (SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(neg_log_p), 6) AS nll
+      FROM bg2 JOIN m USING (bg) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.nll
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
 # Local-parity tier (the driver's 50-entry cap is full; the histogram's
 # clamp + groupBy machinery is a strict subset of token_shards' /
-# kmv_distinct's exported shapes, and the term-analytics entries reuse
-# the exported explode/groupBy/window machinery of token_counts and
-# decontaminate). Oracle-checked on every pytest run.
+# kmv_distinct's exported shapes, the term-analytics entries reuse the
+# exported explode/groupBy/window machinery of token_counts and
+# decontaminate, doc_chunks/temperature_resample/embed_stub compose the
+# exported tokenizer/uniform-hash/mapInPandas machinery). Oracle-checked
+# on every pytest run.
 EXTRA_QUERIES = {
     "value_histogram": q_value_histogram,
     "top_tokens": q_top_tokens,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "doc_chunks": q_doc_chunks,
+    "temperature_resample": q_temperature_resample,
+    "embed_stub": q_embed_stub,
+    "lm_score": q_lm_score,
 }
 EXTRA_ORACLES = {
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "top_tokens": SQL_TOP_TOKENS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "temperature_resample": SQL_TEMPERATURE_RESAMPLE,
+    "embed_stub": SQL_EMBED_STUB,
+    "lm_score": SQL_LM_SCORE,
 }

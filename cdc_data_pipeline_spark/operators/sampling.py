@@ -100,3 +100,40 @@ def weighted_sample_topk(df: DataFrame, strata_cols: Sequence[str], k: int,
     return (df.filter(F.col(weight_col) > 0)
               .withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def temperature_resample(df: DataFrame, domain_col: str, key_col: str,
+                         alpha: float = 0.5, seed: int = 0,
+                         fast: bool = False) -> DataFrame:
+    """Temperature-flatten a multi-domain corpus: keep each row of
+    domain d with probability ``(n_max / n_d) ** (alpha - 1)`` so the
+    kept counts are proportional to ``n_d ** alpha`` (alpha=1 keeps
+    everything, alpha=0 equalizes domains, alpha=0.5 is the standard
+    multilingual-rebalancing temperature). The largest domain is the
+    anchor (keep rate 1.0) — resampling only ever downsamples.
+
+    Determinism at 100 TB: the keep decision is a pure function of
+    (key, seed) via ``uniform_hash`` — stable across re-runs and
+    cluster layouts. The rate is ``pow`` over two exact integer counts
+    (for alpha=0.5, a single IEEE-correctly-rounded sqrt), so an SQL
+    oracle reproduces it bit-identically — no float-sum order drift.
+
+    Plan: one count aggregation (map-side combine, |domains| rows), a
+    broadcast join of the rates, and a filter. No big-table shuffle.
+    """
+    from pyspark.sql.functions import broadcast
+
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    n_max = counts.agg(F.max("__n").alias("m"))
+    if alpha == 0.5:
+        # sqrt and division are IEEE correctly-rounded (pow is not):
+        # (m/n)^(-1/2) == sqrt(n/m) bit-exactly on every engine
+        rate = F.sqrt(F.col("__n").cast("double") / F.col("m").cast("double"))
+    else:
+        rate = F.pow(F.col("m").cast("double") / F.col("__n").cast("double"),
+                     F.lit(alpha - 1.0))
+    rates = (counts.crossJoin(broadcast(n_max))
+             .select(domain_col, rate.alias("__rate")))
+    u = uniform_hash(key_col, seed, fast=fast)
+    return (df.join(broadcast(rates), domain_col)
+              .filter(u < F.col("__rate")).drop("__rate"))
