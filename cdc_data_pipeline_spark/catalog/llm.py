@@ -415,6 +415,87 @@ FROM sc QUALIFY rank <= {_TFIDF_TOP}
 """
 
 
+# --------------------------------------------- product quantization ANN
+
+_PQ_M, _PQ_KSUB, _PQ_K = 4, 8, 5
+_PQ_DSUB = _DIM // _PQ_M
+
+
+def q_pq_topk(spark, sf_dir):
+    """PQ+ADC approximate top-k (squared L2): corpus stored as m=4
+    centroid codes, query scoring = broadcast integer lookup table +
+    LONG sum — the corpus-side scan does zero per-dimension float
+    math. Deterministic construction -> exact SQL oracle."""
+    from cdc_data_pipeline_spark.operators import pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return pq.pq_adc_topk(e, queries, dim=_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+                          k=_PQ_K, iters=2)
+
+
+def _pq_sql_ctes() -> str:
+    """Per-subspace CTE chain replicating train_pq_codebooks(iters=2) +
+    pq_encode + adc_distance_table exactly: hash-min init (seed = sub),
+    6dp-rounded argmin, 6dp-rounded recomputed means, micro-unit
+    integer ADC cells."""
+    parts = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
+        dist = (f"ROUND(list_sum(list_transform(range(1, {_PQ_DSUB} + 1), "
+                "i -> (a.e[i] - c.e[i]) * (a.e[i] - c.e[i]))), 6)")
+        parts.append(f"""
+v{s} AS (SELECT vec_id, list_slice(embedding::DOUBLE[], {lo}, {hi}) AS e
+         FROM embeddings),
+h{s} AS (SELECT vec_id, e, {uniform_hash_sql('vec_id', s)} AS u FROM v{s}),
+c0{s} AS (SELECT row_number() OVER (ORDER BY u, vec_id) - 1 AS cid, e
+          FROM (SELECT * FROM h{s} ORDER BY u, vec_id LIMIT {_PQ_KSUB})),
+d1{s} AS (SELECT a.vec_id, a.e, c.cid, {dist} AS d
+          FROM v{s} a CROSS JOIN c0{s} c),
+a1{s} AS (SELECT vec_id, e, cid
+          FROM (SELECT vec_id, e, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cid) AS rn
+                FROM d1{s}) WHERE rn = 1),
+c1{s} AS (SELECT cid, list(m ORDER BY pos) AS e
+          FROM (SELECT cid, i AS pos, ROUND(AVG(e[i]), 6) AS m
+                FROM a1{s} CROSS JOIN range(1, {_PQ_DSUB} + 1) AS t{s}(i)
+                GROUP BY cid, i)
+          GROUP BY cid),
+d2{s} AS (SELECT a.vec_id, c.cid, {dist} AS d
+          FROM v{s} a CROSS JOIN c1{s} c),
+a2{s} AS (SELECT vec_id, cid
+          FROM (SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cid) AS rn
+                FROM d2{s}) WHERE rn = 1),
+dt{s} AS (SELECT a.vec_id AS query_id, c.cid,
+                 CAST(ROUND(list_sum(list_transform(range(1, {_PQ_DSUB} + 1),
+                        i -> (a.e[i] - c.e[i]) * (a.e[i] - c.e[i]))) * 1e6,
+                      0) AS BIGINT) AS dl
+          FROM (SELECT * FROM v{s} WHERE vec_id % 100 = 0) a
+          CROSS JOIN c1{s} c)""")
+    codes = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS sub, cid FROM a2{s}" for s in range(_PQ_M))
+    dtab = " UNION ALL ".join(
+        f"SELECT query_id, {s} AS sub, cid, dl FROM dt{s}" for s in range(_PQ_M))
+    return ("WITH " + ",".join(parts) +
+            f",\ncodes AS ({codes}),\ndtab AS ({dtab})")
+
+
+SQL_PQ_TOPK = _pq_sql_ctes() + f""",
+scored AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+                  CAST(SUM(t.dl) AS BIGINT) AS dl
+           FROM codes c JOIN dtab t ON c.sub = t.sub AND c.cid = t.cid
+                                   AND t.query_id <> c.vec_id
+           GROUP BY 1, 2)
+SELECT query_id, neighbor_id, ROUND(dl / 1000000.0, 6) AS dist_sq,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY dl, neighbor_id) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= {_PQ_K}
+"""
+
+
 # ------------------------------------------------- context-window chunking
 
 _CHUNK, _CHUNK_OVERLAP = 32, 8
@@ -543,6 +624,7 @@ EXTRA_QUERIES = {
     "temperature_resample": q_temperature_resample,
     "embed_stub": q_embed_stub,
     "lm_score": q_lm_score,
+    "pq_topk": q_pq_topk,
 }
 EXTRA_ORACLES = {
     "value_histogram": SQL_VALUE_HISTOGRAM,
@@ -552,4 +634,5 @@ EXTRA_ORACLES = {
     "temperature_resample": SQL_TEMPERATURE_RESAMPLE,
     "embed_stub": SQL_EMBED_STUB,
     "lm_score": SQL_LM_SCORE,
+    "pq_topk": SQL_PQ_TOPK,
 }
