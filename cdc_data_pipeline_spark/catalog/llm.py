@@ -577,6 +577,78 @@ FROM documents
 """
 
 
+# --------------------------------------------- Naive Bayes classification
+
+_NB_V = 64
+
+
+def q_nb_classify(spark, sf_dir):
+    """Multinomial Naive Bayes source classifier trained in-engine:
+    vocabulary-restricted (top-64 tokens), Laplace-smoothed, scored by
+    broadcast model join + integer micro-unit log-prob sums."""
+    from cdc_data_pipeline_spark.operators import classify as cf
+
+    return cf.nb_classify(_docs(spark, sf_dir), "source", vocab=_NB_V)
+
+
+SQL_NB_CLASSIFY = _DUCK_TOKS + f""",
+tok1 AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+vc AS (SELECT tok, COUNT(*) AS n FROM tok1 GROUP BY tok),
+v AS (SELECT tok FROM (SELECT tok,
+                              row_number() OVER (ORDER BY n DESC, tok ASC) AS rn
+                       FROM vc) WHERE rn <= {_NB_V}),
+lab AS (SELECT t.doc_id, t.tok, d.source AS cls
+        FROM tok1 t JOIN documents d USING (doc_id)),
+iv AS (SELECT lab.* FROM lab JOIN v USING (tok)),
+tc AS (SELECT tok, cls, COUNT(*) AS n FROM iv GROUP BY tok, cls),
+tot AS (SELECT cls, COUNT(*) AS total FROM iv GROUP BY cls),
+nv AS (SELECT COUNT(*) AS nv FROM v),
+dense AS (SELECT v.tok, tot.cls,
+                 CAST(ROUND(ln((COALESCE(tc.n, 0) + 1) * 1.0
+                               / (tot.total + nv.nv)) * 1e6, 0) AS BIGINT) AS lp
+          FROM v CROSS JOIN tot CROSS JOIN nv
+          LEFT JOIN tc ON tc.tok = v.tok AND tc.cls = tot.cls),
+pri AS (SELECT source AS cls,
+               CAST(ROUND(ln(COUNT(*) * 1.0 /
+                             (SELECT COUNT(*) FROM documents)) * 1e6,
+                    0) AS BIGINT) AS prior
+        FROM documents GROUP BY source),
+ts AS (SELECT t.doc_id, m.cls, SUM(m.lp) AS toklp
+       FROM tok1 t JOIN dense m USING (tok) GROUP BY 1, 2),
+pc AS (SELECT d.doc_id, p.cls,
+              p.prior + COALESCE(ts.toklp, 0) AS score
+       FROM documents d CROSS JOIN pri p
+       LEFT JOIN ts ON ts.doc_id = d.doc_id AND ts.cls = p.cls)
+SELECT doc_id, cls AS pred, ROUND(score / 1000000.0, 6) AS score
+FROM (SELECT doc_id, cls, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cls ASC) AS rn
+      FROM pc)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------- bloom decontamination
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Corpus scrub against a fingerprint blocklist via broadcast
+    Bloom prefilter + exact verification anti-join. The bloom phase is
+    a plan optimization only — the result is EXACTLY the anti-join,
+    hence the exact oracle."""
+    from cdc_data_pipeline_spark.operators import bloom as bl
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("fp"))
+    ref = docs.filter(F.col("doc_id") % 10 == 0).select("fp")
+    return bl.bloom_anti_join(docs, ref, "fp")
+
+
+SQL_BLOOM_DECONTAMINATE = """
+WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents)
+SELECT doc_id, fp FROM d
+WHERE fp NOT IN (SELECT fp FROM d WHERE doc_id % 10 = 0)
+"""
+
+
 # ------------------------------------------------ char-bigram LM scoring
 
 def q_lm_score(spark, sf_dir):
@@ -625,6 +697,8 @@ EXTRA_QUERIES = {
     "embed_stub": q_embed_stub,
     "lm_score": q_lm_score,
     "pq_topk": q_pq_topk,
+    "nb_classify": q_nb_classify,
+    "bloom_decontaminate": q_bloom_decontaminate,
 }
 EXTRA_ORACLES = {
     "value_histogram": SQL_VALUE_HISTOGRAM,
@@ -635,4 +709,6 @@ EXTRA_ORACLES = {
     "embed_stub": SQL_EMBED_STUB,
     "lm_score": SQL_LM_SCORE,
     "pq_topk": SQL_PQ_TOPK,
+    "nb_classify": SQL_NB_CLASSIFY,
+    "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
 }

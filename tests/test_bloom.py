@@ -1,0 +1,65 @@
+"""Bloom-filter membership: exactness, FP bounds, map-only probe plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.operators import bloom as bl
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    return spark.range(0, 2000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k"))
+
+
+@pytest.fixture(scope="module")
+def ref(spark):
+    # every third key is "contaminated"
+    return spark.range(0, 2000, 3).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k"))
+
+
+def test_bloom_no_false_negatives(spark, ref):
+    """Every inserted key must probe True — the defining guarantee."""
+    m = bl.build_bloom(ref, "k")
+    flagged = bl.might_contain(ref, m, "k")
+    assert flagged.filter(~F.col("__maybe")).count() == 0
+
+
+def test_bloom_fp_rate_within_bound(spark, ref):
+    """Disjoint probes flag at ~the configured rate (3x slack for a
+    2k-sample binomial)."""
+    m = bl.build_bloom(ref, "k", fpp=0.01)
+    probes = spark.range(100000, 102000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("k"))
+    fp = bl.might_contain(probes, m, "k").filter(F.col("__maybe")).count()
+    assert fp / 2000 <= 0.03, f"FP rate {fp/2000} vs nominal {m.fp_rate}"
+
+
+def test_bloom_semi_join_exact(spark, keys, ref):
+    got = sorted(r.k for r in bl.bloom_semi_join(keys, ref, "k").collect())
+    want = sorted(r.k for r in keys.join(ref, "k", "left_semi").collect())
+    assert got == want
+
+
+def test_bloom_anti_join_exact(spark, keys, ref):
+    got = sorted(r.k for r in bl.bloom_anti_join(keys, ref, "k").collect())
+    want = sorted(r.k for r in keys.join(ref, "k", "left_anti").collect())
+    assert got == want
+
+
+def test_bloom_probe_is_map_only(spark, keys, ref):
+    """The prefilter stage must not shuffle the big side: no Exchange
+    below the probe projection."""
+    m = bl.build_bloom(ref, "k")
+    flagged = bl.might_contain(keys, m, "k")
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bloom_empty_reference(spark, keys):
+    """An empty blocklist: anti join passes everything, semi join
+    drops everything."""
+    empty = keys.filter(F.lit(False))
+    assert bl.bloom_anti_join(keys, empty, "k").count() == keys.count()
+    assert bl.bloom_semi_join(keys, empty, "k").count() == 0
