@@ -39,16 +39,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``.filter`` and Catalyst pushes them into the parquet scan
     (visible as PushedFilters/ReadSchema in ``.explain``).
 
-    Nanosecond parquet timestamps (events.ts) surface as long via
-    ``nanosAsLong`` and are converted to native timestamps here —
-    lossless because the fixture's nanos are whole microseconds.
+    Event-time columns are normalized to TIMESTAMP (LTZ) whatever the
+    file carries: fixture generations have shipped both
+    TIMESTAMP(NANOS) — surfaced as bigint under ``nanosAsLong`` and
+    converted losslessly here (the nanos are whole microseconds) — and
+    TIMESTAMP(MICROS), surfaced as TIMESTAMP_NTZ under Spark 4's NTZ
+    inference. LTZ is required downstream by streaming watermarks
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and is a no-op value-wise
+    under the engine's pinned UTC session timezone.
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
-        if field.name in NS_TIMESTAMP_COLS and field.dataType.simpleString() == "bigint":
-            # integer `div`, not `/`: double division loses precision at
-            # epoch-nanos magnitude (~1e18 > 2^53)
-            df = df.withColumn(field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000")))
+        if field.name in NS_TIMESTAMP_COLS:
+            if field.dataType.simpleString() == "bigint":
+                # integer `div`, not `/`: double division loses precision
+                # at epoch-nanos magnitude (~1e18 > 2^53)
+                df = df.withColumn(field.name,
+                                   F.timestamp_micros(F.expr(f"`{field.name}` div 1000")))
+            elif field.dataType.simpleString() == "timestamp_ntz":
+                df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

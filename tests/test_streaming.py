@@ -18,13 +18,17 @@ def _events_stream(spark, tmp_path):
     src.mkdir()
     shutil.copy(f"{SF0001}/events.parquet", src / "part-0.parquet")
     batch = read_table(spark, SF0001, "events")
-    # stream schema must match the physical file (INT64 nanos under
-    # nanosAsLong); apply the same div-1000 conversion post-read
+    # stream schema must match the physical file; mirror read_table's
+    # conversion, which only applies when the file carries INT64 nanos
+    # (surfaced as bigint under nanosAsLong — fixture generations have
+    # shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS))
     raw_schema = spark.read.parquet(f"{SF0001}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema).parquet(str(src))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = spark.readStream.schema(raw_schema).parquet(str(src))
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream, batch
 
 
