@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_tumbling_window",
     "dedup_exact",
+    "dup_spans",
     "minhash_lsh_pairs",
     "jaccard_pairs",
     "simhash_pairs",

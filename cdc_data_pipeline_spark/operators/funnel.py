@@ -1,0 +1,110 @@
+"""Funnel and cohort-retention analytics over the events stream.
+
+Reference parity: the reference's analytics layer stops at windowed
+aggregates and sessionization (`dbt_project/models/`, SURVEY §2.4);
+funnels and retention are the immediately-adjacent product-analytics
+asks on the same event table, built from the same groupBy machinery —
+they belong in a "complete" engine surface (SURVEY §7.6).
+
+Scale design (100 TB of events):
+
+- ``funnel_steps`` is ONE shuffle keyed on the user id: per-user
+  events are collected and ordered inside the aggregate, then the
+  strictly-increasing step scan runs as a native ``aggregate`` HOF —
+  JVM-side, no Python, no window over the full corpus. Per-user state
+  is bounded by that user's event count (product-analytics norm);
+  pathological bot users can be pre-capped with a count filter.
+- ``funnel_counts`` reduces that to one row per step — a tiny
+  map-side-combinable groupBy.
+- ``cohort_retention`` is two user-keyed aggregations: first-seen
+  cohort election (min), then (cohort, period) distinct-user counts.
+  Both shuffles carry only (user, week) pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(events: DataFrame, steps: Sequence[str],
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Per-user ordered funnel progression.
+
+    A user completes step ``i`` at the EARLIEST event of type
+    ``steps[i]`` that is strictly after their step ``i-1`` completion
+    time. Returns ``(user_col, steps_completed, last_step_ts)`` for
+    every user with at least one step-0 event; ``steps_completed`` in
+    ``1..len(steps)``.
+    """
+    nsteps = len(steps)
+    ev = (events
+          .filter(F.col(type_col).isin(list(steps)))
+          .select(F.col(user_col), F.col(ts_col).alias("__ts"),
+                  F.col(type_col).alias("__et")))
+    per_user = ev.groupBy(user_col).agg(
+        F.array_sort(F.collect_list(F.struct("__ts", "__et"))).alias("__evs"))
+
+    # sequential scan: state = (next step index, ts of last completed
+    # step). An event advances the state iff its type is the next
+    # step and (for steps > 0) it is strictly later than the previous
+    # completion. All native `aggregate` HOF — whole-stage codegen.
+    step_of = F.create_map(*[x for i, s in enumerate(steps)
+                             for x in (F.lit(s), F.lit(i))])
+    init = F.struct(F.lit(0).alias("nxt"),
+                    F.lit(None).cast(ev.schema["__ts"].dataType).alias("last_ts"))
+    scan = F.aggregate(
+        "__evs", init,
+        lambda acc, e: F.when(
+            (acc.nxt < nsteps)
+            & (step_of[e["__et"]] == acc.nxt)
+            & ((acc.nxt == 0) | (e["__ts"] > acc.last_ts)),
+            F.struct((acc.nxt + 1).alias("nxt"), e["__ts"].alias("last_ts")),
+        ).otherwise(acc))
+    return (per_user
+            .withColumn("__scan", scan)
+            .filter(F.col("__scan.nxt") > 0)
+            .select(user_col,
+                    F.col("__scan.nxt").cast("long").alias("steps_completed"),
+                    F.col("__scan.last_ts").alias("last_step_ts")))
+
+
+def funnel_counts(events: DataFrame, steps: Sequence[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Classic funnel report: for each step, how many users reached at
+    least that step. One row per step index (1-based)."""
+    prog = funnel_steps(events, steps, user_col, ts_col, type_col)
+    counts = (prog.groupBy("steps_completed")
+              .agg(F.count(F.lit(1)).alias("__n")))
+    # users who reached step i also reached every j < i
+    step_idx = F.sequence(F.lit(1), F.col("steps_completed"))
+    return (counts
+            .select(F.explode(step_idx).alias("step"), "__n")
+            .groupBy("step")
+            .agg(F.sum("__n").cast("long").alias("n_users"))
+            .orderBy("step"))
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, then
+    distinct-user counts per (cohort_week, activity week offset).
+
+    Output: ``(cohort_week date, week_offset long, n_users long)``.
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    uw = (events
+          .select(F.col(user_col), wk.alias("__wk"))
+          .distinct())
+    first = uw.groupBy(user_col).agg(F.min("__wk").alias("__cohort"))
+    return (uw.join(first, user_col)
+            .groupBy(F.to_date("__cohort").alias("cohort_week"),
+                     F.floor(
+                         (F.unix_timestamp("__wk") - F.unix_timestamp("__cohort"))
+                         / (7 * 24 * 3600)).alias("week_offset"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+            .orderBy("cohort_week", "week_offset"))

@@ -74,3 +74,108 @@ def segment_dedup(df: DataFrame, text_col: str = "text",
     return out.select(
         id_col, "n_segments", F.col("n_kept").cast("long").alias("n_kept"),
         "kept_text", F.md5("kept_text").alias("kept_md5"))
+
+
+def duplicated_spans(df: DataFrame, n: int = 8, min_count: int = 2,
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    Finds, for every document, the maximal token spans whose every
+    length-``n`` token window occurs at least ``min_count`` times in
+    the whole corpus (counting all occurrences, including repeats
+    inside one document). Returns ``(id_col, span_start, span_end)``
+    with inclusive 0-based token positions.
+
+    Lee et al. build a corpus-level suffix array — inherently
+    sequential and memory-bound. The Spark-first re-expression keys
+    duplicated windows by hash instead, which needs no global order:
+
+    - every doc emits its n-gram hashes WITH positions in one
+      projection (``transform`` over ``sequence`` + ``posexplode`` —
+      all JVM whole-stage codegen, text is tokenized once);
+    - the duplicate test is ``count() over (partition by hash)`` on the
+      gram stream: ONE shuffle keyed on the digest, no join, and the
+      corpus is tokenized/hashed exactly once. (A groupBy + join-back
+      would either recompute the gram subtree for the election side —
+      Catalyst prunes the two exchanges to different widths, defeating
+      ReuseExchange — or shuffle the stream twice. On web-scale text
+      the duplicated-hash set is billions of rows, not broadcastable.)
+      A pathologically hot n-gram makes one window group large; the
+      window buffers and spills rather than OOMs, and running
+      :func:`segment_dedup` / line dedup first removes exactly that
+      boilerplate;
+    - run-merging of adjacent positions into maximal spans is a
+      per-document window (``pos - row_number``), bounded by doc
+      length — never corpus-scale.
+
+    Two shuffles total: gram digest, then doc id.
+    Reference parity: generalizes the reference's whole-row duplicate
+    detection (dbt ``ReplacingMergeTree`` / test_duplicates, SURVEY
+    §2 R7) to intra-document substring granularity.
+    """
+    from pyspark.sql import Window
+
+    from cdc_data_pipeline_spark.functions.text import tokens
+
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    grams = (
+        toks.filter(F.size("__t") >= n)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - n),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("__t", i + 1, n))),
+                )
+            ).alias("p", "__h"),
+        )
+    )
+    hw = Window.partitionBy("__h")
+    hits = (grams
+            .withColumn("__c", F.count(F.lit(1)).over(hw))
+            .filter(F.col("__c") >= min_count)
+            .select(id_col, "p"))
+    w = Window.partitionBy(id_col).orderBy("p")
+    runs = hits.withColumn("__grp", F.col("p") - F.row_number().over(w))
+    return (runs.groupBy(id_col, "__grp")
+            .agg(F.min("p").cast("long").alias("span_start"),
+                 (F.max("p") + n - 1).cast("long").alias("span_end"))
+            .drop("__grp"))
+
+
+def mask_duplicated_spans(df: DataFrame, n: int = 8, min_count: int = 2,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          keep_first: bool = False) -> DataFrame:
+    """Drop duplicated spans from each document's token stream.
+
+    Joins :func:`duplicated_spans` back to the corpus and rebuilds
+    ``text`` with every in-span token removed (``keep_first`` is
+    reserved for a future first-occurrence exemption; Lee et al. drop
+    all copies and rely on min_count for the guard). The span list per
+    doc is small (collected with ``collect_list`` per doc, bounded by
+    doc length), and the rebuild is a native ``filter`` over token
+    positions — no Python UDF.
+    """
+    if keep_first:
+        raise NotImplementedError("keep_first exemption not implemented")
+
+    from cdc_data_pipeline_spark.functions.text import tokens
+
+    spans = (duplicated_spans(df, n=n, min_count=min_count,
+                              text_col=text_col, id_col=id_col)
+             .groupBy(id_col)
+             .agg(F.collect_list(F.struct("span_start", "span_end")).alias("__spans")))
+    base = df.withColumn("__t", tokens(text_col))
+    joined = base.join(spans, id_col, "left")
+    in_span = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda s: (i >= s.span_start) & (i <= s.span_end))
+    kept = F.when(F.col("__spans").isNull(), F.col("__t")).otherwise(
+        F.filter(F.col("__t"), lambda t, i: ~in_span(i.cast("long"))))
+    return (joined
+            .withColumn("n_tokens", F.size("__t").cast("long"))
+            .withColumn("__kept", kept)
+            .withColumn("n_kept", F.size("__kept").cast("long"))
+            .withColumn("clean_text", F.array_join("__kept", " "))
+            .drop("__t", "__spans", "__kept", text_col))

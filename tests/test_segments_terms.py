@@ -80,3 +80,50 @@ def test_projection_matches_plain_dot(spark):
         for j, p in enumerate(planes):
             want = round(sum(a * b for a, b in zip(v, p)), 6)
             assert math.isclose(r["proj"][j], want, abs_tol=1e-6)
+
+def test_duplicated_spans_finds_planted_repeat(spark):
+    from cdc_data_pipeline_spark.operators.segments import duplicated_spans
+
+    # the 4-token phrase "p q r s" appears in docs 1 and 2; with n=3
+    # its two 3-gram windows are adjacent -> one maximal span each
+    df = spark.createDataFrame(
+        [
+            (1, "a b p q r s c d"),
+            (2, "e p q r s f g h"),
+            (3, "u v w x y z k m"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted((r["doc_id"], r["span_start"], r["span_end"])
+                 for r in duplicated_spans(df, n=3).collect())
+    assert out == [(1, 2, 5), (2, 1, 4)]
+
+
+def test_duplicated_spans_counts_within_doc_repeats(spark):
+    from cdc_data_pipeline_spark.operators.segments import duplicated_spans
+
+    # "x y z" repeats inside ONE doc -> both occurrences are spans
+    df = spark.createDataFrame(
+        [(9, "x y z a b c x y z")], "doc_id long, text string")
+    out = sorted((r["span_start"], r["span_end"])
+                 for r in duplicated_spans(df, n=3).collect())
+    assert out == [(0, 2), (6, 8)]
+
+
+def test_mask_duplicated_spans_drops_all_copies(spark):
+    from cdc_data_pipeline_spark.operators.segments import mask_duplicated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b p q r s c d"),
+            (2, "e p q r s f g h"),
+            (3, "u v w x y z k m"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in mask_duplicated_spans(df, n=3).collect()}
+    assert out[1]["clean_text"] == "a b c d"
+    assert out[2]["clean_text"] == "e f g h"
+    assert out[3]["clean_text"] == "u v w x y z k m"
+    assert out[1]["n_tokens"] == 8 and out[1]["n_kept"] == 4
+    assert out[3]["n_kept"] == 8
