@@ -873,6 +873,43 @@ FROM runs GROUP BY doc_id, grp
 """
 
 
+# -------------------------------------------------- keyless range join
+
+def q_outage_attribution(spark, sf_dir):
+    """Purchases that happened inside an error-storm window (hours with
+    >= 5 errors, window = [first error, last error] of the hour) — a
+    KEYLESS point-in-interval join. Executed as a bucketized equi-join
+    (operators/rangejoin.py), not BroadcastNestedLoopJoin: O(n+m+hits)
+    and AQE-splittable at 100 TB. Plan shape pinned in
+    tests/test_rangejoin.py."""
+    from cdc_data_pipeline_spark.operators.rangejoin import point_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    outages = (ev.filter(F.col("event_type") == "error")
+               .groupBy(F.date_trunc("hour", "ts").alias("__hr"))
+               .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"),
+                    F.count(F.lit(1)).alias("n_errors"))
+               .filter(F.col("n_errors") >= 5).drop("__hr"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "ts"))
+    return (point_interval_join(purchases, outages, "ts", "start_ts", "end_ts",
+                                bucket="1 hour")
+            .select("event_id", "ts", "start_ts", "end_ts",
+                    F.col("n_errors").cast("long").alias("n_errors")))
+
+
+SQL_OUTAGE_ATTRIBUTION = """
+WITH outages AS (
+  SELECT MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_errors
+  FROM events WHERE event_type = 'error'
+  GROUP BY date_trunc('hour', ts) HAVING COUNT(*) >= 5)
+SELECT p.event_id, p.ts, o.start_ts, o.end_ts, o.n_errors
+FROM events p JOIN outages o ON p.ts BETWEEN o.start_ts AND o.end_ts
+WHERE p.event_type = 'purchase'
+"""
+
+
 # ------------------------------------------- funnel / cohort analytics
 
 _FUNNEL_STEPS = ("view", "click", "purchase")
@@ -944,6 +981,7 @@ EXTRA_QUERIES = {
     "dup_spans": q_dup_spans,
     "funnel_counts": q_funnel,
     "cohort_retention": q_cohort_retention,
+    "outage_attribution": q_outage_attribution,
 }
 EXTRA_ORACLES = {
     "events_tumbling_window": SQL_EVENTS_TUMBLING,
@@ -952,4 +990,5 @@ EXTRA_ORACLES = {
     "dup_spans": SQL_DUP_SPANS,
     "funnel_counts": SQL_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "outage_attribution": SQL_OUTAGE_ATTRIBUTION,
 }
