@@ -688,8 +688,50 @@ FROM documents d LEFT JOIN s USING (doc_id)
 # decontaminate, doc_chunks/temperature_resample/embed_stub compose the
 # exported tokenizer/uniform-hash/mapInPandas machinery). Oracle-checked
 # on every pytest run.
+def q_gopher_quality(spark, sf_dir):
+    """Full Gopher rule panel (word count, mean word length, symbol /
+    bullet / ellipsis ratios, alpha-word ratio, stopword presence) +
+    combined pass flag — one shuffle-free projection."""
+    return cu.gopher_quality(_docs(spark, sf_dir))
+
+
+SQL_GOPHER_QUALITY = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t,
+         string_split(text, chr(10)) AS ln
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(t)::BIGINT AS n_words,
+         ROUND(list_sum(list_transform(t, x -> length(x))) * 1.0
+               / greatest(len(t), 1), 6) AS mean_word_len,
+         ROUND((len(regexp_extract_all(text, '#'))
+                + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
+               / greatest(len(t), 1), 6) AS symbol_ratio,
+         ROUND(len(list_filter(ln, l -> regexp_matches(l, '^\\s*[-*•]'))) * 1.0
+               / greatest(len(ln), 1), 6) AS bullet_ratio,
+         ROUND(len(list_filter(ln, l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) * 1.0
+               / greatest(len(ln), 1), 6) AS ellipsis_ratio,
+         ROUND(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+               / greatest(len(t), 1), 6) AS alpha_ratio,
+         len(list_intersect(list_transform(t, x -> lower(x)),
+             ['{"','".join(cu.GOPHER_STOPWORDS)}']))::BIGINT AS stop_hits
+  FROM toks)
+SELECT *,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3 AND 10
+        AND symbol_ratio <= 0.1
+        AND bullet_ratio < 0.9 AND ellipsis_ratio < 0.3
+        AND alpha_ratio >= 0.8
+        AND stop_hits >= 2) AS passes
+FROM m
+"""
+
+
 EXTRA_QUERIES = {
     "value_histogram": q_value_histogram,
+    "gopher_quality": q_gopher_quality,
     "top_tokens": q_top_tokens,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_chunks": q_doc_chunks,
@@ -702,6 +744,7 @@ EXTRA_QUERIES = {
 }
 EXTRA_ORACLES = {
     "value_histogram": SQL_VALUE_HISTOGRAM,
+    "gopher_quality": SQL_GOPHER_QUALITY,
     "top_tokens": SQL_TOP_TOKENS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "doc_chunks": SQL_DOC_CHUNKS,

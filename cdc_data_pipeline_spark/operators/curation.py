@@ -156,3 +156,65 @@ def pii_metrics(df: DataFrame, text_col: str = "text",
         F.regexp_count(c, F.lit(IPV4_RE)).alias("n_ip"),
         F.md5(scrub_pii(text_col)).alias("scrubbed_md5"),
     )
+
+
+# ------------------------------------------------- Gopher quality rules
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_words: int = 50,
+                   max_words: int = 100_000) -> DataFrame:
+    """The full Gopher document-quality rule panel (Rae et al. 2021,
+    Appendix A) as native Column expressions — one projection, no
+    shuffle, trivially map-parallel at 100 TB:
+
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio (``#`` or ``...``) <= 0.1
+    - < 90% of lines bullet-started; < 30% of lines ellipsis-ended
+    - >= 80% of words contain an alphabetic character
+    - >= 2 distinct Gopher stopwords present
+
+    Returns the metric panel plus the combined ``passes`` flag, so the
+    same output serves filtering (``.filter("passes")``) and corpus
+    diagnostics (aggregate the ratios).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    nz = F.greatest(n, F.lit(1))
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    mean_len = F.round(
+        F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) / nz, 6)
+    symbol_ratio = F.round(
+        (F.regexp_count(F.col(text_col), F.lit(r"#"))
+         + F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))) / nz, 6)
+    bullet_ratio = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))) / n_lines, 6)
+    ellipsis_ratio = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))) / n_lines, 6)
+    alpha_ratio = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / nz, 6)
+    stop_hits = F.size(F.array_intersect(
+        F.transform(toks, F.lower),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    out = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    passes = (
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_ratio") < 0.9) & (F.col("ellipsis_ratio") < 0.3)
+        & (F.col("alpha_ratio") >= 0.8)
+        & (F.col("stop_hits") >= 2))
+    return out.withColumn("passes", passes)

@@ -236,3 +236,25 @@ def test_uniform_hash_fast_and_oracle_paths_are_uniformish(spark, sf_dir):
     for fast in (False, True):
         mean = docs.select(F.avg(uniform_hash("doc_id", fast=fast))).first()[0]
         assert 0.4 < mean < 0.6
+
+
+def test_gopher_quality_rules(spark):
+    from cdc_data_pipeline_spark.operators.curation import gopher_quality
+
+    good = "the cat and the dog have fun with all of that " * 5  # 55 words
+    rows = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "the of short"),                       # too few words
+            (3, ("- " + "the of item with have\n") * 12),  # bullet lines
+            (4, " ".join(["zzzz"] * 60)),              # no stopwords
+            (5, good + " ##########" * 40),            # symbol storm
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(rows, min_words=50).collect()}
+    assert out[1]["passes"] is True
+    assert out[2]["passes"] is False and out[2]["n_words"] == 3
+    assert out[3]["passes"] is False and out[3]["bullet_ratio"] > 0.9
+    assert out[4]["passes"] is False and out[4]["stop_hits"] == 0
+    assert out[5]["passes"] is False and out[5]["symbol_ratio"] > 0.1
