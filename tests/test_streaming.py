@@ -348,3 +348,34 @@ def test_stream_rollup_foreachbatch_matches_oneshot(spark, tmp_path):
     row = got.filter((F.col("kind") == "a")
                      & (F.hour("bucket") == 10)).first()
     assert row.n == 3 and row.s == 13.0 and row.mx == 10.0
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Cross-micro-batch funnel state: two time-ordered source files ->
+    2 batches; final update-mode rows must equal the batch operator on
+    the full frame."""
+    from cdc_data_pipeline_spark.streaming.stateful import streaming_funnel
+
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    ev = read_table(spark, SF0001, "events")
+    steps = ["view", "click", "purchase"]
+    mid = "2024-01-15"
+    ev.filter(F.col("ts") <= F.lit(mid).cast("timestamp")).write.parquet(str(src / "b1"))
+    ev.filter(F.col("ts") > F.lit(mid).cast("timestamp")).write.parquet(str(src / "b2"))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+    q = (streaming_funnel(stream, steps)
+         .writeStream.format("memory").queryName("funnel_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # update mode emits one row per user per batch: keep the last
+    got = spark.sql("""
+        SELECT user_id, steps_completed, last_step_ts FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY steps_completed DESC) rn
+          FROM funnel_stream) WHERE rn = 1""")
+    expected = streaming_funnel(ev, steps)  # batch path
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
