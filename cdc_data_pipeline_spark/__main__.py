@@ -1,0 +1,79 @@
+"""Command-line entry point: run any catalog query against a fixture
+scale directory.
+
+    python -m cdc_data_pipeline_spark list
+    python -m cdc_data_pipeline_spark run pricing_summary --sf-dir /root/testdata/sf0.01 --limit 5
+    python -m cdc_data_pipeline_spark oracle pricing_summary
+
+The reference drives its pipeline through Dagster jobs and dbt CLI
+invocations (`dagster_code/`, `dbt_project/`); this is the equivalent
+operational surface for the Spark engine — every SURVEY §2 operator is
+a named, runnable query.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _catalog():
+    from cdc_data_pipeline_spark import catalog
+
+    q = dict(catalog.queries())
+    q.update(catalog.extra_queries())
+    o = dict(catalog.oracles())
+    o.update(catalog.extra_oracles())
+    return q, o
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="cdc_data_pipeline_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list", help="list catalog entries")
+    runp = sub.add_parser("run", help="run one catalog query")
+    runp.add_argument("entry")
+    runp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    runp.add_argument("--limit", type=int, default=20)
+    runp.add_argument("--json", action="store_true",
+                      help="newline-delimited JSON instead of show()")
+    orp = sub.add_parser("oracle", help="print an entry's DuckDB oracle SQL")
+    orp.add_argument("entry")
+    args = ap.parse_args(argv)
+
+    queries, oracles = _catalog()
+    if args.cmd == "list":
+        try:
+            for name in sorted(queries):
+                print(name)
+        except BrokenPipeError:  # `... | head` is fine
+            pass
+        return 0
+    if args.entry not in queries:
+        print(f"unknown entry: {args.entry}", file=sys.stderr)
+        return 2
+    if args.cmd == "oracle":
+        sql = oracles.get(args.entry)
+        if sql is None:
+            print(f"-- no SQL oracle for {args.entry}", file=sys.stderr)
+            return 1
+        print(sql.strip())
+        return 0
+
+    from cdc_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("cdc-cli")
+    df = queries[args.entry](spark, args.sf_dir)
+    if args.limit >= 0:
+        df = df.limit(args.limit)
+    if args.json:
+        for row in df.toJSON().collect():
+            print(row)
+    else:
+        df.show(truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

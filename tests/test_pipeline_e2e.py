@@ -73,3 +73,36 @@ def test_multi_tick_cdc_equals_full_rebuild(spark, sf_dir, tmp_path):
                    .agg(F.min("count").alias("lo"), F.max("count").alias("hi"))
                    .collect()}
     assert per_mod == {0: (2, 2), 1: (3, 3), 2: (2, 2)}, per_mod
+
+
+def test_cli_list_run_oracle(tmp_path):
+    """The __main__ CLI surface: list names, run an entry as NDJSON,
+    print an oracle."""
+    import json
+    import subprocess
+    import sys
+
+    env_dir = "/root/testdata/sf0.001"
+    out = subprocess.run(
+        [sys.executable, "-m", "cdc_data_pipeline_spark", "list"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo")
+    names = out.stdout.split()
+    assert out.returncode == 0 and "pricing_summary" in names and "dup_spans" in names
+
+    out = subprocess.run(
+        [sys.executable, "-m", "cdc_data_pipeline_spark", "run",
+         "quality_summary", "--sf-dir", env_dir, "--json"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert out.returncode == 0
+    rows = [json.loads(l) for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(rows) == 1 and rows[0]["n_rows"] > 0
+
+    out = subprocess.run(
+        [sys.executable, "-m", "cdc_data_pipeline_spark", "oracle", "pricing_summary"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo")
+    assert out.returncode == 0 and "l_returnflag" in out.stdout
+
+    out = subprocess.run(
+        [sys.executable, "-m", "cdc_data_pipeline_spark", "run", "nope"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo")
+    assert out.returncode == 2
