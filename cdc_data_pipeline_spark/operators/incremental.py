@@ -247,3 +247,38 @@ def write_merged(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> 
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
     _replace_dir(path, tmp)
+
+
+def backfill_snapshot(
+    spark,
+    build_for_date,
+    target_path: str,
+    dates: Sequence[str],
+    derived_column: str = "snapshot_date",
+) -> list[str]:
+    """Date-range backfill: rebuild one snapshot partition per date,
+    idempotently (re-running any date overwrites ONLY that date's
+    partition — dynamic partition overwrite, reference semantics of
+    `ALTER TABLE ... DELETE WHERE derived_col = today()` + insert,
+    base_loader.py:518-584, generalized from today() to any date).
+
+    ``build_for_date(spark, date_str) -> DataFrame`` builds the
+    snapshot content for one date; partitions not in ``dates`` are
+    untouched, so a backfill can run concurrently with the daily
+    schedule and be re-run after a partial failure (each date commits
+    independently — crash mid-range loses nothing already written).
+
+    At scale each date's build is its own Spark job: linear in the
+    backfill window, no job holds more than one partition's data.
+    Returns the list of dates written.
+    """
+    done: list[str] = []
+    for d in dates:
+        df = build_for_date(spark, d)
+        stamped = df.withColumn(derived_column, F.lit(d).cast("date"))
+        (stamped.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(derived_column)
+         .parquet(target_path))
+        done.append(d)
+    return done

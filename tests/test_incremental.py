@@ -139,3 +139,42 @@ def test_salted_collect_equals_direct(spark, sf_dir):
         .agg(F.array_sort(F.collect_set("o_orderstatus")).alias("values"))
     assert sorted((r.o_custkey, tuple(r["values"])) for r in salted.collect()) == \
            sorted((r.o_custkey, tuple(r["values"])) for r in direct.collect())
+
+
+def test_backfill_snapshot_idempotent_per_partition(spark, tmp_path):
+    """Backfill writes one partition per date; re-running one date
+    rewrites only that partition (others keep their files/mtimes)."""
+    import os
+
+    from cdc_data_pipeline_spark.operators.incremental import backfill_snapshot
+
+    tgt = str(tmp_path / "snap")
+
+    def build(spark_, d):
+        n = int(d[-2:])  # day number -> row count, distinguishable
+        return spark_.range(n).select(
+            F.col("id").alias("k"), F.lit(d).alias("built_for"))
+
+    backfill_snapshot(spark, build, tgt, ["2024-01-01", "2024-01-02", "2024-01-03"])
+    out = spark.read.parquet(tgt)
+    assert out.count() == 1 + 2 + 3
+    assert out.select("snapshot_date").distinct().count() == 3
+
+    def mtimes(day):
+        p = f"{tgt}/snapshot_date={day}"
+        return {f: os.path.getmtime(os.path.join(p, f))
+                for f in os.listdir(p) if f.endswith(".parquet")}
+
+    before_d1, before_d2 = mtimes("2024-01-01"), mtimes("2024-01-02")
+    import time
+    time.sleep(1.1)
+    # re-run only day 2 with different content: idempotent overwrite
+    backfill_snapshot(
+        spark, lambda s, d: s.range(20).select(
+            F.col("id").alias("k"), F.lit(d).alias("built_for")),
+        tgt, ["2024-01-02"])
+    out2 = spark.read.parquet(tgt)
+    assert out2.filter(F.col("snapshot_date") == "2024-01-02").count() == 20
+    assert out2.filter(F.col("snapshot_date") == "2024-01-01").count() == 1
+    assert mtimes("2024-01-01") == before_d1      # untouched partition
+    assert mtimes("2024-01-02") != before_d2      # rewritten partition
