@@ -215,6 +215,61 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------- feature statistics
+
+_NF_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_feature_normalize(spark, sf_dir):
+    """Per-group z-score + min-max feature scaling: one stats pass per
+    group (broadcast back), the fact side never shuffles. See
+    operators/stats.py."""
+    from cdc_data_pipeline_spark.operators.stats import normalize_features
+
+    o = _t(spark, sf_dir, "orders")
+    return normalize_features(o, ["o_totalprice"], by=["o_orderpriority"],
+                              keep=["o_orderkey"])
+
+
+SQL_FEATURE_NORMALIZE = """
+WITH s AS (
+  SELECT o_orderpriority, AVG(o_totalprice) mu, STDDEV_SAMP(o_totalprice) sd,
+         MIN(o_totalprice) lo, MAX(o_totalprice) hi
+  FROM orders GROUP BY 1)
+SELECT o.o_orderkey, o.o_orderpriority,
+       ROUND((o.o_totalprice - s.mu) / NULLIF(s.sd, 0), 6) AS o_totalprice_z,
+       ROUND((o.o_totalprice - s.lo) / NULLIF(s.hi - s.lo, 0), 6) AS o_totalprice_mm
+FROM orders o JOIN s USING (o_orderpriority)
+"""
+
+
+def q_corr_matrix(spark, sf_dir):
+    """All pairwise Pearson correlations of the lineitem measures from
+    ONE scan (single moment aggregate, map-side combined)."""
+    from cdc_data_pipeline_spark.operators.stats import correlation_matrix
+
+    return correlation_matrix(_t(spark, sf_dir, "lineitem"), _NF_COLS)
+
+
+def _corr_sql():
+    cols = _NF_COLS
+    inner = ", ".join(f"SUM({c}) s_{c}, SUM({c}*{c}) ss_{c}" for c in cols)
+    cross = ", ".join(f"SUM({a}*{b}) sx_{a}_{b}"
+                      for i, a in enumerate(cols) for b in cols[i + 1:])
+    terms = ", ".join(
+        f"('{a}','{b}', ROUND((s.n*s.sx_{a}_{b} - s.s_{a}*s.s_{b})"
+        f" / NULLIF(sqrt(s.n*s.ss_{a} - s.s_{a}*s.s_{a})"
+        f" * sqrt(s.n*s.ss_{b} - s.s_{b}*s.s_{b}), 0), 6))"
+        for i, a in enumerate(cols) for b in cols[i + 1:])
+    return f"""
+WITH s AS (SELECT COUNT(*)::DOUBLE n, {inner}, {cross} FROM lineitem)
+SELECT p.* FROM s, (VALUES {terms}) AS p(col_a, col_b, corr)
+"""
+
+
+SQL_CORR_MATRIX = _corr_sql()
+
+
 QUERIES = {
     "asof_order_state": q_asof_order_state,
 }
@@ -240,6 +295,8 @@ EXTRA_QUERIES = {
     "status_pivot": q_status_pivot,
     "sales_rollup": q_sales_rollup,
     "monthly_shipments": q_monthly_shipments,
+    "feature_normalize": q_feature_normalize,
+    "corr_matrix": q_corr_matrix,
 }
 
 EXTRA_ORACLES = {
@@ -252,4 +309,6 @@ EXTRA_ORACLES = {
     "status_pivot": SQL_STATUS_PIVOT,
     "sales_rollup": SQL_SALES_ROLLUP,
     "monthly_shipments": SQL_MONTHLY_SHIPMENTS,
+    "feature_normalize": SQL_FEATURE_NORMALIZE,
+    "corr_matrix": SQL_CORR_MATRIX,
 }

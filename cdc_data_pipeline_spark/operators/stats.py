@@ -1,0 +1,83 @@
+"""Feature statistics for training-data preparation: per-group
+normalization and single-pass correlation.
+
+Reference parity: the reference's dbt marts compute only sums/counts
+(SURVEY §2.4 R10); normalization and correlation are the feature-prep
+siblings a training pipeline needs on the same tables (SURVEY §7.6).
+
+Scale design (100 TB):
+
+- ``normalize_features``: one groupBy over the grouping key produces a
+  tiny stats table (rows = groups), broadcast back onto the fact — the
+  big side is never shuffled. Z-score and min-max come out of the same
+  pass.
+- ``correlation_matrix``: every pairwise Pearson correlation from ONE
+  full scan — a single aggregate computes n, per-column sums/squares
+  and all cross products (map-side combined); the k*(k-1)/2 pair rows
+  are assembled from that one result row. No per-pair passes, no
+  shuffle of the input beyond the aggregate's partials.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_features(df: DataFrame, value_cols: Sequence[str],
+                       by: Sequence[str] = (), keep: Sequence[str] = (),
+                       ndigits: int = 6) -> DataFrame:
+    """Append ``<col>_z`` (z-score, sample stddev) and ``<col>_mm``
+    (min-max) for each value column, statistics computed per ``by``
+    group (or globally when empty). Constant columns yield NULL z / mm
+    (0/0), mirroring SQL semantics."""
+    by = list(by)
+    aggs = []
+    for c in value_cols:
+        aggs += [F.avg(c).alias(f"__mu_{c}"), F.stddev_samp(c).alias(f"__sd_{c}"),
+                 F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    stats = df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
+    joined = df.join(F.broadcast(stats), by) if by else df.crossJoin(F.broadcast(stats))
+    out_cols = [F.col(c) for c in (*keep, *by)]
+    zero = F.lit(0.0)
+    for c in value_cols:
+        # nullif(denominator, 0): constant columns yield NULL under
+        # ANSI mode instead of DIVIDE_BY_ZERO
+        out_cols.append(F.round(
+            (F.col(c) - F.col(f"__mu_{c}"))
+            / F.nullif(F.col(f"__sd_{c}"), zero), ndigits).alias(f"{c}_z"))
+        out_cols.append(F.round(
+            (F.col(c) - F.col(f"__lo_{c}"))
+            / F.nullif(F.col(f"__hi_{c}") - F.col(f"__lo_{c}"), zero),
+            ndigits).alias(f"{c}_mm"))
+    return joined.select(*out_cols)
+
+
+def correlation_matrix(df: DataFrame, cols: Sequence[str],
+                       ndigits: int = 6) -> DataFrame:
+    """All pairwise Pearson correlations: ``(col_a, col_b, corr)`` for
+    a < b in the given order, from one scan. The textbook moment
+    formula (n*Sxy - Sx*Sy normalized) is used identically by the SQL
+    oracle, so results match at ``ndigits`` exactly."""
+    cols = list(cols)
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
+    for c in cols:
+        aggs += [F.sum(F.col(c)).alias(f"__s_{c}"),
+                 F.sum(F.col(c) * F.col(c)).alias(f"__ss_{c}")]
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"__sx_{a}_{b}"))
+    st = df.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            num = F.col("__n") * F.col(f"__sx_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")
+            den = (F.sqrt(F.col("__n") * F.col(f"__ss_{a}") - F.col(f"__s_{a}") * F.col(f"__s_{a}"))
+                   * F.sqrt(F.col("__n") * F.col(f"__ss_{b}") - F.col(f"__s_{b}") * F.col(f"__s_{b}")))
+            pairs.append(F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                                  F.round(num / F.nullif(den, F.lit(0.0)),
+                                          ndigits).alias("corr")))
+    return (st.select(F.explode(F.array(*pairs)).alias("__p"))
+            .select("__p.col_a", "__p.col_b", "__p.corr"))

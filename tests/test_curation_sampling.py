@@ -258,3 +258,29 @@ def test_gopher_quality_rules(spark):
     assert out[3]["passes"] is False and out[3]["bullet_ratio"] > 0.9
     assert out[4]["passes"] is False and out[4]["stop_hits"] == 0
     assert out[5]["passes"] is False and out[5]["symbol_ratio"] > 0.1
+
+
+def test_normalize_features_semantics(spark):
+    from cdc_data_pipeline_spark.operators.stats import normalize_features
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 10.0)], "g string, v double")
+    out = {(r["g"], r["v_z"], r["v_mm"])
+           for r in normalize_features(df, ["v"], by=["g"]).collect()}
+    # group a: mean 2, sd sqrt(2) -> z = +-0.707107; mm 0/1
+    assert ("a", -0.707107, 0.0) in out and ("a", 0.707107, 1.0) in out
+    # constant group: sd 0 and hi==lo -> NULLs, not crashes
+    assert ("b", None, None) in out
+
+
+def test_correlation_matrix_known_values(spark):
+    from cdc_data_pipeline_spark.operators.stats import correlation_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0), (4.0, 8.0, -4.1)],
+        "x double, y double, z double")
+    got = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in correlation_matrix(df, ["x", "y", "z"]).collect()}
+    assert got[("x", "y")] == 1.0          # exact linear
+    assert got[("x", "z")] < -0.99         # near-perfect negative
+    assert len(got) == 3
