@@ -73,3 +73,38 @@ def test_merge_empty_source_is_noop(spark):
     state, changes = merge_with_cdf(target, empty, ["k"])
     assert changes.count() == 0
     assert state.count() == 2
+
+
+def test_round2_operators_on_empty_inputs(spark):
+    """dup_spans / funnel / range join / stats on 0-row frames: empty
+    results, no crashes (ANSI division, HOF aggregates, windows)."""
+    from cdc_data_pipeline_spark.operators.funnel import (
+        cohort_retention, funnel_counts)
+    from cdc_data_pipeline_spark.operators.rangejoin import (
+        point_gap_join, point_interval_join)
+    from cdc_data_pipeline_spark.operators.segments import (
+        duplicated_spans, mask_duplicated_spans)
+    from cdc_data_pipeline_spark.operators.stats import (
+        correlation_matrix, normalize_features)
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert duplicated_spans(docs, n=3).count() == 0
+    assert mask_duplicated_spans(docs, n=3).count() == 0
+
+    ev = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
+    assert funnel_counts(ev, ["view", "click"]).count() == 0
+    assert cohort_retention(ev).count() == 0
+
+    pts = spark.createDataFrame([], "pid long, ts timestamp")
+    ivs = spark.createDataFrame([], "iid long, start_ts timestamp, end_ts timestamp")
+    assert point_interval_join(pts, ivs, "ts", "start_ts", "end_ts").count() == 0
+    r = spark.createDataFrame([], "rid long, rts timestamp")
+    assert point_gap_join(pts, r, "ts", "rts").count() == 0
+
+    vals = spark.createDataFrame([], "g string, v double")
+    assert normalize_features(vals, ["v"], by=["g"]).count() == 0
+    # correlation over an empty frame: NULL corr rows, not a crash
+    rows = correlation_matrix(vals.select(F.col("v").alias("x"),
+                                          F.col("v").alias("y")),
+                              ["x", "y"]).collect()
+    assert len(rows) == 1 and rows[0]["corr"] is None
