@@ -81,3 +81,31 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str],
                                           ndigits).alias("corr")))
     return (st.select(F.explode(F.array(*pairs)).alias("__p"))
             .select("__p.col_a", "__p.col_b", "__p.corr"))
+
+
+def approx_percentiles(df: DataFrame, value_col: str,
+                       by: Sequence[str] = (),
+                       percentiles: Sequence[float] = (0.5, 0.95),
+                       accuracy: int = 10_000) -> DataFrame:
+    """Percentiles via Spark's Greenwald-Khanna sketch
+    (``approx_percentile``): bounded-memory, map-side mergeable — the
+    100 TB path. Exact ``percentile`` (the `order_value_percentiles`
+    entry) buffers every group value in one aggregation buffer, which
+    is fine at fixture scale and a memory wall at corpus scale; the
+    sketch guarantees rank error <= 1/accuracy with O(accuracy) state
+    per group whatever the group size.
+
+    Output columns: ``p<percent>`` per requested fraction + ``n``.
+    """
+    pcts = ", ".join(str(float(p)) for p in percentiles)
+    aggs = [
+        F.expr(f"approx_percentile({value_col}, array({pcts}), {accuracy})").alias("__q"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    grouped = df.groupBy(*list(by)) if by else df.groupBy()
+    out = grouped.agg(*aggs)
+    cols = [*by] + [
+        F.col("__q")[i].alias(f"p{str(p).replace('0.', '').ljust(2, '0')}")
+        for i, p in enumerate(percentiles)
+    ] + [F.col("n")]
+    return out.select(*cols)

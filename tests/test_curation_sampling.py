@@ -284,3 +284,28 @@ def test_correlation_matrix_known_values(spark):
     assert got[("x", "y")] == 1.0          # exact linear
     assert got[("x", "z")] < -0.99         # near-perfect negative
     assert len(got) == 3
+
+
+def test_approx_percentiles_within_rank_error(spark):
+    """GK sketch percentiles stay within the guaranteed rank error of
+    the exact interpolated percentiles on real data."""
+    from cdc_data_pipeline_spark.operators.stats import approx_percentiles
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    approx = {r["o_orderpriority"]: r for r in approx_percentiles(
+        orders, "o_totalprice", by=["o_orderpriority"]).collect()}
+    exact = {r["o_orderpriority"]: r for r in orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        a = approx[k]
+        assert a["n"] == e["n"]
+        # value at most one sorted-neighbour step away: compare ranks
+        vals = sorted(v["o_totalprice"] for v in
+                      orders.filter(F.col("o_orderpriority") == k).collect())
+        for pa, pe, frac in ((a["p50"], e["p50"], 0.5), (a["p95"], e["p95"], 0.95)):
+            import bisect
+            rank = bisect.bisect_left(vals, pa) / max(len(vals) - 1, 1)
+            assert abs(rank - frac) < 0.01, (k, frac, rank)
