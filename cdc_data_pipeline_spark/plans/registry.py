@@ -69,3 +69,29 @@ class ModelRegistry:
             deps, fn = self._models[n]
             out[n] = fn(*[out[d] for d in deps])
         return out
+
+
+def materialize(registry: ModelRegistry, spark, base_path: str,
+                select: str | None = None,
+                sources: tuple[str, ...] = ()) -> dict[str, int]:
+    """``dbt build`` equivalent: execute the selected DAG and publish
+    every non-source model as a new atomic table version
+    (``sources/versioned.py``). Returns name -> published version.
+
+    Each model's readers keep seeing the previous version until its
+    publish completes; a crash mid-build leaves earlier models
+    published (re-running is idempotent-forward — new versions,
+    old ones intact for rollback). At scale each model is its own
+    Spark job; nothing holds more than one model's write in flight.
+    """
+    import os
+
+    from cdc_data_pipeline_spark.sources.versioned import publish_version
+
+    frames = registry.run(select)
+    published: dict[str, int] = {}
+    for name, df in frames.items():
+        if name in sources:
+            continue
+        published[name] = publish_version(df, os.path.join(base_path, name))
+    return published

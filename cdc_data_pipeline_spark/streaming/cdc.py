@@ -167,3 +167,34 @@ def stream_rollup_to_parquet(
         .outputMode("update")
     )
     return apply_trigger(writer, trigger_available_now, processing_time).start()
+
+
+def stream_aggregate_to_versioned(
+    agg_stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Complete-mode aggregate -> atomically versioned table: each
+    micro-batch publishes the FULL current aggregate as a new version
+    (sources/versioned.py), so downstream readers always see one
+    consistent snapshot — never a half-rewritten aggregate — and can
+    pin or roll back to any earlier micro-batch's state.
+
+    The publish cost is O(aggregate), not O(stream): right-sized for
+    rollup tables (the continuously-republished dashboard shape).
+    Pair with vacuum_versions on a schedule to bound history.
+    """
+    from cdc_data_pipeline_spark.sources.versioned import publish_version
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        publish_version(batch_df, table_path)
+
+    writer = (agg_stream.writeStream.outputMode("complete")
+              .option("checkpointLocation", checkpoint)
+              .foreachBatch(handle))
+    writer = apply_trigger(writer, trigger_available_now, processing_time)
+    return writer.start()

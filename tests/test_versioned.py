@@ -68,3 +68,55 @@ def test_pointer_update_is_atomic_file_replace(spark, tmp_path):
     publish_version(_df(spark, 2, "a"), t)
     # no temp pointer litter after publish
     assert not [f for f in os.listdir(t) if f.startswith("._LATEST")]
+
+
+def test_registry_materialize_publishes_versions(spark, tmp_path):
+    """dbt-build equivalent: every model lands as an atomic table
+    version; re-running publishes the next version, previous stays
+    readable (rollback-able)."""
+    from cdc_data_pipeline_spark.plans.registry import ModelRegistry, materialize
+
+    reg = ModelRegistry()
+    reg.add_source("src", _df(spark, 10, "s"))
+
+    @reg.model("stg", deps=("src",))
+    def stg(src):
+        return src.filter(F.col("id") % 2 == 0)
+
+    @reg.model("mart", deps=("stg",))
+    def mart(stg):
+        return stg.agg(F.count(F.lit(1)).alias("n"))
+
+    base = str(tmp_path / "wh")
+    v1 = materialize(reg, spark, base, sources=("src",))
+    assert v1 == {"stg": 1, "mart": 1}
+    assert read_versioned(spark, f"{base}/mart").first()["n"] == 5
+
+    v2 = materialize(reg, spark, base, sources=("src",))
+    assert v2 == {"stg": 2, "mart": 2}
+    assert read_versioned(spark, f"{base}/mart", version=1).first()["n"] == 5
+
+
+def test_stream_aggregate_publishes_versions(spark, tmp_path):
+    """Each micro-batch of a complete-mode aggregate lands as its own
+    atomic version; the last one is the final aggregate state."""
+    from cdc_data_pipeline_spark.streaming.cdc import stream_aggregate_to_versioned
+
+    src = tmp_path / "vs_src"
+    src.mkdir()
+    schema = "k long, v double"
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], schema).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    spark.createDataFrame([(1, 10.0)], schema).coalesce(1) \
+        .write.parquet(str(src / "b2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+    agg = stream.groupBy("k").agg(F.sum("v").alias("total"))
+    t = str(tmp_path / "vs_tbl")
+    q = stream_aggregate_to_versioned(agg, t, str(tmp_path / "vs_ckpt"))
+    q.awaitTermination(120)
+
+    assert len(list_versions(t)) >= 1
+    final = {r["k"]: r["total"] for r in read_versioned(spark, t).collect()}
+    assert final == {1: 11.0, 2: 2.0}
