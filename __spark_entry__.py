@@ -19,9 +19,8 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 from cdc_data_pipeline_spark import catalog  # noqa: E402
-from cdc_data_pipeline_spark.plans import ModelRegistry, models  # noqa: E402
+from cdc_data_pipeline_spark.plans import models  # noqa: E402
 from cdc_data_pipeline_spark.session import configure_session  # noqa: E402
-from cdc_data_pipeline_spark.sources.readers import read_table  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -30,17 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full star-schema model DAG (the reference's dbt graph,
     SURVEY §3.3) executed topologically, then the revenue rollup."""
     configure_session(spark)
-    reg = ModelRegistry()
-    for t in ("customer", "orders", "lineitem", "nation"):
-        reg.add_source(t, read_table(spark, SF0001, t))
-    reg.model("stg_users", ("customer",))(models.stg_users)
-    reg.model("dim_users", ("stg_users", "nation"))(models.dim_users)
-    reg.model("stg_savings_plan", ("orders",))(models.stg_savings_plan)
-    reg.model("dim_savings_plan", ("stg_savings_plan", "dim_users"))(models.dim_savings_plan)
-    reg.model("stg_savings_transaction", ("lineitem",))(models.stg_savings_transaction)
-    reg.model("fact_savings_transaction", ("stg_savings_transaction", "dim_savings_plan"))(
-        models.fact_savings_transaction
-    )
+    reg, _sources = models.build_star_registry(spark, SF0001)
     built = reg.run(select="+fact_savings_transaction")
     fact = built["fact_savings_transaction"]
 

@@ -40,7 +40,25 @@ def main(argv=None) -> int:
                       help="newline-delimited JSON instead of show()")
     orp = sub.add_parser("oracle", help="print an entry's DuckDB oracle SQL")
     orp.add_argument("entry")
+    bp = sub.add_parser(
+        "build", help="materialize the star-schema DAG into versioned tables")
+    bp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    bp.add_argument("--base-path", required=True)
+    bp.add_argument("--select", default=None,
+                    help="dbt-style selection, e.g. +fact_savings_transaction")
     args = ap.parse_args(argv)
+
+    if args.cmd == "build":
+        from cdc_data_pipeline_spark.plans.models import build_star_registry
+        from cdc_data_pipeline_spark.plans.registry import materialize
+        from cdc_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("cdc-build")
+        reg, sources = build_star_registry(spark, args.sf_dir)
+        published = materialize(reg, spark, args.base_path,
+                                select=args.select, sources=sources)
+        print(json.dumps(published))
+        return 0
 
     queries, oracles = _catalog()
     if args.cmd == "list":

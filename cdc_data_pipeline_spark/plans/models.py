@@ -115,3 +115,23 @@ def fact_savings_transaction(stg_txn: DataFrame, dim_plan: DataFrame) -> DataFra
             "updated_at",
         )
     )
+
+
+def build_star_registry(spark, sf_dir: str):
+    """The flagship star-schema DAG as a registry (reference dbt graph,
+    SURVEY §3.3) — shared by `__spark_entry__.entry()` and the CLI
+    `build` command."""
+    from cdc_data_pipeline_spark.plans.registry import ModelRegistry
+    from cdc_data_pipeline_spark.sources.readers import read_table
+
+    reg = ModelRegistry()
+    for t in ("customer", "orders", "lineitem", "nation"):
+        reg.add_source(t, read_table(spark, sf_dir, t))
+    reg.model("stg_users", ("customer",))(stg_users)
+    reg.model("dim_users", ("stg_users", "nation"))(dim_users)
+    reg.model("stg_savings_plan", ("orders",))(stg_savings_plan)
+    reg.model("dim_savings_plan", ("stg_savings_plan", "dim_users"))(dim_savings_plan)
+    reg.model("stg_savings_transaction", ("lineitem",))(stg_savings_transaction)
+    reg.model("fact_savings_transaction",
+              ("stg_savings_transaction", "dim_savings_plan"))(fact_savings_transaction)
+    return reg, ("customer", "orders", "lineitem", "nation")

@@ -120,3 +120,20 @@ def test_stream_aggregate_publishes_versions(spark, tmp_path):
     assert len(list_versions(t)) >= 1
     final = {r["k"]: r["total"] for r in read_versioned(spark, t).collect()}
     assert final == {1: 11.0, 2: 2.0}
+
+
+def test_cli_build_materializes_star_schema(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    base = str(tmp_path / "wh")
+    out = subprocess.run(
+        [sys.executable, "-m", "cdc_data_pipeline_spark", "build",
+         "--sf-dir", "/root/testdata/sf0.001", "--base-path", base,
+         "--select", "+fact_savings_transaction"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    published = json.loads(out.stdout.strip().splitlines()[-1])
+    assert published.get("fact_savings_transaction") == 1
+    assert os.path.isdir(f"{base}/fact_savings_transaction/v=1")
