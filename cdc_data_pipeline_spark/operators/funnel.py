@@ -94,14 +94,25 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
     """Weekly cohort retention: users grouped by first-seen week, then
     distinct-user counts per (cohort_week, activity week offset).
 
+    One scan, two shuffles: ``groupBy(user).collect_set(week)`` gives
+    each user's distinct active weeks AND their cohort (array_min) in
+    a single user-keyed pass — no distinct+join-back (which would scan
+    the events twice and shuffle four times; Catalyst cannot reuse the
+    exchange across the join's differently-pruned sides). Per-user
+    state is bounded by the number of distinct weeks (tiny). The
+    explode + final (cohort, offset) aggregate is map-side combined.
+
     Output: ``(cohort_week date, week_offset long, n_users long)``.
     """
     wk = F.date_trunc("week", F.col(ts_col))
-    uw = (events
-          .select(F.col(user_col), wk.alias("__wk"))
-          .distinct())
-    first = uw.groupBy(user_col).agg(F.min("__wk").alias("__cohort"))
-    return (uw.join(first, user_col)
+    per_user = (events
+                .select(F.col(user_col), wk.alias("__wk"))
+                .groupBy(user_col)
+                .agg(F.collect_set("__wk").alias("__wks")))
+    exploded = (per_user
+                .select(F.array_min("__wks").alias("__cohort"),
+                        F.explode("__wks").alias("__wk")))
+    return (exploded
             .groupBy(F.to_date("__cohort").alias("cohort_week"),
                      F.floor(
                          (F.unix_timestamp("__wk") - F.unix_timestamp("__cohort"))
