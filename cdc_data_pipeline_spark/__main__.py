@@ -40,6 +40,9 @@ def main(argv=None) -> int:
                       help="newline-delimited JSON instead of show()")
     orp = sub.add_parser("oracle", help="print an entry's DuckDB oracle SQL")
     orp.add_argument("entry")
+    xp = sub.add_parser("explain", help="print an entry's physical plan")
+    xp.add_argument("entry")
+    xp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     bp = sub.add_parser(
         "build", help="materialize the star-schema DAG into versioned tables")
     bp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -83,6 +86,9 @@ def main(argv=None) -> int:
 
     spark = get_spark("cdc-cli")
     df = queries[args.entry](spark, args.sf_dir)
+    if args.cmd == "explain":
+        df.explain("formatted")
+        return 0
     if args.limit >= 0:
         df = df.limit(args.limit)
     if args.json:

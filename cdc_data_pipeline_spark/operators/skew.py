@@ -75,3 +75,27 @@ def salted_join(big: DataFrame, small: DataFrame, keys: Sequence[str],
     s = (small.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
               .withColumn("__salt", F.col("__salt").cast("int")))
     return b.join(s, keys + ["__salt"], how).drop("__salt")
+
+
+def skew_report(df: DataFrame, keys: Sequence[str], top: int = 20) -> DataFrame:
+    """Join/agg skew diagnosis for a key: the ``top`` hottest key
+    values with their share of all rows and the ratio to a perfectly
+    uniform key — the number that tells you whether to salt (ratio >>
+    partition count) or let AQE's skew split handle it.
+
+    One groupBy (map-side combined) + a tiny ungrouped aggregate
+    joined by literal broadcast; the top-N is a TakeOrdered, no global
+    sort. Safe to run on the 100 TB fact itself.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys")).first()
+    total, n_keys = totals["__total"] or 0, totals["__n_keys"] or 1
+    uniform = total / n_keys if n_keys else 0.0
+    return (counts
+            .withColumn("share", F.round(F.col("n_rows") / F.lit(max(total, 1)), 6))
+            .withColumn("x_uniform",
+                        F.round(F.col("n_rows") / F.lit(max(uniform, 1e-12)), 2))
+            .orderBy(F.col("n_rows").desc(), *keys)
+            .limit(top))

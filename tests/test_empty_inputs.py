@@ -108,3 +108,16 @@ def test_round2_operators_on_empty_inputs(spark):
                                           F.col("v").alias("y")),
                               ["x", "y"]).collect()
     assert len(rows) == 1 and rows[0]["corr"] is None
+
+
+def test_skew_report_flags_hot_key(spark):
+    from cdc_data_pipeline_spark.operators.skew import skew_report
+
+    rows = [(1, i) for i in range(90)] + [(k, 0) for k in range(2, 12)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    rep = skew_report(df, ["k"], top=3).collect()
+    assert rep[0]["k"] == 1 and rep[0]["n_rows"] == 90
+    assert rep[0]["share"] == 0.9
+    # 11 keys, 100 rows -> uniform ~9.09; hot key ~9.9x uniform
+    assert rep[0]["x_uniform"] > 9
+    assert skew_report(df.limit(0), ["k"]).count() == 0
