@@ -910,6 +910,40 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# ------------------------------------------------- quarantine routing
+
+def q_events_quarantine(spark, sf_dir):
+    """Semantic-rule quarantine: rows failing any business rule are
+    routed with the named reasons in ``_violations`` (one projection,
+    map-only — see operators/quality.py::quarantine_split)."""
+    from cdc_data_pipeline_spark.operators.quality import quarantine_split
+
+    ev = _t(spark, sf_dir, "events")
+    rules = {
+        "not_error": F.col("event_type") != "error",
+        "value_in_range": F.col("value") >= 0.5,
+        "has_user": F.col("user_id").isNotNull(),
+    }
+    _good, bad = quarantine_split(ev, rules)
+    return bad.select("event_id", "event_type",
+                      F.round("value", 6).alias("value"), "_violations")
+
+
+SQL_EVENTS_QUARANTINE = """
+SELECT event_id, event_type, ROUND(value, 6) AS value,
+       list_filter([
+         CASE WHEN NOT (event_type <> 'error') OR event_type IS NULL
+              THEN 'not_error' END,
+         CASE WHEN NOT (value >= 0.5) OR value IS NULL
+              THEN 'value_in_range' END,
+         CASE WHEN user_id IS NULL THEN 'has_user' END
+       ], x -> x IS NOT NULL) AS _violations
+FROM events
+WHERE event_type = 'error' OR NOT (value >= 0.5) OR value IS NULL
+      OR user_id IS NULL
+"""
+
+
 # ------------------------------------------- funnel / cohort analytics
 
 _FUNNEL_STEPS = ("view", "click", "purchase")
@@ -982,6 +1016,7 @@ EXTRA_QUERIES = {
     "funnel_counts": q_funnel,
     "cohort_retention": q_cohort_retention,
     "outage_attribution": q_outage_attribution,
+    "events_quarantine": q_events_quarantine,
 }
 EXTRA_ORACLES = {
     "events_tumbling_window": SQL_EVENTS_TUMBLING,
@@ -991,4 +1026,5 @@ EXTRA_ORACLES = {
     "funnel_counts": SQL_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "outage_attribution": SQL_OUTAGE_ATTRIBUTION,
+    "events_quarantine": SQL_EVENTS_QUARANTINE,
 }

@@ -313,3 +313,25 @@ def test_schema_diff_and_align(spark):
     new_df = spark.createDataFrame(
         [(2, "b", 7.5, None)], schema=new)
     assert new_df.unionByName(evolved).count() == 2
+
+
+def test_quarantine_split_routes_with_reasons(spark):
+    from pyspark.sql import functions as F
+
+    from cdc_data_pipeline_spark.operators.quality import quarantine_split
+
+    df = spark.createDataFrame(
+        [(1, "ok", 5.0), (2, "bad", -1.0), (3, None, 2.0), (4, "bad", None)],
+        "id long, status string, v double")
+    good, bad = quarantine_split(df, {
+        "status_ok": F.col("status") != "bad",
+        "v_positive": F.col("v") > 0,
+    })
+    assert [r["id"] for r in good.collect()] == [1]
+    reasons = {r["id"]: sorted(r["_violations"]) for r in bad.collect()}
+    assert reasons == {
+        2: ["status_ok", "v_positive"],
+        3: ["status_ok"],          # NULL status must NOT pass
+        4: ["status_ok", "v_positive"],   # NULL v must NOT pass
+    }
+    assert "_violations" not in good.columns
