@@ -910,6 +910,57 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# ------------------------------------- transitions / rolling anomalies
+
+def q_transition_matrix(spark, sf_dir):
+    """Markov transitions between consecutive events per user: one
+    user-keyed lag window + tiny groupBy; normalization joins the
+    handful of event types by broadcast."""
+    from cdc_data_pipeline_spark.operators.funnel import transition_matrix
+
+    return transition_matrix(_t(spark, sf_dir, "events"))
+
+
+SQL_TRANSITION_MATRIX = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+  WHERE from_type IS NOT NULL GROUP BY 1, 2)
+SELECT c.from_type, c.to_type, c.n,
+       ROUND(c.n * 1.0 / SUM(c.n) OVER (PARTITION BY c.from_type), 6) AS p
+FROM counts c
+"""
+
+
+def q_rolling_anomalies(spark, sf_dir):
+    """Per-user rolling z-score outliers (20-event lookback, frame
+    excludes current row); only scored rows are returned. One window
+    pass, frame state bounded by the lookback."""
+    from cdc_data_pipeline_spark.operators.funnel import rolling_anomalies
+
+    out = rolling_anomalies(_t(spark, sf_dir, "events"))
+    return (out.filter(F.col("zscore").isNotNull())
+            .select("event_id", "user_id", F.round("value", 6).alias("value"),
+                    "zscore", "is_anomaly"))
+
+
+SQL_ROLLING_ANOMALIES = """
+WITH scored AS (
+  SELECT event_id, user_id, ROUND(value, 6) AS value,
+         ROUND((value - AVG(value) OVER w) / NULLIF(STDDEV_SAMP(value) OVER w, 0), 6)
+           AS zscore
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+SELECT *, COALESCE(ABS(zscore) > 3.0, FALSE) AS is_anomaly
+FROM scored WHERE zscore IS NOT NULL
+"""
+
+
 # ------------------------------------------------- quarantine routing
 
 def q_events_quarantine(spark, sf_dir):
@@ -1017,6 +1068,8 @@ EXTRA_QUERIES = {
     "cohort_retention": q_cohort_retention,
     "outage_attribution": q_outage_attribution,
     "events_quarantine": q_events_quarantine,
+    "transition_matrix": q_transition_matrix,
+    "rolling_anomalies": q_rolling_anomalies,
 }
 EXTRA_ORACLES = {
     "events_tumbling_window": SQL_EVENTS_TUMBLING,
@@ -1027,4 +1080,6 @@ EXTRA_ORACLES = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "outage_attribution": SQL_OUTAGE_ATTRIBUTION,
     "events_quarantine": SQL_EVENTS_QUARANTINE,
+    "transition_matrix": SQL_TRANSITION_MATRIX,
+    "rolling_anomalies": SQL_ROLLING_ANOMALIES,
 }

@@ -119,3 +119,54 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
                          / (7 * 24 * 3600)).alias("week_offset"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
             .orderBy("cohort_week", "week_offset"))
+
+
+def transition_matrix(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      tiebreak_col: str = "event_id") -> DataFrame:
+    """Markov transition counts between consecutive events per user:
+    ``(from_type, to_type, n, p)`` with p = n / outgoing-total of
+    from_type (6 dp). One user-keyed window (lag) + one tiny groupBy;
+    the per-from normalization joins on the handful of event types —
+    broadcast, never a second pass over the events."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (events
+             .select(F.col(user_col), F.col(ts_col), F.col(tiebreak_col),
+                     F.col(type_col).alias("to_type"))
+             .withColumn("from_type", F.lag("to_type").over(w))
+             .filter(F.col("from_type").isNotNull()))
+    counts = (pairs.groupBy("from_type", "to_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    outgoing = counts.groupBy("from_type").agg(F.sum("n").alias("__out"))
+    return (counts.join(F.broadcast(outgoing), "from_type")
+            .select("from_type", "to_type", "n",
+                    F.round(F.col("n") / F.col("__out"), 6).alias("p"))
+            .orderBy("from_type", "to_type"))
+
+
+def rolling_anomalies(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", value_col: str = "value",
+                      lookback: int = 20, z_threshold: float = 3.0,
+                      tiebreak_col: str = "event_id") -> DataFrame:
+    """Per-user rolling z-score anomaly flags: each event's value
+    against the mean/stddev of the previous ``lookback`` events (frame
+    excludes the current row — no self-contamination). One user-keyed
+    window pass; per-partition state is the frame buffer, bounded by
+    ``lookback``. Rows with fewer than 2 prior events are unscored
+    (NULL z, not flagged)."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+         .rowsBetween(-lookback, -1))
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    z = F.round((F.col(value_col) - mu) / F.nullif(sd, F.lit(0.0)), 6)
+    return (events
+            .select(F.col(user_col), F.col(ts_col), F.col(tiebreak_col),
+                    F.col(value_col))
+            .withColumn("zscore", z)
+            .withColumn("is_anomaly",
+                        F.coalesce(F.abs(F.col("zscore")) > z_threshold,
+                                   F.lit(False))))

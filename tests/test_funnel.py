@@ -64,3 +64,39 @@ def test_cohort_retention_offsets(spark):
         ("2024-01-01", 0): 1, ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1, ("2024-01-08", 1): 1,
     }
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from cdc_data_pipeline_spark.operators.funnel import transition_matrix
+
+    rows = []
+    # user 1: a -> b -> a -> b ; user 2: a -> c
+    seq = {1: ["a", "b", "a", "b"], 2: ["a", "c"]}
+    eid = 0
+    for u, types in seq.items():
+        for i, t in enumerate(types):
+            rows.append((u, datetime(2024, 1, 1, i), eid, t))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in transition_matrix(df).collect()}
+    # from 'a': 2x a->b, 1x a->c -> p = 2/3, 1/3; from 'b': b->a once
+    assert got[("a", "b")] == (2, 0.666667)
+    assert got[("a", "c")] == (1, 0.333333)
+    assert got[("b", "a")] == (1, 1.0)
+    assert ("c", "a") not in got  # no cross-user transition 2->1
+
+
+def test_rolling_anomalies_flags_spike(spark):
+    from cdc_data_pipeline_spark.operators.funnel import rolling_anomalies
+
+    vals = [10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 10.1, 9.9, 100.0, 10.0]
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, i), i, v) for i, v in enumerate(vals)],
+        "user_id long, ts timestamp, event_id long, value double")
+    out = {r["event_id"]: r for r in rolling_anomalies(df, lookback=5).collect()}
+    assert out[8]["is_anomaly"] is True           # the 100.0 spike
+    assert out[0]["zscore"] is None and out[0]["is_anomaly"] is False
+    normal = [out[i]["is_anomaly"] for i in range(2, 8)]
+    assert not any(normal)
