@@ -234,3 +234,71 @@ def write_bucketed_table(df: DataFrame, name: str, keys, n_buckets: int = 32,
         sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         w = w.sortBy(*sort_cols)
     w.saveAsTable(name)
+
+
+def mongo_pipeline(
+    tracking_column: str | None = None,
+    last_value=None,
+    inclusive: bool = True,
+    query_filter: dict | None = None,
+    projection=None,
+    sort_by_tracking: bool = True,
+) -> list[dict]:
+    """Mongo aggregation pipeline for an incremental collection scan,
+    mirroring the reference loader's cursor construction
+    (mongo_loader.py:132-229): optional ``query_filter`` merged with
+    the watermark (``$gte`` inclusive — the reference re-reads the
+    boundary row and dedupes downstream; ``$gt`` exclusive), optional
+    projection, ascending sort on the tracking column. The pipeline is
+    executed SERVER-SIDE by the connector, so only new rows cross the
+    wire — same pushdown contract as the JDBC seam.
+    """
+    match: dict = dict(query_filter or {})
+    if tracking_column is not None and last_value is not None:
+        op = "$gte" if inclusive else "$gt"
+        match[tracking_column] = {op: last_value}
+    pipeline: list[dict] = []
+    if match:
+        pipeline.append({"$match": match})
+    if projection:
+        pipeline.append({"$project": {c: 1 for c in projection}})
+    if sort_by_tracking and tracking_column is not None:
+        pipeline.append({"$sort": {tracking_column: 1}})
+    return pipeline
+
+
+def read_mongo_incremental(
+    spark: SparkSession,
+    uri: str,
+    database: str,
+    collection: str,
+    tracking_column: str | None = None,
+    last_value=None,
+    inclusive: bool = True,
+    query_filter: dict | None = None,
+    projection=None,
+) -> DataFrame:
+    """S1/S2 against a live MongoDB: incremental collection scan with
+    the watermark in a server-side ``$match`` (reference
+    mongo_loader.py:156 uses ``$gte`` on the boundary). Requires the
+    mongo-spark connector on the classpath — absent in this sandbox,
+    so pipeline construction is unit-tested and the downstream
+    normalize/merge path is exercised on fixtures; against a real
+    cluster this function is the only seam that changes.
+    """
+    import json as _json
+
+    pipeline = mongo_pipeline(tracking_column, last_value, inclusive,
+                              query_filter, projection)
+    try:
+        return (spark.read.format("mongodb")
+                .option("connection.uri", uri)
+                .option("database", database)
+                .option("collection", collection)
+                .option("aggregation.pipeline", _json.dumps(pipeline))
+                .load())
+    except Exception as e:  # pragma: no cover - connector absent in sandbox
+        raise RuntimeError(
+            "mongo-spark connector not on the classpath; add "
+            "org.mongodb.spark:mongo-spark-connector to spark.jars.packages"
+        ) from e

@@ -335,3 +335,21 @@ def test_quarantine_split_routes_with_reasons(spark):
         4: ["status_ok", "v_positive"],   # NULL v must NOT pass
     }
     assert "_violations" not in good.columns
+
+
+def test_mongo_pipeline_construction():
+    from cdc_data_pipeline_spark.sources.readers import mongo_pipeline
+
+    # reference semantics: $gte watermark merged with the caller filter,
+    # projection, ascending tracking sort (mongo_loader.py:132-229)
+    p = mongo_pipeline("updated_at", "2024-01-01", inclusive=True,
+                       query_filter={"status": "active"},
+                       projection=["_id", "updated_at", "status"])
+    assert p == [
+        {"$match": {"status": "active", "updated_at": {"$gte": "2024-01-01"}}},
+        {"$project": {"_id": 1, "updated_at": 1, "status": 1}},
+        {"$sort": {"updated_at": 1}},
+    ]
+    # exclusive mode and bare full scans
+    assert mongo_pipeline("u", 5, inclusive=False)[0] == {"$match": {"u": {"$gt": 5}}}
+    assert mongo_pipeline() == []
