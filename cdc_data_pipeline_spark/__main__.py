@@ -40,6 +40,7 @@ def main(argv=None) -> int:
                       help="newline-delimited JSON instead of show()")
     orp = sub.add_parser("oracle", help="print an entry's DuckDB oracle SQL")
     orp.add_argument("entry")
+    sub.add_parser("lineage", help="print the star-schema DAG edges as JSON")
     xp = sub.add_parser("explain", help="print an entry's physical plan")
     xp.add_argument("entry")
     xp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -50,6 +51,18 @@ def main(argv=None) -> int:
     bp.add_argument("--select", default=None,
                     help="dbt-style selection, e.g. +fact_savings_transaction")
     args = ap.parse_args(argv)
+
+    if args.cmd == "lineage":
+        from cdc_data_pipeline_spark.plans.models import build_star_registry
+        from cdc_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("cdc-lineage")
+        reg, sources = build_star_registry(spark, "/root/testdata/sf0.001")
+        edges = {name: list(deps)
+                 for name, (deps, _fn) in sorted(reg._models.items())}
+        print(json.dumps({"edges": edges, "sources": list(sources),
+                          "topo": reg.topo_order()}))
+        return 0
 
     if args.cmd == "build":
         from cdc_data_pipeline_spark.plans.models import build_star_registry

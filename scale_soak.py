@@ -76,7 +76,14 @@ def run_suite(spark, li_path, doc_path):
                 ["l_orderkey", "l_linenumber"], "l_shipdate", ["l_quantity"]))),
         "dedup_exact": timed(lambda: noop(dd.dedup_exact(docs))),
         "minhash_lsh": timed(lambda: noop(dd.lsh_candidate_pairs(docs))),
+        "dup_spans": timed(lambda: noop(_dup_spans(docs))),
     }
+
+
+def _dup_spans(docs):
+    from cdc_data_pipeline_spark.operators.segments import duplicated_spans
+
+    return duplicated_spans(docs, n=5)
 
 
 def main():
