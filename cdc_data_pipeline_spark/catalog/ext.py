@@ -553,7 +553,6 @@ FROM documents
 
 QUERIES = {
     "events_json_extract": q_events_json,
-    "events_sessionize": q_events_sessionize,
     "text_stats": q_text_stats,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
@@ -571,7 +570,6 @@ QUERIES = {
 
 ORACLES = {
     "events_json_extract": SQL_EVENTS_JSON,
-    "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "text_stats": SQL_TEXT_STATS,
     "token_counts": SQL_TOKEN_COUNTS,
     "lang_id": SQL_LANG_ID,
@@ -711,8 +709,10 @@ SELECT vec_id,
 FROM embeddings
 """
 
-QUERIES["vector_norms"] = q_vector_norms
-ORACLES["vector_norms"] = SQL_VECTOR_NORMS
+# vector_norms is demoted to the extra tier (registered in the
+# EXTRA dicts below): its zip_with/aggregate machinery is inside every
+# checked similarity entry (topk_cosine, ivf_topk, ann_lsh_topk); the
+# freed driver slot checks gopher_quality instead
 
 # ------------------------------------------------- segment-level dedup
 
@@ -871,6 +871,9 @@ SELECT doc_id,
        CAST(MAX(p) + {_DS_N} - 1 AS BIGINT) AS span_end
 FROM runs GROUP BY doc_id, grp
 """
+
+QUERIES["dup_spans"] = q_dup_spans
+ORACLES["dup_spans"] = SQL_DUP_SPANS
 
 
 # -------------------------------------------------- keyless range join
@@ -1063,7 +1066,10 @@ EXTRA_QUERIES = {
     "events_tumbling_window": q_events_tumbling,
     "text_fingerprint": q_text_fingerprint,
     "dedup_exact_pairs": q_dedup_exact_pairs,
-    "dup_spans": q_dup_spans,
+    # window-composition sessionization: same output as the checked
+    # events_session_native (native session_window)
+    "events_sessionize": q_events_sessionize,
+    "vector_norms": q_vector_norms,
     "funnel_counts": q_funnel,
     "cohort_retention": q_cohort_retention,
     "outage_attribution": q_outage_attribution,
@@ -1075,7 +1081,8 @@ EXTRA_ORACLES = {
     "events_tumbling_window": SQL_EVENTS_TUMBLING,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "dedup_exact_pairs": SQL_DEDUP_EXACT_PAIRS,
-    "dup_spans": SQL_DUP_SPANS,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "vector_norms": SQL_VECTOR_NORMS,
     "funnel_counts": SQL_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "outage_attribution": SQL_OUTAGE_ATTRIBUTION,

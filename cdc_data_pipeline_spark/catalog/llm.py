@@ -729,9 +729,11 @@ FROM m
 """
 
 
+QUERIES["gopher_quality"] = q_gopher_quality
+ORACLES["gopher_quality"] = SQL_GOPHER_QUALITY
+
 EXTRA_QUERIES = {
     "value_histogram": q_value_histogram,
-    "gopher_quality": q_gopher_quality,
     "top_tokens": q_top_tokens,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_chunks": q_doc_chunks,
@@ -744,7 +746,6 @@ EXTRA_QUERIES = {
 }
 EXTRA_ORACLES = {
     "value_histogram": SQL_VALUE_HISTOGRAM,
-    "gopher_quality": SQL_GOPHER_QUALITY,
     "top_tokens": SQL_TOP_TOKENS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "doc_chunks": SQL_DOC_CHUNKS,
