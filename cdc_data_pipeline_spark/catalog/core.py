@@ -256,6 +256,42 @@ FROM customer WHERE c_custkey % 7 = 0
 """
 
 
+def q_scd2_temporal_join(spark, sf_dir):
+    """Point-in-time enrichment against the SCD2 snapshot: each order
+    (synthetic event time spanning the version boundary) joins the
+    dimension version valid AT ITS EVENT TIME — the leakage-free
+    feature-store join (operators/scd2.py::temporal_join). Exactly one
+    version matches per fact because validity intervals partition the
+    timeline."""
+    snap = q_scd2_check(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders")
+    facts = orders.select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2024-01-15 00:00:00").cast("timestamp"))
+            + (F.col("o_orderkey") % 60) * 86400).alias("event_ts"))
+    out = scd2.temporal_join(facts, snap.select(
+        "user_id", "occupation", "dbt_valid_from", "dbt_valid_to"),
+        ["user_id"], "event_ts")
+    return out.select("o_orderkey", "user_id", "event_ts",
+                      "occupation", "dbt_valid_from")
+
+
+SQL_SCD2_TEMPORAL_JOIN = f"""
+WITH snap AS ({SQL_SCD2_CHECK}),
+facts AS (
+  SELECT o_orderkey, o_custkey AS user_id,
+         TIMESTAMP '2024-01-15 00:00:00'
+           + (o_orderkey % 60) * INTERVAL 1 DAY AS event_ts
+  FROM orders)
+SELECT f.o_orderkey, f.user_id, f.event_ts, s.occupation, s.dbt_valid_from
+FROM facts f LEFT JOIN snap s
+  ON f.user_id = s.user_id
+ AND s.dbt_valid_from <= f.event_ts
+ AND (s.dbt_valid_to IS NULL OR f.event_ts < s.dbt_valid_to)
+"""
+
+
 def q_scd2_current(spark, sf_dir):
     """R5: current-version filter over the SCD2 snapshot."""
     snap = q_scd2_check(spark, sf_dir)
@@ -430,11 +466,13 @@ ORACLES = {
 # not exported through __spark_entry__.queries().
 EXTRA_QUERIES = {
     "scd2_current": q_scd2_current,
+    "scd2_temporal_join": q_scd2_temporal_join,
     "duplicate_keys": q_duplicate_keys,
     "top_orders": q_top_orders,
 }
 EXTRA_ORACLES = {
     "scd2_current": SQL_SCD2_CURRENT,
+    "scd2_temporal_join": SQL_SCD2_TEMPORAL_JOIN,
     "duplicate_keys": SQL_DUPLICATE_KEYS,
     "top_orders": SQL_TOP_ORDERS,
 }

@@ -178,3 +178,39 @@ def scd2_bucketed(
     merged = scd2_merge(affected, batch, keys, check_cols, run_ts, close_deleted)
     stamped = merged.withColumn(BUCKET_COL, bucket_of(keys, n_buckets))
     _overwrite_buckets_atomic(stamped, target_path, buckets)
+
+
+def temporal_join(facts: DataFrame, snapshot: DataFrame, keys: Sequence[str],
+                  event_ts: str, how: str = "left") -> DataFrame:
+    """Point-in-time-correct enrichment: each fact row joins the SCD2
+    version that was valid AT ITS EVENT TIME —
+    ``dbt_valid_from <= event_ts < dbt_valid_to`` (open rows have NULL
+    valid_to = valid forever). The canonical consumer of a dbt
+    snapshot beyond ``dbt_valid_to IS NULL``, and the feature-store
+    discipline that prevents time-travel leakage (training rows must
+    see only dimension state known at event time).
+
+    Plan: equi-join on the business key (shuffled/broadcast like any
+    dim join), then the validity-window filter. The pre-filter
+    multiplicity is versions-per-key — bounded and small by SCD2
+    construction — so no range-join blowup; at most ONE version
+    matches per fact row (validity intervals partition the timeline),
+    restoring exact fact cardinality for inner matches.
+    """
+    ren = snapshot
+    valid = ((F.col("dbt_valid_from") <= F.col(event_ts))
+             & (F.col("dbt_valid_to").isNull()
+                | (F.col(event_ts) < F.col("dbt_valid_to"))))
+    if how == "left":
+        # left semantics with a range condition: join inner on key +
+        # window, then re-attach unmatched facts via anti-join — keeps
+        # the equi-join hash-joinable (no nested-loop left join)
+        inner = facts.join(ren, [*keys]).filter(valid)
+        matched_keys = inner.select(*keys, event_ts).distinct()
+        unmatched = facts.join(matched_keys, [*keys, event_ts], "left_anti")
+        for c in ren.columns:
+            if c not in unmatched.columns:
+                unmatched = unmatched.withColumn(
+                    c, F.lit(None).cast(dict(ren.dtypes)[c]))
+        return inner.unionByName(unmatched.select(*inner.columns))
+    return facts.join(ren, [*keys], how).filter(valid)

@@ -78,3 +78,32 @@ def test_reappearing_key_reopens(spark):
     assert str(rows[0].dbt_valid_to) == T2
     assert rows[1].dbt_valid_to is None and str(rows[1].dbt_valid_from) == T3
     assert scd2_current(s3).count() == 1
+
+
+def test_temporal_join_point_in_time(spark):
+    """Each fact sees the version valid at ITS event time: boundary
+    behavior [from, to), open rows valid forever, missing keys NULL."""
+    from datetime import datetime
+
+    from cdc_data_pipeline_spark.operators.scd2 import temporal_join
+
+    t = lambda d: datetime(2024, 1, d)  # noqa: E731
+    snap = spark.createDataFrame(
+        [
+            (1, "v1", t(1), t(10)),   # closed version [1st, 10th)
+            (1, "v2", t(10), None),   # open from the 10th
+            (2, "only", t(5), None),
+        ],
+        "user_id long, state string, dbt_valid_from timestamp, dbt_valid_to timestamp")
+    facts = spark.createDataFrame(
+        [
+            (100, 1, t(9)),    # inside v1
+            (101, 1, t(10)),   # boundary -> v2 (valid_to exclusive)
+            (102, 1, t(20)),   # open v2
+            (103, 2, t(4)),    # before key 2 existed -> NULL
+            (104, 9, t(15)),   # unknown key -> NULL
+        ],
+        "fact_id long, user_id long, event_ts timestamp")
+    out = {r["fact_id"]: r["state"]
+           for r in temporal_join(facts, snap, ["user_id"], "event_ts").collect()}
+    assert out == {100: "v1", 101: "v2", 102: "v2", 103: None, 104: None}
