@@ -129,3 +129,91 @@ def test_merge_without_deletes_equals_upsert(spark, b1, b2):
     via_upsert = inc.upsert(target, batch, ["k"])
     assert sorted(map(tuple, via_merge.collect())) == \
            sorted(map(tuple, via_upsert.collect()))
+
+
+# ----------------------------------------------- round-2 operator laws
+
+WORDS = st.sampled_from(["a", "b", "c", "d"])
+DOCS = st.lists(st.lists(WORDS, min_size=0, max_size=12), min_size=1, max_size=6)
+
+
+def _py_dup_spans(docs, n):
+    """Reference implementation: maximal runs of duplicated n-grams."""
+    grams = {}
+    for d, toks in enumerate(docs):
+        for p in range(len(toks) - n + 1):
+            grams.setdefault(tuple(toks[p:p + n]), []).append((d, p))
+    hits = {}
+    for occ in grams.values():
+        if len(occ) >= 2:
+            for d, p in occ:
+                hits.setdefault(d, set()).add(p)
+    spans = set()
+    for d, ps in hits.items():
+        run = None
+        for p in sorted(ps):
+            if run and p == run[1] + 1:
+                run = (run[0], p)
+            else:
+                if run:
+                    spans.add((d, run[0], run[1] + n - 1))
+                run = (p, p)
+        if run:
+            spans.add((d, run[0], run[1] + n - 1))
+    return spans
+
+
+@given(docs=DOCS)
+@settings(**SETTINGS)
+def test_duplicated_spans_matches_python_reference(spark, docs):
+    from cdc_data_pipeline_spark.operators.segments import duplicated_spans
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["span_start"], r["span_end"])
+           for r in duplicated_spans(df, n=2).collect()}
+    assert got == _py_dup_spans(docs, 2)
+
+
+CHANGES = st.lists(
+    st.tuples(st.integers(0, 3),                      # key
+              st.sampled_from(["c", "u", "d"]),       # op
+              st.integers(0, 9)),                     # value
+    min_size=0, max_size=12)
+
+
+@given(seq=CHANGES)
+@settings(**SETTINGS)
+def test_apply_changes_matches_dict_replay(spark, seq):
+    """Debezium change application == replaying the ops into a dict
+    (ts = sequence position, so latest-wins is the last op per key)."""
+    import json
+
+    from cdc_data_pipeline_spark.streaming.debezium import (
+        apply_changes, parse_debezium)
+    from pyspark.sql import types as T
+
+    payload = T.StructType([T.StructField("k", T.LongType()),
+                            T.StructField("v", T.LongType())])
+    envs = []
+    for i, (k, op, v) in enumerate(seq):
+        ts = 1700000000000 + i * 1000
+        if op == "d":
+            envs.append(json.dumps(
+                {"before": {"k": k, "v": v}, "after": None, "op": "d", "ts_ms": ts}))
+        else:
+            envs.append(json.dumps(
+                {"before": None, "after": {"k": k, "v": v}, "op": op, "ts_ms": ts}))
+    raw = spark.createDataFrame([(e,) for e in envs] or [(None,)], "value string")
+    changes = parse_debezium(raw, payload)
+    out = {r["k"]: r["v"] for r in apply_changes(None, changes, ["k"]).collect()}
+    # apply_changes on an empty target applies only non-delete latest rows
+    expected = {}
+    latest: dict = {}
+    for k, op, v in seq:
+        latest[k] = (op, v)
+    for k, (op, v) in latest.items():
+        if op != "d":
+            expected[k] = v
+    assert out == expected
