@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "media_features",
     "events_rollup_incremental",
+    "funnel_counts",
+    "outage_attribution",
+    "gopher_quality",
     "decontaminate",
     "kmv_distinct",
     "token_shards",

@@ -1,9 +1,9 @@
 """Extension query catalog: events/streaming shapes, text analysis,
 deduplication, similarity search, multimodal plumbing (SURVEY §7.6).
 
-Entries with ``None`` oracle are genuinely approximate/non-SQL ops —
-the driver records rows-only checks for those; everything else has an
-exact DuckDB oracle.
+Every entry has an EXACT DuckDB oracle — including the approximate-by-
+design ANN constructions, whose seeded hyperplanes are inlined as SQL
+literals so the whole bucket/probe/score pipeline replays in DuckDB.
 """
 
 from __future__ import annotations
