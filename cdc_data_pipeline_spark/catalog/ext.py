@@ -876,6 +876,57 @@ QUERIES["dup_spans"] = q_dup_spans
 ORACLES["dup_spans"] = SQL_DUP_SPANS
 
 
+def q_dup_span_mask(spark, sf_dir):
+    """ExactSubstr masking: rebuild each document with every
+    duplicated span's tokens removed (the actual dedup step after
+    detection). Attested by token counts + the cleaned text's md5."""
+    from cdc_data_pipeline_spark.operators import segments as sg
+
+    docs = _docs(spark, sf_dir)
+    out = sg.mask_duplicated_spans(docs, n=_DS_N)
+    return out.select("doc_id", "n_tokens", "n_kept",
+                      F.md5("clean_text").alias("clean_md5"))
+
+
+SQL_DUP_SPAN_MASK = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(range(len(t) - {_DS_N} + 1)) AS p,
+         unnest(list_transform(range(len(t) - {_DS_N} + 1),
+                               i -> md5(array_to_string(t[i+1:i+{_DS_N}], ' ')))) AS h
+  FROM toks WHERE len(t) >= {_DS_N}),
+dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+hits AS (SELECT g.doc_id, g.p FROM grams g JOIN dup USING (h)),
+runs AS (
+  SELECT doc_id, p,
+         p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM hits),
+spans AS (
+  SELECT doc_id, MIN(p) AS s, MAX(p) + {_DS_N} - 1 AS e
+  FROM runs GROUP BY doc_id, grp),
+sp AS (SELECT doc_id, list({{'s': s, 'e': e}}) AS sps FROM spans GROUP BY doc_id),
+base AS (
+  SELECT t.doc_id, t.t, sp.sps FROM toks t LEFT JOIN sp USING (doc_id)),
+kept AS (
+  SELECT doc_id, t,
+         CASE WHEN sps IS NULL THEN t
+              ELSE list_transform(
+                     list_filter(range(0, len(t)),
+                                 i -> len(list_filter(sps, x -> i BETWEEN x.s AND x.e)) = 0),
+                     i -> t[i + 1]) END AS k
+  FROM base)
+SELECT doc_id, len(t)::BIGINT AS n_tokens, len(k)::BIGINT AS n_kept,
+       -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+       -- array_join([]) is '' (fully-masked docs hit this)
+       md5(COALESCE(array_to_string(k, ' '), '')) AS clean_md5
+FROM kept
+"""
+
+
 # -------------------------------------------------- keyless range join
 
 def q_outage_attribution(spark, sf_dir):
@@ -1070,6 +1121,7 @@ EXTRA_QUERIES = {
     # events_session_native (native session_window)
     "events_sessionize": q_events_sessionize,
     "vector_norms": q_vector_norms,
+    "dup_span_mask": q_dup_span_mask,
     "funnel_counts": q_funnel,
     "cohort_retention": q_cohort_retention,
     "outage_attribution": q_outage_attribution,
@@ -1083,6 +1135,7 @@ EXTRA_ORACLES = {
     "dedup_exact_pairs": SQL_DEDUP_EXACT_PAIRS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "vector_norms": SQL_VECTOR_NORMS,
+    "dup_span_mask": SQL_DUP_SPAN_MASK,
     "funnel_counts": SQL_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "outage_attribution": SQL_OUTAGE_ATTRIBUTION,

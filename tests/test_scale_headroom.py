@@ -361,3 +361,23 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_orders")
         spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+
+
+def test_dup_spans_scales_near_linearly(spark, sf_dir):
+    """ExactSubstr span detection on a 16x corpus must cost well under
+    16x the 4x corpus (bound 8x, generous for noise). Replicated copies
+    multiply every n-gram's occurrence count but the hash-window plan's
+    work stays linear in rows — a pair-expansion design would square."""
+    from cdc_data_pipeline_spark.operators.segments import duplicated_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+
+    def run(n):
+        c = _times_n(docs, n).repartition(32)
+        t0 = time.time()
+        duplicated_spans(c, n=5).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run(1)  # warm
+    t_small, t_big = run(4), run(16)
+    assert t_big < t_small * 8, f"superlinear: 4x={t_small:.1f}s 16x={t_big:.1f}s"
