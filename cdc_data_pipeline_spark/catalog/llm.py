@@ -732,8 +732,41 @@ FROM m
 QUERIES["gopher_quality"] = q_gopher_quality
 ORACLES["gopher_quality"] = SQL_GOPHER_QUALITY
 
+
+def q_source_quality(spark, sf_dir):
+    """Domain-level curation rollup (RefinedWeb practice: decide
+    keep/downsample per SOURCE, not only per document): the Gopher
+    panel aggregated per source — pass rate and mean quality ratios.
+    The panel is one map-only projection, the rollup one tiny groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    panel = cu.gopher_quality(docs).join(
+        docs.select("doc_id", "source"), "doc_id")
+    return (panel.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("passes").cast("long")).alias("n_pass"),
+                 F.round(F.avg(F.col("passes").cast("double")), 6).alias("pass_rate"),
+                 F.round(F.avg("mean_word_len"), 6).alias("avg_word_len"),
+                 F.round(F.avg("alpha_ratio"), 6).alias("avg_alpha_ratio"),
+                 F.round(F.avg("stop_hits"), 6).alias("avg_stop_hits"))
+            .orderBy("source"))
+
+
+SQL_SOURCE_QUALITY = f"""
+WITH panel AS ({SQL_GOPHER_QUALITY})
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN p.passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       ROUND(AVG(CASE WHEN p.passes THEN 1.0 ELSE 0.0 END), 6) AS pass_rate,
+       ROUND(AVG(p.mean_word_len), 6) AS avg_word_len,
+       ROUND(AVG(p.alpha_ratio), 6) AS avg_alpha_ratio,
+       ROUND(AVG(p.stop_hits), 6) AS avg_stop_hits
+FROM panel p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+
 EXTRA_QUERIES = {
     "value_histogram": q_value_histogram,
+    "source_quality": q_source_quality,
     "top_tokens": q_top_tokens,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_chunks": q_doc_chunks,
@@ -746,6 +779,7 @@ EXTRA_QUERIES = {
 }
 EXTRA_ORACLES = {
     "value_histogram": SQL_VALUE_HISTOGRAM,
+    "source_quality": SQL_SOURCE_QUALITY,
     "top_tokens": SQL_TOP_TOKENS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "doc_chunks": SQL_DOC_CHUNKS,
