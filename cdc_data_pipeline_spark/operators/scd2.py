@@ -190,27 +190,24 @@ def temporal_join(facts: DataFrame, snapshot: DataFrame, keys: Sequence[str],
     discipline that prevents time-travel leakage (training rows must
     see only dimension state known at event time).
 
-    Plan: equi-join on the business key (shuffled/broadcast like any
-    dim join), then the validity-window filter. The pre-filter
-    multiplicity is versions-per-key — bounded and small by SCD2
-    construction — so no range-join blowup; at most ONE version
-    matches per fact row (validity intervals partition the timeline),
-    restoring exact fact cardinality for inner matches.
+    Plan: ONE join whose condition is the key equality PLUS the
+    validity window — Spark extracts the equi component for the
+    hash/sort-merge join and evaluates the window as an in-join
+    residual, so left semantics need no second pass and no
+    nested-loop. Multiplicity before the residual is versions-per-key
+    (bounded by SCD2 construction); at most ONE version matches per
+    fact row because validity intervals partition the timeline.
     """
     ren = snapshot
+    cond = None
+    for k in keys:
+        ren = ren.withColumnRenamed(k, f"__r_{k}")
+        c = F.col(k) == F.col(f"__r_{k}")
+        cond = c if cond is None else (cond & c)
     valid = ((F.col("dbt_valid_from") <= F.col(event_ts))
              & (F.col("dbt_valid_to").isNull()
                 | (F.col(event_ts) < F.col("dbt_valid_to"))))
-    if how == "left":
-        # left semantics with a range condition: join inner on key +
-        # window, then re-attach unmatched facts via anti-join — keeps
-        # the equi-join hash-joinable (no nested-loop left join)
-        inner = facts.join(ren, [*keys]).filter(valid)
-        matched_keys = inner.select(*keys, event_ts).distinct()
-        unmatched = facts.join(matched_keys, [*keys, event_ts], "left_anti")
-        for c in ren.columns:
-            if c not in unmatched.columns:
-                unmatched = unmatched.withColumn(
-                    c, F.lit(None).cast(dict(ren.dtypes)[c]))
-        return inner.unionByName(unmatched.select(*inner.columns))
-    return facts.join(ren, [*keys], how).filter(valid)
+    out = facts.join(ren, cond & valid, how)
+    for k in keys:
+        out = out.drop(f"__r_{k}")
+    return out
