@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "funnel_counts",
     "outage_attribution",
     "gopher_quality",
+    "events_quarantine",
+    "transition_matrix",
+    "rolling_anomalies",
+    "scd2_temporal_join",
     "decontaminate",
     "kmv_distinct",
     "token_shards",
