@@ -137,3 +137,25 @@ def test_cli_build_materializes_star_schema(tmp_path):
     published = json.loads(out.stdout.strip().splitlines()[-1])
     assert published.get("fact_savings_transaction") == 1
     assert os.path.isdir(f"{base}/fact_savings_transaction/v=1")
+
+
+def test_concurrent_publish_collision_is_safe(spark, tmp_path):
+    """Racing publishers cannot corrupt: a competitor's already-written
+    directory is skipped (next version = max+1 at publish time), and a
+    true same-version collision fails on mode=error BEFORE the pointer
+    moves."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    publish_version(_df(spark, 2, "a"), t)
+    # competitor wrote v=2 but has not repointed yet: our publish skips
+    # to v=3 and both directories stay intact
+    _df(spark, 3, "other").write.parquet(os.path.join(t, "v=2"))
+    assert publish_version(_df(spark, 4, "b"), t) == 3
+    assert current_version(t) == 3 and read_versioned(spark, t).count() == 4
+    assert read_versioned(spark, t, version=2).count() == 3
+    # the true same-instant collision: writing an existing version dir
+    # raises (mode=error) and the pointer is untouched
+    with pytest.raises(Exception):
+        _df(spark, 9, "loser").write.mode("error").parquet(os.path.join(t, "v=3"))
+    assert current_version(t) == 3 and read_versioned(spark, t).count() == 4
