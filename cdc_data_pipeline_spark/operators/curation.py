@@ -165,7 +165,9 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 def gopher_quality(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", min_words: int = 50,
-                   max_words: int = 100_000) -> DataFrame:
+                   max_words: int = 100_000,
+                   stopwords: "tuple[str, ...]" = GOPHER_STOPWORDS,
+                   min_stop_hits: int = 2) -> DataFrame:
     """The full Gopher document-quality rule panel (Rae et al. 2021,
     Appendix A) as native Column expressions — one projection, no
     shuffle, trivially map-parallel at 100 TB:
@@ -199,7 +201,7 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
         F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / nz, 6)
     stop_hits = F.size(F.array_intersect(
         F.transform(toks, F.lower),
-        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+        F.array(*[F.lit(s) for s in stopwords])))
     out = df.select(
         F.col(id_col),
         n.cast("long").alias("n_words"),
@@ -216,5 +218,5 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
         & (F.col("symbol_ratio") <= 0.1)
         & (F.col("bullet_ratio") < 0.9) & (F.col("ellipsis_ratio") < 0.3)
         & (F.col("alpha_ratio") >= 0.8)
-        & (F.col("stop_hits") >= 2))
+        & (F.col("stop_hits") >= min_stop_hits))
     return out.withColumn("passes", passes)

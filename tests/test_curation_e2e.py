@@ -1,0 +1,69 @@
+"""End-to-end training-data curation pipeline: the operators compose
+into the real flow — quality gate -> exact dedup -> near-dup prune ->
+decontamination -> span masking -> packing — with corpus-size
+monotonicity and final shard integrity checked at every stage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.operators.clustering import semdedup_prune
+from cdc_data_pipeline_spark.operators.curation import decontaminate, gopher_quality
+from cdc_data_pipeline_spark.operators.dedup import dedup_exact
+from cdc_data_pipeline_spark.operators.packing import pack_token_shards, shard_manifest
+from cdc_data_pipeline_spark.operators.segments import mask_duplicated_spans
+from cdc_data_pipeline_spark.functions.text import token_count
+from tests.conftest import SF0001
+
+
+def test_full_curation_pipeline(spark):
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").repartition(8)
+    n0 = docs.count()
+
+    # 1. quality gate (fixture docs are short and the corpus vocabulary
+    # is synthetic: relax the word floor and use corpus stopwords —
+    # production keeps the Gopher defaults)
+    gated = docs.join(
+        gopher_quality(docs, min_words=10,
+                       stopwords=("the", "a"), min_stop_hits=1)
+        .select("doc_id", "passes"), "doc_id"
+    ).filter("passes").drop("passes")
+    n1 = gated.count()
+    assert 0 < n1 <= n0
+
+    # 2. exact dedup (keep lowest doc_id per fingerprint, rejoin text)
+    keep_ids = dedup_exact(gated).select("doc_id")
+    exact = gated.join(keep_ids, "doc_id")
+    n2 = exact.count()
+    assert 0 < n2 <= n1
+
+    # 3. span masking (remove corpus-duplicated substrings in place)
+    masked = mask_duplicated_spans(exact, n=5)
+    assert masked.count() == n2
+    assert masked.filter(F.col("n_kept") > F.col("n_tokens")).count() == 0
+    masked_docs = masked.select("doc_id", F.col("clean_text").alias("text")) \
+        .filter(F.col("text") != "")
+
+    # 4. decontamination against a pseudo eval set
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    clean = decontaminate(masked_docs, ev, n=3, max_overlap=0.8)
+    n4 = clean.count()
+    assert 0 < n4 <= n2
+
+    # 5. pack into token-budget shards and check integrity
+    counted = clean.withColumn("n_tokens", token_count("text").cast("long"))
+    packed = pack_token_shards(counted, budget=256, token_col="n_tokens",
+                               order_col="doc_id")
+    man = sorted(shard_manifest(packed, "n_tokens").collect(),
+                 key=lambda r: r["shard_id"])
+    assert sum(r["n_docs"] for r in man) == n4
+    # greedy packing law: a non-final shard deviates from the budget by
+    # less than one document's tokens (boundary doc may straddle)
+    max_doc = counted.agg(F.max("n_tokens")).first()[0]
+    for r in man[:-1]:
+        assert 256 - max_doc < r["n_tokens"] < 256 + max_doc
+
+    # 6. semantic near-dup prune composes on the embedding table too
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    kept = semdedup_prune(emb, k=4, threshold=0.95)
+    assert 0 < kept.count() <= emb.count()
