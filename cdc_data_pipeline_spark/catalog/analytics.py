@@ -270,6 +270,35 @@ SELECT p.* FROM s, (VALUES {terms}) AS p(col_a, col_b, corr)
 SQL_CORR_MATRIX = _corr_sql()
 
 
+def q_price_deciles(spark, sf_dir):
+    """Equi-depth bucketing: order totalprice into 10 equal-count
+    buckets (NTILE) and report each bucket's count/min/max. The global
+    order is a range-partitioned sort (Spark's distributed sort — each
+    partition sorts locally after range exchange), then a tiny
+    per-bucket aggregate; deterministic tie-break on the key."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("price"), F.col("o_orderkey"))
+    return (o.select(F.round("o_totalprice", 2).alias("price"), "o_orderkey")
+            .withColumn("decile", F.ntile(10).over(w))
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("price").alias("lo"), F.max("price").alias("hi"))
+            .orderBy("decile"))
+
+
+SQL_PRICE_DECILES = """
+WITH d AS (
+  SELECT ROUND(o_totalprice, 2) AS price,
+         -- INTEGER cast: DuckDB ntile is BIGINT, Spark's is int
+         CAST(ntile(10) OVER (ORDER BY ROUND(o_totalprice, 2), o_orderkey) AS INTEGER) AS decile
+  FROM orders)
+SELECT decile, COUNT(*) AS n_orders, MIN(price) AS lo, MAX(price) AS hi
+FROM d GROUP BY decile ORDER BY decile
+"""
+
+
 QUERIES = {
     "asof_order_state": q_asof_order_state,
 }
@@ -297,6 +326,7 @@ EXTRA_QUERIES = {
     "monthly_shipments": q_monthly_shipments,
     "feature_normalize": q_feature_normalize,
     "corr_matrix": q_corr_matrix,
+    "price_deciles": q_price_deciles,
 }
 
 EXTRA_ORACLES = {
@@ -311,4 +341,5 @@ EXTRA_ORACLES = {
     "monthly_shipments": SQL_MONTHLY_SHIPMENTS,
     "feature_normalize": SQL_FEATURE_NORMALIZE,
     "corr_matrix": SQL_CORR_MATRIX,
+    "price_deciles": SQL_PRICE_DECILES,
 }

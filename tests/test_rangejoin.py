@@ -68,3 +68,17 @@ def test_rangejoin_plan_is_equi_join_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
     # bucket key makes it a hash-joinable equi join
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_quarantine_plan_is_map_only(spark):
+    """quarantine_split adds NO shuffle: both sides are filters over
+    one projection (the property that makes it free at 100 TB)."""
+    from cdc_data_pipeline_spark.operators.quality import quarantine_split
+
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") % 7).alias("v"))
+    good, bad = quarantine_split(df, {"v_small": F.col("v") < 5})
+    for side in (good, bad):
+        side.count()
+        plan = side._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
