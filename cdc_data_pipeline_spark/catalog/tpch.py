@@ -111,6 +111,41 @@ WHERE p_partkey NOT IN (
 """
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): three-table join with
+    date-window predicates, revenue aggregation, top 10. The dim side
+    (filtered customers) broadcasts; both date filters reach their
+    parquet scans; top-10 is a TakeOrdered, no global sort."""
+    from pyspark.sql.functions import broadcast
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                         2).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10))
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+
 QUERIES = {}
 
 ORACLES = {}
@@ -127,10 +162,12 @@ EXTRA_QUERIES = {
     "above_avg_orders": q_above_avg_orders,
     "big_spenders": q_big_spenders,
     "parts_never_returned": q_parts_never_shipped_late,
+    "shipping_priority": q_shipping_priority,
 }
 EXTRA_ORACLES = {
     "supplier_counts": SQL_SUPPLIER_COUNTS,
     "above_avg_orders": SQL_ABOVE_AVG_ORDERS,
     "big_spenders": SQL_BIG_SPENDERS,
     "parts_never_returned": SQL_PARTS_NEVER_SHIPPED_LATE,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
 }
