@@ -73,16 +73,24 @@ class ModelRegistry:
 
 def materialize(registry: ModelRegistry, spark, base_path: str,
                 select: str | None = None,
-                sources: tuple[str, ...] = ()) -> dict[str, int]:
-    """``dbt build`` equivalent: execute the selected DAG and publish
-    every non-source model as a new atomic table version
-    (``sources/versioned.py``). Returns name -> published version.
+                sources: tuple[str, ...] = (),
+                checks: dict | None = None) -> dict[str, int]:
+    """``dbt build`` equivalent: execute the selected DAG, run each
+    model's data-quality checks, and publish every non-source model as
+    a new atomic table version (``sources/versioned.py``). Returns
+    name -> published version.
 
-    Each model's readers keep seeing the previous version until its
-    publish completes; a crash mid-build leaves earlier models
-    published (re-running is idempotent-forward — new versions,
-    old ones intact for rollback). At scale each model is its own
-    Spark job; nothing holds more than one model's write in flight.
+    ``checks`` maps model name -> list of ``fn(df)`` callables (the
+    ``operators/quality.expect_*`` family) run BEFORE that model's
+    publish — dbt build's run-then-test semantics with a stronger
+    guarantee: a failing test means the bad version is never published,
+    so downstream readers keep the last good version (dbt materializes
+    first and tests after). The check failure aborts the remaining
+    build; models already published stay published (idempotent-forward
+    re-run after the fix).
+
+    At scale each model is its own Spark job; nothing holds more than
+    one model's write in flight.
     """
     import os
 
@@ -93,5 +101,7 @@ def materialize(registry: ModelRegistry, spark, base_path: str,
     for name, df in frames.items():
         if name in sources:
             continue
+        for check in (checks or {}).get(name, ()):
+            check(df)
         published[name] = publish_version(df, os.path.join(base_path, name))
     return published

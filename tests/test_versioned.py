@@ -159,3 +159,37 @@ def test_concurrent_publish_collision_is_safe(spark, tmp_path):
     with pytest.raises(Exception):
         _df(spark, 9, "loser").write.mode("error").parquet(os.path.join(t, "v=3"))
     assert current_version(t) == 3 and read_versioned(spark, t).count() == 4
+
+
+def test_materialize_checks_gate_the_publish(spark, tmp_path):
+    """dbt-build semantics with a stronger guarantee: a failing quality
+    check means that model's version is NEVER published — downstream
+    readers keep the last good version."""
+    import pytest
+
+    from cdc_data_pipeline_spark.operators.quality import (
+        DataQualityError, expect_not_null, expect_unique)
+    from cdc_data_pipeline_spark.plans.registry import ModelRegistry, materialize
+
+    def build_reg(rows):
+        reg = ModelRegistry()
+        reg.add_source("src", spark.createDataFrame(rows, "k long, v string"))
+
+        @reg.model("stg", deps=("src",))
+        def stg(src):
+            return src
+
+        return reg
+
+    base = str(tmp_path / "wh")
+    ok = build_reg([(1, "a"), (2, "b")])
+    checks = {"stg": [lambda df: expect_unique(df, ["k"]),
+                      lambda df: expect_not_null(df, ["v"])]}
+    assert materialize(ok, spark, base, sources=("src",), checks=checks) == {"stg": 1}
+
+    bad = build_reg([(1, "a"), (1, "b")])       # duplicate key
+    with pytest.raises(DataQualityError):
+        materialize(bad, spark, base, sources=("src",), checks=checks)
+    # v2 was never published: readers still see the good v1
+    assert read_versioned(spark, f"{base}/stg").count() == 2
+    assert list_versions(f"{base}/stg") == [1]
