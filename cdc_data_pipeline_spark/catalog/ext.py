@@ -799,11 +799,27 @@ def q_embed_project(spark, sf_dir):
     quantization — the 32x embedding storage shrink. One Arrow-batched
     matmul per batch; quantization is native HOF arithmetic. Every
     float step is rounded/normalized so the DuckDB oracle (planes
-    inlined as literals) reproduces it bit-identically."""
+    inlined as literals) reproduces it bit-identically.
+
+    Output is fully scalar — array columns are serialized to
+    integer CSV (proj in micro-units, 6dp * 1e6) so the driver's
+    canonicalizer can sort/hash every cell. The 6dp-rounded doubles
+    are the nearest binary double to k/1e6, so ROUND(x*1e6) recovers
+    k exactly in both engines regardless of half-rounding mode."""
     from cdc_data_pipeline_spark.operators import projection as pj
 
     e = _t(spark, sf_dir, "embeddings")
-    return pj.project_vectors(e, dim=64, out_dim=_PJ_OUT, seed=_PJ_SEED)
+    p = pj.project_vectors(e, dim=64, out_dim=_PJ_OUT, seed=_PJ_SEED)
+    return p.select(
+        "vec_id",
+        F.array_join(
+            F.transform("proj",
+                        lambda x: F.round(x * 1e6).cast("long").cast("string")),
+            ",").alias("proj_micros_csv"),
+        F.round(F.col("scale") * 1e6).cast("long").alias("scale_micros"),
+        F.array_join(F.transform("q", lambda x: x.cast("string")),
+                     ",").alias("q_csv"),
+    )
 
 
 def _pj_proj_sql() -> str:
@@ -822,8 +838,14 @@ s AS (SELECT vec_id, proj,
              GREATEST(ROUND(list_max(list_transform(proj, x -> abs(x))) / 127.0, 6),
                       0.000001) AS scale
       FROM p)
-SELECT vec_id, proj, scale,
-       list_transform(proj, x -> CAST(FLOOR(x / scale + 0.5) AS INTEGER)) AS q
+SELECT vec_id,
+       array_to_string(list_transform(proj,
+           x -> CAST(CAST(ROUND(x * 1000000) AS BIGINT) AS VARCHAR)), ',')
+         AS proj_micros_csv,
+       CAST(ROUND(scale * 1000000) AS BIGINT) AS scale_micros,
+       array_to_string(list_transform(proj,
+           x -> CAST(CAST(FLOOR(x / scale + 0.5) AS INTEGER) AS VARCHAR)), ',')
+         AS q_csv
 FROM s
 """
 

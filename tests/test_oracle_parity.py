@@ -102,3 +102,15 @@ def test_oracle_parity(spark, name):
 def test_rows_only_queries_run(spark, name):
     sdf = QUERIES[name](spark, SF0001)
     assert sdf.count() >= 0
+
+
+@pytest.mark.parametrize("name", sorted(catalog.queries()))
+def test_exported_outputs_are_scalar(spark, name):
+    """The driver's canonicalizer sorts result cells in pandas; list/
+    dict cells are unhashable and red the row even when values match
+    (round-2 embed_project failure). Every EXPORTED entry must emit
+    only scalar columns — serialize arrays to CSV/digest instead."""
+    sdf = catalog.queries()[name](spark, SF0001)
+    bad = [(c, t) for c, t in sdf.dtypes
+           if t.startswith(("array", "map", "struct"))]
+    assert not bad, f"{name}: non-scalar driver-exported columns {bad}"
