@@ -63,3 +63,23 @@ def test_bloom_empty_reference(spark, keys):
     empty = keys.filter(F.lit(False))
     assert bl.bloom_anti_join(keys, empty, "k").count() == keys.count()
     assert bl.bloom_semi_join(keys, empty, "k").count() == 0
+
+
+def test_bloom_build_collects_filter_not_keys(spark):
+    """Scale headroom: the build's driver materialization is bounded
+    by the FILTER size (ceil(m/64) packed words), never by the
+    reference-key count. 50k keys squeezed into a deliberately tiny
+    filter (high fpp) must collect orders of magnitude fewer rows
+    than keys; duplicates must not change the artifact at all."""
+    ref = spark.range(0, 50_000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k"))
+    m = bl.build_bloom(ref, "k", fpp=0.30)
+    cap = (m.m + 63) // 64
+    assert m.words_collected <= cap, "collected more rows than filter words"
+    assert m.words_collected < 10_000 < 50_000, (
+        f"driver saw {m.words_collected} rows for 50k keys — build is "
+        f"collecting O(keys), not O(filter)")
+    # duplicate keys re-set the same bits: same artifact, same bound
+    dup = ref.union(ref).union(ref)
+    m2 = bl.build_bloom(dup, "k", fpp=0.30, n_keys=50_000)
+    assert m2.bits == m.bits and m2.words_collected == m.words_collected
