@@ -27,8 +27,14 @@ def topk_cosine(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """Exact top-k neighbors per query by cosine similarity.
 
     The query side is broadcast (small by construction), so the corpus
-    is scanned once with no shuffle; ranking shuffles only
-    (n_queries × corpus) similarity rows, cut to k per query.
+    is scanned once with no shuffle. Ranking is two-phase partial
+    top-k: a map-local cut keeps at most k rows per query per Arrow
+    batch (so the only shuffle is k × queries × batches survivor rows
+    — never the corpus × queries score set, and never a single skewed
+    per-query partition holding every corpus score), then an exact
+    merge ranks the survivors. The per-query ordering
+    (cos desc, neighbor_id asc) is total, so the global top-k is a
+    subset of the union of local top-ks — the cut loses nothing.
     Similarity is rounded to 6dp with id tiebreak for determinism.
     """
     q = F.broadcast(queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")))
@@ -36,10 +42,22 @@ def topk_cosine(corpus: DataFrame, queries: DataFrame, k: int = 5,
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
         .join(q, F.col(query_id_col) != F.col("neighbor_id"))
         .withColumn("cos", F.round(cosine("__qv", "__cv"), 6))
+        .select(query_id_col, "neighbor_id", "cos")
     )
+
+    def _local_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf.sort_values(
+                    [query_id_col, "cos", "neighbor_id"],
+                    ascending=[True, False, True])
+                pdf = pdf.groupby(query_id_col, sort=False).head(k)
+            yield pdf
+
+    partial = scored.mapInPandas(_local_topk, schema=scored.schema)
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cos", "rank")
     )

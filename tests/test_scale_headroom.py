@@ -381,3 +381,25 @@ def test_dup_spans_scales_near_linearly(spark, sf_dir):
     run(1)  # warm
     t_small, t_big = run(4), run(16)
     assert t_big < t_small * 8, f"superlinear: 4x={t_small:.1f}s 16x={t_big:.1f}s"
+
+
+def test_topk_cosine_shuffles_only_survivors(spark, sf_dir):
+    """The exact top-k rank must never shuffle the corpus x queries
+    score set into per-query partitions (one skewed task per query at
+    scale). The plan must cut map-locally first: the only shuffle
+    exchange sits ABOVE the MapInPandas partial top-k, so it carries
+    at most k x queries x batches survivor rows."""
+    from cdc_data_pipeline_spark.operators import similarity as sim
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.orderBy("vec_id").limit(5)
+    out = sim.topk_cosine(e, q, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    shuffle_ix = plan.find("Exchange hashpartitioning")
+    local_ix = plan.find("MapInPandas")
+    assert shuffle_ix != -1 and shuffle_ix < local_ix, (
+        "rank shuffle is not above the map-local top-k cut")
+    below_cut = plan[local_ix:]
+    assert "Exchange hashpartitioning" not in below_cut, (
+        "full score set is being shuffled before the local cut")
