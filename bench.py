@@ -85,6 +85,7 @@ def main() -> None:
     # benchmark compares. Disclosed via runs/agg fields.
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    t_wall0 = time.time()
     for name in BENCH_QUERIES:
         best = None
         for _ in range(runs_per_query):
@@ -94,16 +95,20 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+    wall = round(time.time() - t_wall0, 3)
     total = round(sum(timings.values()), 3)
 
     print(json.dumps({
-        "metric": "headline_queries_wall",
+        # sum of per-query min-of-N timings (NOT end-to-end wall time —
+        # that is wall_sec_all_runs, which includes every repeat run)
+        "metric": "headline_queries_sum_min",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "runs_per_query": runs_per_query,
         "agg": "min",
+        "wall_sec_all_runs": wall,
     }))
     _report_deltas(timings, sf)
 

@@ -272,17 +272,19 @@ SQL_CORR_MATRIX = _corr_sql()
 
 def q_price_deciles(spark, sf_dir):
     """Equi-depth bucketing: order totalprice into 10 equal-count
-    buckets (NTILE) and report each bucket's count/min/max. The global
-    order is a range-partitioned sort (Spark's distributed sort — each
-    partition sorts locally after range exchange), then a tiny
-    per-bucket aggregate; deterministic tie-break on the key."""
-    from pyspark.sql import Window
+    buckets (NTILE semantics, front-loaded remainder) and report each
+    bucket's count/min/max. Executed by operators.stats.global_ntile —
+    a range-partitioned distributed sort plus closed-form bucket from
+    the global rank — NOT an unpartitioned NTILE window, which Spark
+    executes by moving every row into one task; deterministic
+    tie-break on the key."""
+    from cdc_data_pipeline_spark.operators.stats import global_ntile
 
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("price"), F.col("o_orderkey"))
-    return (o.select(F.round("o_totalprice", 2).alias("price"), "o_orderkey")
-            .withColumn("decile", F.ntile(10).over(w))
-            .groupBy("decile")
+    d = global_ntile(
+        o.select(F.round("o_totalprice", 2).alias("price"), "o_orderkey"),
+        buckets=10, order_cols=["price", "o_orderkey"], out_col="decile")
+    return (d.groupBy("decile")
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.min("price").alias("lo"), F.max("price").alias("hi"))
             .orderBy("decile"))

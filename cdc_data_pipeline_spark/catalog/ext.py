@@ -860,10 +860,12 @@ _DS_N = 5
 
 def q_dup_spans(spark, sf_dir):
     """ExactSubstr span detection (Lee et al. 2022): maximal token
-    spans whose every 5-token window repeats corpus-wide. Hash-keyed
+    spans covered by corpus-wide-repeated 5-token windows. Hash-keyed
     re-expression of the suffix-array algorithm: n-gram hashes elected
     by map-side-combinable groupBy, position join keyed on md5, run
-    merge as a per-document window. See operators/segments.py."""
+    merge as a per-document gap-aware window (windows whose starts
+    are <= n apart have connected coverage, so spans never overlap).
+    See operators/segments.py."""
     from cdc_data_pipeline_spark.operators import segments as sg
 
     docs = _docs(spark, sf_dir)
@@ -884,10 +886,16 @@ grams AS (
   FROM toks WHERE len(t) >= {_DS_N}),
 dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
 hits AS (SELECT g.doc_id, g.p FROM grams g JOIN dup USING (h)),
+brks AS (
+  SELECT doc_id, p,
+         CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+                   <= {_DS_N} THEN 0 ELSE 1 END AS brk
+  FROM hits),
 runs AS (
   SELECT doc_id, p,
-         p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
-  FROM hits)
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM brks)
 SELECT doc_id,
        CAST(MIN(p) AS BIGINT) AS span_start,
        CAST(MAX(p) + {_DS_N} - 1 AS BIGINT) AS span_end
@@ -923,10 +931,16 @@ grams AS (
   FROM toks WHERE len(t) >= {_DS_N}),
 dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
 hits AS (SELECT g.doc_id, g.p FROM grams g JOIN dup USING (h)),
+brks AS (
+  SELECT doc_id, p,
+         CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+                   <= {_DS_N} THEN 0 ELSE 1 END AS brk
+  FROM hits),
 runs AS (
   SELECT doc_id, p,
-         p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
-  FROM hits),
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM brks),
 spans AS (
   SELECT doc_id, MIN(p) AS s, MAX(p) + {_DS_N} - 1 AS e
   FROM runs GROUP BY doc_id, grp),

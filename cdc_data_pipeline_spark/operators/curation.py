@@ -188,8 +188,10 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
     nz = F.greatest(n, F.lit(1))
     lines = F.split(F.col(text_col), "\n")
     n_lines = F.greatest(F.size(lines), F.lit(1))
-    mean_len = F.round(
-        F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) / nz, 6)
+    # NULL (not 0.0) for token-less docs, matching SQL SUM-over-empty
+    # semantics (DuckDB list_sum([]) = NULL) so oracles agree
+    mean_len = F.when(n > 0, F.round(
+        F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) / nz, 6))
     symbol_ratio = F.round(
         (F.regexp_count(F.col(text_col), F.lit(r"#"))
          + F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))) / nz, 6)

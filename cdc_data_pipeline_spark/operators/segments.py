@@ -81,11 +81,17 @@ def duplicated_spans(df: DataFrame, n: int = 8, min_count: int = 2,
     """ExactSubstr duplicated-span detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better").
 
-    Finds, for every document, the maximal token spans whose every
-    length-``n`` token window occurs at least ``min_count`` times in
-    the whole corpus (counting all occurrences, including repeats
+    Finds, for every document, the maximal token spans covered by
+    length-``n`` token windows that occur at least ``min_count`` times
+    in the whole corpus (counting all occurrences, including repeats
     inside one document). Returns ``(id_col, span_start, span_end)``
-    with inclusive 0-based token positions.
+    with inclusive 0-based token positions. Spans are disjoint and
+    non-adjacent by construction — a duplicated window starting at
+    ``p`` covers ``[p, p+n-1]``, and two windows' coverage is
+    connected iff their start gap is <= ``n``, so runs merge on that
+    gap (NOT only consecutive starts, which would emit overlapping
+    rows and double-count tokens for any consumer other than
+    :func:`mask_duplicated_spans`).
 
     Lee et al. build a corpus-level suffix array — inherently
     sequential and memory-bound. The Spark-first re-expression keys
@@ -105,9 +111,9 @@ def duplicated_spans(df: DataFrame, n: int = 8, min_count: int = 2,
       window buffers and spills rather than OOMs, and running
       :func:`segment_dedup` / line dedup first removes exactly that
       boilerplate;
-    - run-merging of adjacent positions into maximal spans is a
-      per-document window (``pos - row_number``), bounded by doc
-      length — never corpus-scale.
+    - run-merging of covered positions into maximal spans is a
+      per-document window (gap-aware run breaks + running sum),
+      bounded by doc length — never corpus-scale.
 
     Two shuffles total: gram digest, then doc id.
     Reference parity: generalizes the reference's whole-row duplicate
@@ -137,7 +143,9 @@ def duplicated_spans(df: DataFrame, n: int = 8, min_count: int = 2,
             .filter(F.col("__c") >= min_count)
             .select(id_col, "p"))
     w = Window.partitionBy(id_col).orderBy("p")
-    runs = hits.withColumn("__grp", F.col("p") - F.row_number().over(w))
+    brk = F.when(F.col("p") - F.lag("p").over(w) <= n, F.lit(0)).otherwise(F.lit(1))
+    runs = (hits.withColumn("__brk", brk)
+            .withColumn("__grp", F.sum("__brk").over(w)))
     return (runs.groupBy(id_col, "__grp")
             .agg(F.min("p").cast("long").alias("span_start"),
                  (F.max("p") + n - 1).cast("long").alias("span_end"))

@@ -109,3 +109,76 @@ def approx_percentiles(df: DataFrame, value_col: str,
         for i, p in enumerate(percentiles)
     ] + [F.col("n")]
     return out.select(*cols)
+
+
+def global_ntile(df: DataFrame, buckets: int, order_cols: Sequence[str],
+                 out_col: str = "bucket",
+                 num_partitions: int | None = None) -> DataFrame:
+    """``NTILE(buckets) OVER (ORDER BY order_cols)`` without the
+    single-partition window Spark executes for an unpartitioned
+    ``Window.orderBy`` (WindowExec moves EVERY row into one task).
+
+    Distributed formulation, one even data shuffle total:
+
+    - ``repartitionByRange`` + ``sortWithinPartitions`` is Spark's
+      distributed sort — partition i holds keys ordered before
+      partition i+1's, each sorted locally;
+    - a zero-shuffle ``mapInPandas`` assigns partition-local row
+      numbers (running counter across the partition's Arrow batches);
+    - per-partition row counts are one bounded collect (#partitions
+      rows — the watermark-read budget class), turned into broadcast
+      rank offsets;
+    - the NTILE bucket is then a closed form of the global rank
+      (the first ``N mod buckets`` buckets get ``ceil(N/buckets)``
+      rows, matching SQL NTILE's front-loaded remainder exactly).
+
+    ``order_cols`` must be a total order (add a key tiebreaker) for
+    deterministic output.
+    """
+    spark = df.sparkSession
+    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = list(df.columns)
+    ranked = (df.repartitionByRange(nparts, *order_cols)
+              .sortWithinPartitions(*order_cols)
+              .withColumn("__pid", F.spark_partition_id()))
+
+    def _local_rn(batches):
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__rn"] = range(seen + 1, seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    from pyspark.sql import types as T
+
+    # fresh StructType: .schema returns the frame's CACHED StructType
+    # and StructType.add would mutate it in place, desyncing the
+    # Python-side schema from the JVM plan
+    out_schema = T.StructType(
+        list(ranked.schema.fields) + [T.StructField("__rn", T.LongType())])
+    with_rn = ranked.mapInPandas(_local_rn, schema=out_schema)
+
+    counts = {r["__pid"]: r["cnt"] for r in
+              ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n_total = sum(counts.values())
+    if n_total == 0:
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    offsets, acc = {}, 0
+    for pid in range(nparts):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    off_map = F.create_map(
+        *[F.lit(x) for pid in range(nparts) for x in (pid, offsets[pid])])
+
+    q, r = divmod(n_total, buckets)
+    rn = F.col("__rn") + off_map[F.col("__pid")]
+    head = r * (q + 1)  # rows living in the ceil-sized leading buckets
+    if q == 0:
+        bucket = rn  # fewer rows than buckets: one row per bucket
+    else:
+        bucket = F.when(
+            rn <= F.lit(head), F.floor((rn - 1) / F.lit(q + 1)) + 1
+        ).otherwise(
+            F.lit(r) + F.floor((rn - F.lit(head) - 1) / F.lit(q)) + 1)
+    return with_rn.withColumn(out_col, bucket.cast("int")).drop("__pid", "__rn")

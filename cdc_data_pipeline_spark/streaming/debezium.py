@@ -43,8 +43,20 @@ def parse_debezium(raw: DataFrame, payload_schema: T.StructType,
     key lives); snapshot reads ('r') normalize to inserts. Kafka
     tombstones (null value) are dropped — the preceding op='d' event
     carries the delete.
+
+    When the raw frame carries Kafka source coordinates (``partition``
+    / ``offset`` — the Kafka source always emits them), they pass
+    through as ``_src_partition`` / ``_src_offset`` so downstream
+    latest-wins collapses have a total order: Debezium's ``ts_ms`` is
+    millisecond-granular, and two changes to one key in the same
+    millisecond are common under load. Same-key events share a Kafka
+    partition, so the offset is the log order.
     """
     env = debezium_value_schema(payload_schema)
+    src_cols = []
+    if "partition" in raw.columns and "offset" in raw.columns:
+        src_cols = [F.col("partition").cast("int").alias("_src_partition"),
+                    F.col("offset").cast("long").alias("_src_offset")]
     parsed = (raw
               .withColumn("__env", F.from_json(F.col(value_col).cast("string"), env))
               .filter(F.col("__env").isNotNull() & F.col("__env.op").isNotNull()))
@@ -58,7 +70,10 @@ def parse_debezium(raw: DataFrame, payload_schema: T.StructType,
            .filter(F.col("__img").isNotNull())
            .withColumn("_op", op)
            .withColumn("_change_ts", F.timestamp_millis(F.col("__env.ts_ms"))))
-    return out.select("__img.*", "_op", "_change_ts")
+    return out.select("__img.*", "_op", "_change_ts", *src_cols)
+
+
+_SRC_TIEBREAKERS = ("_src_partition", "_src_offset")
 
 
 def apply_changes(target: DataFrame | None, changes: DataFrame,
@@ -66,12 +81,17 @@ def apply_changes(target: DataFrame | None, changes: DataFrame,
     """Collapse a change batch to latest-per-key and apply it:
     upserts minus deletes — the pure merge every sink reuses
     (micro-batch body for `foreachBatch`, or a batch catch-up run).
+
+    Kafka (partition, offset) coordinates, when present, tiebreak
+    same-``order_col`` changes (insert-then-delete inside one
+    millisecond must resolve to the delete, not to whichever payload
+    struct compares larger).
     """
     from cdc_data_pipeline_spark.operators.incremental import latest_per_key
 
-    latest = latest_per_key(changes, list(keys), order_col)
-    upserts = latest.filter(F.col("_op") != "delete").drop("_op", "_change_ts")
-    deletes = latest.filter(F.col("_op") == "delete").select(*keys)
+    tb = [c for c in _SRC_TIEBREAKERS if c in changes.columns]
+    latest = latest_per_key(changes, list(keys), order_col, tiebreakers=tb)
+    upserts = latest.filter(F.col("_op") != "delete").drop("_op", order_col, *tb)
     if target is None:
         return upserts
     kept = (target.join(F.broadcast(latest.select(*keys).distinct()),

@@ -260,6 +260,22 @@ def test_gopher_quality_rules(spark):
     assert out[5]["passes"] is False and out[5]["symbol_ratio"] > 0.1
 
 
+def test_gopher_quality_tokenless_doc_yields_null_mean(spark):
+    """Empty / whitespace-only docs: mean_word_len must be NULL (SQL
+    SUM-over-empty), matching the DuckDB oracle's list_sum([]) = NULL —
+    not 0.0, which would silently diverge if the fixture ever grows an
+    empty text. The doc still fails `passes` via the word-count rule."""
+    from cdc_data_pipeline_spark.operators.curation import gopher_quality
+
+    rows = spark.createDataFrame(
+        [(1, ""), (2, "   \n  "), (3, "the of and that have with tok " * 8)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality(rows, min_words=5).collect()}
+    assert out[1]["mean_word_len"] is None and out[1]["n_words"] == 0
+    assert out[2]["mean_word_len"] is None and out[2]["passes"] is False
+    assert out[3]["mean_word_len"] is not None
+
+
 def test_normalize_features_semantics(spark):
     from cdc_data_pipeline_spark.operators.stats import normalize_features
 

@@ -138,7 +138,9 @@ DOCS = st.lists(st.lists(WORDS, min_size=0, max_size=12), min_size=1, max_size=6
 
 
 def _py_dup_spans(docs, n):
-    """Reference implementation: maximal runs of duplicated n-grams."""
+    """Reference implementation: maximal COVERED spans — a window at
+    start p covers [p, p+n-1], and windows whose starts are <= n apart
+    have connected coverage, so they merge into one span."""
     grams = {}
     for d, toks in enumerate(docs):
         for p in range(len(toks) - n + 1):
@@ -152,7 +154,7 @@ def _py_dup_spans(docs, n):
     for d, ps in hits.items():
         run = None
         for p in sorted(ps):
-            if run and p == run[1] + 1:
+            if run and p - run[1] <= n:
                 run = (run[0], p)
             else:
                 if run:
@@ -209,6 +211,43 @@ def test_apply_changes_matches_dict_replay(spark, seq):
     changes = parse_debezium(raw, payload)
     out = {r["k"]: r["v"] for r in apply_changes(None, changes, ["k"]).collect()}
     # apply_changes on an empty target applies only non-delete latest rows
+    expected = {}
+    latest: dict = {}
+    for k, op, v in seq:
+        latest[k] = (op, v)
+    for k, (op, v) in latest.items():
+        if op != "d":
+            expected[k] = v
+    assert out == expected
+
+
+@given(seq=CHANGES)
+@settings(**SETTINGS)
+def test_apply_changes_same_ms_resolves_by_kafka_offset(spark, seq):
+    """Debezium ts_ms is millisecond-granular: ALL changes here share
+    one ts_ms, so only the Kafka (partition, offset) tiebreak can
+    order them. Latest-wins must mean last offset — including
+    insert-then-delete collapsing to the delete."""
+    import json
+
+    from cdc_data_pipeline_spark.streaming.debezium import (
+        apply_changes, parse_debezium)
+    from pyspark.sql import types as T
+
+    payload = T.StructType([T.StructField("k", T.LongType()),
+                            T.StructField("v", T.LongType())])
+    rows = []
+    for i, (k, op, v) in enumerate(seq):
+        body = {"k": k, "v": v}
+        env = ({"before": body, "after": None, "op": "d", "ts_ms": 1700000000000}
+               if op == "d" else
+               {"before": None, "after": body, "op": op, "ts_ms": 1700000000000})
+        rows.append((json.dumps(env), 0, i))
+    raw = spark.createDataFrame(
+        rows or [(None, 0, 0)], "value string, partition int, offset long")
+    changes = parse_debezium(raw, payload)
+    assert "_src_offset" in changes.columns
+    out = {r["k"]: r["v"] for r in apply_changes(None, changes, ["k"]).collect()}
     expected = {}
     latest: dict = {}
     for k, op, v in seq:

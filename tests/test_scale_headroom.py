@@ -403,3 +403,24 @@ def test_topk_cosine_shuffles_only_survivors(spark, sf_dir):
     below_cut = plan[local_ix:]
     assert "Exchange hashpartitioning" not in below_cut, (
         "full score set is being shuffled before the local cut")
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """global_ntile must reproduce SQL NTILE exactly (front-loaded
+    remainder) for sizes around the bucket count, WITHOUT any Window
+    node in the plan (an unpartitioned NTILE window pulls every row
+    into one task)."""
+    from pyspark.sql import Window
+
+    from cdc_data_pipeline_spark.operators.stats import global_ntile
+
+    for n, b in [(0, 10), (3, 10), (10, 10), (97, 10), (1000, 7)]:
+        df = spark.range(0, n).select(
+            F.col("id"), (F.col("id") * 37 % 11).alias("v"))
+        got = global_ntile(df, b, ["v", "id"], out_col="nt")
+        assert "Window" not in got._jdf.queryExecution().executedPlan().toString()
+        want = df.withColumn(
+            "nt", F.ntile(b).over(Window.orderBy("v", "id")))
+        g = {(r["id"], r["nt"]) for r in got.collect()}
+        w = {(r["id"], r["nt"]) for r in want.collect()}
+        assert g == w, f"n={n} b={b}: {sorted(g ^ w)[:6]}"
