@@ -50,7 +50,26 @@ def main(argv=None) -> int:
     bp.add_argument("--base-path", required=True)
     bp.add_argument("--select", default=None,
                     help="dbt-style selection, e.g. +fact_savings_transaction")
+    rp = sub.add_parser(
+        "runs", help="print the run-history manifest of a build base path")
+    rp.add_argument("--base-path", required=True)
     args = ap.parse_args(argv)
+
+    if args.cmd == "runs":
+        from cdc_data_pipeline_spark.session import get_spark
+        from cdc_data_pipeline_spark.sources.versioned import read_runs
+
+        spark = get_spark("cdc-runs")
+        rows = (read_runs(spark, args.base_path)
+                .orderBy("published_at", "model").collect())
+        for r in rows:
+            print(json.dumps({
+                "run_id": r["run_id"], "model": r["model"],
+                "version": int(r["version"]), "rows": int(r["rows"]),
+                "duration_sec": float(r["duration_sec"]),
+                "published_at": str(r["published_at"]),
+            }))
+        return 0
 
     if args.cmd == "lineage":
         from cdc_data_pipeline_spark.plans.models import build_star_registry

@@ -89,13 +89,24 @@ def materialize(registry: ModelRegistry, spark, base_path: str,
     build; models already published stay published (idempotent-forward
     re-run after the fix).
 
+    Every publish appends an audit row to ``<base_path>/_runs``
+    (run_id, model, version, rows, duration_sec, published_at) — the
+    run-history manifest the reference gets from Dagster
+    ``Output(rows_loaded, metadata)`` (extract_assets.py:148-159).
+    Row counts come from the published parquet footers: no extra scan.
+
     At scale each model is its own Spark job; nothing holds more than
     one model's write in flight.
     """
+    import datetime
     import os
+    import time
+    import uuid
 
-    from cdc_data_pipeline_spark.sources.versioned import publish_version
+    from cdc_data_pipeline_spark.sources.versioned import (
+        append_run_record, publish_version, published_row_count)
 
+    run_id = uuid.uuid4().hex[:12]
     frames = registry.run(select)
     published: dict[str, int] = {}
     for name, df in frames.items():
@@ -103,5 +114,16 @@ def materialize(registry: ModelRegistry, spark, base_path: str,
             continue
         for check in (checks or {}).get(name, ()):
             check(df)
-        published[name] = publish_version(df, os.path.join(base_path, name))
+        t0 = time.time()
+        table_path = os.path.join(base_path, name)
+        version = publish_version(df, table_path)
+        published[name] = version
+        append_run_record(base_path, {
+            "run_id": run_id,
+            "model": name,
+            "version": version,
+            "rows": published_row_count(table_path, version),
+            "duration_sec": round(time.time() - t0, 3),
+            "published_at": datetime.datetime.now(datetime.timezone.utc),
+        })
     return published

@@ -107,3 +107,49 @@ def vacuum_versions(table_path: str, keep_last: int = 2) -> list[int]:
             shutil.rmtree(os.path.join(table_path, f"v={v}"))
             removed.append(v)
     return removed
+
+
+# ------------------------------------------------- run-level manifest
+
+_RUNS_DIR = "_runs"
+
+
+def published_row_count(table_path: str, version: int) -> int:
+    """Exact row count of a published version from parquet footers —
+    no Spark job, no data scan (reference parity: the rows_loaded
+    metadata Dagster assets attach to every run,
+    dagster_code/assets/extract_assets.py:148-159)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    vdir = os.path.join(table_path, f"v={version}")
+    return sum(pq.ParquetFile(p).metadata.num_rows
+               for p in _glob.glob(os.path.join(vdir, "*.parquet")))
+
+
+def append_run_record(base_path: str, record: dict) -> str:
+    """Append one model-publish audit row to ``<base>/_runs`` as a
+    single immutable parquet file (temp-write + atomic rename — the
+    same publish discipline as the data). Readable as a normal table
+    via :func:`read_runs`. Returns the file path."""
+    import pandas as pd
+
+    runs_dir = os.path.join(base_path, _RUNS_DIR)
+    os.makedirs(runs_dir, exist_ok=True)
+    fname = f"run-{record['run_id']}-{record['model']}.parquet"
+    tmp = os.path.join(runs_dir, f".{fname}.tmp")
+    # micros, not pandas' default nanos: sessions that enable
+    # nanosAsLong (events fixture compat) would read ns as raw longs
+    pd.DataFrame([record]).to_parquet(
+        tmp, coerce_timestamps="us", allow_truncated_timestamps=True)
+    final = os.path.join(runs_dir, fname)
+    os.replace(tmp, final)
+    return final
+
+
+def read_runs(spark: SparkSession, base_path: str) -> DataFrame:
+    """The run-history manifest: one row per (run, model) publish with
+    version, rows, duration — the after-the-fact audit surface the
+    reference renders in Dagster's run history."""
+    return spark.read.parquet(os.path.join(base_path, _RUNS_DIR))

@@ -96,6 +96,20 @@ def test_registry_materialize_publishes_versions(spark, tmp_path):
     assert v2 == {"stg": 2, "mart": 2}
     assert read_versioned(spark, f"{base}/mart", version=1).first()["n"] == 5
 
+    # run-level manifest: one audit row per (run, model) publish, with
+    # footer-derived row counts and a shared run_id per materialize call
+    from cdc_data_pipeline_spark.sources.versioned import read_runs
+
+    runs = read_runs(spark, base)
+    recs = [r.asDict() for r in runs.collect()]
+    assert len(recs) == 4  # 2 materialize calls x 2 models
+    by_mv = {(r["model"], r["version"]): r for r in recs}
+    assert by_mv[("stg", 1)]["rows"] == 5 and by_mv[("mart", 1)]["rows"] == 1
+    assert by_mv[("stg", 2)]["rows"] == 5
+    assert all(r["duration_sec"] >= 0 for r in recs)
+    assert len({r["run_id"] for r in recs}) == 2
+    assert by_mv[("stg", 1)]["run_id"] == by_mv[("mart", 1)]["run_id"]
+
 
 def test_stream_aggregate_publishes_versions(spark, tmp_path):
     """Each micro-batch of a complete-mode aggregate lands as its own
