@@ -134,7 +134,7 @@ def bucket_of(keys: Sequence[str], n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
 
 
-def _replace_dir(dst: str, src: str) -> None:
+def _replace_dir(spark: SparkSession, dst: str, src: str) -> None:
     """Swap ``src`` into place at ``dst`` via sibling renames.
 
     The previous ``dst`` is renamed aside before the new data moves in,
@@ -142,18 +142,19 @@ def _replace_dir(dst: str, src: str) -> None:
     deleted — no window where a lost cache partition could recompute
     from half-deleted input (the persist+count hazard). A crash between
     the two renames leaves ``<dst>.__old__`` intact for recovery.
+
+    All FS metadata ops go through the Hadoop FileSystem API
+    (``sources/fsutil``), so the same protocol runs on ``file://``,
+    ``hdfs://`` or ``s3a://`` roots, not only bare local paths.
     """
-    import os
-    import shutil
+    from cdc_data_pipeline_spark.sources import fsutil as fs
 
     old = dst.rstrip("/") + ".__old__"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(dst):
-        os.rename(dst, old)
-    os.rename(src, dst)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    fs.delete(spark, old)
+    if fs.exists(spark, dst):
+        fs.rename(spark, dst, old)
+    fs.rename(spark, src, dst)
+    fs.delete(spark, old)
 
 
 def _overwrite_buckets_atomic(merged: DataFrame, target_path: str,
@@ -168,18 +169,17 @@ def _overwrite_buckets_atomic(merged: DataFrame, target_path: str,
     pinning (persist+count) or on partitionOverwriteMode=dynamic being
     set in the caller's session — correctness is self-contained.
     """
-    import os
-    import shutil
+    from cdc_data_pipeline_spark.sources import fsutil as fs
 
+    spark = merged.sparkSession
     tmp = target_path.rstrip("/") + ".__staging__"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    fs.delete(spark, tmp)
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
     for b in buckets:
-        src = os.path.join(tmp, f"{partition_col}={b}")
-        if os.path.exists(src):
-            _replace_dir(os.path.join(target_path, f"{partition_col}={b}"), src)
-    shutil.rmtree(tmp, ignore_errors=True)
+        src = fs.path_join(tmp, f"{partition_col}={b}")
+        if fs.exists(spark, src):
+            _replace_dir(spark, fs.path_join(target_path, f"{partition_col}={b}"), src)
+    fs.delete(spark, tmp)
 
 
 def upsert_bucketed(
@@ -204,7 +204,7 @@ def upsert_bucketed(
 
     Idempotent under replay: latest-record-wins within the bucket.
     """
-    import os
+    from cdc_data_pipeline_spark.sources import fsutil
 
     if batch.isEmpty():
         # 0-row guard (reference: base_loader.py:308-310) — also keeps an
@@ -213,7 +213,7 @@ def upsert_bucketed(
     stamped = batch.withColumn(BUCKET_COL, bucket_of(keys, n_buckets))
     deduped = latest_per_key(stamped, keys, tracking_column, tiebreakers)
     target = None
-    if os.path.exists(target_path):
+    if fsutil.exists(spark, target_path):
         try:
             target = spark.read.parquet(target_path)
         except Exception:
@@ -234,19 +234,19 @@ def write_merged(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> 
     path, so overwriting in place would corrupt the scan. The result
     is fully written to a staging sibling first, then swapped into
     place — durable before anything is deleted, with no reliance on
-    cache pinning surviving memory pressure.
+    cache pinning surviving memory pressure. Works against any
+    Hadoop-FS root (``file://``, ``hdfs://``, ``s3a://``).
     """
-    import os
-    import shutil
+    from cdc_data_pipeline_spark.sources import fsutil as fs
 
+    spark = df.sparkSession
     tmp = path.rstrip("/") + ".__staging__"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    fs.delete(spark, tmp)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    _replace_dir(path, tmp)
+    _replace_dir(spark, path, tmp)
 
 
 def backfill_snapshot(

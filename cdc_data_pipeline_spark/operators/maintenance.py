@@ -24,24 +24,28 @@ binning — no global sort, no window, no single-partition stage.
 
 from __future__ import annotations
 
-import os
-import shutil
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_data_pipeline_spark.operators.incremental import _replace_dir
+from cdc_data_pipeline_spark.sources import fsutil
 
 
 def table_stats(spark: SparkSession, path: str) -> dict:
     """File-count / size distribution of a parquet directory — the
-    signal that schedules compaction (driver-side os.walk: metadata
-    only, never data)."""
+    signal that schedules compaction (driver-side Hadoop-FS listing:
+    metadata only, never data; works on file:// / hdfs:// / s3a://
+    roots like every other sink)."""
+    fs, jpath = fsutil._fs(spark, path)
     sizes = []
-    for root, _dirs, files in os.walk(path):
-        sizes.extend(os.path.getsize(os.path.join(root, f))
-                     for f in files if f.endswith(".parquet"))
+    if fs.exists(jpath):
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                sizes.append(st.getLen())
     if not sizes:
         return {"n_files": 0, "total_bytes": 0, "avg_bytes": 0,
                 "min_bytes": 0, "max_bytes": 0}
@@ -65,13 +69,12 @@ def compact_parquet(spark: SparkSession, path: str,
     n_files = max(1, -(-before["total_bytes"] // target_bytes))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".__compact__"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    fsutil.delete(spark, tmp)
     writer = df.repartition(n_files).write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    _replace_dir(path, tmp)
+    _replace_dir(spark, path, tmp)
     return {"before": before, "after": table_stats(spark, path)}
 
 

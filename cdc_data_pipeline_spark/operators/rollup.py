@@ -83,15 +83,14 @@ def incremental_rollup(
     The partition key is the bucket formatted as a filesystem-safe
     string; readers get the timestamp back via the stored column.
     """
-    import os
-
     from cdc_data_pipeline_spark.operators.incremental import _overwrite_buckets_atomic
+    from cdc_data_pipeline_spark.sources import fsutil
 
     delta = rollup_delta(batch, time_col, width, group_cols, specs)
     part = F.date_format(F.col(BUCKET), "yyyy-MM-dd'T'HH-mm-ss").alias("__pb")
     stamped = delta.select("*", part)
     target = None
-    if os.path.exists(target_path):
+    if fsutil.exists(spark, target_path):
         try:
             target = spark.read.parquet(target_path)
         except Exception:

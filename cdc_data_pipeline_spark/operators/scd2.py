@@ -150,15 +150,14 @@ def scd2_bucketed(
     so it degrades to a full-table merge (all buckets affected) — the
     cost is inherent to hard-delete detection, not to this layout.
     """
-    import os
-
     from cdc_data_pipeline_spark.operators.incremental import (
         BUCKET_COL, _overwrite_buckets_atomic, bucket_of)
+    from cdc_data_pipeline_spark.sources import fsutil
 
     if batch.isEmpty():
         return
     target = None
-    if os.path.exists(target_path):
+    if fsutil.exists(spark, target_path):
         try:
             target = spark.read.parquet(target_path)
         except Exception:

@@ -1,0 +1,59 @@
+"""Filesystem operations through the Hadoop FileSystem API, so every
+path-taking sink works unchanged on ``file://``, ``hdfs://`` and
+``s3a://`` roots — the object-store staging surface the reference
+drives against MinIO (base_loader.py:107-165,261-273).
+
+Bare local paths (no scheme) keep working: Hadoop's Path resolves them
+against the default FS exactly as ``os.path`` would. Everything here
+is driver-side metadata work (exists / rename / delete on directories
+the atomic-swap sinks stage) — per-call cost is one FS RPC, the same
+budget class as a pointer read.
+
+s3a caveat (documented, inherent): object stores implement directory
+rename as copy+delete, so the swap in ``_replace_dir`` is atomic only
+on real filesystems; on s3a the same sequence is still correct
+(fully-written before visible) but not instantaneous. Production
+object-store deployments should prefer the versioned-pointer tables
+(``sources/versioned.py``) whose publish is one small-file replace.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path``'s scheme via the JVM gateway."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def path_join(base: str, *parts: str) -> str:
+    """URI-safe join (os.path.join breaks scheme-qualified bases)."""
+    out = base.rstrip("/")
+    for p in parts:
+        out += "/" + p.strip("/")
+    return out
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, path)
+    return fs.exists(p)
+
+
+def delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete; no-op when absent."""
+    fs, p = _fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Directory move. Hadoop rename returns False instead of raising
+    on several failure shapes (missing parent, existing dst); surface
+    those as errors — the atomic-swap protocol depends on knowing."""
+    fs, jsrc = _fs(spark, src)
+    _, jdst = _fs(spark, dst)
+    if not fs.rename(jsrc, jdst):
+        raise IOError(f"rename failed: {src} -> {dst}")

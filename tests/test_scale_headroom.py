@@ -424,3 +424,46 @@ def test_global_ntile_matches_window_ntile(spark):
         g = {(r["id"], r["nt"]) for r in got.collect()}
         w = {(r["id"], r["nt"]) for r in want.collect()}
         assert g == w, f"n={n} b={b}: {sorted(g ^ w)[:6]}"
+
+
+def test_bucketed_sinks_work_under_uri_fs_root(spark, tmp_path):
+    """Object-store path shape: the atomic-swap sinks must run
+    unchanged against a scheme-qualified Hadoop-FS root (file:// here
+    — the sandbox proxy for s3a://), proving no os.path assumptions
+    survive in the write protocol. Same upsert + SCD2 + write_merged
+    flows the local-path tests pin, under a file:// URI root."""
+    from cdc_data_pipeline_spark.operators.incremental import (
+        upsert_bucketed, write_merged)
+    from cdc_data_pipeline_spark.operators.scd2 import scd2_bucketed
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    root = "file://" + str(tmp_path / "uri_root")
+
+    # upsert: initial load, then an update batch for one key
+    up_path = fsutil.path_join(root, "upsert_t")
+    b1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], "k long, v string, ts long")
+    upsert_bucketed(spark, up_path, b1, ["k"], "ts", n_buckets=4)
+    b2 = spark.createDataFrame([(2, "B", 20), (4, "d", 20)],
+                               "k long, v string, ts long")
+    upsert_bucketed(spark, up_path, b2, ["k"], "ts", n_buckets=4)
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(up_path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+    # SCD2: initial snapshot, then a change closing one version
+    sc_path = fsutil.path_join(root, "scd2_t")
+    scd2_bucketed(spark, sc_path, b1, ["k"], ["v"], run_ts="2024-01-01 00:00:00",
+                  n_buckets=4)
+    scd2_bucketed(spark, sc_path, b2.filter("k = 2"), ["k"], ["v"],
+                  run_ts="2024-02-01 00:00:00", n_buckets=4)
+    snap = spark.read.parquet(sc_path)
+    k2 = [r for r in snap.filter("k = 2").collect()]
+    assert len(k2) == 2  # closed old version + open new one
+    assert {r["v"] for r in k2} == {"b", "B"}
+
+    # write_merged staging swap (twice: second run replaces the first)
+    m_path = fsutil.path_join(root, "merged_t")
+    write_merged(b1, m_path)
+    write_merged(b2, m_path)
+    assert spark.read.parquet(m_path).count() == 2
+    assert not fsutil.exists(spark, m_path + ".__staging__")
