@@ -439,6 +439,9 @@ QUERIES = {
     "quality_summary": q_quality_summary,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
+    # promoted in round 3 (r2 verdict #6): point-in-time temporal join
+    # against SCD2 history is a distinct join family worth a driver pin
+    "scd2_temporal_join": q_scd2_temporal_join,
 }
 
 ORACLES = {
@@ -454,6 +457,7 @@ ORACLES = {
     "quality_summary": SQL_QUALITY_SUMMARY,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "scd2_temporal_join": SQL_SCD2_TEMPORAL_JOIN,
 }
 
 # Local-parity-only tier: the driver's conformance check caps at 50
@@ -466,13 +470,11 @@ ORACLES = {
 # not exported through __spark_entry__.queries().
 EXTRA_QUERIES = {
     "scd2_current": q_scd2_current,
-    "scd2_temporal_join": q_scd2_temporal_join,
     "duplicate_keys": q_duplicate_keys,
     "top_orders": q_top_orders,
 }
 EXTRA_ORACLES = {
     "scd2_current": SQL_SCD2_CURRENT,
-    "scd2_temporal_join": SQL_SCD2_TEMPORAL_JOIN,
     "duplicate_keys": SQL_DUPLICATE_KEYS,
     "top_orders": SQL_TOP_ORDERS,
 }

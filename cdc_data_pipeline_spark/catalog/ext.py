@@ -1142,6 +1142,15 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# Promoted to the exported 50 in round 3 (r2 verdict #6: funnel and
+# range-join families carry more judge value than the redundant
+# relational shapes they replace, which moved to the local tier).
+QUERIES["funnel_counts"] = q_funnel
+ORACLES["funnel_counts"] = SQL_FUNNEL
+QUERIES["outage_attribution"] = q_outage_attribution
+ORACLES["outage_attribution"] = SQL_OUTAGE_ATTRIBUTION
+
+
 # Local-parity-only tier (driver caps conformance at 50 entries; each
 # entry here was driver-green in round 1 and its operator machinery is
 # still exercised by an exported entry: the tumbling window is the
@@ -1158,9 +1167,7 @@ EXTRA_QUERIES = {
     "events_sessionize": q_events_sessionize,
     "vector_norms": q_vector_norms,
     "dup_span_mask": q_dup_span_mask,
-    "funnel_counts": q_funnel,
     "cohort_retention": q_cohort_retention,
-    "outage_attribution": q_outage_attribution,
     "events_quarantine": q_events_quarantine,
     "transition_matrix": q_transition_matrix,
     "rolling_anomalies": q_rolling_anomalies,
@@ -1172,9 +1179,7 @@ EXTRA_ORACLES = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "vector_norms": SQL_VECTOR_NORMS,
     "dup_span_mask": SQL_DUP_SPAN_MASK,
-    "funnel_counts": SQL_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
-    "outage_attribution": SQL_OUTAGE_ATTRIBUTION,
     "events_quarantine": SQL_EVENTS_QUARANTINE,
     "transition_matrix": SQL_TRANSITION_MATRIX,
     "rolling_anomalies": SQL_ROLLING_ANOMALIES,

@@ -305,9 +305,12 @@ WHERE op <> 'D' AND plan_id NOT IN (SELECT plan_id FROM target)
 """
 
 QUERIES["merge_mixed"] = q_merge_mixed
-QUERIES["merge_cdf"] = q_merge_cdf
 ORACLES["merge_mixed"] = SQL_MERGE_MIXED
-ORACLES["merge_cdf"] = SQL_MERGE_CDF
+# merge_cdf demoted to the local-parity tier in round 3: its MERGE
+# machinery (operators/merge.py) stays driver-pinned via merge_mixed,
+# freeing an exported slot for a higher-value family (r2 verdict #6).
+EXTRA_QUERIES["merge_cdf"] = q_merge_cdf
+EXTRA_ORACLES["merge_cdf"] = SQL_MERGE_CDF
 
 
 def q_status_sets(spark, sf_dir):
@@ -327,5 +330,8 @@ SELECT o_custkey,
 FROM orders GROUP BY o_custkey
 """
 
-QUERIES["status_sets"] = q_status_sets
-ORACLES["status_sets"] = SQL_STATUS_SETS
+# status_sets demoted to the local-parity tier in round 3 (r2 verdict
+# #6 named it the redundant shape to swap out — the salted two-stage
+# agg machinery repeats in upsert_dedup-class entries).
+EXTRA_QUERIES["status_sets"] = q_status_sets
+EXTRA_ORACLES["status_sets"] = SQL_STATUS_SETS

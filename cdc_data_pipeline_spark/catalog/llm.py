@@ -350,7 +350,6 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "kmv_distinct": q_kmv_distinct,
     "token_shards": q_token_shards,
-    "kmeans_clusters": q_kmeans_clusters,
     "semdedup_pairs": q_semdedup_pairs,
 }
 
@@ -362,9 +361,13 @@ ORACLES = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "kmv_distinct": SQL_KMV_DISTINCT,
     "token_shards": SQL_TOKEN_SHARDS,
-    "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "semdedup_pairs": SQL_SEMDEDUP_PAIRS,
 }
+
+# kmeans_clusters demoted to the local-parity tier in round 3: the
+# exported semdedup_pairs drives the identical Lloyd-iteration
+# machinery (operators/clustering.py) end-to-end, freeing an exported
+# slot for a higher-value family (r2 verdict #6).
 
 # ----------------------------------------------------- term analytics
 
@@ -765,6 +768,7 @@ GROUP BY d.source ORDER BY d.source
 """
 
 EXTRA_QUERIES = {
+    "kmeans_clusters": q_kmeans_clusters,
     "value_histogram": q_value_histogram,
     "source_quality": q_source_quality,
     "top_tokens": q_top_tokens,
@@ -778,6 +782,7 @@ EXTRA_QUERIES = {
     "bloom_decontaminate": q_bloom_decontaminate,
 }
 EXTRA_ORACLES = {
+    "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "source_quality": SQL_SOURCE_QUALITY,
     "top_tokens": SQL_TOP_TOKENS,
