@@ -620,6 +620,39 @@ QUERIES["dedup_clusters"] = q_dedup_clusters
 ORACLES["dedup_clusters"] = SQL_DEDUP_CLUSTERS
 
 
+def q_fuzzy_dedup_keep(spark, sf_dir):
+    """End-to-end fuzzy corpus dedup: MinHash-LSH pairs -> connected
+    components -> keep ONE canonical (lowest-id) document per cluster
+    -> the surviving corpus. This is the full production composition
+    (pair producer + cluster election + corpus filter) as a single
+    operator; text_md5 attests the survivors' exact content."""
+    docs = _docs(spark, sf_dir)
+    pairs = dd.lsh_candidate_pairs(docs, num_hashes=8, bands=4, shingle_k=3)
+    keep = (dd.dedup_clusters(docs, pairs)
+            .filter(F.col("is_canonical")).select("doc_id"))
+    return (docs.join(keep, "doc_id")
+            .select("doc_id", "source", F.md5("text").alias("text_md5")))
+
+
+SQL_FUZZY_DEDUP_KEEP = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH_PAIRS}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a AS node, b AS dst FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+canon AS (
+  SELECT node, LEAST(node, MIN(dst)) AS canonical
+  FROM reach GROUP BY node)
+SELECT d.doc_id, d.source, md5(d.text) AS text_md5
+FROM documents d LEFT JOIN canon c ON d.doc_id = c.node
+WHERE COALESCE(c.canonical, d.doc_id) = d.doc_id
+"""
+
+
 def q_events_rollup(spark, sf_dir):
     """Incremental time-bucket rollup (continuous-aggregate
     maintenance): the events table arrives as two change batches whose
@@ -1169,6 +1202,7 @@ EXTRA_QUERIES = {
     "dup_span_mask": q_dup_span_mask,
     "cohort_retention": q_cohort_retention,
     "events_quarantine": q_events_quarantine,
+    "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
     "transition_matrix": q_transition_matrix,
     "rolling_anomalies": q_rolling_anomalies,
 }
@@ -1181,6 +1215,7 @@ EXTRA_ORACLES = {
     "dup_span_mask": SQL_DUP_SPAN_MASK,
     "cohort_retention": SQL_COHORT_RETENTION,
     "events_quarantine": SQL_EVENTS_QUARANTINE,
+    "fuzzy_dedup_keep": SQL_FUZZY_DEDUP_KEEP,
     "transition_matrix": SQL_TRANSITION_MATRIX,
     "rolling_anomalies": SQL_ROLLING_ANOMALIES,
 }

@@ -499,6 +499,48 @@ FROM scored QUALIFY rank <= {_PQ_K}
 """
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ composite ANN (FAISS ``IVFx,PQy`` shape, no residual):
+    coarse cells prune the scan to ~1/n_cells, PQ-ADC turns what
+    remains into integer lookups — multiplicative wins, corpus never
+    shuffles. Deterministic construction -> exact SQL oracle."""
+    from cdc_data_pipeline_spark.operators import pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    centroids = e.filter(F.col("vec_id") % 50 == 25) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    return pq.ivfpq_topk(e, queries, centroids, dim=_DIM, m=_PQ_M,
+                         ksub=_PQ_KSUB, k=_PQ_K, iters=2)
+
+
+SQL_IVFPQ_TOPK = _pq_sql_ctes() + f""",
+cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings
+          WHERE vec_id % 50 = 25),
+assign AS (
+  SELECT e.vec_id, c.ccid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                 c.cv::DOUBLE[]), 9) DESC,
+                    c.ccid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+  QUALIFY rn = 1),
+scored AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+                  CAST(SUM(t.dl) AS BIGINT) AS dl
+           FROM codes c JOIN dtab t ON c.sub = t.sub AND c.cid = t.cid
+                                   AND t.query_id <> c.vec_id
+           JOIN assign ac ON ac.vec_id = c.vec_id
+           JOIN assign aq ON aq.vec_id = t.query_id
+           WHERE ac.ccid = aq.ccid
+           GROUP BY 1, 2)
+SELECT query_id, neighbor_id, ROUND(dl / 1000000.0, 6) AS dist_sq,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY dl, neighbor_id) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= {_PQ_K}
+"""
+
+
 # ------------------------------------------------- context-window chunking
 
 _CHUNK, _CHUNK_OVERLAP = 32, 8
@@ -767,8 +809,62 @@ FROM panel p JOIN documents d ON p.doc_id = d.doc_id
 GROUP BY d.source ORDER BY d.source
 """
 
+_DCAP, _DCAP_SEED = 40, 7
+
+
+def q_domain_caps(spark, sf_dir):
+    """Per-source document cap (Common-Crawl-style curation: no source
+    contributes more than 40 docs). Kept set = the 40 smallest
+    key-hashes per source — a reproducible uniform draw, executed
+    skew-safe by ``sampling.group_topk`` (map-local cut first, so a
+    hot domain never fills one window task)."""
+    docs = _docs(spark, sf_dir)
+    return (sp.domain_caps(docs, "source", _DCAP, "doc_id", seed=_DCAP_SEED)
+            .select("doc_id", "source"))
+
+
+SQL_DOMAIN_CAPS = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {uniform_hash_sql('doc_id', _DCAP_SEED)},
+                                     doc_id) AS rn
+  FROM documents) WHERE rn <= {_DCAP}
+"""
+
+
+_NSHARDS, _SHUF_SEED = 16, 3
+
+
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle for training export: every doc gets
+    a (shard_id, pos) — hash order IS the shuffled order, so there is
+    no global range sort and no layout-dependent rand(); re-runs and
+    the oracle agree row-for-row. See operators/shuffle.py."""
+    from cdc_data_pipeline_spark.operators import shuffle as sh
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return sh.deterministic_shuffle(docs, "doc_id", _NSHARDS,
+                                    seed=_SHUF_SEED)
+
+
+# u is an exact 60-bit/2^60 double on both engines, and *16 is exact
+# power-of-two scaling, so floor() can never straddle engines.
+SQL_SHUFFLE_SHARDS = f"""
+WITH u AS (SELECT doc_id, {uniform_hash_sql('doc_id', _SHUF_SEED)} AS u
+           FROM documents)
+SELECT doc_id,
+       CAST(floor(u * {_NSHARDS}) AS INTEGER) AS shard_id,
+       CAST(row_number() OVER (PARTITION BY CAST(floor(u * {_NSHARDS}) AS INTEGER)
+                               ORDER BY u, doc_id) - 1 AS BIGINT) AS pos
+FROM u
+"""
+
+
 EXTRA_QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
+    "domain_caps": q_domain_caps,
+    "shuffle_shards": q_shuffle_shards,
     "value_histogram": q_value_histogram,
     "source_quality": q_source_quality,
     "top_tokens": q_top_tokens,
@@ -778,11 +874,14 @@ EXTRA_QUERIES = {
     "embed_stub": q_embed_stub,
     "lm_score": q_lm_score,
     "pq_topk": q_pq_topk,
+    "ivfpq_topk": q_ivfpq_topk,
     "nb_classify": q_nb_classify,
     "bloom_decontaminate": q_bloom_decontaminate,
 }
 EXTRA_ORACLES = {
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+    "domain_caps": SQL_DOMAIN_CAPS,
+    "shuffle_shards": SQL_SHUFFLE_SHARDS,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "source_quality": SQL_SOURCE_QUALITY,
     "top_tokens": SQL_TOP_TOKENS,
@@ -792,6 +891,7 @@ EXTRA_ORACLES = {
     "embed_stub": SQL_EMBED_STUB,
     "lm_score": SQL_LM_SCORE,
     "pq_topk": SQL_PQ_TOPK,
+    "ivfpq_topk": SQL_IVFPQ_TOPK,
     "nb_classify": SQL_NB_CLASSIFY,
     "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
 }

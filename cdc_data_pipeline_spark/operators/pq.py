@@ -162,3 +162,53 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, dim: int,
             .filter(F.col("rank") <= k)
             .select(query_id_col, "neighbor_id",
                     F.round(F.col("__dl") / 1e6, 6).alias("dist_sq"), "rank"))
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+               dim: int, m: int = 4, ksub: int = 8, k: int = 5,
+               iters: int = 2, vec_col: str = "embedding",
+               id_col: str = "vec_id", query_id_col: str = "query_id",
+               seed: int = 0, codebooks: Codebooks | None = None) -> DataFrame:
+    """IVF + PQ composite (the FAISS ``IVFx,PQy`` shape without the
+    residual step): coarse-quantize every vector to its nearest cell
+    (``similarity.ivf_assign``, broadcast centroids), then ADC-score a
+    query ONLY against the code rows of its own cell.
+
+    This is the 100 TB endgame of the ANN family: IVF cell pruning
+    cuts the scanned fraction to ~1/n_cells and PQ cuts the per-row
+    cost of what remains to ``m`` integer adds — multiplicative wins.
+    At production scale the (cell, codes) table is materialized once,
+    partitioned by cell, so a query batch touches only its cells'
+    partitions; here the cell id rides the broadcast-join key
+    (cell, sub, cid), so the corpus still never shuffles and the only
+    exchange is the (query, neighbor) partial-sum aggregation.
+
+    Deterministic end to end (9dp-rounded coarse sims with centroid-id
+    tiebreak, the ``clustering`` k-means contract for codebooks,
+    integer ADC) -> exact SQL oracle.
+    """
+    from cdc_data_pipeline_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+    q_assigned = ivf_assign(queries, centroids, vec_col, id_col) \
+        .withColumnRenamed(id_col, query_id_col)
+    books = codebooks if codebooks is not None else train_pq_codebooks(
+        corpus, dim, m, ksub, iters, vec_col, id_col, seed)
+    codes = (pq_encode(assigned, books, dim, vec_col, id_col)
+             .join(assigned.select(id_col, "centroid_id"), id_col)
+             .select(F.col(id_col).alias("neighbor_id"), "centroid_id",
+                     F.posexplode("codes").alias("sub", "cid")))
+    dtab = (adc_distance_table(q_assigned.drop("centroid_id"), books, dim,
+                               vec_col, query_id_col, query_id_col)
+            .join(q_assigned.select(query_id_col, "centroid_id"),
+                  query_id_col))
+    scored = (codes.join(F.broadcast(dtab), ["centroid_id", "sub", "cid"])
+              .filter(F.col(query_id_col) != F.col("neighbor_id"))
+              .groupBy(query_id_col, "neighbor_id")
+              .agg(F.sum("dl").alias("__dl")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__dl").asc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, "neighbor_id",
+                    F.round(F.col("__dl") / 1e6, 6).alias("dist_sq"), "rank"))

@@ -17,6 +17,11 @@ same rows, and every sample has an exact SQL oracle.
                         sampling without replacement: key
                         -ln(u)/weight, keep the k smallest per
                         stratum. P(selection) proportional to weight.
+- ``group_topk``      — exact per-group top-k with a map-local cut
+                        first, so a hot group never fills one window
+                        task (the skew-safe variant of the above).
+- ``domain_caps``     — per-domain document cap built on it (no
+                        single source exceeds N docs).
 
 Scale: per-stratum top-k uses a rank window partitioned by the strata
 columns — the shuffle carries only (strata, key, hash); with many
@@ -100,6 +105,60 @@ def weighted_sample_topk(df: DataFrame, strata_cols: Sequence[str], k: int,
     return (df.filter(F.col(weight_col) > 0)
               .withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def group_topk(df: DataFrame, group_cols: Sequence[str], k: int,
+               order_cols: Sequence[tuple[str, bool]],
+               rank_col: str | None = None) -> DataFrame:
+    """Exact per-group top-k that survives a pathologically hot group.
+
+    A plain rank window moves EVERY row of a group into one task — at
+    100 TB a group holding 10% of the corpus is a straggler that
+    ``spark.sql.adaptive`` cannot split (windows aren't skew-join
+    rewritable). This is the two-phase shape ``similarity.topk_cosine``
+    uses, generalized: a map-local cut keeps at most k rows per group
+    per Arrow batch (so the shuffle carries k * groups * batches
+    survivors, never the hot group's full row set), then an exact rank
+    window over the survivors. ``order_cols`` is [(col, ascending)] and
+    must be a TOTAL order within a group (end with a unique tiebreak
+    column) — then the global top-k is a subset of the union of the
+    local top-ks and the cut loses nothing.
+
+    ``rank_col`` adds the final 1-based rank; None drops it.
+    """
+    group_cols = list(group_cols)
+    names = [c for c, _ in order_cols]
+    ascs = [asc for _, asc in order_cols]
+
+    def _local_cut(batches):
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf.sort_values(names, ascending=ascs, kind="mergesort")
+                pdf = pdf.groupby(group_cols, sort=False).head(k)
+            yield pdf
+
+    partial = df.mapInPandas(_local_cut, schema=df.schema)
+    w = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in order_cols])
+    ranked = partial.withColumn("__rn", F.row_number().over(w)) \
+                    .filter(F.col("__rn") <= k)
+    if rank_col is None:
+        return ranked.drop("__rn")
+    return ranked.withColumnRenamed("__rn", rank_col)
+
+
+def domain_caps(df: DataFrame, domain_col: str, cap: int, key_col: str,
+                seed: int = 0, fast: bool = False) -> DataFrame:
+    """Per-domain document cap (Common-Crawl-style curation: no single
+    site/source may contribute more than ``cap`` documents). The kept
+    set is the ``cap`` smallest key-hashes per domain — a uniform
+    random-but-reproducible draw, robust to hot domains via
+    ``group_topk``'s map-local cut (a domain with 10^9 docs never
+    lands in one window task)."""
+    u = uniform_hash(key_col, seed, fast=fast)
+    capped = df.withColumn("__u", u)
+    return group_topk(capped, [domain_col], cap,
+                      [("__u", True), (key_col, True)]).drop("__u")
 
 
 def temperature_resample(df: DataFrame, domain_col: str, key_col: str,

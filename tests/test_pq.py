@@ -102,3 +102,37 @@ def test_pq_adc_plan_broadcasts_table(spark, emb):
     out = pq.pq_adc_topk(emb, queries, dim=DIM, m=4, ksub=8, k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_results_are_cell_local_and_plan_broadcasts(spark, emb):
+    """Every reported neighbor must share its query's coarse cell, and
+    the ADC join must still broadcast (corpus never shuffles)."""
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    centroids = emb.filter(F.col("vec_id") % 50 == 25) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    out = pq.ivfpq_topk(emb, queries, centroids, dim=DIM, m=4, ksub=8, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    cells = {r.vec_id: r.centroid_id
+             for r in sim.ivf_assign(emb, centroids).collect()}
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert cells[r.query_id] == cells[r.neighbor_id]
+
+
+def test_ivfpq_subsets_pq_candidates(spark, emb):
+    """IVF pruning only removes candidates: any (query, neighbor) it
+    reports must score identically to the full PQ scan's distance for
+    that pair (same codebooks, same ADC table)."""
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    centroids = emb.filter(F.col("vec_id") % 50 == 25) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    books = pq.train_pq_codebooks(emb, DIM, m=4, ksub=8)
+    full = {(r.query_id, r.neighbor_id): r.dist_sq
+            for r in pq.pq_adc_topk(emb, queries, dim=DIM, m=4, ksub=8,
+                                    k=10**6, codebooks=books).collect()}
+    pruned = pq.ivfpq_topk(emb, queries, centroids, dim=DIM, m=4, ksub=8,
+                           k=5, codebooks=books).collect()
+    for r in pruned:
+        assert full[(r.query_id, r.neighbor_id)] == r.dist_sq
