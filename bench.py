@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "token_shards",
     "kmeans_clusters",
     "semdedup_pairs",
+    "domain_caps",
+    "shuffle_shards",
+    "fuzzy_dedup_keep",
+    "ivfpq_topk",
 ]
 
 
