@@ -54,14 +54,20 @@ def assign_clusters(df: DataFrame, centroids: Sequence[tuple[int, Sequence[float
     projection (no join/shuffle); argmin by rounded distance, ties to
     the lowest cluster id.
     """
-    v = F.col(vec_col)
-    dists = {cid: _dist_sq_to(v, c) for cid, c in centroids}
-    ordered = sorted(dists)
-    best = F.least(*dists.values()) if len(dists) > 1 else dists[ordered[0]]
-    cluster = F.lit(ordered[-1])
-    for cid in reversed(ordered[:-1]):
-        cluster = F.when(dists[cid] == best, F.lit(cid)).otherwise(cluster)
-    return df.withColumn("cluster", cluster)
+    return df.withColumn("cluster", _argmin_cluster(F.col(vec_col), centroids))
+
+
+def _argmin_cluster(vec: Column, centroids: Sequence[tuple[int, Sequence[float]]]) -> Column:
+    """array_min over struct(rounded_dist, cid): lexicographic struct
+    ordering IS "min distance, ties to the lowest cluster id", and each
+    distance expression appears exactly ONCE in the plan (the older
+    least()+CASE chain repeated every fold ~3x, which made Catalyst
+    analysis/codegen — not the data — the dominant cost for large
+    k*dim)."""
+    structs = [F.struct(_dist_sq_to(vec, c).alias("d"),
+                        F.lit(int(cid)).alias("c"))
+               for cid, c in sorted(centroids)]
+    return F.array_min(F.array(*structs)).getField("c")
 
 
 def init_centroids(df: DataFrame, k: int, vec_col: str = "embedding",

@@ -41,8 +41,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cdc_data_pipeline_spark.operators.clustering import (
-    _dist_sq_to, assign_clusters, init_centroids, recompute_centroids)
+from cdc_data_pipeline_spark.operators.clustering import _argmin_cluster
 
 Codebooks = list[list[tuple[int, list[float]]]]   # [subspace][cid] -> centroid
 
@@ -55,21 +54,54 @@ def train_pq_codebooks(df: DataFrame, dim: int, m: int = 4, ksub: int = 8,
                        iters: int = 2, vec_col: str = "embedding",
                        id_col: str = "vec_id", seed: int = 0) -> Codebooks:
     """Per-subspace deterministic k-means (hash-min init, ``iters``
-    assignment rounds). Cost: m small k-means runs, each a groupBy of
-    ksub*d_sub scalars — training traffic is independent of corpus
-    width. Subspace s seeds with ``seed + s`` so inits decorrelate.
+    assignment rounds), with every subspace trained in the SAME Spark
+    jobs: one corpus pass elects all m inits, and one pass per Lloyd
+    iteration recomputes all m codebooks (exploded (subspace, cluster,
+    pos) keys, map-side combined) — 1 + (iters-1) scans total instead
+    of m * iters. Values are bit-identical to training each subspace
+    alone (same per-subspace ``seed + s`` hash init, same 6dp-rounded
+    argmin / means), so the SQL oracle is unchanged. Training traffic
+    stays m * ksub * d_sub scalars — independent of corpus size.
     """
     assert dim % m == 0, f"dim {dim} not divisible by m {m}"
     d_sub = dim // m
-    books: Codebooks = []
-    for s in range(m):
-        sub_df = df.select(F.col(id_col), _slice(vec_col, s, d_sub).alias(vec_col))
-        cents = init_centroids(sub_df, ksub, vec_col, id_col, seed + s)
-        assigned = assign_clusters(sub_df, cents, vec_col, id_col)
-        for _ in range(iters - 1):
-            cents = recompute_centroids(assigned, vec_col)
-            assigned = assign_clusters(sub_df, cents, vec_col, id_col)
-        books.append(cents)
+    from cdc_data_pipeline_spark.functions.hashing import uniform_hash
+
+    # joint init: per subspace, the ksub smallest (hash, id); cluster
+    # id = rank in that order (exactly clustering.init_centroids)
+    slices = df.select(F.explode(F.array(*[
+        F.struct(F.lit(s).alias("s"),
+                 uniform_hash(id_col, seed + s).alias("u"),
+                 F.col(id_col).alias("i"),
+                 _slice(vec_col, s, d_sub).alias("v"))
+        for s in range(m)])).alias("x")).select("x.s", "x.u", "x.i", "x.v")
+    w = Window.partitionBy("s").orderBy(F.col("u").asc(), F.col("i").asc())
+    top = (slices.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= ksub).collect())
+    books: Codebooks = [[] for _ in range(m)]
+    for r in sorted(top, key=lambda r: (r["s"], r["rn"])):
+        books[r["s"]].append((r["rn"] - 1, [float(x) for x in r["v"]]))
+
+    for _ in range(iters - 1):
+        # joint recompute: one scan assigns every subspace (plan-literal
+        # argmin, no shuffle) and aggregates all m codebooks' means
+        parts = []
+        for s, cents in enumerate(books):
+            v = _slice(vec_col, s, d_sub)
+            parts.append(F.struct(F.lit(s).alias("s"),
+                                  _argmin_cluster(v, cents).alias("c"),
+                                  v.alias("v")))
+        ex = (df.select(F.explode(F.array(*parts)).alias("x"))
+              .select("x.s", "x.c", F.posexplode("x.v").alias("pos", "val")))
+        rows = (ex.groupBy("s", "c", "pos")
+                .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mval"))
+                .groupBy("s", "c")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
+                .collect())
+        books = [[] for _ in range(m)]
+        for r in sorted(rows, key=lambda r: (r["s"], r["c"])):
+            books[r["s"]].append((int(r["c"]),
+                                  [float(e["mval"]) for e in r["pm"]]))
     return books
 
 
@@ -84,16 +116,10 @@ def pq_encode(df: DataFrame, codebooks: Codebooks, dim: int,
     """
     m = len(codebooks)
     d_sub = dim // m
-    code_cols = []
-    for s, cents in enumerate(codebooks):
-        v = _slice(vec_col, s, d_sub)
-        dists = {cid: _dist_sq_to(v, c) for cid, c in cents}
-        ordered = sorted(dists)
-        best = F.least(*dists.values()) if len(dists) > 1 else dists[ordered[0]]
-        code = F.lit(ordered[-1])
-        for cid in reversed(ordered[:-1]):
-            code = F.when(dists[cid] == best, F.lit(cid)).otherwise(code)
-        code_cols.append(code.cast("int"))
+    code_cols = [
+        _argmin_cluster(_slice(vec_col, s, d_sub), cents).cast("int")
+        for s, cents in enumerate(codebooks)
+    ]
     return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
 
 
@@ -148,9 +174,14 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, dim: int,
     """
     books = codebooks if codebooks is not None else train_pq_codebooks(
         corpus, dim, m, ksub, iters, vec_col, id_col, seed)
-    codes = (pq_encode(corpus, books, dim, vec_col, id_col)
-             .select(F.col(id_col).alias("neighbor_id"),
-                     F.posexplode("codes").alias("sub", "cid")))
+    # materialize the code table before the ADC join — the production
+    # design stores codes once and scans them per query batch; inline,
+    # this also stops the broadcast/AQE phases re-deriving the encode
+    # projection (m*ksub rounded-fold argmins) several times over
+    code_tab = pq_encode(corpus, books, dim, vec_col, id_col) \
+        .localCheckpoint(eager=False)
+    codes = code_tab.select(F.col(id_col).alias("neighbor_id"),
+                            F.posexplode("codes").alias("sub", "cid"))
     dtab = adc_distance_table(queries, books, dim, vec_col, id_col, query_id_col)
     scored = (codes.join(F.broadcast(dtab), ["sub", "cid"])
               .filter(F.col(query_id_col) != F.col("neighbor_id"))
@@ -194,10 +225,12 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
         .withColumnRenamed(id_col, query_id_col)
     books = codebooks if codebooks is not None else train_pq_codebooks(
         corpus, dim, m, ksub, iters, vec_col, id_col, seed)
-    codes = (pq_encode(assigned, books, dim, vec_col, id_col)
-             .join(assigned.select(id_col, "centroid_id"), id_col)
-             .select(F.col(id_col).alias("neighbor_id"), "centroid_id",
-                     F.posexplode("codes").alias("sub", "cid")))
+    # materialized (cell, codes) table — see pq_adc_topk
+    code_tab = (pq_encode(assigned, books, dim, vec_col, id_col)
+                .join(assigned.select(id_col, "centroid_id"), id_col)
+                .localCheckpoint(eager=False))
+    codes = code_tab.select(F.col(id_col).alias("neighbor_id"), "centroid_id",
+                            F.posexplode("codes").alias("sub", "cid"))
     dtab = (adc_distance_table(q_assigned.drop("centroid_id"), books, dim,
                                vec_col, query_id_col, query_id_col)
             .join(q_assigned.select(query_id_col, "centroid_id"),
