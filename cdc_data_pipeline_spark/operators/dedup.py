@@ -327,8 +327,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     On a cluster where executor loss during the loop matters, set a
     reliable checkpoint dir and swap in ``.checkpoint()``.
     """
+    # pin the edge list once: every iteration joins against sym, and
+    # without this the whole upstream pair-producer pipeline (MinHash,
+    # LSH banding, ...) would re-execute per iteration
     sym = pairs.select(F.col(id_a).alias("node"), F.col(id_b).alias("nbr")).unionByName(
         pairs.select(F.col(id_b).alias("node"), F.col(id_a).alias("nbr")))
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select("node").distinct().withColumn("label", F.col("node"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iterations):
