@@ -53,7 +53,26 @@ def main(argv=None) -> int:
     rp = sub.add_parser(
         "runs", help="print the run-history manifest of a build base path")
     rp.add_argument("--base-path", required=True)
+    sp = sub.add_parser(
+        "sql", help="run ad-hoc Spark SQL over the fixture tables "
+                    "(each parquet table is a view)")
+    sp.add_argument("query")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--limit", type=int, default=20)
     args = ap.parse_args(argv)
+
+    if args.cmd == "sql":
+        from cdc_data_pipeline_spark.session import get_spark
+        from cdc_data_pipeline_spark.sources.readers import TABLES, read_table
+
+        spark = get_spark("cdc-sql")
+        for name in TABLES:
+            read_table(spark, args.sf_dir, name).createOrReplaceTempView(name)
+        df = spark.sql(args.query)
+        if args.limit >= 0:
+            df = df.limit(args.limit)
+        df.show(truncate=False)
+        return 0
 
     if args.cmd == "runs":
         from cdc_data_pipeline_spark.session import get_spark

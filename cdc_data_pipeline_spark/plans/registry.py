@@ -28,6 +28,24 @@ class ModelRegistry:
     def add_source(self, name: str, df: DataFrame) -> None:
         self._models[name] = ((), lambda df=df: df)
 
+    def sql_model(self, name: str, sql: str, deps: tuple[str, ...] = ()) -> None:
+        """Register a dbt-style SQL model: ``sql`` references each dep
+        by its model name as a table (dbt's ``{{ ref('x') }}`` resolves
+        to exactly this). Each dep DataFrame is exposed as a temp view
+        just before the statement runs, so the SQL sees the CURRENT
+        build's frames, then Catalyst folds everything into one logical
+        plan — a SQL model and a Python model compose freely in the
+        same DAG and cost the same at execution."""
+        def fn(*frames: DataFrame) -> DataFrame:
+            from pyspark.sql import SparkSession
+
+            spark = (frames[0].sparkSession if frames
+                     else SparkSession.getActiveSession())
+            for dep_name, df in zip(deps, frames):
+                df.createOrReplaceTempView(dep_name)
+            return spark.sql(sql)
+        self._models[name] = (tuple(deps), fn)
+
     def upstream_closure(self, name: str) -> list[str]:
         """dbt's ``+model`` selection: the model and everything upstream."""
         seen: list[str] = []

@@ -33,6 +33,34 @@ def test_registry_topo_and_select(spark):
     assert order.index("dim_users") < order.index("dim_savings_plan")
 
 
+def test_sql_model_composes_with_python_models(spark):
+    """dbt-parity: a model defined as a SQL string referencing its deps
+    by model name, mixed into a Python-model DAG, yields the same
+    result as the DataFrame formulation."""
+    reg = ModelRegistry()
+    for t in ("customer", "orders"):
+        reg.add_source(t, read_table(spark, SF0001, t))
+    reg.model("stg_users", ("customer",))(models.stg_users)
+    reg.sql_model(
+        "user_order_counts",
+        """SELECT u.user_id, COUNT(o.o_orderkey) AS n_orders
+           FROM stg_users u LEFT JOIN orders o ON u.user_id = o.o_custkey
+           GROUP BY u.user_id""",
+        deps=("stg_users", "orders"))
+    built = reg.run(select="+user_order_counts")
+    got = built["user_order_counts"]
+    expect = (built["stg_users"].alias("u")
+              .join(built["orders"].alias("o"),
+                    F.col("u.user_id") == F.col("o.o_custkey"), "left")
+              .groupBy("u.user_id")
+              .agg(F.count("o.o_orderkey").alias("n_orders")))
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    # closure resolution treats SQL models like any other node
+    assert set(reg.upstream_closure("user_order_counts")) == \
+        {"customer", "stg_users", "orders", "user_order_counts"}
+
+
 def test_dim_join_is_broadcast(spark):
     """The dim enrichment join must be broadcast — no shuffle of the
     fact side (the thing that matters at 100 TB)."""
