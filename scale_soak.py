@@ -77,7 +77,22 @@ def run_suite(spark, li_path, doc_path):
         "dedup_exact": timed(lambda: noop(dd.dedup_exact(docs))),
         "minhash_lsh": timed(lambda: noop(dd.lsh_candidate_pairs(docs))),
         "dup_spans": timed(lambda: noop(_dup_spans(docs))),
+        "fuzzy_dedup_keep": timed(lambda: noop(_fuzzy_keep(docs))),
+        "shuffle_shards": timed(lambda: noop(_shuffle(docs))),
     }
+
+
+def _fuzzy_keep(docs):
+    pairs = dd.lsh_candidate_pairs(docs, num_hashes=8, bands=4, shingle_k=3)
+    keep = (dd.dedup_clusters(docs, pairs)
+            .filter(F.col("is_canonical")).select("doc_id"))
+    return docs.join(keep, "doc_id").select("doc_id", "source")
+
+
+def _shuffle(docs):
+    from cdc_data_pipeline_spark.operators.shuffle import deterministic_shuffle
+
+    return deterministic_shuffle(docs.select("doc_id"), "doc_id", 64)
 
 
 def _dup_spans(docs):
