@@ -146,6 +146,94 @@ LIMIT 10
 """
 
 
+def q_order_priority_counts(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking): orders in a quarter
+    with EXISTS a returned lineitem, counted per priority. The EXISTS
+    compiles to a left-semi hash join — the lineitem side never
+    duplicates order rows, and both date filters push to the scans."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp")))
+    returned = _t(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (orders.join(returned, orders.o_orderkey == returned.l_orderkey,
+                        "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+SQL_ORDER_PRIORITY_COUNTS = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_priority_shipping_mix(spark, sf_dir):
+    """TPC-H Q12 shape: join + CASE-bucketed conditional counts —
+    per lineitem status, how many of its orders are high- vs
+    low-priority. One join keyed on the order, map-side combined."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).cast("long")
+                 .alias("low_line_count"))
+            .orderBy("l_linestatus"))
+
+
+SQL_PRIORITY_SHIPPING_MIX = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): conditional-aggregate ratio
+    over a part join — one scalar out. Revenue terms are summed as
+    exact DECIMAL (no float-order drift) and the ratio rounds once."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp")))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (1 - F.col("l_discount").cast("decimal(18,2)")))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .agg(F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                              .otherwise(F.lit(0).cast("decimal(18,2)")))
+                / F.sum(rev), 6).alias("promo_revenue_pct")))
+
+
+SQL_PROMO_REVENUE = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         ELSE 0 END)
+             / SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))), 6)
+       AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+"""
+
+
 QUERIES = {}
 
 ORACLES = {}
@@ -158,6 +246,9 @@ ORACLES = {}
 # duplicate_keys twin, predicate anti-join in upsert). Verified by
 # test_oracle_parity on every run.
 EXTRA_QUERIES = {
+    "order_priority_counts": q_order_priority_counts,
+    "priority_shipping_mix": q_priority_shipping_mix,
+    "promo_revenue": q_promo_revenue,
     "supplier_counts": q_supplier_counts,
     "above_avg_orders": q_above_avg_orders,
     "big_spenders": q_big_spenders,
@@ -165,6 +256,9 @@ EXTRA_QUERIES = {
     "shipping_priority": q_shipping_priority,
 }
 EXTRA_ORACLES = {
+    "order_priority_counts": SQL_ORDER_PRIORITY_COUNTS,
+    "priority_shipping_mix": SQL_PRIORITY_SHIPPING_MIX,
+    "promo_revenue": SQL_PROMO_REVENUE,
     "supplier_counts": SQL_SUPPLIER_COUNTS,
     "above_avg_orders": SQL_ABOVE_AVG_ORDERS,
     "big_spenders": SQL_BIG_SPENDERS,

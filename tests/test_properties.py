@@ -256,3 +256,54 @@ def test_apply_changes_same_ms_resolves_by_kafka_offset(spark, seq):
         if op != "d":
             expected[k] = v
     assert out == expected
+
+
+GROUPED = st.lists(
+    st.tuples(st.integers(0, 3),       # group
+              st.integers(0, 9),       # order value
+              st.integers(0, 999)),    # unique-ish id (tiebreak)
+    min_size=1, max_size=24, unique_by=lambda r: r[2],
+)
+
+
+@given(rows=GROUPED, k=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_group_topk_equals_python_reference(spark, rows, k):
+    """group_topk == per-group sort + head(k) computed in Python, for
+    any grouping, any k, including hot groups and singleton batches."""
+    from cdc_data_pipeline_spark.operators import sampling as sp
+
+    df = spark.createDataFrame(rows, "g long, val long, id long").repartition(3)
+    got = sorted(tuple(r) for r in sp.group_topk(
+        df, ["g"], k, [("val", False), ("id", True)]).collect())
+    by_g = {}
+    for g, val, i in rows:
+        by_g.setdefault(g, []).append((val, i))
+    expect = []
+    for g, vs in by_g.items():
+        for val, i in sorted(vs, key=lambda t: (-t[0], t[1]))[:k]:
+            expect.append((g, val, i))
+    assert got == sorted(expect)
+
+
+@given(ids=st.lists(st.integers(0, 10**6), min_size=1, max_size=30,
+                    unique=True),
+       n=st.integers(1, 8))
+@settings(**SETTINGS)
+def test_deterministic_shuffle_is_bijective_and_stable(spark, ids, n):
+    """(shard, pos) is dense per shard, covers every row, and is
+    invariant to input partitioning."""
+    from cdc_data_pipeline_spark.operators.shuffle import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = deterministic_shuffle(df, "doc_id", n, seed=4).collect()
+    assert len(out) == len(ids)
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard_id < n
+        by_shard.setdefault(r.shard_id, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    again = deterministic_shuffle(df.repartition(5), "doc_id", n, seed=4).collect()
+    assert sorted((r.doc_id, r.shard_id, r.pos) for r in out) == \
+        sorted((r.doc_id, r.shard_id, r.pos) for r in again)
