@@ -197,6 +197,43 @@ FROM hits GROUP BY 1
 """
 
 
+# fixture-aligned polarity lists (the synthetic corpus vocabulary has
+# no English sentiment words — these give the oracle a graded signal,
+# the same accommodation q_decontaminate makes with 3-grams; the
+# default SENTIMENT_LEXICON stays the library's English stand-in)
+_SENT_LEX = {"pos": ["fast", "small", "good", "great", "success"],
+             "neg": ["slow", "big", "bad", "terrible", "failure"]}
+
+
+def q_sentiment_scores(spark, sf_dir):
+    """Lexicon sentiment per document (SURVEY §7.6): polarity =
+    (pos - neg)/(pos + neg) over broadcast word lists, NULL when no
+    lexicon token appears. One native-HOF pass, no shuffle."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        tx.sentiment_hits("text", "pos", _SENT_LEX).cast("long").alias("pos_hits"),
+        tx.sentiment_hits("text", "neg", _SENT_LEX).cast("long").alias("neg_hits"),
+        tx.sentiment_score("text", _SENT_LEX).alias("polarity"))
+
+
+_POS_W = "['" + "','".join(_SENT_LEX["pos"]) + "']"
+_NEG_W = "['" + "','".join(_SENT_LEX["neg"]) + "']"
+
+SQL_SENTIMENT_SCORES = f"""
+WITH h AS (
+  SELECT doc_id,
+         len({_HITS.format(words=_POS_W)}) AS pos_hits,
+         len({_HITS.format(words=_NEG_W)}) AS neg_hits
+  FROM documents)
+SELECT doc_id, pos_hits, neg_hits,
+       CASE WHEN pos_hits + neg_hits > 0
+            THEN ROUND((pos_hits - neg_hits) * 1.0 / (pos_hits + neg_hits), 6)
+       END AS polarity
+FROM h
+"""
+
+
 def q_quality_score(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select("doc_id", tx.quality_score("text").alias("quality"))
@@ -1203,6 +1240,7 @@ EXTRA_QUERIES = {
     "cohort_retention": q_cohort_retention,
     "events_quarantine": q_events_quarantine,
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
+    "sentiment_scores": q_sentiment_scores,
     "transition_matrix": q_transition_matrix,
     "rolling_anomalies": q_rolling_anomalies,
 }
@@ -1216,6 +1254,7 @@ EXTRA_ORACLES = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "events_quarantine": SQL_EVENTS_QUARANTINE,
     "fuzzy_dedup_keep": SQL_FUZZY_DEDUP_KEEP,
+    "sentiment_scores": SQL_SENTIMENT_SCORES,
     "transition_matrix": SQL_TRANSITION_MATRIX,
     "rolling_anomalies": SQL_ROLLING_ANOMALIES,
 }

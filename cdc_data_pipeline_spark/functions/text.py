@@ -23,6 +23,17 @@ STOPWORDS = {
 
 PUNCT_CLASS = r"[.,;:!?]"
 
+# Tiny polarity lexicon for the sentiment heuristic (SURVEY §7.6 names
+# sentiment-lexicon analysis in the north-star text family). Small,
+# deterministic, and — like STOPWORDS — a stand-in for a production
+# lexicon (AFINN/VADER-class) the caller can swap in.
+SENTIMENT_LEXICON = {
+    "pos": ["good", "great", "excellent", "love", "best", "happy",
+            "wonderful", "amazing", "success", "win"],
+    "neg": ["bad", "terrible", "awful", "hate", "worst", "sad",
+            "horrible", "poor", "failure", "lose"],
+}
+
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization with empty tokens removed.
@@ -106,6 +117,28 @@ def lang_id(col: Column | str) -> Column:
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
     return best_lang
+
+
+def sentiment_hits(col: Column | str, polarity: str,
+                   lexicon: dict[str, list[str]] | None = None) -> Column:
+    """Number of tokens in the ``polarity`` ('pos'/'neg') lexicon.
+    ``lexicon`` defaults to the built-in SENTIMENT_LEXICON; pass a
+    production list (AFINN/VADER-class) to swap it in."""
+    lex = lexicon if lexicon is not None else SENTIMENT_LEXICON
+    toks = tokens(col)
+    words = F.array(*[F.lit(w) for w in lex[polarity]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(words, F.lower(t))))
+
+
+def sentiment_score(col: Column | str,
+                    lexicon: dict[str, list[str]] | None = None) -> Column:
+    """Lexicon sentiment polarity in [-1, 1]: (pos - neg) / (pos + neg),
+    NULL for documents that hit neither list (no evidence != neutral).
+    Native HOF scan — one pass, no Python, exact SQL twin."""
+    pos = sentiment_hits(col, "pos", lexicon)
+    neg = sentiment_hits(col, "neg", lexicon)
+    return F.when(pos + neg > 0,
+                  F.round((pos - neg) / (pos + neg).cast("double"), 6))
 
 
 def normalized_text(col: Column | str) -> Column:

@@ -127,3 +127,20 @@ def test_mask_duplicated_spans_drops_all_copies(spark):
     assert out[3]["clean_text"] == "u v w x y z k m"
     assert out[1]["n_tokens"] == 8 and out[1]["n_kept"] == 4
     assert out[3]["n_kept"] == 8
+
+
+def test_sentiment_score_known_values(spark):
+    from cdc_data_pipeline_spark.functions.text import sentiment_score
+
+    df = spark.createDataFrame(
+        [(1, "this is a GOOD great day"),      # 2 pos, 0 neg -> 1.0
+         (2, "bad terrible awful stuff"),       # 3 neg -> -1.0
+         (3, "good but bad"),                   # 1 pos 1 neg -> 0.0
+         (4, "nothing relevant here")],         # no hits -> NULL
+        "id long, text string")
+    got = {r.id: r.s for r in
+           df.select("id", sentiment_score("text").alias("s")).collect()}
+    assert got[1] == 1.0
+    assert got[2] == -1.0
+    assert got[3] == 0.0
+    assert got[4] is None
