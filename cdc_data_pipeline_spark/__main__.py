@@ -59,7 +59,32 @@ def main(argv=None) -> int:
     sp.add_argument("query")
     sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     sp.add_argument("--limit", type=int, default=20)
+    cp = sub.add_parser(
+        "curate", help="run the full corpus-curation flow (quality -> "
+                       "dedup -> mask -> decontaminate -> shards)")
+    cp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    cp.add_argument("--out", default=None,
+                    help="write shard directories here (optional)")
+    cp.add_argument("--budget", type=int, default=4096,
+                    help="tokens per output shard")
+    cp.add_argument("--eval-mod", type=int, default=97,
+                    help="every Nth doc stands in for the eval set")
     args = ap.parse_args(argv)
+
+    if args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from cdc_data_pipeline_spark.plans.curate import curate_corpus
+        from cdc_data_pipeline_spark.session import get_spark
+        from cdc_data_pipeline_spark.sources.readers import read_table
+
+        spark = get_spark("cdc-curate")
+        docs = read_table(spark, args.sf_dir, "documents")
+        ev = docs.filter(F.col("doc_id") % args.eval_mod == 0)
+        _packed, funnel = curate_corpus(docs, ev, out_path=args.out,
+                                        budget=args.budget)
+        print(json.dumps(funnel))
+        return 0
 
     if args.cmd == "sql":
         from cdc_data_pipeline_spark.session import get_spark

@@ -45,16 +45,56 @@ def _dist_sq_to(vec: Column, centroid: Sequence[float]) -> Column:
 
 
 def assign_clusters(df: DataFrame, centroids: Sequence[tuple[int, Sequence[float]]],
-                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    engine: str = "native") -> DataFrame:
     """Nearest-centroid assignment: adds a ``cluster`` column.
 
     ``centroids`` is [(cluster_id, vector), ...] — explicit ids so an
     empty cluster (which simply has no centroid next round) never
-    renumbers the survivors. Centroids are plan literals → a pure
-    projection (no join/shuffle); argmin by rounded distance, ties to
-    the lowest cluster id.
+    renumbers the survivors. Both engines: argmin by 6dp-rounded
+    squared distance, ties to the lowest cluster id.
+
+    - ``native`` (default): centroids are plan literals → a pure
+      projection, no join/shuffle, fully SQL-oracle-reproducible. The
+      plan size grows with k*dim — right for the oracle-checked
+      configurations (k*dim up to a few thousand).
+    - ``arrow``: one numpy ``(batch, k)`` distance matrix per Arrow
+      batch against broadcast-closure centroids — no shuffle either,
+      and plan size is O(1), which is the production path when
+      k*dim is large (SemDeDup-style k ~ corpus/target_cluster_size).
+      Distances are rounded to the same 6dp grid before the argmin;
+      ``test_assign_engines_agree`` pins cross-engine equality.
     """
-    return df.withColumn("cluster", _argmin_cluster(F.col(vec_col), centroids))
+    if engine == "native":
+        return df.withColumn("cluster", _argmin_cluster(F.col(vec_col), centroids))
+
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted((int(cid), [float(x) for x in c]) for cid, c in centroids)
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([c for _, c in cents], dtype=np.float64)      # (k, dim)
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # fresh StructType — StructType.add would mutate df's cached schema
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField("cluster", IntegerType())])
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                # (n, k) squared distances, rounded to the grid the
+                # native fold rounds to, then first-min = lowest cid
+                d = np.round(
+                    ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1), 6)
+                pdf = pdf.assign(cluster=cids[np.argmin(d, axis=1)].astype("int32"))
+            else:
+                pdf = pdf.assign(cluster=pd.array([], dtype="int32"))
+            yield pdf
+
+    return df.mapInPandas(_assign, schema=out_schema)
 
 
 def _argmin_cluster(vec: Column, centroids: Sequence[tuple[int, Sequence[float]]]) -> Column:
@@ -99,15 +139,17 @@ def recompute_centroids(assigned: DataFrame,
 
 
 def kmeans(df: DataFrame, k: int, iters: int = 2, vec_col: str = "embedding",
-           id_col: str = "vec_id", seed: int = 0) -> DataFrame:
+           id_col: str = "vec_id", seed: int = 0,
+           engine: str = "native") -> DataFrame:
     """Lloyd's k-means for ``iters`` assignment rounds (init → assign
     → recompute, ending on an assignment). Returns the input plus a
-    ``cluster`` column from the final assignment."""
+    ``cluster`` column from the final assignment. ``engine`` selects
+    the assignment path (see ``assign_clusters``)."""
     cents = init_centroids(df, k, vec_col, id_col, seed)
-    assigned = assign_clusters(df, cents, vec_col, id_col)
+    assigned = assign_clusters(df, cents, vec_col, id_col, engine)
     for _ in range(iters - 1):
         cents = recompute_centroids(assigned, vec_col)
-        assigned = assign_clusters(df, cents, vec_col, id_col)
+        assigned = assign_clusters(df, cents, vec_col, id_col, engine)
     return assigned
 
 

@@ -67,3 +67,23 @@ def test_full_curation_pipeline(spark):
     emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
     kept = semdedup_prune(emb, k=4, threshold=0.95)
     assert 0 < kept.count() <= emb.count()
+
+
+def test_curate_corpus_one_call(spark, tmp_path):
+    """plans.curate.curate_corpus: the composed build produces a
+    monotone funnel, writes shard directories, and the written rows
+    equal the final stage count."""
+    from cdc_data_pipeline_spark.plans.curate import curate_corpus
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    out = str(tmp_path / "shards")
+    packed, funnel = curate_corpus(docs, ev, out_path=out, budget=256)
+    order = ["input", "after_quality", "after_exact_dedup",
+             "after_fuzzy_dedup", "after_span_mask", "after_decontaminate"]
+    vals = [funnel[k] for k in order]
+    assert vals == sorted(vals, reverse=True) and vals[-1] > 0
+    assert funnel["shards"] >= 1 and funnel["total_tokens"] > 0
+    back = spark.read.parquet(out)
+    assert back.count() == funnel["after_decontaminate"]
+    assert back.select("shard_id").distinct().count() == funnel["shards"]

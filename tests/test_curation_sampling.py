@@ -325,3 +325,25 @@ def test_approx_percentiles_within_rank_error(spark):
             import bisect
             rank = bisect.bisect_left(vals, pa) / max(len(vals) - 1, 1)
             assert abs(rank - frac) < 0.01, (k, frac, rank)
+
+
+def test_assign_engines_agree(spark, sf_dir):
+    """Arrow (numpy batch matmul) and native (plan-literal fold)
+    assignment must produce identical clusters — the arrow path is the
+    production route for large k*dim, the native path the
+    oracle-checked one."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = cl.init_centroids(emb, 8)
+    a = {r.vec_id: r.cluster for r in
+         cl.assign_clusters(emb, cents, engine="native").collect()}
+    b = {r.vec_id: r.cluster for r in
+         cl.assign_clusters(emb, cents, engine="arrow").collect()}
+    assert a == b and len(a) == emb.count()
+
+
+def test_kmeans_arrow_engine_matches_native(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = {r.vec_id: r.cluster for r in cl.kmeans(emb, 4, iters=2).collect()}
+    b = {r.vec_id: r.cluster for r in
+         cl.kmeans(emb, 4, iters=2, engine="arrow").collect()}
+    assert a == b
