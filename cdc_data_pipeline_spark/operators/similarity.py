@@ -65,19 +65,60 @@ def topk_cosine(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def ivf_assign(corpus: DataFrame, centroids: DataFrame,
                vec_col: str = "embedding", id_col: str = "vec_id",
-               centroid_id_col: str = "centroid_id") -> DataFrame:
-    """Assign each vector to its nearest centroid (coarse quantization).
+               centroid_id_col: str = "centroid_id",
+               engine: str = "native") -> DataFrame:
+    """Assign each vector to its nearest centroid (coarse quantization):
+    argmax of 9dp-rounded cosine, ties to the lowest centroid id.
 
-    Centroids are broadcast; argmin per vector via max(struct) — one
-    pass, map-side combine, no corpus shuffle.
+    - ``native`` (default): broadcast centroid join + max(struct)
+      argmax — one corpus pass, map-side combine, no corpus shuffle;
+      fully SQL-oracle-reproducible (the oracle-checked path).
+    - ``arrow``: centroids are collected (broadcast-small by the IVF
+      contract, n_cells ~ sqrt(corpus)) and each Arrow batch scores
+      one numpy (batch, cells) cosine matrix — no join row blow-up,
+      O(1) plan size; the production path when n_cells is large.
+      Same 9dp rounding grid and lowest-cid tiebreak;
+      ``test_ivf_assign_engines_agree`` pins equality.
     """
-    c = F.broadcast(centroids.select(F.col(centroid_id_col), F.col(vec_col).alias("__centv")))
-    scored = corpus.join(c, F.lit(True)) \
-        .withColumn("__sim", F.round(cosine(vec_col, "__centv"), 9))
-    packed = F.max(F.struct(F.col("__sim"), (-F.col(centroid_id_col)).alias("__tb"),
-                            F.col(centroid_id_col).alias("cid"))).alias("__m")
-    best = scored.groupBy(id_col, vec_col).agg(packed)
-    return best.select(id_col, vec_col, F.col("__m.cid").alias(centroid_id_col))
+    if engine == "native":
+        c = F.broadcast(centroids.select(F.col(centroid_id_col), F.col(vec_col).alias("__centv")))
+        scored = corpus.join(c, F.lit(True)) \
+            .withColumn("__sim", F.round(cosine(vec_col, "__centv"), 9))
+        packed = F.max(F.struct(F.col("__sim"), (-F.col(centroid_id_col)).alias("__tb"),
+                                F.col(centroid_id_col).alias("cid"))).alias("__m")
+        best = scored.groupBy(id_col, vec_col).agg(packed)
+        return best.select(id_col, vec_col, F.col("__m.cid").alias(centroid_id_col))
+
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = sorted((int(r[0]), [float(x) for x in r[1]]) for r in
+                   centroids.select(centroid_id_col, vec_col).collect())
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([c for _, c in cents], dtype=np.float64)
+    cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+
+    src = corpus.select(F.col(id_col), F.col(vec_col))
+    out_schema = StructType(list(src.schema.fields)
+                            + [StructField(centroid_id_col, IntegerType())])
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                xn = np.sqrt(np.einsum("ij,ij->i", X, X))
+                denom = np.outer(xn, cn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.where(denom > 0, (X @ C.T) / denom, 0.0)
+                sims = np.round(sims, 9)
+                pdf = pdf.assign(**{centroid_id_col:
+                                    cids[np.argmax(sims, axis=1)].astype("int32")})
+            else:
+                import pandas as _pd
+                pdf = pdf.assign(**{centroid_id_col: _pd.array([], dtype="int32")})
+            yield pdf
+
+    return src.mapInPandas(_assign, schema=out_schema)
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: int = 5,

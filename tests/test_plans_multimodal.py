@@ -154,3 +154,17 @@ def test_resize_stub_plumbing(spark, sf_dir):
         assert r.meta.width == 8 and r.meta.height == 4
     # schema identical shape to input media frame
     assert [f.name for f in out.schema.fields] == ["media_id", "payload", "meta"]
+
+
+def test_ivf_assign_engines_agree(spark, sf_dir):
+    """Arrow (numpy batch cosine matrix) and native (broadcast join +
+    struct argmax) coarse assignment must agree exactly."""
+    from cdc_data_pipeline_spark.operators.similarity import ivf_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 50 == 25) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    a = {r.vec_id: r.centroid_id for r in ivf_assign(emb, cents).collect()}
+    b = {r.vec_id: r.centroid_id
+         for r in ivf_assign(emb, cents, engine="arrow").collect()}
+    assert a == b and len(a) == emb.count()
