@@ -59,6 +59,20 @@ def main(argv=None) -> int:
     sp.add_argument("query")
     sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     sp.add_argument("--limit", type=int, default=20)
+    ip = sub.add_parser(
+        "index", help="build a persisted IVF similarity index from the "
+                      "embeddings table")
+    ip.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ip.add_argument("--path", required=True)
+    ip.add_argument("--cells", type=int, default=16)
+    qp = sub.add_parser(
+        "search", help="top-k similarity search against a persisted "
+                       "IVF index (query = every Nth embedding)")
+    qp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    qp.add_argument("--path", required=True)
+    qp.add_argument("--k", type=int, default=5)
+    qp.add_argument("--nprobe", type=int, default=2)
+    qp.add_argument("--query-mod", type=int, default=100)
     cp = sub.add_parser(
         "curate", help="run the full corpus-curation flow (quality -> "
                        "dedup -> mask -> decontaminate -> shards)")
@@ -70,6 +84,32 @@ def main(argv=None) -> int:
     cp.add_argument("--eval-mod", type=int, default=97,
                     help="every Nth doc stands in for the eval set")
     args = ap.parse_args(argv)
+
+    if args.cmd == "index":
+        from cdc_data_pipeline_spark.operators.index import build_ivf_index
+        from cdc_data_pipeline_spark.session import get_spark
+        from cdc_data_pipeline_spark.sources.readers import read_table
+
+        spark = get_spark("cdc-index")
+        emb = read_table(spark, args.sf_dir, "embeddings")
+        stats = build_ivf_index(spark, emb, args.path, n_cells=args.cells)
+        print(json.dumps(stats))
+        return 0
+
+    if args.cmd == "search":
+        from pyspark.sql import functions as F
+
+        from cdc_data_pipeline_spark.operators.index import query_ivf_index
+        from cdc_data_pipeline_spark.session import get_spark
+        from cdc_data_pipeline_spark.sources.readers import read_table
+
+        spark = get_spark("cdc-search")
+        emb = read_table(spark, args.sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") % args.query_mod == 0)
+        out = query_ivf_index(spark, args.path, queries,
+                              k=args.k, nprobe=args.nprobe)
+        out.orderBy("query_id", "rank").show(50, truncate=False)
+        return 0
 
     if args.cmd == "curate":
         from pyspark.sql import functions as F

@@ -592,7 +592,10 @@ QUERIES = {
     "events_json_extract": q_events_json,
     "text_stats": q_text_stats,
     "token_counts": q_token_counts,
-    "lang_id": q_lang_id,
+# lang_id moved to the local-parity tier in round 3 (2-row fixture
+# output is the weakest driver signal; its CASE-WHEN machinery is
+# also pinned by scd2_check) to free the slot for ivfpq_topk — the
+# PQ family's first driver pin (catalog/llm.py).
     "quality_score": q_quality_score,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -609,7 +612,6 @@ ORACLES = {
     "events_json_extract": SQL_EVENTS_JSON,
     "text_stats": SQL_TEXT_STATS,
     "token_counts": SQL_TOKEN_COUNTS,
-    "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY_SCORE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
@@ -1241,6 +1243,7 @@ EXTRA_QUERIES = {
     "events_quarantine": q_events_quarantine,
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
     "sentiment_scores": q_sentiment_scores,
+    "lang_id": q_lang_id,
     "transition_matrix": q_transition_matrix,
     "rolling_anomalies": q_rolling_anomalies,
 }
@@ -1255,6 +1258,7 @@ EXTRA_ORACLES = {
     "events_quarantine": SQL_EVENTS_QUARANTINE,
     "fuzzy_dedup_keep": SQL_FUZZY_DEDUP_KEEP,
     "sentiment_scores": SQL_SENTIMENT_SCORES,
+    "lang_id": SQL_LANG_ID,
     "transition_matrix": SQL_TRANSITION_MATRIX,
     "rolling_anomalies": SQL_ROLLING_ANOMALIES,
 }

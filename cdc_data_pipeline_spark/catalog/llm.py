@@ -352,6 +352,9 @@ QUERIES = {
     "token_shards": q_token_shards,
     "semdedup_pairs": q_semdedup_pairs,
 }
+# ivfpq_topk is appended to QUERIES below, after its definition —
+# promoted in round 3 as the PQ family's driver pin (swap documented
+# at catalog/ext.py next to the demoted lang_id)
 
 ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
@@ -539,6 +542,9 @@ SELECT query_id, neighbor_id, ROUND(dl / 1000000.0, 6) AS dist_sq,
                                ORDER BY dl, neighbor_id) AS INTEGER) AS rank
 FROM scored QUALIFY rank <= {_PQ_K}
 """
+
+QUERIES["ivfpq_topk"] = q_ivfpq_topk
+ORACLES["ivfpq_topk"] = SQL_IVFPQ_TOPK
 
 
 # ------------------------------------------------- context-window chunking
@@ -874,7 +880,6 @@ EXTRA_QUERIES = {
     "embed_stub": q_embed_stub,
     "lm_score": q_lm_score,
     "pq_topk": q_pq_topk,
-    "ivfpq_topk": q_ivfpq_topk,
     "nb_classify": q_nb_classify,
     "bloom_decontaminate": q_bloom_decontaminate,
 }
@@ -891,7 +896,6 @@ EXTRA_ORACLES = {
     "embed_stub": SQL_EMBED_STUB,
     "lm_score": SQL_LM_SCORE,
     "pq_topk": SQL_PQ_TOPK,
-    "ivfpq_topk": SQL_IVFPQ_TOPK,
     "nb_classify": SQL_NB_CLASSIFY,
     "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
 }
