@@ -106,3 +106,39 @@ def test_cli_list_run_oracle(tmp_path):
         [sys.executable, "-m", "cdc_data_pipeline_spark", "run", "nope"],
         capture_output=True, text=True, timeout=120, cwd="/root/repo")
     assert out.returncode == 2
+
+
+def test_cli_sql_index_search_curate(tmp_path):
+    """The round-3 CLI surface: ad-hoc SQL, persisted-index build +
+    search, and the one-call curation flow."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "cdc_data_pipeline_spark", "sql",
+         "SELECT COUNT(*) AS n FROM orders"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert out.returncode == 0 and "1500" in out.stdout
+
+    idx = str(tmp_path / "ivf")
+    out = subprocess.run(
+        [sys.executable, "-m", "cdc_data_pipeline_spark", "index",
+         "--path", idx, "--cells", "8"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert out.returncode == 0
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["n_cells"] == 8 and stats["n_vectors"] == 500
+
+    out = subprocess.run(
+        [sys.executable, "-m", "cdc_data_pipeline_spark", "search",
+         "--path", idx, "--k", "3"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert out.returncode == 0 and "query_id" in out.stdout
+
+    out = subprocess.run(
+        [sys.executable, "-m", "cdc_data_pipeline_spark", "curate"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo")
+    assert out.returncode == 0
+    funnel = json.loads(out.stdout.strip().splitlines()[-1])
+    assert funnel["input"] >= funnel["after_decontaminate"] > 0
