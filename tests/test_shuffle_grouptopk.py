@@ -108,3 +108,29 @@ def test_domain_caps_enforces_cap_and_determinism(spark, sf_dir):
     again = sp.domain_caps(docs.repartition(11), "source", 7, "doc_id", seed=5)
     assert {r.doc_id for r in capped.select("doc_id").collect()} == \
         {r.doc_id for r in again.select("doc_id").collect()}
+
+
+def test_shuffle_plan_has_no_global_range_sort(spark, sf_dir):
+    """The whole point of deterministic_shuffle: shuffled order without
+    an all-to-all range exchange. The plan must contain no
+    rangepartitioning (global sort) — only the per-shard rank window's
+    hash exchange."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    out = sh.deterministic_shuffle(docs, "doc_id", 8)
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning" in plan
+
+
+def test_domain_caps_plan_contains_partial_cut(spark, sf_dir):
+    """group_topk must place the Arrow map-local cut BEFORE the rank
+    window's exchange, so a hot domain never ships its full row set."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = sp.domain_caps(docs, "source", 5, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    i_map = plan.find("MapInPandas")
+    i_win = plan.find("Window")
+    assert i_map != -1 and i_win != -1
+    # executedPlan prints top-down: the window consumes the map output,
+    # so Window appears above (before) MapInPandas in the string
+    assert i_win < i_map

@@ -379,3 +379,27 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     expected = streaming_funnel(ev, steps)  # batch path
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
+
+
+def test_stream_static_broadcast_enrich_matches_batch(spark, tmp_path):
+    """Stream-static enrichment: a streaming fact joined to a static
+    broadcast dim inside the micro-batch plan (the standard Structured
+    Streaming dim-enrich shape — the static side is re-resolved per
+    batch, no state store involved). Results must equal the batch
+    join."""
+    stream, batch = _events_stream(spark, tmp_path)
+    users = (read_table(spark, SF0001, "customer")
+             .select(F.col("c_custkey").alias("user_id"),
+                     F.col("c_mktsegment").alias("segment")))
+    enriched = (stream.join(F.broadcast(users), "user_id", "left")
+                .groupBy("segment")
+                .agg(F.count(F.lit(1)).alias("n_events")))
+    q = (enriched.writeStream.format("memory").queryName("enrich_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM enrich_test")
+    expected = (batch.join(F.broadcast(users), "user_id", "left")
+                .groupBy("segment")
+                .agg(F.count(F.lit(1)).alias("n_events")))
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
