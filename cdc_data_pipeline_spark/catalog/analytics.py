@@ -301,6 +301,55 @@ FROM d GROUP BY decile ORDER BY decile
 """
 
 
+def q_active_inactive_customers(spark, sf_dir):
+    """Set operations (INTERSECT / EXCEPT — absent from the reference's
+    SQL surface, SURVEY §2.4): customers with BOTH finished and open
+    orders, and customers with finished orders only (both branches
+    non-empty on the fixtures). Spark compiles both to aggregated
+    semi/anti joins (no sort-based set diff); ``subtract`` is EXCEPT
+    set semantics — exceptAll would leave multiplicity remainders for
+    multi-order customers."""
+    orders = _t(spark, sf_dir, "orders")
+    fin = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    opn = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    both = fin.intersect(opn).withColumn("cohort", F.lit("retained"))
+    lapsed = fin.subtract(opn).withColumn("cohort", F.lit("lapsed"))
+    return both.unionByName(lapsed)
+
+
+SQL_ACTIVE_INACTIVE = """
+WITH fin AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+opn AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+SELECT o_custkey, 'retained' AS cohort FROM
+  (SELECT o_custkey FROM fin INTERSECT SELECT o_custkey FROM opn)
+UNION ALL
+SELECT o_custkey, 'lapsed' FROM
+  (SELECT o_custkey FROM fin EXCEPT SELECT o_custkey FROM opn)
+"""
+
+
+def q_status_unpivot(spark, sf_dir):
+    """Unpivot (melt) — the inverse of status_pivot: per-customer
+    status counts pivoted wide, then melted back to (customer, status,
+    n) long form with zero cells dropped. Spark's native unpivot
+    operator (SQL UNPIVOT / DataFrame.unpivot, Spark 3.4+)."""
+    orders = _t(spark, sf_dir, "orders")
+    wide = (orders.groupBy("o_custkey")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.count(F.lit(1))))
+    long = wide.unpivot("o_custkey", ["F", "O", "P"], "status", "n")
+    return long.filter(F.col("n").isNotNull()) \
+        .select("o_custkey", "status", F.col("n").cast("long").alias("n"))
+
+
+SQL_STATUS_UNPIVOT = """
+SELECT o_custkey, o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderstatus IN ('F', 'O', 'P')
+GROUP BY o_custkey, o_orderstatus
+"""
+
+
 QUERIES = {
     "asof_order_state": q_asof_order_state,
 }
@@ -329,6 +378,8 @@ EXTRA_QUERIES = {
     "feature_normalize": q_feature_normalize,
     "corr_matrix": q_corr_matrix,
     "price_deciles": q_price_deciles,
+    "active_inactive_customers": q_active_inactive_customers,
+    "status_unpivot": q_status_unpivot,
 }
 
 EXTRA_ORACLES = {
@@ -344,4 +395,6 @@ EXTRA_ORACLES = {
     "feature_normalize": SQL_FEATURE_NORMALIZE,
     "corr_matrix": SQL_CORR_MATRIX,
     "price_deciles": SQL_PRICE_DECILES,
+    "active_inactive_customers": SQL_ACTIVE_INACTIVE,
+    "status_unpivot": SQL_STATUS_UNPIVOT,
 }
