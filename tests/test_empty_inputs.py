@@ -121,3 +121,31 @@ def test_skew_report_flags_hot_key(spark):
     # 11 keys, 100 rows -> uniform ~9.09; hot key ~9.9x uniform
     assert rep[0]["x_uniform"] > 9
     assert skew_report(df.limit(0), ["k"]).count() == 0
+
+
+def test_round3_operators_on_empty_inputs(spark):
+    """Round-3 operators on 0-row inputs: empty shuffles, caps, top-k
+    and sentiment all yield empty/clean results without erroring."""
+    from cdc_data_pipeline_spark.functions.text import sentiment_score
+    from cdc_data_pipeline_spark.operators import sampling as sp
+    from cdc_data_pipeline_spark.operators.shuffle import deterministic_shuffle
+
+    docs = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert deterministic_shuffle(docs.select("doc_id"), "doc_id", 4).count() == 0
+    assert sp.domain_caps(docs, "source", 3, "doc_id").count() == 0
+    assert sp.group_topk(docs, ["source"], 2, [("doc_id", True)]).count() == 0
+    assert docs.select(sentiment_score("text")).count() == 0
+
+
+def test_ivfpq_empty_queries_yield_empty(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cdc_data_pipeline_spark.operators import pq
+    from cdc_data_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.lit(False))
+    centroids = emb.filter(F.col("vec_id") % 50 == 25) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    out = pq.ivfpq_topk(emb, queries, centroids, dim=64, m=4, ksub=8, k=3)
+    assert out.count() == 0
