@@ -839,6 +839,36 @@ SELECT doc_id, source FROM (
 """
 
 
+_MIX_W = {"src0": 0.4, "src1": 0.4, "src2": 0.2}
+_MIX_SEED = 11
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Fixed-mixture corpus build: keep src0/src1/src2 at 40/40/20
+    target proportions, maximal feasible size (S = min n_d/p_d; the
+    20%-target domain binds, so the 40% domains downsample to 2x its
+    kept size). Deterministic hash keep-decisions -> exact oracle."""
+    docs = _docs(spark, sf_dir)
+    return (sp.mixture_sample(docs, "source", _MIX_W, "doc_id",
+                              seed=_MIX_SEED)
+            .select("doc_id", "source"))
+
+
+_MIX_VALUES = ", ".join(f"('{d}', {p})" for d, p in sorted(_MIX_W.items()))
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH w(source, p) AS (VALUES {_MIX_VALUES}),
+c AS (SELECT d.source, COUNT(*) AS n
+      FROM documents d JOIN w USING (source) GROUP BY d.source),
+s AS (SELECT MIN(c.n / w.p) AS cap FROM c JOIN w USING (source)),
+r AS (SELECT c.source, w.p * s.cap / c.n AS rate
+      FROM c JOIN w USING (source) CROSS JOIN s)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE {uniform_hash_sql('d.doc_id', _MIX_SEED)} < r.rate
+"""
+
+
 _NSHARDS, _SHUF_SEED = 16, 3
 
 
@@ -870,6 +900,7 @@ FROM u
 EXTRA_QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "domain_caps": q_domain_caps,
+    "mixture_sample": q_mixture_sample,
     "shuffle_shards": q_shuffle_shards,
     "value_histogram": q_value_histogram,
     "source_quality": q_source_quality,
@@ -886,6 +917,7 @@ EXTRA_QUERIES = {
 EXTRA_ORACLES = {
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "domain_caps": SQL_DOMAIN_CAPS,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "source_quality": SQL_SOURCE_QUALITY,

@@ -161,6 +161,46 @@ def domain_caps(df: DataFrame, domain_col: str, cap: int, key_col: str,
                       [("__u", True), (key_col, True)]).drop("__u")
 
 
+def mixture_sample(df: DataFrame, domain_col: str,
+                   weights: dict[str, float], key_col: str,
+                   seed: int = 0, fast: bool = False) -> DataFrame:
+    """Fixed-mixture corpus builder: downsample so the kept corpus
+    matches the target domain proportions ``weights`` exactly in
+    expectation, keeping as much data as feasibility allows.
+
+    The largest achievable mixed-corpus size is S = min_d(n_d / p_d)
+    (the scarcest domain relative to its target binds everyone); each
+    domain then keeps rate_d = p_d * S / n_d of its rows — the binding
+    domain keeps everything, abundant domains downsample. Domains not
+    in ``weights`` are dropped (weight 0). This is the standard
+    pretraining-mixture shape (fixed per-source sampling proportions);
+    ``temperature_resample`` is its exponent-parameterized sibling.
+
+    Determinism: the keep decision is ``uniform_hash(key) < rate_d``
+    (pure function of key+seed); rates derive from exact integer
+    counts through IEEE-correctly-rounded ops an SQL oracle reproduces
+    bit-identically. The only driver traffic is |weights| counts —
+    the same scalar budget class as a watermark read.
+    """
+    doms = sorted(d for d, p in weights.items() if p > 0)
+    if not doms:
+        return df.limit(0)
+    rows = (df.filter(F.col(domain_col).isin(doms))
+            .groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect())
+    n = {r[0]: r[1] for r in rows}
+    present = [d for d in doms if n.get(d)]
+    if not present:
+        return df.limit(0)
+    cap = min(n[d] / weights[d] for d in present)
+    rates = {d: weights[d] * cap / n[d] for d in present}
+    u = uniform_hash(key_col, seed, fast=fast)
+    rate = None
+    for d in present:
+        branch = (rate if rate is not None else F.when(F.lit(False), F.lit(0.0)))
+        rate = branch.when(F.col(domain_col) == d, F.lit(rates[d]))
+    return df.filter(F.col(domain_col).isin(present)).filter(u < rate)
+
+
 def temperature_resample(df: DataFrame, domain_col: str, key_col: str,
                          alpha: float = 0.5, seed: int = 0,
                          fast: bool = False) -> DataFrame:

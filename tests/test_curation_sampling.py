@@ -347,3 +347,26 @@ def test_kmeans_arrow_engine_matches_native(spark, sf_dir):
     b = {r.vec_id: r.cluster for r in
          cl.kmeans(emb, 4, iters=2, engine="arrow").collect()}
     assert a == b
+
+
+def test_mixture_sample_hits_target_proportions(spark, sf_dir):
+    """The kept mix matches the target proportions in expectation, the
+    binding (scarcest-relative-to-target) domain keeps everything, and
+    out-of-mixture domains are dropped entirely."""
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    w = {"src0": 0.2, "src1": 0.2, "src2": 0.6}
+    kept = sp.mixture_sample(docs, "source", w, "doc_id", seed=3)
+    counts = {r["source"]: r["count"] for r in
+              kept.groupBy("source").count().collect()}
+    assert set(counts) <= set(w)
+    # src2 binds (25 docs against a 0.6 target): keeps all 25; the 0.2
+    # domains should keep ~25*(0.2/0.6) ~ 8.3 each in expectation
+    assert counts["src2"] == 25
+    for d in ("src0", "src1"):
+        assert 2 <= counts.get(d, 0) <= 16
+    # deterministic and layout-independent
+    again = sp.mixture_sample(docs.repartition(9), "source", w, "doc_id", seed=3)
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == \
+        {r.doc_id for r in again.select("doc_id").collect()}
+    # empty weight set -> empty result
+    assert sp.mixture_sample(docs, "source", {}, "doc_id").count() == 0
