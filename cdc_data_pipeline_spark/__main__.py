@@ -59,6 +59,17 @@ def main(argv=None) -> int:
     sp.add_argument("query")
     sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     sp.add_argument("--limit", type=int, default=20)
+    vp = sub.add_parser(
+        "versions", help="list a versioned table's versions + current pointer")
+    vp.add_argument("--table-path", required=True)
+    rbp = sub.add_parser(
+        "rollback", help="point a versioned table back to an older version (O(1))")
+    rbp.add_argument("--table-path", required=True)
+    rbp.add_argument("--to", type=int, required=True)
+    vcp = sub.add_parser(
+        "vacuum", help="delete all but the last N versions of a versioned table")
+    vcp.add_argument("--table-path", required=True)
+    vcp.add_argument("--keep", type=int, default=2)
     ip = sub.add_parser(
         "index", help="build a persisted IVF similarity index from the "
                       "embeddings table")
@@ -84,6 +95,24 @@ def main(argv=None) -> int:
     cp.add_argument("--eval-mod", type=int, default=97,
                     help="every Nth doc stands in for the eval set")
     args = ap.parse_args(argv)
+
+    if args.cmd in ("versions", "rollback", "vacuum"):
+        from cdc_data_pipeline_spark.sources import versioned as V
+
+        if args.cmd == "versions":
+            print(json.dumps({"versions": V.list_versions(args.table_path),
+                              "current": V.current_version(args.table_path)}))
+        elif args.cmd == "rollback":
+            if args.to not in V.list_versions(args.table_path):
+                print(f"unknown version: {args.to}", file=sys.stderr)
+                return 2
+            V.publish_pointer(args.table_path, args.to)
+            print(json.dumps({"current": V.current_version(args.table_path)}))
+        else:
+            removed = V.vacuum_versions(args.table_path, keep_last=args.keep)
+            print(json.dumps({"removed": removed,
+                              "versions": V.list_versions(args.table_path)}))
+        return 0
 
     if args.cmd == "index":
         from cdc_data_pipeline_spark.operators.index import build_ivf_index

@@ -142,3 +142,32 @@ def test_cli_sql_index_search_curate(tmp_path):
     assert out.returncode == 0
     funnel = json.loads(out.stdout.strip().splitlines()[-1])
     assert funnel["input"] >= funnel["after_decontaminate"] > 0
+
+
+def test_cli_versions_rollback_vacuum(tmp_path):
+    """Versioned-table management CLI: list, O(1) rollback, vacuum
+    (which must protect the pointer and anything newer than it)."""
+    import json
+    import subprocess
+    import sys
+
+    base = str(tmp_path / "vt")
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "cdc_data_pipeline_spark", *args],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo")
+        assert out.returncode == 0, out.stderr[-500:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    run("build", "--base-path", base, "--select", "+stg_users")
+    run("build", "--base-path", base, "--select", "+stg_users")
+    tbl = f"{base}/stg_users"
+    assert run("versions", "--table-path", tbl) == {"versions": [1, 2], "current": 2}
+    assert run("rollback", "--table-path", tbl, "--to", "1") == {"current": 1}
+    # v2 is newer than the pointer -> protected
+    assert run("vacuum", "--table-path", tbl, "--keep", "1") == \
+        {"removed": [], "versions": [1, 2]}
+    run("rollback", "--table-path", tbl, "--to", "2")
+    assert run("vacuum", "--table-path", tbl, "--keep", "1") == \
+        {"removed": [1], "versions": [2]}
