@@ -577,6 +577,53 @@ FROM s
 """
 
 
+_EMB_DIM = 8
+
+
+def q_doc_embeddings(spark, sf_dir):
+    """RAG-prep pipeline in one entry: overlap-chunk every document,
+    Arrow-batch-embed each chunk (deterministic stub encoder), and
+    mean-pool back to one vector per document. The shuffle carries one
+    row per chunk keyed by doc — map-side combined; attested via the
+    6dp-rounded first/last pooled components."""
+    from cdc_data_pipeline_spark.operators import chunking as ch
+    from cdc_data_pipeline_spark.operators import inference as inf
+
+    docs = _docs(spark, sf_dir)
+    chunks = (ch.chunk_documents(docs, _CHUNK, _CHUNK_OVERLAP)
+              .select("doc_id", F.col("chunk_text").alias("text")))
+    emb = inf.embed_texts(chunks, dim=_EMB_DIM)
+    return (emb.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.round(F.avg(F.element_at("embedding", 1)), 6)
+                  .alias("mean_first"),
+                 F.round(F.avg(F.element_at("embedding", _EMB_DIM)), 6)
+                  .alias("mean_last")))
+
+
+def _stub_ct_component_sql(i: int) -> str:
+    return ("(('0x' || substr(md5('0|' || ct || '|" + str(i) +
+            "'), 1, 15))::BIGINT / 1152921504606846976.0) * 2.0 - 1.0")
+
+
+SQL_DOC_EMBEDDINGS = _DUCK_TOKS + f""",
+s AS (SELECT doc_id, t,
+             unnest(range(0, greatest(len(t) - 1, 0) + 1, {_CHUNK_STEP})) AS start
+      FROM toks),
+c AS (SELECT doc_id,
+             array_to_string(list_slice(t, start + 1, start + {_CHUNK}), ' ') AS ct
+      FROM s),
+e AS (SELECT doc_id,
+             {_stub_ct_component_sql(0)} AS e_first,
+             {_stub_ct_component_sql(_EMB_DIM - 1)} AS e_last
+      FROM c)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       ROUND(AVG(e_first), 6) AS mean_first,
+       ROUND(AVG(e_last), 6) AS mean_last
+FROM e GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------ temperature resampling
 
 def q_temperature_resample(spark, sf_dir):
@@ -601,8 +648,6 @@ WHERE {uniform_hash_sql('d.doc_id')} < r.rate
 
 
 # ------------------------------------------------- stub batch inference
-
-_EMB_DIM = 8
 
 
 def q_embed_stub(spark, sf_dir):
@@ -907,6 +952,7 @@ EXTRA_QUERIES = {
     "top_tokens": q_top_tokens,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_chunks": q_doc_chunks,
+    "doc_embeddings": q_doc_embeddings,
     "temperature_resample": q_temperature_resample,
     "embed_stub": q_embed_stub,
     "lm_score": q_lm_score,
@@ -924,6 +970,7 @@ EXTRA_ORACLES = {
     "top_tokens": SQL_TOP_TOKENS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "doc_chunks": SQL_DOC_CHUNKS,
+    "doc_embeddings": SQL_DOC_EMBEDDINGS,
     "temperature_resample": SQL_TEMPERATURE_RESAMPLE,
     "embed_stub": SQL_EMBED_STUB,
     "lm_score": SQL_LM_SCORE,
