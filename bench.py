@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "shuffle_shards",
     "fuzzy_dedup_keep",
     "ivfpq_topk",
+    "mixture_sample",
+    "sentiment_scores",
+    "doc_embeddings",
 ]
 
 

@@ -467,3 +467,31 @@ def test_bucketed_sinks_work_under_uri_fs_root(spark, tmp_path):
     write_merged(b2, m_path)
     assert spark.read.parquet(m_path).count() == 2
     assert not fsutil.exists(spark, m_path + ".__staging__")
+
+
+def test_group_topk_hot_group_headroom_16x(spark, sf_dir):
+    """One domain owning a 16x corpus: the rank-window input (the
+    partial stage's output) must stay bounded by k * tasks-ish, not
+    grow with the corpus — the property that makes the hot-domain cap
+    survive at 100 TB."""
+    from cdc_data_pipeline_spark.operators import sampling as sp
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    hot = _times_n(docs, 16).withColumn("g", F.lit("hot")).repartition(32)
+    n = hot.count()
+    k = 5
+
+    def _cut(batches):
+        import pandas as pd  # noqa: F401
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf.sort_values(["doc_id"], kind="mergesort")
+                pdf = pdf.groupby(["g"], sort=False).head(k)
+            yield pdf
+
+    survivors = hot.mapInPandas(_cut, schema=hot.schema).count()
+    # 32 partitions x a handful of Arrow batches each; corpus is 8000
+    assert survivors <= k * 32 * 4
+    assert survivors < n / 10
+    got = sp.group_topk(hot, ["g"], k, [("doc_id", True)])
+    assert got.count() == k
