@@ -94,6 +94,9 @@ def main(argv=None) -> int:
                     help="tokens per output shard")
     cp.add_argument("--eval-mod", type=int, default=97,
                     help="every Nth doc stands in for the eval set")
+    cp.add_argument("--mixture", default=None,
+                    help='JSON dict of domain -> target proportion, e.g. '
+                         '\'{"src0": 0.5, "src1": 0.5}\'')
     args = ap.parse_args(argv)
 
     if args.cmd in ("versions", "rollback", "vacuum"):
@@ -150,8 +153,9 @@ def main(argv=None) -> int:
         spark = get_spark("cdc-curate")
         docs = read_table(spark, args.sf_dir, "documents")
         ev = docs.filter(F.col("doc_id") % args.eval_mod == 0)
+        mixture = json.loads(args.mixture) if args.mixture else None
         _packed, funnel = curate_corpus(docs, ev, out_path=args.out,
-                                        budget=args.budget)
+                                        budget=args.budget, mixture=mixture)
         print(json.dumps(funnel))
         return 0
 

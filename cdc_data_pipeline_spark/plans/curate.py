@@ -41,7 +41,9 @@ def curate_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
                   span_n: int = 5,
                   ngram: int = 3, max_overlap: float = 0.8,
                   num_hashes: int = 8, bands: int = 4,
-                  shingle_k: int = 3) -> tuple[DataFrame, dict]:
+                  shingle_k: int = 3,
+                  mixture: dict[str, float] | None = None,
+                  domain_col: str = "source") -> tuple[DataFrame, dict]:
     """Run the full curation flow over ``docs`` (doc_id, text, ...).
 
     Returns ``(packed, funnel)``: the surviving corpus with
@@ -82,6 +84,16 @@ def curate_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
     else:
         clean = masked
     funnel["after_decontaminate"] = clean.count()
+
+    if mixture is not None:
+        from cdc_data_pipeline_spark.operators.sampling import mixture_sample
+
+        # the masker dropped the domain column with the other payload
+        # cols; re-attach it for the mixture decision
+        if domain_col not in clean.columns:
+            clean = clean.join(docs.select("doc_id", domain_col), "doc_id")
+        clean = mixture_sample(clean, domain_col, mixture, "doc_id")
+        funnel["after_mixture"] = clean.count()
 
     counted = clean.withColumn("n_tokens", token_count("text").cast("long"))
     packed = pack_token_shards(counted, budget=budget,

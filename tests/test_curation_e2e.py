@@ -87,3 +87,18 @@ def test_curate_corpus_one_call(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == funnel["after_decontaminate"]
     assert back.select("shard_id").distinct().count() == funnel["shards"]
+
+
+def test_curate_corpus_with_mixture(spark, tmp_path):
+    """Optional mixture stage: targets shape the kept mix and the
+    funnel records the extra stage."""
+    from cdc_data_pipeline_spark.plans.curate import curate_corpus
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    w = {"src0": 0.5, "src1": 0.5}
+    packed, funnel = curate_corpus(docs, None, budget=256, mixture=w)
+    assert funnel["after_mixture"] <= funnel["after_decontaminate"]
+    assert funnel["after_mixture"] > 0
+    kept_sources = {r["source"] for r in
+                    packed.select("source").distinct().collect()}
+    assert kept_sources <= set(w)
