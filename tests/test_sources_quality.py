@@ -353,3 +353,20 @@ def test_mongo_pipeline_construction():
     # exclusive mode and bare full scans
     assert mongo_pipeline("u", 5, inclusive=False)[0] == {"$match": {"u": {"$gt": 5}}}
     assert mongo_pipeline() == []
+
+
+def test_no_row_at_a_time_python_udfs_in_source():
+    """Policy pin: every Python boundary must be Arrow-batched
+    (pandas_udf / mapInPandas / applyInPandas). A row-at-a-time
+    F.udf is 10-100x slower and must not enter the hot path."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "cdc_data_pipeline_spark"
+    offenders = []
+    pat = re.compile(r"(?<!pandas_)\budf\s*\(|\bF\.udf\b|functions import udf\b")
+    for p in root.rglob("*.py"):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if pat.search(line) and "pandas_udf" not in line:
+                offenders.append(f"{p.name}:{i}: {line.strip()}")
+    assert not offenders, offenders
