@@ -117,7 +117,12 @@ def main() -> None:
         "agg": "min",
         "wall_sec_all_runs": wall,
     }))
-    _report_deltas(timings, sf)
+    # the delta report is a nicety — it must never fail the bench
+    # contract (BENCH_r03 recorded rc=1 from a null "parsed" block)
+    try:
+        _report_deltas(timings, sf)
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"(delta report skipped: {exc})", file=sys.stderr)
 
 
 def _report_deltas(timings: dict[str, float], sf: float) -> None:
@@ -132,7 +137,7 @@ def _report_deltas(timings: dict[str, float], sf: float) -> None:
         return
     try:
         with open(runs[-1]) as f:
-            prev = json.load(f).get("parsed", {})
+            prev = json.load(f).get("parsed") or {}
     except (OSError, json.JSONDecodeError):
         return
     if prev.get("sf") != sf or not prev.get("queries"):
