@@ -107,6 +107,40 @@ def weighted_sample_topk(df: DataFrame, strata_cols: Sequence[str], k: int,
               .filter(F.col("__rn") <= k).drop("__rn"))
 
 
+def local_topk_cut(df: DataFrame, group_cols: Sequence[str], k: int,
+                   order_cols: Sequence[tuple[str, bool]]) -> DataFrame:
+    """Map-local per-group top-k cut — the pre-shuffle half of
+    ``group_topk``, exposed so the ANN family's final rankings (and
+    tests asserting shuffle headroom) can reuse it directly.
+
+    Keeps at most k rows per group PER ARROW BATCH, so whatever ranks
+    the survivors shuffles k * groups * batches rows — never a hot
+    group's full row set. Null semantics match Spark's window exactly:
+    a null group key forms its own group (pandas ``dropna=False`` —
+    rows are never silently discarded), and null order values sort
+    first on ascending / last on descending columns (Spark's
+    ``asc()``/``desc()`` defaults), via one stable single-column sort
+    per order key with a per-column ``na_position``.
+    """
+    group_cols = list(group_cols)
+    order_cols = list(order_cols)
+
+    def _cut(batches):
+        for pdf in batches:
+            if len(pdf):
+                # stable per-column sorts compose right-to-left into
+                # the multi-key order; per-column na_position mirrors
+                # Spark's nulls-first-asc / nulls-last-desc defaults
+                for c, asc in reversed(order_cols):
+                    pdf = pdf.sort_values(
+                        c, ascending=asc, kind="mergesort",
+                        na_position="first" if asc else "last")
+                pdf = pdf.groupby(group_cols, sort=False, dropna=False).head(k)
+            yield pdf
+
+    return df.mapInPandas(_cut, schema=df.schema)
+
+
 def group_topk(df: DataFrame, group_cols: Sequence[str], k: int,
                order_cols: Sequence[tuple[str, bool]],
                rank_col: str | None = None) -> DataFrame:
@@ -116,28 +150,20 @@ def group_topk(df: DataFrame, group_cols: Sequence[str], k: int,
     100 TB a group holding 10% of the corpus is a straggler that
     ``spark.sql.adaptive`` cannot split (windows aren't skew-join
     rewritable). This is the two-phase shape ``similarity.topk_cosine``
-    uses, generalized: a map-local cut keeps at most k rows per group
-    per Arrow batch (so the shuffle carries k * groups * batches
-    survivors, never the hot group's full row set), then an exact rank
-    window over the survivors. ``order_cols`` is [(col, ascending)] and
-    must be a TOTAL order within a group (end with a unique tiebreak
-    column) — then the global top-k is a subset of the union of the
-    local top-ks and the cut loses nothing.
+    uses, generalized: a map-local cut (``local_topk_cut``) keeps at
+    most k rows per group per Arrow batch (so the shuffle carries
+    k * groups * batches survivors, never the hot group's full row
+    set), then an exact rank window over the survivors. ``order_cols``
+    is [(col, ascending)] and must be a TOTAL order within a group
+    (end with a unique tiebreak column) — then the global top-k is a
+    subset of the union of the local top-ks and the cut loses nothing.
+    Nulls: null group keys are their own group; null order values sort
+    where Spark's asc()/desc() put them (first asc, last desc) in both
+    phases.
 
     ``rank_col`` adds the final 1-based rank; None drops it.
     """
-    group_cols = list(group_cols)
-    names = [c for c, _ in order_cols]
-    ascs = [asc for _, asc in order_cols]
-
-    def _local_cut(batches):
-        for pdf in batches:
-            if len(pdf):
-                pdf = pdf.sort_values(names, ascending=ascs, kind="mergesort")
-                pdf = pdf.groupby(group_cols, sort=False).head(k)
-            yield pdf
-
-    partial = df.mapInPandas(_local_cut, schema=df.schema)
+    partial = local_topk_cut(df, group_cols, k, order_cols)
     w = Window.partitionBy(*group_cols).orderBy(
         *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in order_cols])
     ranked = partial.withColumn("__rn", F.row_number().over(w)) \

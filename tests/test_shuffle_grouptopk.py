@@ -77,24 +77,39 @@ def test_group_topk_hot_group_cut_bounds_shuffle(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents") \
         .withColumn("g", F.lit("hot")).repartition(8)
     k = 3
-    # reproduce the internal partial stage
-    import pandas as pd  # noqa: F401
-
-    names, ascs = ["doc_id"], [True]
-
-    def _local_cut(batches):
-        for pdf in batches:
-            if len(pdf):
-                pdf = pdf.sort_values(names, ascending=ascs, kind="mergesort")
-                pdf = pdf.groupby(["g"], sort=False).head(k)
-            yield pdf
-
-    survivors = docs.mapInPandas(_local_cut, schema=docs.schema).count()
+    survivors = sp.local_topk_cut(docs, ["g"], k, [("doc_id", True)]).count()
     assert survivors <= k * 8 * 2  # k per Arrow batch; far below corpus
     assert survivors < docs.count()
     got = sp.group_topk(docs, ["g"], k, [("doc_id", True)])
     assert [r.doc_id for r in got.orderBy("doc_id").collect()] == \
         [r.doc_id for r in docs.orderBy("doc_id").limit(k).collect()]
+
+
+def test_group_topk_null_group_and_order_semantics(spark):
+    """r3 advice (medium): null group keys must form their own group —
+    never be silently dropped — and null order values must land where
+    Spark's asc()/desc() defaults put them (first ascending, last
+    descending). Pinned against the plain rank window in both
+    directions on data with nulls in both positions."""
+    from pyspark.sql import Window
+
+    rows = [("a", 1.0, 1), ("a", None, 2), ("a", 3.0, 3), ("a", None, 4),
+            (None, 2.0, 5), (None, None, 6), (None, 1.0, 7),
+            ("b", 5.0, 8), ("b", None, 9)]
+    df = spark.createDataFrame(
+        rows, "g string, score double, id int").repartition(4)
+    for asc in (True, False):
+        got = sp.group_topk(df, ["g"], 2,
+                            [("score", asc), ("id", True)], rank_col="rank")
+        order = F.col("score").asc() if asc else F.col("score").desc()
+        w = Window.partitionBy("g").orderBy(order, F.col("id").asc())
+        expect = (df.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= 2))
+        assert got.exceptAll(expect).count() == 0, f"asc={asc}"
+        assert expect.exceptAll(got).count() == 0, f"asc={asc}"
+    # the null group is present in the output (3 rows -> top 2 kept)
+    got = sp.group_topk(df, ["g"], 2, [("id", True)])
+    assert got.filter(F.col("g").isNull()).count() == 2
 
 
 def test_domain_caps_enforces_cap_and_determinism(spark, sf_dir):
