@@ -24,6 +24,12 @@ def _docs(spark, sf_dir):
     return ensure_parallelism(_t(spark, sf_dir, "documents"))
 
 
+def _emb(spark, sf_dir):
+    # vector ops are CPU-bound per row (cosine folds, argmin over
+    # centroid arrays): spread the single-file scan across cores
+    return ensure_parallelism(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------- events
 
 def q_events_tumbling(spark, sf_dir):
@@ -421,7 +427,7 @@ def q_embed_near_dup(spark, sf_dir):
     tables — parameters that yield a non-trivial pair set at every
     test scale; real near-dup corpora run the production defaults
     (threshold ~0.95, nbits tuned to corpus size)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return dd.embedding_near_dup_pairs(e, dim=64, threshold=0.35,
                                        nbits=_ND_NBITS, tables=_ND_TABLES, seed=_ND_SEED)
 
@@ -464,7 +470,7 @@ SELECT id_a, id_b, cos FROM cand WHERE cos >= 0.35
 def q_topk_cosine(spark, sf_dir):
     """Brute-force cosine top-k: broadcast query set, single corpus
     pass; rank on 6dp-rounded similarity with id tiebreak."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     queries = e.filter(F.col("vec_id") % 100 == 0)
     return sim.topk_cosine(e, queries, k=5)
 
@@ -487,7 +493,7 @@ def q_ivf_topk(spark, sf_dir):
     """IVF-bucketed ANN (nprobe=1). Approximate vs brute force, but the
     construction itself is deterministic (9dp-rounded assignment sims,
     centroid-id tiebreak), so it has an EXACT SQL oracle."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     queries = e.filter(F.col("vec_id") % 100 == 0)
     centroids = e.filter(F.col("vec_id") % 50 == 25) \
         .select(F.col("vec_id").alias("centroid_id"), "embedding")
@@ -525,7 +531,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     gets an EXACT oracle: the 64 hyperplanes are inlined as literals
     and the bucket/probe/score pipeline is replayed in SQL. Recall is
     additionally pinned vs brute force in tests."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     queries = e.filter(F.col("vec_id") % 100 == 0)
     return sim.ann_lsh_topk(e, queries, dim=64, k=5, nbits=8, tables=8)
 
@@ -766,7 +772,7 @@ def q_vector_norms(spark, sf_dir):
     embedding, native zip_with/aggregate arithmetic."""
     from cdc_data_pipeline_spark.functions.vectors import dot, norm
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return e.select(
         "vec_id",
         F.round(norm("embedding"), 6).alias("l2_norm"),
@@ -880,7 +886,7 @@ def q_embed_project(spark, sf_dir):
     k exactly in both engines regardless of half-rounding mode."""
     from cdc_data_pipeline_spark.operators import projection as pj
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     p = pj.project_vectors(e, dim=64, out_dim=_PJ_OUT, seed=_PJ_SEED)
     return p.select(
         "vec_id",

@@ -29,6 +29,12 @@ def _docs(spark, sf_dir):
     return ensure_parallelism(_t(spark, sf_dir, "documents"))
 
 
+def _emb(spark, sf_dir):
+    # vector ops are CPU-bound per row (cosine folds, argmin over
+    # centroid arrays): spread the single-file scan across cores
+    return ensure_parallelism(_t(spark, sf_dir, "embeddings"))
+
+
 # DuckDB tokenization identical to functions.text.tokens
 _DUCK_TOKS = """
 WITH toks AS (
@@ -292,7 +298,7 @@ def q_kmeans_clusters(spark, sf_dir):
     """Lloyd's k-means (k=8, 2 assignment rounds) with deterministic
     hash-min init; final per-vector assignment. Assignment is a pure
     projection over plan-literal centroids — no join, no shuffle."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     out = cl.kmeans(e, k=_KM_K, iters=_KM_ITERS)
     return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
 
@@ -307,7 +313,7 @@ def q_semdedup_pairs(spark, sf_dir):
     k-means cluster — learned blocking instead of hash-random LSH
     blocking. Threshold 0.30 suits the near-random fixture embeddings
     (max pairwise cosine ~0.6); production corpora run ~0.95."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     out = cl.semdedup_pairs(e, k=_KM_K, threshold=_SD_THRESHOLD,
                             iters=_KM_ITERS)
     return out.select(F.col("cluster").cast("int").alias("cluster"),
@@ -434,7 +440,7 @@ def q_pq_topk(spark, sf_dir):
     math. Deterministic construction -> exact SQL oracle."""
     from cdc_data_pipeline_spark.operators import pq
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     queries = e.filter(F.col("vec_id") % 100 == 0)
     return pq.pq_adc_topk(e, queries, dim=_DIM, m=_PQ_M, ksub=_PQ_KSUB,
                           k=_PQ_K, iters=2)
@@ -509,7 +515,7 @@ def q_ivfpq_topk(spark, sf_dir):
     shuffles. Deterministic construction -> exact SQL oracle."""
     from cdc_data_pipeline_spark.operators import pq
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     queries = e.filter(F.col("vec_id") % 100 == 0)
     centroids = e.filter(F.col("vec_id") % 50 == 25) \
         .select(F.col("vec_id").alias("centroid_id"), "embedding")

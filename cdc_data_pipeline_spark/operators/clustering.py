@@ -32,13 +32,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cdc_data_pipeline_spark.functions.hashing import uniform_hash
-from cdc_data_pipeline_spark.functions.vectors import cosine
+from cdc_data_pipeline_spark.functions.rounding import round_half_up
+from cdc_data_pipeline_spark.functions.vectors import (
+    cosine, lit_double_array, lit_id_vector_array)
 
 
 def _dist_sq_to(vec: Column, centroid: Sequence[float]) -> Column:
     """ROUND(sum((v_i - c_i)^2), 6) against a literal centroid —
     left-to-right fold, same order as the oracle's list_sum."""
-    arr = F.array(*[F.lit(float(x)) for x in centroid])
+    arr = lit_double_array(centroid)
     diffs = F.zip_with(vec, arr,
                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y))
     return F.round(F.aggregate(diffs, F.lit(0.0), lambda a, x: a + x), 6)
@@ -62,8 +64,13 @@ def assign_clusters(df: DataFrame, centroids: Sequence[tuple[int, Sequence[float
       batch against broadcast-closure centroids — no shuffle either,
       and plan size is O(1), which is the production path when
       k*dim is large (SemDeDup-style k ~ corpus/target_cluster_size).
-      Distances are rounded to the same 6dp grid before the argmin;
-      ``test_assign_engines_agree`` pins cross-engine equality.
+      Distances are rounded to the same 6dp grid with the same
+      HALF_UP tie rule as the native ``F.round`` path (see
+      ``functions/rounding.py``) before the argmin. Summation order
+      still differs (numpy blocked sums vs the native left fold), so
+      cross-engine equality is pinned empirically on the fixtures by
+      ``test_assign_engines_agree``; the native engine is the
+      oracle-checked path.
     """
     if engine == "native":
         return df.withColumn("cluster", _argmin_cluster(F.col(vec_col), centroids))
@@ -85,9 +92,10 @@ def assign_clusters(df: DataFrame, centroids: Sequence[tuple[int, Sequence[float
         for pdf in batches:
             if len(pdf):
                 X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-                # (n, k) squared distances, rounded to the grid the
-                # native fold rounds to, then first-min = lowest cid
-                d = np.round(
+                # (n, k) squared distances, rounded HALF_UP to the grid
+                # the native fold rounds to (F.round semantics — see
+                # functions/rounding.py), then first-min = lowest cid
+                d = round_half_up(
                     ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1), 6)
                 pdf = pdf.assign(cluster=cids[np.argmin(d, axis=1)].astype("int32"))
             else:
@@ -99,15 +107,28 @@ def assign_clusters(df: DataFrame, centroids: Sequence[tuple[int, Sequence[float
 
 def _argmin_cluster(vec: Column, centroids: Sequence[tuple[int, Sequence[float]]]) -> Column:
     """array_min over struct(rounded_dist, cid): lexicographic struct
-    ordering IS "min distance, ties to the lowest cluster id", and each
-    distance expression appears exactly ONCE in the plan (the older
-    least()+CASE chain repeated every fold ~3x, which made Catalyst
-    analysis/codegen — not the data — the dominant cost for large
-    k*dim)."""
-    structs = [F.struct(_dist_sq_to(vec, c).alias("d"),
-                        F.lit(int(cid)).alias("c"))
-               for cid, c in sorted(centroids)]
-    return F.array_min(F.array(*structs)).getField("c")
+    ordering IS "min distance, ties to the lowest cluster id".
+
+    The centroids ride as ONE literal array of (cid, vector) structs
+    and the distance fold is a single ``transform`` lambda evaluated
+    at runtime over that array — one fold expression in the plan no
+    matter how many centroids (the r3 shape unrolled k copies of the
+    fold, which made Catalyst analysis/codegen — not the data — the
+    dominant cost of the PQ family: encode + ADC compiled ~2s of plan
+    at ANY scale factor). Per-element arithmetic is unchanged
+    (zip_with (x-y)^2, left-fold sum, ROUND 6dp), so assignments are
+    bit-identical to the unrolled form and the SQL oracles hold."""
+    cents = sorted(centroids)
+    carr = lit_id_vector_array(cents, "INT")
+    structs = F.transform(
+        carr,
+        lambda e: F.struct(
+            F.round(F.aggregate(
+                F.zip_with(vec, e["v"],
+                           lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0), lambda a, x: a + x), 6).alias("d"),
+            e["c"].alias("c")))
+    return F.array_min(structs).getField("c")
 
 
 def init_centroids(df: DataFrame, k: int, vec_col: str = "embedding",
@@ -201,7 +222,7 @@ def semdedup_pairs(df: DataFrame, k: int, threshold: float, iters: int = 2,
         denom = np.outer(norms, norms)
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = np.where(denom > 0, dots / denom, 0.0)
-        cos = np.round(cos, 6)
+        cos = round_half_up(cos, 6)
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = cos[iu, ju] >= threshold
         return pd.DataFrame({

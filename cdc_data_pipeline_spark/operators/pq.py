@@ -41,9 +41,28 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cdc_data_pipeline_spark.functions.vectors import lit_id_vector_array
 from cdc_data_pipeline_spark.operators.clustering import _argmin_cluster
+from cdc_data_pipeline_spark.operators.sampling import group_topk, local_topk_cut
 
 Codebooks = list[list[tuple[int, list[float]]]]   # [subspace][cid] -> centroid
+
+
+def _rank_adc(scored: DataFrame, k: int, query_id_col: str) -> DataFrame:
+    """Skew-safe final ADC ranking shared by ``pq_adc_topk`` and
+    ``ivfpq_topk``: a map-local cut keeps k survivors per query per
+    Arrow batch before the exact rank window, so a per-query window
+    partition holds k * batches rows — never the corpus's full
+    (query, vector) score set. ``scored`` is
+    (query_id, neighbor_id, __dl)."""
+    partial = local_topk_cut(scored, [query_id_col], k,
+                             [("__dl", True), ("neighbor_id", True)])
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__dl").asc(), F.col("neighbor_id").asc())
+    return (partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, "neighbor_id",
+                    F.round(F.col("__dl") / 1e6, 6).alias("dist_sq"), "rank"))
 
 
 def _slice(vec_col: str, sub: int, d_sub: int) -> F.Column:
@@ -68,19 +87,31 @@ def train_pq_codebooks(df: DataFrame, dim: int, m: int = 4, ksub: int = 8,
     from cdc_data_pipeline_spark.functions.hashing import uniform_hash
 
     # joint init: per subspace, the ksub smallest (hash, id); cluster
-    # id = rank in that order (exactly clustering.init_centroids)
-    slices = df.select(F.explode(F.array(*[
+    # id = rank in that order (exactly clustering.init_centroids).
+    # Elected via group_topk over SCALARS ONLY — the hash depends on
+    # (id, seed+s), never on the vector, so the election explodes
+    # (s, u, id) triples and the map-local cut keeps ksub rows per
+    # subspace per Arrow batch (the old bare partitionBy("s") window
+    # funneled the WHOLE exploded corpus — vectors included — into m
+    # tasks: a full corpus sort at 100x). The winners' vectors come
+    # from one second scan pruned to <= m*ksub ids (pushed-down IN
+    # filter), sliced driver-side with the same _slice offsets.
+    ids = df.select(F.explode(F.array(*[
         F.struct(F.lit(s).alias("s"),
                  uniform_hash(id_col, seed + s).alias("u"),
-                 F.col(id_col).alias("i"),
-                 _slice(vec_col, s, d_sub).alias("v"))
-        for s in range(m)])).alias("x")).select("x.s", "x.u", "x.i", "x.v")
-    w = Window.partitionBy("s").orderBy(F.col("u").asc(), F.col("i").asc())
-    top = (slices.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") <= ksub).collect())
+                 F.col(id_col).alias("i"))
+        for s in range(m)])).alias("x")).select("x.s", "x.u", "x.i")
+    top = group_topk(ids, ["s"], ksub,
+                     [("u", True), ("i", True)], rank_col="rn").collect()
+    elected = sorted({r["i"] for r in top})
+    vecs = {r[0]: [float(x) for x in r[1]] for r in
+            df.filter(F.col(id_col).isin(elected))
+              .select(id_col, vec_col).collect()}
     books: Codebooks = [[] for _ in range(m)]
     for r in sorted(top, key=lambda r: (r["s"], r["rn"])):
-        books[r["s"]].append((r["rn"] - 1, [float(x) for x in r["v"]]))
+        s = r["s"]
+        books[s].append((r["rn"] - 1,
+                         vecs[r["i"]][s * d_sub:(s + 1) * d_sub]))
 
     for _ in range(iters - 1):
         # joint recompute: one scan assigns every subspace (plan-literal
@@ -106,13 +137,17 @@ def train_pq_codebooks(df: DataFrame, dim: int, m: int = 4, ksub: int = 8,
 
 
 def pq_encode(df: DataFrame, codebooks: Codebooks, dim: int,
-              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """(id, codes array<int>): nearest centroid id per subspace.
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              keep_cols: Sequence[str] = ()) -> DataFrame:
+    """(id, *keep_cols, codes array<int>): nearest centroid id per
+    subspace.
 
     Pure projection — every centroid is a plan literal, argmin via
-    ``least`` over 6dp-rounded distances with lowest-cid tiebreak
+    ``array_min`` over 6dp-rounded distances with lowest-cid tiebreak
     (identical semantics to ``clustering.assign_clusters``). No join,
-    no shuffle; whole-stage codegen end to end.
+    no shuffle; whole-stage codegen end to end. ``keep_cols`` carries
+    payload columns (e.g. an IVF cell id) through the projection so
+    callers never need a self-join to re-attach them.
     """
     m = len(codebooks)
     d_sub = dim // m
@@ -120,7 +155,8 @@ def pq_encode(df: DataFrame, codebooks: Codebooks, dim: int,
         _argmin_cluster(_slice(vec_col, s, d_sub), cents).cast("int")
         for s, cents in enumerate(codebooks)
     ]
-    return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+    return df.select(F.col(id_col), *[F.col(c) for c in keep_cols],
+                     F.array(*code_cols).alias("codes"))
 
 
 def adc_distance_table(queries: DataFrame, codebooks: Codebooks, dim: int,
@@ -133,21 +169,32 @@ def adc_distance_table(queries: DataFrame, codebooks: Codebooks, dim: int,
     """
     m = len(codebooks)
     d_sub = dim // m
-    entries = []
+    # one transform-fold per SUBSPACE (not per centroid): the codebook
+    # rides as a literal array of (cid, vector) structs and the
+    # distance lambda runs over it at runtime — m fold expressions in
+    # the plan instead of m * ksub (see _argmin_cluster for why this
+    # matters: plan compile was the PQ family's dominant fixed cost).
+    # Per-element arithmetic is unchanged: plain (unrounded) squared
+    # distance -> micro-units with ONE round, oracle-exact.
+    per_sub = []
     for s, cents in enumerate(codebooks):
         v = _slice(vec_col, s, d_sub)
-        for cid, c in cents:
-            # plain (unrounded) squared distance -> micro-units; one
-            # ROUND total so the oracle can reproduce it exactly
-            arr = F.array(*[F.lit(float(x)) for x in c])
-            diffs = F.zip_with(v, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y))
-            d = F.aggregate(diffs, F.lit(0.0), lambda a, x: a + x)
-            entries.append(F.struct(
-                F.lit(s).alias("sub"), F.lit(cid).alias("cid"),
-                F.round(d * 1e6, 0).cast("long").alias("dl")))
+        carr = lit_id_vector_array(cents, "INT")
+        # single-arg lambda: pyspark would bind a second parameter to
+        # the array index, not a default; transform builds the
+        # expression eagerly so capturing the loop's s/v is safe
+        per_sub.append(F.transform(
+            carr,
+            lambda e: F.struct(
+                F.lit(s).alias("sub"), e["c"].alias("cid"),
+                F.round(F.aggregate(
+                    F.zip_with(v, e["v"],
+                               lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                    F.lit(0.0), lambda a, x: a + x) * 1e6, 0)
+                 .cast("long").alias("dl"))))
     return (queries
             .select(F.col(id_col).alias(query_id_col),
-                    F.explode(F.array(*entries)).alias("e"))
+                    F.explode(F.flatten(F.array(*per_sub))).alias("e"))
             .select(query_id_col, "e.sub", "e.cid", "e.dl"))
 
 
@@ -187,22 +234,18 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, dim: int,
               .filter(F.col(query_id_col) != F.col("neighbor_id"))
               .groupBy(query_id_col, "neighbor_id")
               .agg(F.sum("dl").alias("__dl")))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("__dl").asc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(query_id_col, "neighbor_id",
-                    F.round(F.col("__dl") / 1e6, 6).alias("dist_sq"), "rank"))
+    return _rank_adc(scored, k, query_id_col)
 
 
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
                dim: int, m: int = 4, ksub: int = 8, k: int = 5,
                iters: int = 2, vec_col: str = "embedding",
                id_col: str = "vec_id", query_id_col: str = "query_id",
-               seed: int = 0, codebooks: Codebooks | None = None) -> DataFrame:
-    """IVF + PQ composite (the FAISS ``IVFx,PQy`` shape without the
-    residual step): coarse-quantize every vector to its nearest cell
-    (``similarity.ivf_assign``, broadcast centroids), then ADC-score a
+               seed: int = 0, codebooks: Codebooks | None = None,
+               residual: bool = False) -> DataFrame:
+    """IVF + PQ composite (the FAISS ``IVFx,PQy`` shape):
+    coarse-quantize every vector to its nearest cell
+    (``similarity.ivf_assign``, collected centroids), then ADC-score a
     query ONLY against the code rows of its own cell.
 
     This is the 100 TB endgame of the ANN family: IVF cell pruning
@@ -214,34 +257,61 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     (cell, sub, cid), so the corpus still never shuffles and the only
     exchange is the (query, neighbor) partial-sum aggregation.
 
-    Deterministic end to end (9dp-rounded coarse sims with centroid-id
-    tiebreak, the ``clustering`` k-means contract for codebooks,
-    integer ADC) -> exact SQL oracle.
-    """
-    from cdc_data_pipeline_spark.operators.similarity import ivf_assign
+    ``residual=False`` (default, the oracle-exact path): PQ encodes
+    the raw vectors. Deterministic end to end (9dp-rounded coarse sims
+    with centroid-id tiebreak, the ``clustering`` k-means contract for
+    codebooks, integer ADC) -> exact SQL oracle.
 
-    assigned = ivf_assign(corpus, centroids, vec_col, id_col)
-    q_assigned = ivf_assign(queries, centroids, vec_col, id_col) \
+    ``residual=True`` (full FAISS shape, Jegou et al. 2011 §IV): PQ
+    encodes ``v - centroid(cell(v))`` and queries score their
+    cell-relative residual — within a shared cell the coarse centroid
+    cancels, so ||q_res - code||^2 approximates ||q - v||^2 with the
+    codebook spending its budget on the (much tighter) residual
+    distribution: better recall at the same m/ksub. Same deterministic
+    construction but no exported SQL oracle (the residual column is an
+    intermediate); recall is pinned against the non-residual variant
+    in ``test_pq.py``.
+    """
+    from cdc_data_pipeline_spark.functions.vectors import lit_id_vector_map
+    from cdc_data_pipeline_spark.operators.similarity import (
+        collect_cents, ivf_assign)
+
+    cents = collect_cents(centroids, vec_col)
+    assigned = ivf_assign(corpus, cents, vec_col, id_col)
+    q_assigned = ivf_assign(queries, cents, vec_col, id_col) \
         .withColumnRenamed(id_col, query_id_col)
+    enc_vec = vec_col
+    if residual:
+        cmap = lit_id_vector_map(*cents)
+        res = F.zip_with(F.col(vec_col),
+                         F.element_at(cmap, F.col("centroid_id")),
+                         lambda x, y: x.cast("double") - y)
+        enc_vec = "__rv"
+        # pin the residual corpus: training makes several passes over it
+        assigned = assigned.withColumn(enc_vec, res) \
+                           .localCheckpoint(eager=False)
+        q_assigned = q_assigned.withColumn(enc_vec, res)
+        train_src = assigned
+    else:
+        train_src = corpus
     books = codebooks if codebooks is not None else train_pq_codebooks(
-        corpus, dim, m, ksub, iters, vec_col, id_col, seed)
-    # materialized (cell, codes) table — see pq_adc_topk
-    code_tab = (pq_encode(assigned, books, dim, vec_col, id_col)
-                .join(assigned.select(id_col, "centroid_id"), id_col)
+        train_src, dim, m, ksub, iters, enc_vec if residual else vec_col,
+        id_col, seed)
+    # materialized (cell, codes) table — see pq_adc_topk. keep_cols
+    # carries the cell id through the encode projection, so the coarse
+    # assignment appears ONCE in the plan (the old self-join re-derived
+    # the whole corpus assign subtree a second time)
+    code_tab = (pq_encode(assigned, books, dim, enc_vec, id_col,
+                          keep_cols=("centroid_id",))
                 .localCheckpoint(eager=False))
     codes = code_tab.select(F.col(id_col).alias("neighbor_id"), "centroid_id",
                             F.posexplode("codes").alias("sub", "cid"))
     dtab = (adc_distance_table(q_assigned.drop("centroid_id"), books, dim,
-                               vec_col, query_id_col, query_id_col)
+                               enc_vec, query_id_col, query_id_col)
             .join(q_assigned.select(query_id_col, "centroid_id"),
                   query_id_col))
     scored = (codes.join(F.broadcast(dtab), ["centroid_id", "sub", "cid"])
               .filter(F.col(query_id_col) != F.col("neighbor_id"))
               .groupBy(query_id_col, "neighbor_id")
               .agg(F.sum("dl").alias("__dl")))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("__dl").asc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(query_id_col, "neighbor_id",
-                    F.round(F.col("__dl") / 1e6, 6).alias("dist_sq"), "rank"))
+    return _rank_adc(scored, k, query_id_col)

@@ -42,7 +42,8 @@ def _projection_udf(out_dim: int, dim: int, seed: int):
 
         P = np.asarray(_gaussian_planes(out_dim, dim, seed), dtype=np.float64)
         X = np.stack(v.to_numpy()).astype(np.float64)
-        Y = np.round(X @ P.T, 6) + 0.0
+        from cdc_data_pipeline_spark.functions.rounding import round_half_up
+        Y = round_half_up(X @ P.T, 6)
         return pd.Series(list(Y))
 
     return proj

@@ -18,7 +18,25 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cdc_data_pipeline_spark.functions.vectors import cosine
+from cdc_data_pipeline_spark.functions.vectors import (
+    cosine, lit_double_array, lit_id_vector_array)
+from cdc_data_pipeline_spark.operators.sampling import local_topk_cut
+
+
+def _rank_topk(scored: DataFrame, k: int, query_id_col: str) -> DataFrame:
+    """Shared skew-safe final ranking for the similarity family: a
+    map-local cut (k survivors per query per Arrow batch) feeds the
+    exact rank window, so no per-query window partition ever holds a
+    corpus-sized score set. ``scored`` must be exactly
+    (query_id, neighbor_id, cos) — project the vector payload away
+    BEFORE calling so the cut doesn't ship embeddings through Arrow."""
+    partial = local_topk_cut(scored, [query_id_col], k,
+                             [("cos", False), ("neighbor_id", True)])
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, "neighbor_id", "cos", "rank"))
 
 
 def topk_cosine(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -44,23 +62,22 @@ def topk_cosine(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .withColumn("cos", F.round(cosine("__qv", "__cv"), 6))
         .select(query_id_col, "neighbor_id", "cos")
     )
+    return _rank_topk(scored, k, query_id_col)
 
-    def _local_topk(batches):
-        for pdf in batches:
-            if len(pdf):
-                pdf = pdf.sort_values(
-                    [query_id_col, "cos", "neighbor_id"],
-                    ascending=[True, False, True])
-                pdf = pdf.groupby(query_id_col, sort=False).head(k)
-            yield pdf
 
-    partial = scored.mapInPandas(_local_topk, schema=scored.schema)
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "cos", "rank")
-    )
+def collect_cents(centroids, vec_col: str = "embedding",
+                  centroid_id_col: str = "centroid_id"):
+    """Collect the centroid side once as ``(sorted [(cid, [float...])],
+    id_sql_type)`` — broadcast-small by the IVF contract. Pass the
+    result to ``ivf_assign`` in place of the DataFrame so a caller
+    assigning BOTH a corpus and a query set against the same centroids
+    pays one collect job, not two. A tuple passed in comes back as-is."""
+    if isinstance(centroids, tuple):
+        return centroids
+    ctype = centroids.schema[centroid_id_col].dataType.simpleString()
+    cents = sorted((int(r[0]), [float(x) for x in r[1]]) for r in
+                   centroids.select(centroid_id_col, vec_col).collect())
+    return cents, ctype
 
 
 def ivf_assign(corpus: DataFrame, centroids: DataFrame,
@@ -70,30 +87,49 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     """Assign each vector to its nearest centroid (coarse quantization):
     argmax of 9dp-rounded cosine, ties to the lowest centroid id.
 
-    - ``native`` (default): broadcast centroid join + max(struct)
-      argmax — one corpus pass, map-side combine, no corpus shuffle;
-      fully SQL-oracle-reproducible (the oracle-checked path).
-    - ``arrow``: centroids are collected (broadcast-small by the IVF
-      contract, n_cells ~ sqrt(corpus)) and each Arrow batch scores
-      one numpy (batch, cells) cosine matrix — no join row blow-up,
-      O(1) plan size; the production path when n_cells is large.
-      Same 9dp rounding grid and lowest-cid tiebreak;
-      ``test_ivf_assign_engines_agree`` pins equality.
+    Centroids are collected either way (broadcast-small by the IVF
+    contract, n_cells ~ sqrt(corpus) — the same watermark-budget
+    collect class as k-means centroids and PQ codebooks).
+
+    - ``native`` (default): one literal array of (cid, vector)
+      structs and a single runtime ``transform`` + ``array_max``
+      projection — NO join, NO groupBy, NO shuffle, and exactly one
+      cosine-fold expression in the plan regardless of n_cells. (The
+      r3 shape cross-joined the broadcast centroids and argmax-grouped
+      on the embedding column: 2.9s of row-materialization overhead at
+      a 2k x 40 fixture, and a corpus-wide exchange keyed on a 64-dim
+      array.) Arithmetic is unchanged — same cosine fold over the
+      same doubles, same 9dp round, same lowest-cid tiebreak — so the
+      SQL oracles hold bit-for-bit. Plan literals grow with
+      n_cells * dim: right for oracle-checked configurations.
+    - ``arrow``: each Arrow batch scores one numpy (batch, cells)
+      cosine matrix — O(1) plan size; the production path when
+      n_cells * dim is large. Same 9dp HALF_UP rounding grid
+      (``functions/rounding.py``) and lowest-cid tiebreak; summation
+      order still differs from the native fold, so equality is pinned
+      empirically by ``test_ivf_assign_engines_agree`` on the
+      fixtures — native stays the oracle-checked path.
     """
     if engine == "native":
-        c = F.broadcast(centroids.select(F.col(centroid_id_col), F.col(vec_col).alias("__centv")))
-        scored = corpus.join(c, F.lit(True)) \
-            .withColumn("__sim", F.round(cosine(vec_col, "__centv"), 9))
-        packed = F.max(F.struct(F.col("__sim"), (-F.col(centroid_id_col)).alias("__tb"),
-                                F.col(centroid_id_col).alias("cid"))).alias("__m")
-        best = scored.groupBy(id_col, vec_col).agg(packed)
-        return best.select(id_col, vec_col, F.col("__m.cid").alias(centroid_id_col))
+        cents, ctype = collect_cents(centroids, vec_col, centroid_id_col)
+        if not cents:
+            # no centroids -> no assignments (the old join semantics)
+            return corpus.filter(F.lit(False)).select(
+                id_col, vec_col, F.lit(None).cast(ctype).alias(centroid_id_col))
+        carr = lit_id_vector_array(cents, ctype)
+        packed = F.transform(
+            carr,
+            lambda e: F.struct(
+                F.round(cosine(F.col(vec_col), e["v"]), 9).alias("s"),
+                (-e["c"]).alias("tb"), e["c"].alias("cid")))
+        return corpus.select(
+            id_col, vec_col,
+            F.array_max(packed).getField("cid").alias(centroid_id_col))
 
     import numpy as np
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    cents = sorted((int(r[0]), [float(x) for x in r[1]]) for r in
-                   centroids.select(centroid_id_col, vec_col).collect())
+    cents, _ = collect_cents(centroids, vec_col, centroid_id_col)
     cids = np.array([cid for cid, _ in cents], dtype=np.int64)
     C = np.array([c for _, c in cents], dtype=np.float64)
     cn = np.sqrt(np.einsum("ij,ij->i", C, C))
@@ -110,7 +146,9 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
                 denom = np.outer(xn, cn)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sims = np.where(denom > 0, (X @ C.T) / denom, 0.0)
-                sims = np.round(sims, 9)
+                # HALF_UP — matches native F.round (functions/rounding)
+                from cdc_data_pipeline_spark.functions.rounding import round_half_up
+                sims = round_half_up(sims, 9)
                 pdf = pdf.assign(**{centroid_id_col:
                                     cids[np.argmax(sims, axis=1)].astype("int32")})
             else:
@@ -128,22 +166,21 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: int
 
     At scale the assignment is precomputed/materialized partitioned by
     cell, so a query touches one partition instead of the whole corpus.
+    Final ranking goes through the shared map-local cut (``_rank_topk``)
+    — a hot cell's scores never land whole in one window task.
     """
-    assigned = ivf_assign(corpus, centroids, vec_col, id_col)
-    q_assigned = ivf_assign(queries, centroids, vec_col, id_col) \
+    cents = collect_cents(centroids, vec_col)
+    assigned = ivf_assign(corpus, cents, vec_col, id_col)
+    q_assigned = ivf_assign(queries, cents, vec_col, id_col) \
         .select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv"), F.col("centroid_id"))
     scored = (
         assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "centroid_id")
         .join(F.broadcast(q_assigned), "centroid_id")
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
         .withColumn("cos", F.round(cosine("__qv", "__cv"), 6))
+        .select(query_id_col, "neighbor_id", "cos")
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "cos", "rank")
-    )
+    return _rank_topk(scored, k, query_id_col)
 
 
 def hyperplane_signature(df: DataFrame, planes: list[list[float]],
@@ -155,7 +192,7 @@ def hyperplane_signature(df: DataFrame, planes: list[list[float]],
 
     sig = F.lit(0)
     for j, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(v)) for v in p])
+        plane = lit_double_array(p)
         sig = sig + F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return sig
 
@@ -252,10 +289,8 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
         .select(query_id_col, "neighbor_id", "__qv", "__cv")
         .dropDuplicates([query_id_col, "neighbor_id"])
     )
-    scored = cand.withColumn("cos", F.round(cosine("__qv", "__cv"), 6))
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "cos", "rank")
-    )
+    scored = cand.withColumn("cos", F.round(cosine("__qv", "__cv"), 6)) \
+                 .select(query_id_col, "neighbor_id", "cos")
+    # ~tables*(nbits+1)/2^nbits of the corpus survives per query — the
+    # map-local cut keeps the final rank window off that skewed key
+    return _rank_topk(scored, k, query_id_col)

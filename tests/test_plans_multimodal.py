@@ -168,3 +168,28 @@ def test_ivf_assign_engines_agree(spark, sf_dir):
     b = {r.vec_id: r.centroid_id
          for r in ivf_assign(emb, cents, engine="arrow").collect()}
     assert a == b and len(a) == emb.count()
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """functions/rounding.round_half_up must agree with F.round's
+    HALF_UP on grid ties (where np.round would go half-to-even) and on
+    plain values, including negatives and -0.0 normalization."""
+    import numpy as np
+
+    from cdc_data_pipeline_spark.functions.rounding import round_half_up
+
+    vals = [0.5e-6, 1.5e-6, 2.5e-6, -0.5e-6, -2.5e-6,
+            0.1234565, -0.1234575, 1.0, 0.0, -1e-12, 123.4567895]
+    got = round_half_up(np.array(vals), 6)
+    import pyspark.sql.functions as F
+    rows = spark.createDataFrame([(v,) for v in vals], "v double") \
+        .select(F.round("v", 6).alias("r")).collect()
+    for g, r, v in zip(got, rows, vals):
+        assert g == r["r"], (v, g, r["r"])
+    # the tie cases specifically round AWAY from zero, where numpy's
+    # banker's rounding goes to even (the r3 advice divergence)
+    assert round_half_up(np.array([2.5e-6]), 6)[0] == 3e-6
+    assert round_half_up(np.array([-2.5e-6]), 6)[0] == -3e-6
+    assert np.round(np.array([2.5e-6]), 6)[0] == 2e-6
+    # -0.0 never escapes
+    assert str(round_half_up(np.array([-1e-12]), 6)[0]) == "0.0"

@@ -136,3 +136,70 @@ def test_ivfpq_subsets_pq_candidates(spark, emb):
                            k=5, codebooks=books).collect()
     for r in pruned:
         assert full[(r.query_id, r.neighbor_id)] == r.dist_sq
+
+
+def test_residual_ivfpq_beats_plain_on_clustered_data(spark):
+    """r3 verdict item #7 (residual IVF-PQ, the full FAISS ``IVFx,PQy``
+    shape): when coarse-cell offsets dominate the raw vectors, a raw
+    codebook spends every centroid separating cells and cannot see
+    within-cell structure — the residual codebook can. Synthetic
+    corpus: 8 far-apart cluster centers (offset x50) + 8 unit-scale
+    motifs + tiny jitter; cells seeded one per cluster. Residual
+    recall must clearly beat the non-residual oracle path here (0.74
+    vs 0.30 observed; asserted with slack), and must keep cell
+    locality."""
+    import random
+
+    rng = random.Random(11)
+    NC = 8
+    centers = [[rng.uniform(-1, 1) * 50 for _ in range(DIM)] for _ in range(NC)]
+    motifs = [[rng.uniform(-1, 1) for _ in range(DIM)] for _ in range(8)]
+    rows = []
+    for i in range(480):
+        c = centers[i % NC]
+        mv = motifs[(i // NC) % 8]
+        rows.append((i, [c[d] + mv[d] + rng.gauss(0, 0.02)
+                         for d in range(DIM)]))
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb2.filter(F.col("vec_id") % 48 == 9)
+    centroids = emb2.filter(F.col("vec_id") < NC) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    k = 5
+
+    from pyspark.sql import Window
+
+    from cdc_data_pipeline_spark.functions.vectors import l2_distance
+
+    cells = sim.ivf_assign(emb2, centroids)
+    qc = sim.ivf_assign(queries, centroids).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"), "centroid_id")
+    exact = (cells.select(F.col("vec_id").alias("neighbor_id"),
+                          F.col("embedding").alias("__cv"), "centroid_id")
+             .join(F.broadcast(qc), "centroid_id")
+             .filter(F.col("query_id") != F.col("neighbor_id")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(l2_distance("__qv", "__cv"), 6).asc(),
+        F.col("neighbor_id").asc())
+    truth = {}
+    for r in (exact.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= k).collect()):
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(residual):
+        got = {}
+        for r in pq.ivfpq_topk(emb2, queries, centroids, dim=DIM, m=4,
+                               ksub=8, k=k, residual=residual).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        return hits / sum(len(v) for v in truth.values())
+
+    plain, resid = recall(False), recall(True)
+    assert resid >= plain + 0.2, (plain, resid)
+    assert resid >= 0.6, resid
+    # residual neighbors stay cell-local (the coarse term cancels only
+    # inside a shared cell)
+    cmap = {r.vec_id: r.centroid_id for r in cells.collect()}
+    for r in pq.ivfpq_topk(emb2, queries, centroids, dim=DIM, m=4,
+                           ksub=8, k=k, residual=True).collect():
+        assert cmap[r.query_id] == cmap[r.neighbor_id]
