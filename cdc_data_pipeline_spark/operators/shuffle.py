@@ -57,10 +57,12 @@ def write_training_shards(df: DataFrame, path: str, key_col: str,
                           n_shards: int, seed: int = 0,
                           fast: bool = False) -> None:
     """Materialize the shuffled corpus as ``shard_id=K`` parquet
-    directories, one writer task per shard (``repartition`` on the
-    shard column — a single hash exchange), rows stored in shuffled
-    order so a trainer streams each shard file sequentially."""
+    directories, one writer task per shard (``repartitionByRange`` on
+    the shard id — contiguous ids map to distinct tasks, where a hash
+    repartition would collide several shards into one task and leave
+    others empty), rows stored in shuffled order so a trainer streams
+    each shard file sequentially."""
     shuffled = deterministic_shuffle(df, key_col, n_shards, seed, fast=fast)
-    (shuffled.repartition(n_shards, "shard_id")
+    (shuffled.repartitionByRange(n_shards, "shard_id")
              .sortWithinPartitions("shard_id", "pos")
              .write.mode("overwrite").partitionBy("shard_id").parquet(path))

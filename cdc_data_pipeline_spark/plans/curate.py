@@ -55,32 +55,41 @@ def curate_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
     vocabulary, short docs) the way ``test_full_curation_pipeline``
     documents; production keeps the Gopher defaults.
     """
+    # each stage is pinned (localCheckpoint) BEFORE its funnel count,
+    # so the count and every downstream stage read the materialized
+    # result instead of re-running the whole upstream chain — without
+    # the pin, the quality gate and LSH pair generation execute ~5-7
+    # times per build (once per later count / manifest / write). Same
+    # pattern as dedup.connected_components' edge-list checkpoint.
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True)
+
     funnel = {"input": docs.count()}
 
-    gated = docs.join(
+    gated = _pin(docs.join(
         gopher_quality(docs, min_words=min_words, stopwords=stopwords,
                        min_stop_hits=min_stop_hits)
-        .select("doc_id", "passes"), "doc_id").filter("passes").drop("passes")
+        .select("doc_id", "passes"), "doc_id").filter("passes").drop("passes"))
     funnel["after_quality"] = gated.count()
 
-    exact = gated.join(dedup_exact(gated).select("doc_id"), "doc_id")
+    exact = _pin(gated.join(dedup_exact(gated).select("doc_id"), "doc_id"))
     funnel["after_exact_dedup"] = exact.count()
 
     pairs = lsh_candidate_pairs(exact, num_hashes=num_hashes, bands=bands,
                                 shingle_k=shingle_k)
     keep = (dedup_clusters(exact, pairs)
             .filter(F.col("is_canonical")).select("doc_id"))
-    fuzzy = exact.join(keep, "doc_id")
+    fuzzy = _pin(exact.join(keep, "doc_id"))
     funnel["after_fuzzy_dedup"] = fuzzy.count()
 
-    masked = (mask_duplicated_spans(fuzzy, n=span_n)
-              .select("doc_id", F.col("clean_text").alias("text"))
-              .filter(F.col("text") != ""))
+    masked = _pin(mask_duplicated_spans(fuzzy, n=span_n)
+                  .select("doc_id", F.col("clean_text").alias("text"))
+                  .filter(F.col("text") != ""))
     funnel["after_span_mask"] = masked.count()
 
     if eval_df is not None:
-        clean = decontaminate(masked, eval_df, n=ngram,
-                              max_overlap=max_overlap)
+        clean = _pin(decontaminate(masked, eval_df, n=ngram,
+                                   max_overlap=max_overlap))
     else:
         clean = masked
     funnel["after_decontaminate"] = clean.count()
@@ -92,12 +101,12 @@ def curate_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
         # cols; re-attach it for the mixture decision
         if domain_col not in clean.columns:
             clean = clean.join(docs.select("doc_id", domain_col), "doc_id")
-        clean = mixture_sample(clean, domain_col, mixture, "doc_id")
+        clean = _pin(mixture_sample(clean, domain_col, mixture, "doc_id"))
         funnel["after_mixture"] = clean.count()
 
     counted = clean.withColumn("n_tokens", token_count("text").cast("long"))
-    packed = pack_token_shards(counted, budget=budget,
-                               token_col="n_tokens", order_col="doc_id")
+    packed = _pin(pack_token_shards(counted, budget=budget,
+                                    token_col="n_tokens", order_col="doc_id"))
     man = shard_manifest(packed, "n_tokens").agg(
         F.count(F.lit(1)).alias("shards"),
         F.sum("n_tokens").alias("tokens")).first()
@@ -105,7 +114,10 @@ def curate_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
     funnel["total_tokens"] = int(man["tokens"] or 0)
 
     if out_path is not None:
-        (packed.repartition(max(funnel["shards"], 1), "shard_id")
+        # range partitioning gives one writer task per shard id; hash
+        # would collide shard ids into shared tasks and leave others
+        # idle (correctness unaffected — partitionBy still separates)
+        (packed.repartitionByRange(max(funnel["shards"], 1), "shard_id")
                .sortWithinPartitions("shard_id", "doc_id")
                .write.mode("overwrite").partitionBy("shard_id")
                .parquet(out_path))
