@@ -83,15 +83,39 @@ def size_for(n: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
+def kmv_n_keys(ref: DataFrame, key_col: str, k: int = 256,
+               shards: int = 16) -> int:
+    """Sketched distinct-key cardinality for sizing a Bloom filter:
+    sharded KMV partials (``operators/sketches.py`` — per-shard window
+    state stays bounded even though the group is global) merged into
+    one estimate, rounded up. One cheap map-side-combined pass instead
+    of ``distinct().count()``'s full-width exact shuffle; feed the
+    result to ``build_bloom(n_keys=...)`` so the build scan is the
+    only pass that touches every reference row. Bloom sizing is robust
+    to the ±1/sqrt(k) (~6% at k=256) estimate error — ``m`` just lands
+    a few percent off optimal."""
+    from cdc_data_pipeline_spark.operators.sketches import kmv_merge, kmv_partials
+
+    est = kmv_merge(kmv_partials(ref, (), key_col, k=k, shards=shards),
+                    (), k=k).first()
+    return max(1, int(math.ceil(est["distinct_est"]))) if est else 1
+
+
 def build_bloom(ref: DataFrame, key_col: str, fpp: float = 0.01,
-                n_keys: int | None = None) -> BloomModel:
+                n_keys: int | float | None = None) -> BloomModel:
     """Fully distributed bit set: hash JVM-side, position + word/mask
     in an Arrow batch (same ``_positions`` kernel as the probe, so
     build and probe agree bit-for-bit), fold with a map-side-combined
     ``bit_or`` per 64-bit word, and collect ONLY the set words —
     ≤ ceil(m/64) rows regardless of reference-key count (duplicate
-    keys just re-set bits and vanish in the combine)."""
-    n = n_keys if n_keys is not None else ref.select(key_col).distinct().count()
+    keys just re-set bits and vanish in the combine).
+
+    ``n_keys`` sizes the bit array; pass an estimate (``kmv_n_keys``,
+    or any KMV/HLL figure you already track) to skip the exact
+    ``distinct().count()`` pre-pass — at scale the default two-scan
+    path pays a full extra shuffle purely for sizing."""
+    n = (max(1, int(math.ceil(n_keys))) if n_keys is not None
+         else ref.select(key_col).distinct().count())
     m, k = size_for(n, fpp)
     h1c, h2c = _hash_cols(F.col(key_col))
 
