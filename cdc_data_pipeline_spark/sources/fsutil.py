@@ -57,3 +57,56 @@ def rename(spark: SparkSession, src: str, dst: str) -> None:
     _, jdst = _fs(spark, dst)
     if not fs.rename(jsrc, jdst):
         raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def list_names(spark: SparkSession, path: str) -> list[str]:
+    """Child entry names of a directory ('' -> []). One listStatus RPC."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    fs, p = _fs(spark, path)
+    fs.mkdirs(p)
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    """Small-file read (a pointer); None when absent."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        out = bytearray()
+        b = stream.read()
+        while b >= 0:
+            out.append(b)
+            b = stream.read()
+        return out.decode("utf-8")
+    finally:
+        stream.close()
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Small-file overwrite write (a pointer). One create-overwrite
+    call: a single atomic PUT on object stores (the pointer-table
+    publish primitive there); on HDFS create+close is not atomic but
+    the payload is a handful of bytes — local roots should prefer the
+    ``os.replace`` path the caller already uses."""
+    fs, p = _fs(spark, path)
+    stream = fs.create(p, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def put_file(spark: SparkSession, local_path: str, dst: str) -> None:
+    """Upload one locally-staged file (copyFromLocal semantics),
+    replacing any existing object."""
+    jvm = spark._jvm
+    fs, jdst = _fs(spark, dst)
+    jsrc = jvm.org.apache.hadoop.fs.Path("file://" + local_path)
+    fs.copyFromLocalFile(False, True, jsrc, jdst)

@@ -20,9 +20,23 @@ directory that the next `vacuum` removes; the pointer never references
 partial data.
 
 At 100 TB: the pointer swap is O(1) metadata whatever the table size;
-on an object store, map `os.replace` to the store's atomic
-put/rename. Old versions double as time travel and as instant
-rollback (`publish_pointer(path, n-1)`).
+on an object store, the pointer publish is one small-object PUT
+(atomic on S3-class stores). Old versions double as time travel and
+as instant rollback (`publish_pointer(path, n-1)`).
+
+Path handling: bare local paths go through ``os`` (``os.replace``
+pointer swap — atomic); scheme-qualified roots (``file://``,
+``s3a://``, ``hdfs://``) route every metadata op through the Hadoop
+FileSystem API (``sources/fsutil.py``) using the active SparkSession
+— the same dual-path discipline as the bucketed sinks (r3 commit
+141b974), now covering the versioned-table layer too.
+
+Concurrency contract (single-writer): the publish protocol assumes
+ONE writer per table — concurrent publishers can elect the same next
+version id and the last pointer write wins (no lock/CAS, matching the
+pipeline-owned-table model; the reference's ClickHouse accepts
+concurrent clients, this layer deliberately does not arbitrate them).
+Readers are always safe — they only ever see fully-published versions.
 """
 
 from __future__ import annotations
@@ -37,11 +51,30 @@ _POINTER = "_LATEST"
 _VDIR = re.compile(r"^v=(\d+)$")
 
 
+def _is_uri(path: str) -> bool:
+    return "://" in path
+
+
+def _active_spark() -> SparkSession:
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "scheme-qualified table paths need an active SparkSession "
+            "(Hadoop FileSystem access rides the JVM gateway)")
+    return spark
+
+
 def list_versions(table_path: str) -> list[int]:
-    if not os.path.isdir(table_path):
+    if _is_uri(table_path):
+        from cdc_data_pipeline_spark.sources import fsutil
+
+        names = fsutil.list_names(_active_spark(), table_path)
+    elif not os.path.isdir(table_path):
         return []
+    else:
+        names = os.listdir(table_path)
     out = []
-    for name in os.listdir(table_path):
+    for name in names:
         m = _VDIR.match(name)
         if m:
             out.append(int(m.group(1)))
@@ -49,6 +82,15 @@ def list_versions(table_path: str) -> list[int]:
 
 
 def current_version(table_path: str) -> int | None:
+    if _is_uri(table_path):
+        from cdc_data_pipeline_spark.sources import fsutil
+
+        text = fsutil.read_text(
+            _active_spark(), fsutil.path_join(table_path, _POINTER))
+        try:
+            return int(text.strip()) if text is not None else None
+        except ValueError:
+            return None
     try:
         with open(os.path.join(table_path, _POINTER)) as fh:
             return int(fh.read().strip())
@@ -57,23 +99,47 @@ def current_version(table_path: str) -> int | None:
 
 
 def publish_pointer(table_path: str, version: int) -> None:
-    """Atomically repoint ``_LATEST`` (also the rollback primitive)."""
+    """Atomically repoint ``_LATEST`` (also the rollback primitive).
+    Local roots swap with ``os.replace``; scheme roots publish the
+    pointer as ONE small-object overwrite write (a single atomic PUT
+    on S3-class stores — see ``fsutil.write_text``)."""
     if version not in list_versions(table_path):
         raise ValueError(f"version {version} does not exist at {table_path}")
+    if _is_uri(table_path):
+        from cdc_data_pipeline_spark.sources import fsutil
+
+        fsutil.write_text(_active_spark(),
+                          fsutil.path_join(table_path, _POINTER),
+                          str(version))
+        return
     tmp = os.path.join(table_path, f".{_POINTER}.tmp")
     with open(tmp, "w") as fh:
         fh.write(str(version))
     os.replace(tmp, os.path.join(table_path, _POINTER))
 
 
+def _vdir(table_path: str, version: int) -> str:
+    if _is_uri(table_path):
+        from cdc_data_pipeline_spark.sources import fsutil
+
+        return fsutil.path_join(table_path, f"v={version}")
+    return os.path.join(table_path, f"v={version}")
+
+
 def publish_version(df: DataFrame, table_path: str) -> int:
     """Write ``df`` as the next version and atomically publish it.
-    Returns the new version number."""
-    os.makedirs(table_path, exist_ok=True)
+    Returns the new version number. Single-writer per table (see
+    module docstring): concurrent publishers can race to the same
+    version id, last pointer wins."""
+    if _is_uri(table_path):
+        from cdc_data_pipeline_spark.sources import fsutil
+
+        fsutil.mkdirs(_active_spark(), table_path)
+    else:
+        os.makedirs(table_path, exist_ok=True)
     versions = list_versions(table_path)
     new_v = (versions[-1] if versions else 0) + 1
-    vdir = os.path.join(table_path, f"v={new_v}")
-    df.write.mode("error").parquet(vdir)
+    df.write.mode("error").parquet(_vdir(table_path, new_v))
     publish_pointer(table_path, new_v)
     return new_v
 
@@ -84,8 +150,14 @@ def read_versioned(spark: SparkSession, table_path: str,
     v = version if version is not None else current_version(table_path)
     if v is None:
         raise FileNotFoundError(f"no published version at {table_path}")
-    vdir = os.path.join(table_path, f"v={v}")
-    if not os.path.isdir(vdir):
+    vdir = _vdir(table_path, v)
+    if _is_uri(table_path):
+        from cdc_data_pipeline_spark.sources import fsutil
+
+        present = fsutil.exists(spark, vdir)
+    else:
+        present = os.path.isdir(vdir)
+    if not present:
         raise FileNotFoundError(f"version {v} missing at {table_path}")
     return spark.read.parquet(vdir)
 
@@ -104,7 +176,12 @@ def vacuum_versions(table_path: str, keep_last: int = 2) -> list[int]:
     removed = []
     for v in versions:
         if v not in keep:
-            shutil.rmtree(os.path.join(table_path, f"v={v}"))
+            if _is_uri(table_path):
+                from cdc_data_pipeline_spark.sources import fsutil
+
+                fsutil.delete(_active_spark(), _vdir(table_path, v))
+            else:
+                shutil.rmtree(os.path.join(table_path, f"v={v}"))
             removed.append(v)
     return removed
 
@@ -123,6 +200,12 @@ def published_row_count(table_path: str, version: int) -> int:
 
     import pyarrow.parquet as pq
 
+    if _is_uri(table_path):
+        if not table_path.startswith("file://"):
+            raise NotImplementedError(
+                "footer-only row counts need a pyarrow filesystem for "
+                "this scheme; read the version with Spark and count")
+        table_path = table_path[len("file://"):]
     vdir = os.path.join(table_path, f"v={version}")
     return sum(pq.ParquetFile(p).metadata.num_rows
                for p in _glob.glob(os.path.join(vdir, "*.parquet")))
@@ -135,9 +218,26 @@ def append_run_record(base_path: str, record: dict) -> str:
     via :func:`read_runs`. Returns the file path."""
     import pandas as pd
 
+    fname = f"run-{record['run_id']}-{record['model']}.parquet"
+    if _is_uri(base_path):
+        import tempfile
+
+        from cdc_data_pipeline_spark.sources import fsutil
+
+        spark = _active_spark()
+        runs_dir = fsutil.path_join(base_path, _RUNS_DIR)
+        fsutil.mkdirs(spark, runs_dir)
+        final = fsutil.path_join(runs_dir, fname)
+        with tempfile.NamedTemporaryFile(suffix=".parquet") as tmp:
+            pd.DataFrame([record]).to_parquet(
+                tmp.name, coerce_timestamps="us",
+                allow_truncated_timestamps=True)
+            # staged locally, shipped whole: the object appears fully
+            # written or not at all
+            fsutil.put_file(spark, tmp.name, final)
+        return final
     runs_dir = os.path.join(base_path, _RUNS_DIR)
     os.makedirs(runs_dir, exist_ok=True)
-    fname = f"run-{record['run_id']}-{record['model']}.parquet"
     tmp = os.path.join(runs_dir, f".{fname}.tmp")
     # micros, not pandas' default nanos: sessions that enable
     # nanosAsLong (events fixture compat) would read ns as raw longs

@@ -207,3 +207,39 @@ def test_materialize_checks_gate_the_publish(spark, tmp_path):
     # v2 was never published: readers still see the good v1
     assert read_versioned(spark, f"{base}/stg").count() == 2
     assert list_versions(f"{base}/stg") == [1]
+
+
+def test_versioned_table_under_uri_fs_root(spark, tmp_path):
+    """r3 verdict item #5 completion: the versioned-table layer must
+    run the full publish / time-travel / rollback / vacuum / run-audit
+    cycle against a scheme-qualified root (file:// — the sandbox proxy
+    for s3a://), routing every metadata op through the Hadoop
+    FileSystem API instead of os.path."""
+    from cdc_data_pipeline_spark.sources.versioned import (
+        append_run_record, published_row_count, read_runs)
+
+    t = "file://" + str(tmp_path / "uri_wh" / "tbl")
+    assert publish_version(_df(spark, 3, "a"), t) == 1
+    assert publish_version(_df(spark, 5, "b"), t) == 2
+    assert publish_version(_df(spark, 7, "c"), t) == 3
+    assert current_version(t) == 3
+    assert read_versioned(spark, t).count() == 7
+    assert read_versioned(spark, t, version=1).count() == 3
+    # rollback
+    publish_pointer(t, 2)
+    assert current_version(t) == 2
+    assert read_versioned(spark, t).count() == 5
+    # vacuum never drops the published version or newer ones
+    removed = vacuum_versions(t, keep_last=1)
+    assert removed == [1]
+    assert list_versions(t) == [2, 3]
+    assert read_versioned(spark, t).count() == 5
+    # footer-only row count works under file://
+    assert published_row_count(t, 2) == 5
+    # run-audit record lands and reads back under the URI root
+    base = "file://" + str(tmp_path / "uri_wh")
+    append_run_record(base, {"run_id": "r1", "model": "tbl",
+                             "version": 2, "rows": 5})
+    runs = read_runs(spark, base)
+    assert runs.count() == 1
+    assert runs.first()["model"] == "tbl"
