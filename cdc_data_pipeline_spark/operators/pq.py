@@ -242,7 +242,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
                iters: int = 2, vec_col: str = "embedding",
                id_col: str = "vec_id", query_id_col: str = "query_id",
                seed: int = 0, codebooks: Codebooks | None = None,
-               residual: bool = False) -> DataFrame:
+               residual: bool = False, nprobe: int = 1) -> DataFrame:
     """IVF + PQ composite (the FAISS ``IVFx,PQy`` shape):
     coarse-quantize every vector to its nearest cell
     (``similarity.ivf_assign``, collected centroids), then ADC-score a
@@ -271,14 +271,23 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     construction but no exported SQL oracle (the residual column is an
     intermediate); recall is pinned against the non-residual variant
     in ``test_pq.py``.
+
+    ``nprobe`` (FAISS knob, default 1 — the oracle-checked
+    configuration): each query scores the code rows of its ``nprobe``
+    nearest cells. The query side builds one tiny branch per probe
+    rank (a query has ONE residual per probed cell, so the ADC table
+    is per-rank); a corpus vector lives in exactly one cell, so each
+    (query, neighbor) pair appears in at most one branch and the
+    union needs no dedup before the final cut.
     """
     from cdc_data_pipeline_spark.functions.vectors import lit_id_vector_map
     from cdc_data_pipeline_spark.operators.similarity import (
-        collect_cents, ivf_assign)
+        collect_cents, ivf_assign, ivf_probe_cells)
 
     cents = collect_cents(centroids, vec_col)
     assigned = ivf_assign(corpus, cents, vec_col, id_col)
-    q_assigned = ivf_assign(queries, cents, vec_col, id_col) \
+    probes = ivf_probe_cells(queries, cents, nprobe, vec_col, id_col,
+                             rank_col="__pr") \
         .withColumnRenamed(id_col, query_id_col)
     enc_vec = vec_col
     if residual:
@@ -290,7 +299,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
         # pin the residual corpus: training makes several passes over it
         assigned = assigned.withColumn(enc_vec, res) \
                            .localCheckpoint(eager=False)
-        q_assigned = q_assigned.withColumn(enc_vec, res)
+        probes = probes.withColumn(enc_vec, res)
         train_src = assigned
     else:
         train_src = corpus
@@ -306,11 +315,19 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
                 .localCheckpoint(eager=False))
     codes = code_tab.select(F.col(id_col).alias("neighbor_id"), "centroid_id",
                             F.posexplode("codes").alias("sub", "cid"))
-    dtab = (adc_distance_table(q_assigned.drop("centroid_id"), books, dim,
-                               enc_vec, query_id_col, query_id_col)
-            .join(q_assigned.select(query_id_col, "centroid_id"),
-                  query_id_col))
-    scored = (codes.join(F.broadcast(dtab), ["centroid_id", "sub", "cid"])
+    parts = []
+    for p in range(nprobe):
+        q_p = probes.filter(F.col("__pr") == p).drop("__pr")
+        dtab_p = (adc_distance_table(q_p.drop("centroid_id"), books, dim,
+                                     enc_vec, query_id_col, query_id_col)
+                  .join(q_p.select(query_id_col, "centroid_id"),
+                        query_id_col))
+        parts.append(codes.join(F.broadcast(dtab_p),
+                                ["centroid_id", "sub", "cid"]))
+    joined = parts[0]
+    for part in parts[1:]:
+        joined = joined.unionByName(part)
+    scored = (joined
               .filter(F.col(query_id_col) != F.col("neighbor_id"))
               .groupBy(query_id_col, "neighbor_id")
               .agg(F.sum("dl").alias("__dl")))

@@ -159,23 +159,53 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     return src.mapInPandas(_assign, schema=out_schema)
 
 
+def ivf_probe_cells(queries: DataFrame, centroids, nprobe: int = 1,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    centroid_id_col: str = "centroid_id",
+                    rank_col: str | None = None) -> DataFrame:
+    """One row per (query, probed cell): the query's ``nprobe``
+    nearest cells by the same 9dp-rounded cosine / lowest-cid order as
+    ``ivf_assign`` (nprobe=1 reproduces its assignment exactly). Pure
+    projection + explode — no join, no shuffle; the FAISS nprobe knob
+    that trades scanned fraction (~nprobe/n_cells) for recall.
+    ``rank_col`` adds the 0-based probe rank (0 = nearest cell)."""
+    cents, ctype = collect_cents(centroids, vec_col, centroid_id_col)
+    carr = lit_id_vector_array(cents, ctype)
+    packed = F.transform(
+        carr,
+        lambda e: F.struct(
+            (-F.round(cosine(F.col(vec_col), e["v"]), 9)).alias("d"),
+            e["c"].alias("cid")))
+    # ascending lexicographic sort of (-sim, cid) = sim desc, cid asc
+    top = F.slice(F.array_sort(packed), 1, nprobe)
+    out = (queries
+           .select(id_col, vec_col, F.posexplode(top).alias("__pr", "__p"))
+           .select(id_col, vec_col, F.col("__p.cid").alias(centroid_id_col),
+                   F.col("__pr")))
+    if rank_col is None:
+        return out.drop("__pr")
+    return out.withColumnRenamed("__pr", rank_col)
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: int = 5,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             query_id_col: str = "query_id") -> DataFrame:
-    """IVF-style ANN: search only the query's centroid cell (nprobe=1).
+             query_id_col: str = "query_id", nprobe: int = 1) -> DataFrame:
+    """IVF-style ANN: search the query's ``nprobe`` nearest centroid
+    cells (default 1 — the oracle-checked configuration).
 
     At scale the assignment is precomputed/materialized partitioned by
-    cell, so a query touches one partition instead of the whole corpus.
-    Final ranking goes through the shared map-local cut (``_rank_topk``)
-    — a hot cell's scores never land whole in one window task.
+    cell, so a query touches nprobe partitions instead of the whole
+    corpus. Final ranking goes through the shared map-local cut
+    (``_rank_topk``) — a hot cell's scores never land whole in one
+    window task.
     """
     cents = collect_cents(centroids, vec_col)
     assigned = ivf_assign(corpus, cents, vec_col, id_col)
-    q_assigned = ivf_assign(queries, cents, vec_col, id_col) \
+    q_probe = ivf_probe_cells(queries, cents, nprobe, vec_col, id_col) \
         .select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv"), F.col("centroid_id"))
     scored = (
         assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "centroid_id")
-        .join(F.broadcast(q_assigned), "centroid_id")
+        .join(F.broadcast(q_probe), "centroid_id")
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
         .withColumn("cos", F.round(cosine("__qv", "__cv"), 6))
         .select(query_id_col, "neighbor_id", "cos")

@@ -193,3 +193,39 @@ def test_round_half_up_matches_spark_round(spark):
     assert np.round(np.array([2.5e-6]), 6)[0] == 2e-6
     # -0.0 never escapes
     assert str(round_half_up(np.array([-1e-12]), 6)[0]) == "0.0"
+
+
+def test_ivf_nprobe_recall_monotone_and_nprobe1_exact(spark, sf_dir):
+    """ivf_topk's nprobe knob: nprobe=1 must reproduce the original
+    single-cell search exactly (the oracle-checked configuration), a
+    full-cell probe must recover the exact brute-force answer, and
+    recall must be monotone in between."""
+    from cdc_data_pipeline_spark.operators.similarity import (
+        ivf_probe_cells, ivf_topk, topk_cosine)
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cents = emb.filter(F.col("vec_id") % 50 == 25) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    n_cells = cents.count()
+    k = 5
+
+    exact = {(r.query_id, r.neighbor_id)
+             for r in topk_cosine(emb, queries, k=k).collect()}
+
+    def got(nprobe):
+        return {(r.query_id, r.neighbor_id)
+                for r in ivf_topk(emb, queries, cents, k=k,
+                                  nprobe=nprobe).collect()}
+
+    r1, r2, rall = got(1), got(2), got(n_cells)
+    # probing every cell = brute force
+    assert rall == exact
+    # recall monotone in nprobe
+    assert len(r1 & exact) <= len(r2 & exact) <= len(rall & exact)
+    # nprobe=1 probes exactly the ivf_assign cell per query
+    from cdc_data_pipeline_spark.operators.similarity import ivf_assign
+    probe1 = {(r[0], r[2]) for r in
+              ivf_probe_cells(queries, cents, 1).collect()}
+    assign = {(r[0], r[2]) for r in ivf_assign(queries, cents).collect()}
+    assert probe1 == assign

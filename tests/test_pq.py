@@ -203,3 +203,40 @@ def test_residual_ivfpq_beats_plain_on_clustered_data(spark):
     for r in pq.ivfpq_topk(emb2, queries, centroids, dim=DIM, m=4,
                            ksub=8, k=k, residual=True).collect():
         assert cmap[r.query_id] == cmap[r.neighbor_id]
+
+
+def test_ivfpq_nprobe_recall_monotone(spark, emb):
+    """nprobe>1 only ADDS candidate cells: results for nprobe=1 must be
+    reproduced or improved, recall against the full PQ scan must be
+    monotone, and every reported pair must still score identically to
+    the full scan (same codebooks)."""
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    centroids = emb.filter(F.col("vec_id") % 50 == 25) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    books = pq.train_pq_codebooks(emb, DIM, m=4, ksub=8)
+    full = {(r.query_id, r.neighbor_id): r.dist_sq
+            for r in pq.pq_adc_topk(emb, queries, dim=DIM, m=4, ksub=8,
+                                    k=10**6, codebooks=books).collect()}
+    full_top = {}
+    for r in pq.pq_adc_topk(emb, queries, dim=DIM, m=4, ksub=8,
+                            k=5, codebooks=books).collect():
+        full_top.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def got(nprobe):
+        out = {}
+        rows = pq.ivfpq_topk(emb, queries, centroids, dim=DIM, m=4, ksub=8,
+                             k=5, codebooks=books, nprobe=nprobe).collect()
+        for r in rows:
+            assert full[(r.query_id, r.neighbor_id)] == r.dist_sq
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    g1, g3 = got(1), got(3)
+    rec = [sum(len(full_top[q] & g.get(q, set())) for q in full_top)
+           for g in (g1, g3)]
+    assert rec[0] <= rec[1]
+    # nprobe=3 candidates are a superset per query of nprobe=1's cells,
+    # so each query's result is at least as good: its worst kept
+    # distance can only shrink or stay
+    for q in g1:
+        assert q in g3
