@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "fuzzy_dedup_keep",
     "ivfpq_topk",
     "mixture_sample",
+    "mixture_repeat",
     "sentiment_scores",
     "doc_embeddings",
 ]

@@ -920,6 +920,43 @@ WHERE {uniform_hash_sql('d.doc_id', _MIX_SEED)} < r.rate
 """
 
 
+_MIXR_W = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIXR_SEED, _MIXR_EPOCHS = 13, 2.0
+
+
+def q_mixture_repeat(spark, sf_dir):
+    """Epoch-aware mixture (repeat factors): scarce domains repeat up
+    to max_epochs=2 passes to hit 50/30/20 target proportions, with
+    an explicit epoch column per copy — the Llama-style up-sampling
+    mixture_sample cannot express. Copy counts are a pure function of
+    (doc_id, seed) and exact counts -> exact multiset oracle."""
+    docs = _docs(spark, sf_dir)
+    return (sp.mixture_repeat(docs, "source", _MIXR_W, "doc_id",
+                              max_epochs=_MIXR_EPOCHS, seed=_MIXR_SEED)
+            .select("doc_id", "source", "epoch"))
+
+
+_MIXR_VALUES = ", ".join(f"('{d}', {p})" for d, p in sorted(_MIXR_W.items()))
+
+SQL_MIXTURE_REPEAT = f"""
+WITH w(source, p) AS (VALUES {_MIXR_VALUES}),
+c AS (SELECT d.source, COUNT(*) AS n
+      FROM documents d JOIN w USING (source) GROUP BY d.source),
+s AS (SELECT MIN(c.n * {_MIXR_EPOCHS} / w.p) AS cap FROM c JOIN w USING (source)),
+r AS (SELECT c.source, w.p * s.cap / c.n AS rate
+      FROM c JOIN w USING (source) CROSS JOIN s),
+k AS (SELECT d.doc_id, d.source,
+             CAST(FLOOR(r.rate) +
+                  CASE WHEN {uniform_hash_sql('d.doc_id', _MIXR_SEED)}
+                            < r.rate - FLOOR(r.rate)
+                       THEN 1 ELSE 0 END AS INTEGER) AS copies
+      FROM documents d JOIN r USING (source))
+SELECT k.doc_id, k.source, CAST(e.i AS INTEGER) AS epoch
+FROM k JOIN LATERAL (SELECT UNNEST(range(0, k.copies)) AS i) e ON TRUE
+WHERE k.copies > 0
+"""
+
+
 _NSHARDS, _SHUF_SEED = 16, 3
 
 
@@ -952,6 +989,7 @@ EXTRA_QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "domain_caps": q_domain_caps,
     "mixture_sample": q_mixture_sample,
+    "mixture_repeat": q_mixture_repeat,
     "shuffle_shards": q_shuffle_shards,
     "value_histogram": q_value_histogram,
     "source_quality": q_source_quality,
@@ -970,6 +1008,7 @@ EXTRA_ORACLES = {
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "domain_caps": SQL_DOMAIN_CAPS,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "mixture_repeat": SQL_MIXTURE_REPEAT,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "source_quality": SQL_SOURCE_QUALITY,

@@ -227,6 +227,59 @@ def mixture_sample(df: DataFrame, domain_col: str,
     return df.filter(F.col(domain_col).isin(present)).filter(u < rate)
 
 
+def mixture_repeat(df: DataFrame, domain_col: str,
+                   weights: dict[str, float], key_col: str,
+                   max_epochs: float = 2.0, seed: int = 0,
+                   fast: bool = False) -> DataFrame:
+    """Epoch-aware fixed-mixture builder: like ``mixture_sample`` but
+    scarce domains may be REPEATED (rate > 1) up to ``max_epochs``
+    passes — the standard pretraining recipe when the target mix
+    demands more of a domain than one epoch of it contains (Llama-
+    style up-sampling; ``mixture_sample`` can only downsample).
+
+    The achievable mixed-corpus size is T = min_d(n_d * max_epochs /
+    p_d) — the domain that would need more than ``max_epochs`` passes
+    binds everyone; each domain then contributes rate_d = p_d * T /
+    n_d copies per row (the binding domain repeats exactly
+    ``max_epochs``x, abundant domains downsample below 1). A row
+    yields floor(rate_d) certain copies plus one more when
+    ``uniform_hash(key) < frac(rate_d)``; copies are numbered by an
+    ``epoch`` column (0-based) so a trainer can interleave passes.
+    ``max_epochs=1`` keeps at most one copy of anything and the kept
+    SET equals ``mixture_sample``'s.
+
+    Determinism: the copy count is a pure function of (key, seed) and
+    exact integer counts through IEEE-correctly-rounded ops, so an SQL
+    oracle reproduces the multiset bit-identically. Driver traffic is
+    |weights| count scalars; the explode is row-local (no shuffle).
+    """
+    doms = sorted(d for d, p in weights.items() if p > 0)
+    if not doms:
+        return df.limit(0).withColumn("epoch", F.lit(0))
+    rows = (df.filter(F.col(domain_col).isin(doms))
+            .groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect())
+    n = {r[0]: r[1] for r in rows}
+    present = [d for d in doms if n.get(d)]
+    if not present:
+        return df.limit(0).withColumn("epoch", F.lit(0))
+    cap = min(n[d] * max_epochs / weights[d] for d in present)
+    rates = {d: weights[d] * cap / n[d] for d in present}
+    u = uniform_hash(key_col, seed, fast=fast)
+    rate = None
+    for d in present:
+        branch = (rate if rate is not None else F.when(F.lit(False), F.lit(0.0)))
+        rate = branch.when(F.col(domain_col) == d, F.lit(rates[d]))
+    copies = (F.floor(rate) +
+              F.when(u < rate - F.floor(rate), F.lit(1)).otherwise(F.lit(0))
+              ).cast("int")
+    return (df.filter(F.col(domain_col).isin(present))
+            .withColumn("__copies", copies)
+            .filter(F.col("__copies") > 0)
+            .withColumn("epoch", F.explode(
+                F.sequence(F.lit(0), F.col("__copies") - 1)))
+            .drop("__copies"))
+
+
 def temperature_resample(df: DataFrame, domain_col: str, key_col: str,
                          alpha: float = 0.5, seed: int = 0,
                          fast: bool = False) -> DataFrame:

@@ -370,3 +370,44 @@ def test_mixture_sample_hits_target_proportions(spark, sf_dir):
         {r.doc_id for r in again.select("doc_id").collect()}
     # empty weight set -> empty result
     assert sp.mixture_sample(docs, "source", {}, "doc_id").count() == 0
+
+
+def test_mixture_repeat_semantics(spark, sf_dir):
+    """Epoch-aware mixture: binding domain repeats ~max_epochs times,
+    proportions hit the targets, the epoch column numbers copies
+    densely from 0, max_epochs=1 reproduces mixture_sample's kept set,
+    and the result is layout-independent."""
+    from cdc_data_pipeline_spark.operators import sampling as sp
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = sp.mixture_repeat(docs, "source", w, "doc_id",
+                            max_epochs=2.0, seed=13)
+    rows = out.select("doc_id", "source", "epoch").collect()
+    total = len(rows)
+    by_src = {}
+    by_doc = {}
+    for r in rows:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    # proportions within binomial noise of the targets
+    for d, p in w.items():
+        assert abs(by_src[d] / total - p) < 0.08, (d, by_src, total)
+    # per-doc epochs are dense 0..c-1
+    for eps in by_doc.values():
+        assert sorted(eps) == list(range(len(eps)))
+    # some domain actually repeated (rate > 1 somewhere at these targets)
+    assert any(len(e) > 1 for e in by_doc.values())
+    # max_epochs=1: kept SET == mixture_sample's kept set (same seed)
+    one = sp.mixture_repeat(docs, "source", w, "doc_id",
+                            max_epochs=1.0, seed=13)
+    ms = sp.mixture_sample(docs, "source", w, "doc_id", seed=13)
+    assert {r.doc_id for r in one.select("doc_id").collect()} == \
+        {r.doc_id for r in ms.select("doc_id").collect()}
+    assert one.filter(F.col("epoch") != 0).count() == 0
+    # layout independence
+    again = sp.mixture_repeat(docs.repartition(13), "source", w, "doc_id",
+                              max_epochs=2.0, seed=13)
+    assert sorted((r.doc_id, r.epoch) for r in
+                  again.select("doc_id", "epoch").collect()) == \
+        sorted((r.doc_id, r.epoch) for r in rows)
