@@ -170,6 +170,11 @@ def ivf_probe_cells(queries: DataFrame, centroids, nprobe: int = 1,
     that trades scanned fraction (~nprobe/n_cells) for recall.
     ``rank_col`` adds the 0-based probe rank (0 = nearest cell)."""
     cents, ctype = collect_cents(centroids, vec_col, centroid_id_col)
+    if not cents:
+        # no cells -> no probes (matches ivf_assign's empty semantics)
+        out = queries.filter(F.lit(False)).select(
+            id_col, vec_col, F.lit(None).cast(ctype).alias(centroid_id_col))
+        return out if rank_col is None else out.withColumn(rank_col, F.lit(0))
     carr = lit_id_vector_array(cents, ctype)
     packed = F.transform(
         carr,

@@ -149,3 +149,47 @@ def test_ivfpq_empty_queries_yield_empty(spark, sf_dir):
         .select(F.col("vec_id").alias("centroid_id"), "embedding")
     out = pq.ivfpq_topk(emb, queries, centroids, dim=64, m=4, ksub=8, k=3)
     assert out.count() == 0
+
+
+def test_ivf_ops_with_empty_centroids(spark, sf_dir):
+    """Empty centroid sets: assignment and probing yield zero rows
+    (never an analysis error from an empty literal array), and the
+    composed searches return empty results with their full schema."""
+    from cdc_data_pipeline_spark.operators import pq
+    from cdc_data_pipeline_spark.operators.similarity import (
+        ivf_assign, ivf_probe_cells, ivf_topk)
+    from cdc_data_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    none = emb.filter(F.lit(False)) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    assert ivf_assign(emb, none).count() == 0
+    assert ivf_probe_cells(queries, none, nprobe=2).count() == 0
+    out = ivf_topk(emb, queries, none, k=3)
+    assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
+    assert out.count() == 0
+    books = pq.train_pq_codebooks(emb, 64, m=4, ksub=8)
+    out2 = pq.ivfpq_topk(emb, queries, none, dim=64, m=4, ksub=8, k=3,
+                         codebooks=books)
+    assert out2.count() == 0
+
+
+def test_mixture_repeat_empty_and_unknown_domains(spark, sf_dir):
+    """No positive weights, or weights naming absent domains, yield an
+    empty result (with the epoch column) rather than an error."""
+    from cdc_data_pipeline_spark.operators import sampling as sp
+    from cdc_data_pipeline_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = sp.mixture_repeat(docs, "source", {}, "doc_id")
+    assert "epoch" in out.columns and out.count() == 0
+    out2 = sp.mixture_repeat(docs, "source", {"no_such_src": 1.0}, "doc_id")
+    assert out2.count() == 0
+
+
+def test_local_topk_cut_empty_input(spark):
+    from cdc_data_pipeline_spark.operators import sampling as sp
+
+    df = spark.createDataFrame([], "g string, v long")
+    assert sp.local_topk_cut(df, ["g"], 3, [("v", True)]).count() == 0
