@@ -99,8 +99,14 @@ def stg_savings_transaction(lineitem: DataFrame) -> DataFrame:
 
 
 def fact_savings_transaction(stg_txn: DataFrame, dim_plan: DataFrame) -> DataFrame:
-    """Fact enrich join (R4; reference marts/fact_savings_transaction.sql:10-23)."""
-    p = dim_plan.select("plan_id", "user_id", "product_type")
+    """Fact enrich join (R4; reference marts/fact_savings_transaction.sql:10-23).
+
+    The plan dim is explicitly broadcast: it is bounded by the number
+    of savings plans (orders of magnitude below the transaction fact),
+    but Spark's size estimate of the computed dim subtree exceeds the
+    auto-broadcast threshold and silently planned a sort-merge join —
+    a full shuffle of the FACT side that the hint removes."""
+    p = F.broadcast(dim_plan.select("plan_id", "user_id", "product_type"))
     return (
         stg_txn.join(p, "plan_id", "left")
         .select(
