@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "mixture_sample",
     "mixture_repeat",
     "sentiment_scores",
+    "backoff_lm_score",
     "doc_embeddings",
 ]
 

@@ -751,6 +751,71 @@ WHERE fp NOT IN (SELECT fp FROM d WHERE doc_id % 10 = 0)
 """
 
 
+_BKO_MIN, _BKO_ALPHA = 2, 0.4
+
+
+def q_backoff_lm_score(spark, sf_dir):
+    """Web-scale LM quality score: per-document mean negative log
+    stupid-backoff trigram score (Brants et al. 2007) with
+    min-count=2 pruning on the bi/tri tables — the KenLM-style size
+    lever. Counting shuffles the VOCABULARY per order, never the
+    corpus; scoring joins on the n-gram key so a model too large to
+    broadcast still never re-shuffles the corpus."""
+    from cdc_data_pipeline_spark.operators import lm
+
+    return lm.backoff_score(_docs(spark, sf_dir), min_count=_BKO_MIN,
+                            alpha=_BKO_ALPHA)
+
+
+SQL_BACKOFF_LM_SCORE = _DUCK_TOKS + f""",
+tg3 AS (SELECT doc_id, unnest(
+          CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE []::VARCHAR[] END) AS g
+        FROM toks),
+tg2 AS (SELECT doc_id, unnest(
+          CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)),
+                                   i -> array_to_string(t[i:i+1], ' '))
+               ELSE []::VARCHAR[] END) AS g
+        FROM toks),
+tg1 AS (SELECT doc_id, unnest(t) AS g FROM toks),
+uni AS (SELECT g, COUNT(*) AS c FROM tg1 GROUP BY g),
+bi  AS (SELECT g, COUNT(*) AS c FROM tg2 GROUP BY g
+        HAVING COUNT(*) >= {{_BKO_MIN}}),
+tri AS (SELECT g, COUNT(*) AS c FROM tg3 GROUP BY g
+        HAVING COUNT(*) >= {{_BKO_MIN}}),
+tot AS (SELECT SUM(c) AS n FROM uni),
+parts AS (SELECT doc_id, g, string_split(g, ' ') AS p FROM tg3),
+sc AS (SELECT s.doc_id,
+         CASE WHEN t3.c IS NOT NULL AND b1.c IS NOT NULL
+              THEN CAST(t3.c AS DOUBLE) / b1.c
+              WHEN b2.c IS NOT NULL AND u1.c IS NOT NULL
+              THEN {{_BKO_ALPHA}} * CAST(b2.c AS DOUBLE) / u1.c
+              ELSE {{_BKO_ALPHA}} * {{_BKO_ALPHA}}
+                   * CAST(COALESCE(u2.c, 1) AS DOUBLE) / tot.n
+         END AS s
+       FROM parts s
+       LEFT JOIN tri t3 ON t3.g = s.g
+       LEFT JOIN bi b1 ON b1.g = array_to_string(s.p[1:2], ' ')
+       LEFT JOIN bi b2 ON b2.g = array_to_string(s.p[2:3], ' ')
+       LEFT JOIN uni u1 ON u1.g = s.p[2]
+       LEFT JOIN uni u2 ON u2.g = s.p[3]
+       CROSS JOIN tot)
+SELECT d.doc_id,
+       COALESCE(k.n_trigrams, 0) AS n_trigrams,
+       k.nll
+FROM documents d LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n_trigrams, ROUND(AVG(-ln(s)), 6) AS nll
+  FROM sc GROUP BY doc_id) k USING (doc_id)
+"""
+
+# the f-string renders {{..}} to literal {..}; substitute the knobs now
+SQL_BACKOFF_LM_SCORE = SQL_BACKOFF_LM_SCORE.replace("{_BKO_MIN}", str(_BKO_MIN)) \
+    .replace("{_BKO_ALPHA}", repr(_BKO_ALPHA))
+
+
 # ------------------------------------------------ char-bigram LM scoring
 
 def q_lm_score(spark, sf_dir):
@@ -1000,6 +1065,7 @@ EXTRA_QUERIES = {
     "temperature_resample": q_temperature_resample,
     "embed_stub": q_embed_stub,
     "lm_score": q_lm_score,
+    "backoff_lm_score": q_backoff_lm_score,
     "pq_topk": q_pq_topk,
     "nb_classify": q_nb_classify,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -1019,6 +1085,7 @@ EXTRA_ORACLES = {
     "temperature_resample": SQL_TEMPERATURE_RESAMPLE,
     "embed_stub": SQL_EMBED_STUB,
     "lm_score": SQL_LM_SCORE,
+    "backoff_lm_score": SQL_BACKOFF_LM_SCORE,
     "pq_topk": SQL_PQ_TOPK,
     "nb_classify": SQL_NB_CLASSIFY,
     "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,

@@ -88,3 +88,112 @@ def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               .select(id_col,
                       F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
                       F.col("nll")))
+
+
+# ------------------------------------------------- word n-gram backoff LM
+
+def word_ngrams(df: DataFrame, n: int, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, g) rows: every n-token window, space-joined. Whitespace
+    tokenization (``functions.text.tokens`` — DuckDB-identical).
+    Documents with fewer than n tokens produce no rows."""
+    from cdc_data_pipeline_spark.functions.text import tokens
+
+    t = tokens(text_col)
+    # sequence(1, 0) would generate DESCENDING [1, 0]: short docs must
+    # yield an empty gram array, not a slice(start=0) error
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                    lambda i: F.array_join(F.slice(t, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    return (df.select(F.col(id_col), F.explode(grams).alias("g"))
+            .filter(F.col("g") != ""))
+
+
+def train_backoff_lm(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", min_count: int = 1
+                     ) -> dict[str, DataFrame]:
+    """Count tables for a word-trigram stupid-backoff model (Brants et
+    al. 2007 "Large Language Models in Machine Translation" — THE
+    web-scale LM recipe: no discounting to fit, just counts and a
+    fixed backoff factor, which is why it shards to any corpus size).
+
+    Returns {"uni", "bi", "tri", "total"}: n-gram -> count tables with
+    counts below ``min_count`` pruned from bi/tri (the KenLM-style
+    size lever: pruned orders fall back to lower ones), plus the
+    corpus token total. Counting is one explode + map-side-combined
+    groupBy per order — the shuffle carries the VOCABULARY of each
+    order, never the corpus. Unigrams are never pruned (the final
+    fallback must exist)."""
+    uni = (word_ngrams(df, 1, text_col, id_col)
+           .groupBy("g").agg(F.count(F.lit(1)).alias("c")))
+    bi = (word_ngrams(df, 2, text_col, id_col)
+          .groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+          .filter(F.col("c") >= min_count))
+    tri = (word_ngrams(df, 3, text_col, id_col)
+           .groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") >= min_count))
+    total = uni.agg(F.sum("c").alias("n_tokens"))
+    return {"uni": uni, "bi": bi, "tri": tri, "total": total}
+
+
+def backoff_score(df: DataFrame, model: dict[str, DataFrame] | None = None,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  alpha: float = 0.4, min_count: int = 1,
+                  decimals: int = 6) -> DataFrame:
+    """Per-document mean negative log stupid-backoff trigram score:
+    ``(id, n_trigrams, nll)``; documents with < 3 tokens score NULL.
+
+    S(w3 | w1 w2) =
+        c(w1w2w3)/c(w1w2)            if the trigram survived pruning
+        a * c(w2w3)/c(w2)            else if the bigram survived
+        a^2 * c(w3)/N                else (unigrams always exist for
+                                     in-corpus scoring; an externally
+                                     scored OOV token would hit the
+                                     bigram/unigram fallbacks of its
+                                     context first)
+
+    Plan: the corpus explodes once per order needed (trigram row +
+    its two context keys) and joins the count tables ON THE N-GRAM
+    KEY — both sides shuffle by key, so a model far too large to
+    broadcast (web-scale trigram tables are GBs) still joins without
+    moving the corpus more than once per order; AQE broadcasts the
+    small-model case automatically. All counts are integers; the only
+    float ops are the final division/log/avg, rounded before output.
+    """
+    m = model if model is not None else train_backoff_lm(
+        df, text_col, id_col, min_count)
+    tg = word_ngrams(df, 3, text_col, id_col).select(
+        F.col(id_col), F.col("g").alias("__t"),
+        # context w1w2, suffix bigram w2w3, suffix unigram w3
+        F.array_join(F.slice(F.split(F.col("g"), " "), 1, 2), " ").alias("__ctx2"),
+        F.array_join(F.slice(F.split(F.col("g"), " "), 2, 2), " ").alias("__sfx2"),
+        F.element_at(F.split(F.col("g"), " "), 3).alias("__w3"))
+    tri = m["tri"].select(F.col("g").alias("__t"), F.col("c").alias("c3"))
+    bi_ctx = m["bi"].select(F.col("g").alias("__ctx2"), F.col("c").alias("c2ctx"))
+    bi_sfx = m["bi"].select(F.col("g").alias("__sfx2"), F.col("c").alias("c2sfx"))
+    uni_ctx = m["uni"].select(F.col("g").alias("__w2"), F.col("c").alias("c1ctx"))
+    uni_sfx = m["uni"].select(F.col("g").alias("__w3"), F.col("c").alias("c1sfx"))
+    joined = (tg.join(tri, "__t", "left")
+              .join(bi_ctx, "__ctx2", "left")
+              .join(bi_sfx, "__sfx2", "left")
+              .withColumn("__w2", F.element_at(F.split(F.col("__t"), " "), 2))
+              .join(uni_ctx, "__w2", "left")
+              .join(uni_sfx, "__w3", "left")
+              .crossJoin(F.broadcast(m["total"])))
+    a = F.lit(float(alpha))
+    s = (F.when(F.col("c3").isNotNull() & F.col("c2ctx").isNotNull(),
+                F.col("c3").cast("double") / F.col("c2ctx"))
+         .when(F.col("c2sfx").isNotNull() & F.col("c1ctx").isNotNull(),
+               a * F.col("c2sfx").cast("double") / F.col("c1ctx"))
+         .otherwise(a * a * F.coalesce(F.col("c1sfx"), F.lit(1)).cast("double")
+                    / F.col("n_tokens")))
+    scored = (joined.withColumn("__nl", -F.log(s))
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                   F.round(F.avg("__nl"), decimals).alias("nll")))
+    return (df.select(id_col).join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+                    F.col("nll")))

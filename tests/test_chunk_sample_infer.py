@@ -178,3 +178,37 @@ def test_lm_score_model_is_broadcast(spark, sf_dir):
     plan = lm.lm_score(_docs(spark, sf_dir))._jdf \
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_backoff_lm_hand_case_and_pruning(spark):
+    """Stupid-backoff trigram scoring against a hand computation, plus
+    the pruning fallback: with min_count high enough to prune every
+    trigram, scores must come from the bigram/unigram backoff chain."""
+    import math
+
+    from cdc_data_pipeline_spark.operators import lm
+
+    toy = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c d e f"), (3, "x")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_trigrams, r.nll)
+           for r in lm.backoff_score(toy, min_count=1).collect()}
+    # corpus trigram counts: abc:3 bca:1 cab:1 bcd:1 cde:1 def:1
+    # bigram counts: ab:3 bc:3 ca:1 cd:1 de:1 ef:1
+    # doc1 trigrams: abc(S=3/3) bca(1/3) cab(1/1) abc(3/3)
+    d1 = round(-(math.log(1) + math.log(1 / 3) + math.log(1) + math.log(1)) / 4, 6)
+    # doc2: abc(3/3) bcd(1/3) cde(1/1) def(1/1)
+    d2 = round(-(math.log(1) + math.log(1 / 3) + math.log(1) + math.log(1)) / 4, 6)
+    assert got[1] == (4, d1) and got[2] == (4, d2)
+    assert got[3] == (0, None)
+    # min_count=2 prunes every trigram except abc and every bigram
+    # except ab/bc: bca falls back to bigram? bc kept (3) ->
+    # a*c(ca)/c(b)... ca pruned -> unigram fallback
+    pruned = {r.doc_id: r.nll
+              for r in lm.backoff_score(toy, min_count=2).collect()}
+    assert pruned[1] is not None and pruned[1] > got[1][1]
+    # scoring against an externally trained model (clean-corpus shape)
+    model = lm.train_backoff_lm(toy.filter("doc_id = 2"), min_count=1)
+    ext = {r.doc_id: r.nll
+           for r in lm.backoff_score(toy, model=model, min_count=1).collect()}
+    assert ext[2] == 0.0  # every trigram of doc2 is deterministic in it
