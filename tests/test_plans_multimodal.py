@@ -229,3 +229,18 @@ def test_ivf_nprobe_recall_monotone_and_nprobe1_exact(spark, sf_dir):
               ivf_probe_cells(queries, cents, 1).collect()}
     assign = {(r[0], r[2]) for r in ivf_assign(queries, cents).collect()}
     assert probe1 == assign
+
+
+def test_fact_enrich_join_is_broadcast(spark):
+    """The fact-to-plan-dim enrich must broadcast the dim (r4 plan
+    audit caught a silent sort-merge fallback: the computed dim
+    subtree's size estimate exceeded the auto threshold and shuffled
+    the whole fact side)."""
+    du = models.dim_users(models.stg_users(read_table(spark, SF0001, "customer")),
+                          read_table(spark, SF0001, "nation"))
+    dp = models.dim_savings_plan(models.stg_savings_plan(read_table(spark, SF0001, "orders")), du)
+    tx = models.stg_savings_transaction(read_table(spark, SF0001, "lineitem"))
+    fact = models.fact_savings_transaction(tx, dp)
+    plan = fact._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
