@@ -72,10 +72,17 @@ def main(argv=None) -> int:
     vcp.add_argument("--keep", type=int, default=2)
     ip = sub.add_parser(
         "index", help="build a persisted IVF similarity index from the "
-                      "embeddings table")
+                      "embeddings table (--pq adds PQ codes: the code "
+                      "table replaces raw embeddings)")
     ip.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ip.add_argument("--path", required=True)
     ip.add_argument("--cells", type=int, default=16)
+    ip.add_argument("--pq", action="store_true",
+                    help="IVF-PQ: store m-int PQ codes per vector "
+                         "instead of raw embeddings")
+    ip.add_argument("--m", type=int, default=4)
+    ip.add_argument("--ksub", type=int, default=8)
+    ip.add_argument("--dim", type=int, default=64)
     qp = sub.add_parser(
         "search", help="top-k similarity search against a persisted "
                        "IVF index (query = every Nth embedding)")
@@ -84,6 +91,9 @@ def main(argv=None) -> int:
     qp.add_argument("--k", type=int, default=5)
     qp.add_argument("--nprobe", type=int, default=2)
     qp.add_argument("--query-mod", type=int, default=100)
+    qp.add_argument("--pq", action="store_true",
+                    help="search an IVF-PQ index (ADC over stored codes)")
+    qp.add_argument("--dim", type=int, default=64)
     cp = sub.add_parser(
         "curate", help="run the full corpus-curation flow (quality -> "
                        "dedup -> mask -> decontaminate -> shards)")
@@ -118,28 +128,39 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "index":
-        from cdc_data_pipeline_spark.operators.index import build_ivf_index
+        from cdc_data_pipeline_spark.operators.index import (
+            build_ivf_index, build_ivfpq_index)
         from cdc_data_pipeline_spark.session import get_spark
         from cdc_data_pipeline_spark.sources.readers import read_table
 
         spark = get_spark("cdc-index")
         emb = read_table(spark, args.sf_dir, "embeddings")
-        stats = build_ivf_index(spark, emb, args.path, n_cells=args.cells)
+        if args.pq:
+            stats = build_ivfpq_index(spark, emb, args.path, dim=args.dim,
+                                      n_cells=args.cells, m=args.m,
+                                      ksub=args.ksub)
+        else:
+            stats = build_ivf_index(spark, emb, args.path, n_cells=args.cells)
         print(json.dumps(stats))
         return 0
 
     if args.cmd == "search":
         from pyspark.sql import functions as F
 
-        from cdc_data_pipeline_spark.operators.index import query_ivf_index
+        from cdc_data_pipeline_spark.operators.index import (
+            query_ivf_index, query_ivfpq_index)
         from cdc_data_pipeline_spark.session import get_spark
         from cdc_data_pipeline_spark.sources.readers import read_table
 
         spark = get_spark("cdc-search")
         emb = read_table(spark, args.sf_dir, "embeddings")
         queries = emb.filter(F.col("vec_id") % args.query_mod == 0)
-        out = query_ivf_index(spark, args.path, queries,
-                              k=args.k, nprobe=args.nprobe)
+        if args.pq:
+            out = query_ivfpq_index(spark, args.path, queries, dim=args.dim,
+                                    k=args.k, nprobe=args.nprobe)
+        else:
+            out = query_ivf_index(spark, args.path, queries,
+                                  k=args.k, nprobe=args.nprobe)
         out.orderBy("query_id", "rank").show(50, truncate=False)
         return 0
 

@@ -107,6 +107,8 @@ def query_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
     id; output matches ``similarity.ivf_topk``'s shape
     (query_id, neighbor_id, cos, rank).
     """
+    from cdc_data_pipeline_spark.operators.similarity import _rank_topk
+
     cent_df = spark.read.parquet(os.path.join(path, "centroids"))
     probes = _assign_queries(queries, cent_df, nprobe, vec_col, id_col)
     cell_ids = [r[0] for r in probes.select(CELL).distinct().collect()]
@@ -117,9 +119,102 @@ def query_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
                            F.col(vec_col).alias("__cv"), CELL)
               .join(F.broadcast(probes), CELL)
               .filter(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("cos", F.round(cosine("__qv", "__cv"), 6)))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
-                                               F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cos", "rank"))
+              .withColumn("cos", F.round(cosine("__qv", "__cv"), 6))
+              .select("query_id", "neighbor_id", "cos"))
+    # skew-safe final ranking (map-local cut before the rank window —
+    # a hot probed cell never lands whole in one window task)
+    return _rank_topk(scored, k, "query_id")
+
+
+# ------------------------------------------------ persisted IVF-PQ index
+
+def build_ivfpq_index(spark: SparkSession, corpus: DataFrame, path: str,
+                      dim: int, n_cells: int = 64, m: int = 4,
+                      ksub: int = 8, iters: int = 3, pq_iters: int = 2,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      sample_fraction: float = 1.0, seed: int = 0) -> dict:
+    """The serving form of ``pq.ivfpq_topk``: coarse centroids + PQ
+    codebooks + a cell-partitioned CODE table (m small ints per
+    vector — the raw embeddings are not stored at all, the PQ memory
+    win made durable):
+
+        <path>/centroids/            n_cells rows (centroid_id, embedding)
+        <path>/codebooks/            m*ksub rows (sub, cid, vector)
+        <path>/codes/centroid_id=N/  (id, codes array<int>) per cell
+
+    A query batch probes nprobe cells (directory-level partition
+    pruning), broadcasts its integer ADC table, and scans only probed
+    cells' code rows. Training runs on a hash-sample; the only
+    full-corpus work is one encode projection + the partitioned write.
+    """
+    from cdc_data_pipeline_spark.operators import pq
+
+    cents = train_centroids(corpus, n_cells, iters, vec_col, id_col,
+                            sample_fraction, seed)
+    cent_rows = [(cid, [float(x) for x in v]) for cid, v in cents]
+    spark.createDataFrame(cent_rows, f"{CELL} int, {vec_col} array<double>") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, "centroids"))
+
+    train = corpus if sample_fraction >= 1.0 else \
+        hash_sample(corpus, sample_fraction, id_col, seed=seed, fast=True)
+    books = pq.train_pq_codebooks(train, dim, m, ksub, pq_iters,
+                                  vec_col, id_col, seed)
+    book_rows = [(s, cid, [float(x) for x in v])
+                 for s, cb in enumerate(books) for cid, v in cb]
+    spark.createDataFrame(book_rows, "sub int, cid int, vector array<double>") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, "codebooks"))
+
+    assigned = (cl.assign_clusters(corpus, cents, vec_col, id_col)
+                .withColumn(CELL, F.col("cluster").cast("int")))
+    (pq.pq_encode(assigned, books, dim, vec_col, id_col, keep_cols=(CELL,))
+       .write.mode("overwrite").partitionBy(CELL)
+       .parquet(os.path.join(path, "codes")))
+    return {"n_cells": len(cents), "m": m, "ksub": ksub,
+            "n_vectors": corpus.count()}
+
+
+def load_codebooks(spark: SparkSession, path: str):
+    """Codebooks back in ``pq.Codebooks`` form (sorted, exact floats)."""
+    rows = spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    m = 1 + max(r["sub"] for r in rows)
+    books = [[] for _ in range(m)]
+    for r in sorted(rows, key=lambda r: (r["sub"], r["cid"])):
+        books[r["sub"]].append((int(r["cid"]), [float(x) for x in r["vector"]]))
+    return books
+
+
+def query_ivfpq_index(spark: SparkSession, path: str, queries: DataFrame,
+                      dim: int, k: int = 5, nprobe: int = 2,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """ADC top-k over the persisted code table, touching only probed
+    cell partitions. Output matches ``pq.ivfpq_topk``'s shape
+    (query_id, neighbor_id, dist_sq, rank); ranking goes through the
+    shared map-local cut."""
+    from cdc_data_pipeline_spark.operators import pq
+
+    cent_df = spark.read.parquet(os.path.join(path, "centroids"))
+    books = load_codebooks(spark, path)
+    probes = (_assign_queries(queries, cent_df, nprobe, vec_col, id_col)
+              .withColumnRenamed("__qv", vec_col)
+              .withColumn("__qp", F.concat_ws(
+                  "#", F.col("query_id"), F.col(CELL))))
+    cell_ids = [r[0] for r in probes.select(CELL).distinct().collect()]
+    codes = (spark.read.parquet(os.path.join(path, "codes"))
+             .filter(F.col(CELL).isin(cell_ids))
+             .select(F.col(id_col).alias("neighbor_id"), CELL,
+                     F.posexplode("codes").alias("sub", "cid")))
+    # one ADC table row set per (query, probed cell): the composite
+    # string key rides through the table build, then the join back to
+    # probes recovers the TYPED query id and cell
+    dtab = (pq.adc_distance_table(probes.select("__qp", vec_col),
+                                  books, dim, vec_col, "__qp", "__qp")
+            .join(probes.select("__qp", "query_id", CELL), "__qp")
+            .drop("__qp"))
+    scored = (codes.join(F.broadcast(dtab), [CELL, "sub", "cid"])
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.sum("dl").alias("__dl")))
+    return pq._rank_adc(scored, k, "query_id")

@@ -65,3 +65,57 @@ def test_build_is_deterministic(spark, sf_dir, tmp_path):
     a = spark.read.parquet(f"{p1}/cells").select("vec_id", ix.CELL)
     b = spark.read.parquet(f"{p2}/cells").select("vec_id", ix.CELL)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ivfpq_index_round_trip_and_exact_scoring(spark, sf_dir, tmp_path):
+    """Persisted IVF-PQ index: the code table stores no embeddings,
+    probes prune partitions, and with nprobe = n_cells the search
+    equals ADC top-k computed directly over the full stored code
+    table with the stored codebooks (the pruning is sound and the
+    scoring machinery exact)."""
+    from pyspark.sql import Window
+
+    from cdc_data_pipeline_spark.operators import pq
+
+    path = str(tmp_path / "ivfpq")
+    e = read_table(spark, sf_dir, "embeddings")
+    info = ix.build_ivfpq_index(spark, e, path, dim=64, n_cells=8,
+                                m=4, ksub=8, iters=2)
+    assert info["n_cells"] == 8 and info["m"] == 4
+
+    codes_tab = spark.read.parquet(f"{path}/codes")
+    assert "embedding" not in codes_tab.columns  # PQ memory win persisted
+    assert codes_tab.count() == e.count()
+
+    q = _queries(e).limit(3)
+    got = ix.query_ivfpq_index(spark, path, q, dim=64, k=5, nprobe=8)
+    rows = got.collect()
+    assert rows and set(got.columns) == {"query_id", "neighbor_id",
+                                         "dist_sq", "rank"}
+
+    # expected: full-table ADC with the stored books (no cell filter)
+    books = ix.load_codebooks(spark, path)
+    dtab = pq.adc_distance_table(
+        q.select(F.col("vec_id").alias("query_id"), "embedding"),
+        books, 64, id_col="query_id")
+    full = (codes_tab.select(F.col("vec_id").alias("neighbor_id"),
+                             F.posexplode("codes").alias("sub", "cid"))
+            .join(F.broadcast(dtab), ["sub", "cid"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum("dl").alias("__dl")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__dl").asc(), F.col("neighbor_id").asc())
+    expect = (full.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= 5)
+              .select("query_id", "neighbor_id",
+                      F.round(F.col("__dl") / 1e6, 6).alias("dist_sq"),
+                      "rank"))
+    assert sorted(map(tuple, rows)) == \
+        sorted(map(tuple, expect.collect()))
+
+    # nprobe=1 touches strictly fewer code files than the full table
+    pruned = ix.query_ivfpq_index(spark, path, q.limit(1), dim=64,
+                                  k=3, nprobe=1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # skew-safe rank cut present
