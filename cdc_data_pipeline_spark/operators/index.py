@@ -218,3 +218,50 @@ def query_ivfpq_index(spark: SparkSession, path: str, queries: DataFrame,
               .groupBy("query_id", "neighbor_id")
               .agg(F.sum("dl").alias("__dl")))
     return pq._rank_adc(scored, k, "query_id")
+
+
+# -------------------------------------------- incremental index maintenance
+
+def append_to_ivf_index(spark: SparkSession, path: str, batch: DataFrame,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> dict:
+    """CDC-shape index maintenance: assign a NEW vector batch against
+    the STORED centroids and append its rows to the cell partitions —
+    no retrain, no rewrite of existing cells (dynamic partition
+    overwrite is deliberately not used: append mode only ever adds
+    files). The standard serving trade-off applies and is the
+    caller's contract: cells drift as the corpus distribution drifts;
+    rebuild (``build_ivf_index``) when recall degrades.
+
+    Touches only the batch's own cells' directories; the centroid read
+    is n_cells rows."""
+    cent_df = spark.read.parquet(os.path.join(path, "centroids"))
+    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in
+             cent_df.select(CELL, vec_col).collect()]
+    assigned = (cl.assign_clusters(batch, cents, vec_col, id_col)
+                .withColumn(CELL, F.col("cluster").cast("int"))
+                .select(id_col, vec_col, CELL))
+    assigned.write.mode("append").partitionBy(CELL) \
+        .parquet(os.path.join(path, "cells"))
+    return {"appended": batch.count()}
+
+
+def append_to_ivfpq_index(spark: SparkSession, path: str, batch: DataFrame,
+                          dim: int, vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> dict:
+    """Same maintenance shape for the IVF-PQ index: encode the new
+    batch with the STORED codebooks (codes stay comparable with every
+    existing code row — retraining books would silently corrupt old
+    codes) and append to the probed cell partitions."""
+    from cdc_data_pipeline_spark.operators import pq
+
+    cent_df = spark.read.parquet(os.path.join(path, "centroids"))
+    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in
+             cent_df.select(CELL, vec_col).collect()]
+    books = load_codebooks(spark, path)
+    assigned = (cl.assign_clusters(batch, cents, vec_col, id_col)
+                .withColumn(CELL, F.col("cluster").cast("int")))
+    (pq.pq_encode(assigned, books, dim, vec_col, id_col, keep_cols=(CELL,))
+       .write.mode("append").partitionBy(CELL)
+       .parquet(os.path.join(path, "codes")))
+    return {"appended": batch.count()}

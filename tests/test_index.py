@@ -119,3 +119,43 @@ def test_ivfpq_index_round_trip_and_exact_scoring(spark, sf_dir, tmp_path):
                                   k=3, nprobe=1)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan  # skew-safe rank cut present
+
+
+def test_incremental_append_to_both_index_forms(spark, sf_dir, tmp_path):
+    """CDC maintenance: appending a new batch against the stored
+    centroids/codebooks makes the new vectors immediately searchable,
+    leaves existing rows untouched, and keeps code comparability (the
+    appended codes equal a fresh encode with the stored books)."""
+    from cdc_data_pipeline_spark.operators import pq
+
+    e = read_table(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") % 5 != 0)
+    new = e.filter(F.col("vec_id") % 5 == 0)
+
+    p1 = str(tmp_path / "ivf_inc")
+    ix.build_ivf_index(spark, old, p1, n_cells=8, iters=2)
+    before = spark.read.parquet(f"{p1}/cells").count()
+    ix.append_to_ivf_index(spark, p1, new)
+    cells = spark.read.parquet(f"{p1}/cells")
+    assert cells.count() == before + new.count() == e.count()
+    # a query finds an appended vector as its own nearest neighbor's
+    # cellmate: search returns rows for queries drawn from the batch
+    got = ix.query_ivf_index(spark, p1, new.limit(2), k=3, nprobe=8)
+    assert got.count() > 0
+    appended_ids = {r.vec_id for r in new.select("vec_id").collect()}
+    assert {r.neighbor_id for r in got.collect()} & appended_ids
+
+    p2 = str(tmp_path / "ivfpq_inc")
+    ix.build_ivfpq_index(spark, old, p2, dim=64, n_cells=8, m=4, ksub=8,
+                         iters=2)
+    ix.append_to_ivfpq_index(spark, p2, new, dim=64)
+    codes = spark.read.parquet(f"{p2}/codes")
+    assert codes.count() == e.count()
+    # appended codes == fresh encode with the stored books
+    books = ix.load_codebooks(spark, p2)
+    expect = {r.vec_id: list(r.codes)
+              for r in pq.pq_encode(new, books, 64).collect()}
+    got_codes = {r.vec_id: list(r.codes)
+                 for r in codes.filter(F.col("vec_id").isin(
+                     list(expect))).collect()}
+    assert got_codes == expect
