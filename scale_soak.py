@@ -55,9 +55,10 @@ def timed(fn):
     return round(time.time() - t0, 2)
 
 
-def run_suite(spark, li_path, doc_path):
+def run_suite(spark, li_path, doc_path, emb_path):
     li = spark.read.parquet(li_path)
     docs = spark.read.parquet(doc_path)
+    emb = spark.read.parquet(emb_path)
 
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
@@ -79,7 +80,24 @@ def run_suite(spark, li_path, doc_path):
         "dup_spans": timed(lambda: noop(_dup_spans(docs))),
         "fuzzy_dedup_keep": timed(lambda: noop(_fuzzy_keep(docs))),
         "shuffle_shards": timed(lambda: noop(_shuffle(docs))),
+        "ivfpq_topk": timed(lambda: noop(_ivfpq(emb))),
     }
+
+
+def _ivfpq(emb):
+    from cdc_data_pipeline_spark.sources.readers import ensure_parallelism
+
+    emb = ensure_parallelism(emb)
+    # ANN scale probe: centroid count is FIXED (128) while the corpus
+    # replicates, so cells grow with the data — the shape that must
+    # stay near-linear if cell pruning + the map-local rank cut hold
+    from cdc_data_pipeline_spark.operators import pq
+
+    queries = emb.filter(F.col("vec_id") % 1000 == 0)
+    centroids = emb.filter(F.col("vec_id") % 16 == 9).limit(128) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    return pq.ivfpq_topk(emb, queries, centroids, dim=64, m=4, ksub=8,
+                         k=5, iters=2)
 
 
 def _fuzzy_keep(docs):
@@ -109,11 +127,13 @@ def main():
     try:
         li_1 = replicate(spark, "lineitem", 1, tmp + "/x1", ["l_orderkey"])
         doc_1 = replicate(spark, "documents", 1, tmp + "/x1", ["doc_id"])
+        emb_1 = replicate(spark, "embeddings", 1, tmp + "/x1", ["vec_id"])
         li_n = replicate(spark, "lineitem", n, tmp + "/xN", ["l_orderkey"])
         doc_n = replicate(spark, "documents", n, tmp + "/xN", ["doc_id"])
+        emb_n = replicate(spark, "embeddings", n, tmp + "/xN", ["vec_id"])
 
-        base = run_suite(spark, li_1, doc_1)
-        big = run_suite(spark, li_n, doc_n)
+        base = run_suite(spark, li_1, doc_1, emb_1)
+        big = run_suite(spark, li_n, doc_n, emb_n)
         ratios = {k: round(big[k] / max(base[k], 0.05), 1) for k in base}
         print(json.dumps({"metric": "scale_soak", "n": n, "x1_sec": base,
                           "xN_sec": big, "ratio": ratios}))
