@@ -198,3 +198,42 @@ def stream_aggregate_to_versioned(
               .foreachBatch(handle))
     writer = apply_trigger(writer, trigger_available_now, processing_time)
     return writer.start()
+
+
+def stream_append_to_ivf_index(
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    pq_dim: int | None = None,
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Streaming embedding ingest into a persisted ANN index: each
+    micro-batch is assigned against the STORED centroids (and encoded
+    with the stored codebooks when ``pq_dim`` is set — the IVF-PQ
+    form) and appended to its cell partitions
+    (``operators/index.py::append_to_*``). The CDC-to-serving shape:
+    the index stays queryable throughout, new vectors become
+    searchable one micro-batch after arrival, and each batch touches
+    only its own cells' directories. Rebuild on drift, as with the
+    batch append."""
+    from cdc_data_pipeline_spark.operators.index import (
+        append_to_ivf_index, append_to_ivfpq_index)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if pq_dim is not None:
+            append_to_ivfpq_index(spark, index_path, batch_df, pq_dim,
+                                  vec_col, id_col)
+        else:
+            append_to_ivf_index(spark, index_path, batch_df, vec_col, id_col)
+
+    writer = (vec_stream.writeStream
+              .option("checkpointLocation", checkpoint)
+              .foreachBatch(handle))
+    writer = apply_trigger(writer, trigger_available_now, processing_time)
+    return writer.start()

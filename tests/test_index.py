@@ -159,3 +159,30 @@ def test_incremental_append_to_both_index_forms(spark, sf_dir, tmp_path):
                  for r in codes.filter(F.col("vec_id").isin(
                      list(expect))).collect()}
     assert got_codes == expect
+
+
+def test_streaming_ingest_into_ivf_index(spark, sf_dir, tmp_path):
+    """readStream parquet -> foreachBatch append: after the stream
+    drains, the index holds old + streamed vectors and a query finds
+    the streamed ones."""
+    from cdc_data_pipeline_spark.streaming.cdc import stream_append_to_ivf_index
+
+    e = read_table(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") % 5 != 0)
+    new = e.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf_stream")
+    ix.build_ivf_index(spark, old, path, n_cells=8, iters=2)
+
+    src = str(tmp_path / "incoming")
+    new.write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(new.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    q = stream_append_to_ivf_index(
+        stream, path, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    cells = spark.read.parquet(f"{path}/cells")
+    assert cells.count() == e.count()
+    got = ix.query_ivf_index(spark, path, new.limit(2), k=3, nprobe=8)
+    appended = {r.vec_id for r in new.select("vec_id").collect()}
+    assert {r.neighbor_id for r in got.collect()} & appended
