@@ -195,24 +195,36 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """SimHash over tokens: per-bit majority vote of token hashes.
 
     Token hash = xxhash64(token) (engine-internal, no oracle needed);
-    bit b of the simhash is 1 when the weighted sum of (+1/-1) votes is
-    positive. All native: transform + aggregate, one pass.
+    bit b of the simhash is 1 when the weighted sum of (+1/-1) votes
+    is positive.
+
+    ONE pass over the token array: hash every token once (transform),
+    then a single fold carries a ``bits``-element vote accumulator
+    (zip_with add per token). The r3 shape ran one aggregate PER BIT —
+    ``bits`` passes over every token array per row and ``bits`` fold
+    expressions in the plan. Integer votes are order-independent, so
+    the values are bit-identical to the unrolled form.
     """
     df = ensure_parallelism(df)
-    toks = tokens(text_col)
-
-    def bit_vote(b: int):
-        return F.aggregate(
-            toks, F.lit(0),
-            lambda acc, t: acc + F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
-                                        F.lit(1)).otherwise(F.lit(-1)),
-        )
-
-    votes = [bit_vote(b) for b in range(bits)]
-    sim = F.lit(0).cast("long")
-    for b, v in enumerate(votes):
-        sim = sim + F.when(v > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    # one bit mask per position as a single literal array (bit 63's
+    # mask is the sign bit — emitted as its two's-complement long)
+    masks = [(1 << b) - (1 << 64 if b == 63 else 0) for b in range(bits)]
+    marr = F.expr("array(" + ",".join(f"{m}L" for m in masks) + ")")
+    zero = F.array_repeat(F.lit(0), bits)
+    votes = F.aggregate(
+        hashes, zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(marr, lambda m: F.when(
+                h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1))),
+            lambda a, v: a + v))
+    # positive votes sum their (distinct) masks — integer OR by sum
+    packed = F.aggregate(
+        F.zip_with(votes, marr,
+                   lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return df.select(F.col(id_col), packed.alias("simhash"))
 
 
 def simhash_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

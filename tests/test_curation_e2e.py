@@ -102,3 +102,26 @@ def test_curate_corpus_with_mixture(spark, tmp_path):
     kept_sources = {r["source"] for r in
                     packed.select("source").distinct().collect()}
     assert kept_sources <= set(w)
+
+
+def test_simhash_xxhash_single_pass_plan(spark, sf_dir):
+    """The engine-internal (xxhash) simhash must hash each token ONCE
+    and fold a vote-vector accumulator in a single pass — the r3 shape
+    unrolled one aggregate per bit (32 passes over every token array).
+    The plan therefore contains exactly one xxhash64 call."""
+    from cdc_data_pipeline_spark.operators import dedup as dd
+    from cdc_data_pipeline_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = dd.simhash(docs, bits=32)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.count("xxhash64") == 1, plan.count("xxhash64")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(0 <= r.simhash < (1 << 32) for r in rows)
+    # 64-bit variant exercises the sign-bit mask
+    h64 = dd.simhash(docs.limit(50), bits=64)
+    assert h64.count() == 50
+    # deterministic
+    again = {r.doc_id: r.simhash for r in dd.simhash(docs).collect()}
+    assert again == {r.doc_id: r.simhash for r in rows}
