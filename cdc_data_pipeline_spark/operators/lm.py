@@ -126,6 +126,10 @@ def train_backoff_lm(df: DataFrame, text_col: str = "text",
     groupBy per order — the shuffle carries the VOCABULARY of each
     order, never the corpus. Unigrams are never pruned (the final
     fallback must exist)."""
+    # NOTE: bi and uni each feed TWO scorer joins (context + suffix
+    # side), but their count subtrees canonicalize identically, so
+    # ReuseExchange computes each once — measured faster than pinning
+    # them with localCheckpoint (which adds a job barrier per table)
     uni = (word_ngrams(df, 1, text_col, id_col)
            .groupBy("g").agg(F.count(F.lit(1)).alias("c")))
     bi = (word_ngrams(df, 2, text_col, id_col)
