@@ -234,16 +234,16 @@ def append_to_ivf_index(spark: SparkSession, path: str, batch: DataFrame,
     rebuild (``build_ivf_index``) when recall degrades.
 
     Touches only the batch's own cells' directories; the centroid read
-    is n_cells rows."""
-    cent_df = spark.read.parquet(os.path.join(path, "centroids"))
-    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in
-             cent_df.select(CELL, vec_col).collect()]
-    assigned = (cl.assign_clusters(batch, cents, vec_col, id_col)
-                .withColumn(CELL, F.col("cluster").cast("int"))
-                .select(id_col, vec_col, CELL))
-    assigned.write.mode("append").partitionBy(CELL) \
-        .parquet(os.path.join(path, "cells"))
-    return {"appended": batch.count()}
+    is n_cells rows.
+
+    IDEMPOTENT: before appending, the batch anti-joins on id against
+    the existing rows of ITS OWN target cells, so a replayed batch
+    (foreachBatch is at-least-once — a crash between the parquet
+    commit and the streaming checkpoint re-delivers the batch) or a
+    re-sent CDC row appends nothing the second time. The dedup scan
+    reads only the touched cells' partitions."""
+    return _append_assigned(spark, path, batch, "cells", vec_col, id_col,
+                            encode=None)
 
 
 def append_to_ivfpq_index(spark: SparkSession, path: str, batch: DataFrame,
@@ -252,16 +252,41 @@ def append_to_ivfpq_index(spark: SparkSession, path: str, batch: DataFrame,
     """Same maintenance shape for the IVF-PQ index: encode the new
     batch with the STORED codebooks (codes stay comparable with every
     existing code row — retraining books would silently corrupt old
-    codes) and append to the probed cell partitions."""
+    codes) and append to the probed cell partitions. Idempotent under
+    replay like ``append_to_ivf_index``."""
     from cdc_data_pipeline_spark.operators import pq
 
-    cent_df = spark.read.parquet(os.path.join(path, "centroids"))
-    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in
-             cent_df.select(CELL, vec_col).collect()]
     books = load_codebooks(spark, path)
+
+    def encode(assigned: DataFrame) -> DataFrame:
+        return pq.pq_encode(assigned, books, dim, vec_col, id_col,
+                            keep_cols=(CELL,))
+
+    return _append_assigned(spark, path, batch, "codes", vec_col, id_col,
+                            encode=encode)
+
+
+def _append_assigned(spark: SparkSession, path: str, batch: DataFrame,
+                     table: str, vec_col: str, id_col: str,
+                     encode) -> dict:
+    from cdc_data_pipeline_spark.operators.similarity import collect_cents
+
+    cent_df = spark.read.parquet(os.path.join(path, "centroids"))
+    cents, _ = collect_cents(cent_df, vec_col, CELL)
     assigned = (cl.assign_clusters(batch, cents, vec_col, id_col)
                 .withColumn(CELL, F.col("cluster").cast("int")))
-    (pq.pq_encode(assigned, books, dim, vec_col, id_col, keep_cols=(CELL,))
-       .write.mode("append").partitionBy(CELL)
-       .parquet(os.path.join(path, "codes")))
-    return {"appended": batch.count()}
+    rows = encode(assigned) if encode is not None else \
+        assigned.select(id_col, vec_col, CELL)
+    # replay/redelivery dedup: drop ids already present in the target
+    # cells (reads only the touched partitions), then pin ONCE so the
+    # count and the write don't each re-run the batch's lineage
+    cell_ids = [r[0] for r in rows.select(CELL).distinct().collect()]
+    existing = (spark.read.parquet(os.path.join(path, table))
+                .filter(F.col(CELL).isin(cell_ids)).select(id_col))
+    fresh = rows.join(existing, id_col, "left_anti") \
+                .localCheckpoint(eager=True)
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").partitionBy(CELL) \
+            .parquet(os.path.join(path, table))
+    return {"appended": n}

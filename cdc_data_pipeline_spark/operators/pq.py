@@ -285,6 +285,14 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
         collect_cents, ivf_assign, ivf_probe_cells)
 
     cents = collect_cents(centroids, vec_col)
+    if not cents[0]:
+        # no cells -> no candidates; short-circuit (the residual path
+        # would otherwise fail analysis on an empty centroid map)
+        return queries.filter(F.lit(False)).select(
+            F.col(id_col).alias(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("dist_sq"),
+            F.lit(0).alias("rank"))
     assigned = ivf_assign(corpus, cents, vec_col, id_col)
     probes = ivf_probe_cells(queries, cents, nprobe, vec_col, id_col,
                              rank_col="__pr") \

@@ -121,6 +121,15 @@ def local_topk_cut(df: DataFrame, group_cols: Sequence[str], k: int,
     first on ascending / last on descending columns (Spark's
     ``asc()``/``desc()`` defaults), via one stable single-column sort
     per order key with a per-column ``na_position``.
+
+    CAVEAT (floating-point order columns only): Arrow-to-pandas
+    conversion maps BOTH SQL NULL and double NaN to pandas NaN, so the
+    cut cannot give them Spark's distinct orderings (Spark sorts NaN
+    as the LARGEST double but NULL by the asc/desc default). Exact
+    window parity therefore requires NaN-free float order columns —
+    true of every in-engine score (cosine is zero-guarded, distances
+    are rounded finite values). Pass NaN-bearing columns through a
+    ``nanvl``/flag normalization first if you need them ranked.
     """
     group_cols = list(group_cols)
     order_cols = list(order_cols)

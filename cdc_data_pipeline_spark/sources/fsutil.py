@@ -73,18 +73,17 @@ def mkdirs(spark: SparkSession, path: str) -> None:
 
 
 def read_text(spark: SparkSession, path: str) -> str | None:
-    """Small-file read (a pointer); None when absent."""
+    """Small-file read (a pointer); None when absent. One JVM call for
+    the whole payload (commons-io, bundled with Hadoop) — a per-byte
+    ``stream.read()`` loop costs one py4j round-trip per byte, which
+    turns a few-KB file into seconds of driver time."""
     fs, p = _fs(spark, path)
     if not fs.exists(p):
         return None
     stream = fs.open(p)
     try:
-        out = bytearray()
-        b = stream.read()
-        while b >= 0:
-            out.append(b)
-            b = stream.read()
-        return out.decode("utf-8")
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
     finally:
         stream.close()
 

@@ -173,6 +173,12 @@ def test_ivf_ops_with_empty_centroids(spark, sf_dir):
     out2 = pq.ivfpq_topk(emb, queries, none, dim=64, m=4, ksub=8, k=3,
                          codebooks=books)
     assert out2.count() == 0
+    # the residual path must short-circuit too (an empty centroid map
+    # would otherwise fail analysis)
+    out3 = pq.ivfpq_topk(emb, queries, none, dim=64, m=4, ksub=8, k=3,
+                         codebooks=books, residual=True)
+    assert out3.count() == 0
+    assert out3.columns == ["query_id", "neighbor_id", "dist_sq", "rank"]
 
 
 def test_mixture_repeat_empty_and_unknown_domains(spark, sf_dir):

@@ -186,3 +186,31 @@ def test_streaming_ingest_into_ivf_index(spark, sf_dir, tmp_path):
     got = ix.query_ivf_index(spark, path, new.limit(2), k=3, nprobe=8)
     appended = {r.vec_id for r in new.select("vec_id").collect()}
     assert {r.neighbor_id for r in got.collect()} & appended
+
+
+def test_append_is_idempotent_under_replay(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: re-running the same append batch
+    (the crash-between-commit-and-checkpoint shape) must add nothing —
+    for both index forms — and re-sent rows inside a later batch must
+    also drop out."""
+    e = read_table(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") % 5 != 0)
+    new = e.filter(F.col("vec_id") % 5 == 0)
+
+    p1 = str(tmp_path / "ivf_replay")
+    ix.build_ivf_index(spark, old, p1, n_cells=8, iters=2)
+    assert ix.append_to_ivf_index(spark, p1, new)["appended"] == new.count()
+    # replay: same batch again
+    assert ix.append_to_ivf_index(spark, p1, new)["appended"] == 0
+    assert spark.read.parquet(f"{p1}/cells").count() == e.count()
+    # partial redelivery mixed with genuinely new rows: none exist
+    # here, so everything drops
+    assert ix.append_to_ivf_index(spark, p1, new.limit(7))["appended"] == 0
+
+    p2 = str(tmp_path / "ivfpq_replay")
+    ix.build_ivfpq_index(spark, old, p2, dim=64, n_cells=8, m=4, ksub=8,
+                         iters=2)
+    assert ix.append_to_ivfpq_index(spark, p2, new, dim=64)["appended"] == \
+        new.count()
+    assert ix.append_to_ivfpq_index(spark, p2, new, dim=64)["appended"] == 0
+    assert spark.read.parquet(f"{p2}/codes").count() == e.count()
