@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "mixture_repeat",
     "sentiment_scores",
     "backoff_lm_score",
+    "unicode_clean",
     "doc_embeddings",
 ]
 

@@ -816,6 +816,46 @@ SQL_BACKOFF_LM_SCORE = SQL_BACKOFF_LM_SCORE.replace("{_BKO_MIN}", str(_BKO_MIN))
     .replace("{_BKO_ALPHA}", repr(_BKO_ALPHA))
 
 
+def q_unicode_clean(spark, sf_dir):
+    """Unicode NFC normalization + control-char strip (the fineweb/
+    CCNet cleanup pass) as an Arrow-batched UDF — Spark has no native
+    normalization projection. The fixture corpus is ASCII, so every
+    3rd document gets a planted decomposed-accent + BEL + ligature
+    suffix the pass must compose/strip; md5 of the cleaned text pins
+    exact byte-level parity with DuckDB's nfc_normalize."""
+    from cdc_data_pipeline_spark.functions.text import unicode_clean_udf
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" cafe\u0301 \x07fi\u2460")))
+        .otherwise(F.col("text")))
+    cleaned = unicode_clean_udf("NFC")(F.col("text"))
+    return planted.select(
+        "doc_id", F.md5(cleaned).alias("clean_md5"),
+        F.length(cleaned).cast("long").alias("clean_len"))
+
+
+SQL_UNICODE_CLEAN = r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' cafe' || chr(769) || ' ' || chr(7)
+                   || 'fi' || chr(9312)
+              ELSE text END AS text
+  FROM documents),
+c AS (SELECT doc_id,
+             regexp_replace(nfc_normalize(text),
+                            '[\x00-\x08\x0b-\x1f\x7f-\x9f]', '',
+                            'g') AS ct
+      FROM planted)
+SELECT doc_id, md5(ct) AS clean_md5, CAST(length(ct) AS BIGINT) AS clean_len
+FROM c
+"""
+
+
 # ------------------------------------------------ char-bigram LM scoring
 
 def q_lm_score(spark, sf_dir):
@@ -1066,6 +1106,7 @@ EXTRA_QUERIES = {
     "embed_stub": q_embed_stub,
     "lm_score": q_lm_score,
     "backoff_lm_score": q_backoff_lm_score,
+    "unicode_clean": q_unicode_clean,
     "pq_topk": q_pq_topk,
     "nb_classify": q_nb_classify,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -1086,6 +1127,7 @@ EXTRA_ORACLES = {
     "embed_stub": SQL_EMBED_STUB,
     "lm_score": SQL_LM_SCORE,
     "backoff_lm_score": SQL_BACKOFF_LM_SCORE,
+    "unicode_clean": SQL_UNICODE_CLEAN,
     "pq_topk": SQL_PQ_TOPK,
     "nb_classify": SQL_NB_CLASSIFY,
     "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,

@@ -235,3 +235,29 @@ def winnow_fingerprints_vectorized(k: int = 8, window: int = 4, base: int = 31):
         return pd.Series(out)
 
     return fp
+
+
+def unicode_clean_udf(form: str = "NFC"):
+    """Arrow-batched unicode normalization + control-char strip — the
+    fineweb/CCNet-style cleanup pass Spark has no native expression
+    for (collation-based normalization arrived in Spark 4 for
+    comparisons, not as a projection). One ``unicodedata.normalize``
+    per value per Arrow batch; C0/C1 control characters (except
+    tab/newline) are removed AFTER normalization so recomposed
+    sequences are cleaned too. DuckDB's ``nfc_normalize`` mirrors the
+    ``NFC`` form for the oracle."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    assert form in ("NFC", "NFD", "NFKC", "NFKD")
+
+    @pandas_udf("string")
+    def clean(s):
+        import re
+
+        ctrl = re.compile(r"[\x00-\x08\x0b-\x1f\x7f-\x9f]")
+        return s.map(lambda t: ctrl.sub("", unicodedata.normalize(form, t))
+                     if t is not None else None)
+
+    return clean

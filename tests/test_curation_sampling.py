@@ -411,3 +411,24 @@ def test_mixture_repeat_semantics(spark, sf_dir):
     assert sorted((r.doc_id, r.epoch) for r in
                   again.select("doc_id", "epoch").collect()) == \
         sorted((r.doc_id, r.epoch) for r in rows)
+
+
+def test_unicode_clean_normalizes_and_strips(spark):
+    """NFC composes decomposed accents, control chars (except
+    tab/newline) are stripped, ligatures are preserved under NFC (and
+    folded under NFKC), nulls pass through."""
+    from cdc_data_pipeline_spark.functions.text import unicode_clean_udf
+
+    rows = [(1, "café"), (2, "a\x07b\x00c"), (3, "ﬁne ①"),
+            (4, "tab\there\nline"), (5, None)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    nfc = {r.id: r.c for r in
+           df.select("id", unicode_clean_udf("NFC")(F.col("t")).alias("c")).collect()}
+    assert nfc[1] == "café"            # composed
+    assert nfc[2] == "abc"                   # BEL + NUL stripped
+    assert nfc[3] == "ﬁne ①"      # NFC keeps compatibility chars
+    assert nfc[4] == "tab\there\nline"      # tab/newline survive
+    assert nfc[5] is None
+    nfkc = {r.id: r.c for r in
+            df.select("id", unicode_clean_udf("NFKC")(F.col("t")).alias("c")).collect()}
+    assert nfkc[3] == "fine 1"               # ligature + circled digit folded
