@@ -302,3 +302,45 @@ def read_mongo_incremental(
             "mongo-spark connector not on the classpath; add "
             "org.mongodb.spark:mongo-spark-connector to spark.jars.packages"
         ) from e
+
+
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC scan (bundled with Spark — no extra jars): same predicate
+    pushdown / column pruning contract as the parquet scans (verify
+    with ``.explain`` -> PushedFilters / ReadSchema). The warehouse
+    interchange format alongside parquet; Hive-heavy estates stage in
+    ORC where the reference staged JSON."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by=None) -> None:
+    w = df.write.mode(mode).format("orc")
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        w = w.partitionBy(*cols)
+    w.save(path)
+
+
+def read_avro(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Avro scan — requires the external ``spark-avro`` package
+    (org.apache.spark:spark-avro_2.13) on the classpath; it is NOT
+    bundled with Spark and is absent in this sandbox, so the call is
+    gated behind a clear error instead of a raw ClassNotFound. The
+    row-oriented streaming-interchange format (Kafka schema-registry
+    pipelines) alongside the columnar parquet/ORC scans."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    try:
+        return reader.format("avro").load(path)
+    except Exception as exc:
+        if "Failed to find data source" in str(exc) or "avro" in str(exc).lower():
+            raise RuntimeError(
+                "spark-avro is not on the classpath; add "
+                "spark.jars.packages=org.apache.spark:spark-avro_2.13:<spark-version> "
+                "to the session config") from exc
+        raise

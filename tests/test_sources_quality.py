@@ -370,3 +370,43 @@ def test_no_row_at_a_time_python_udfs_in_source():
             if pat.search(line) and "pandas_udf" not in line:
                 offenders.append(f"{p.name}:{i}: {line.strip()}")
     assert not offenders, offenders
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC joins parquet/JSON/CSV as a first-class scan format: full
+    round trip, and the watermark predicate reaches the ORC scan as a
+    pushed filter (row-group pruning on min/max, same as parquet)."""
+    from cdc_data_pipeline_spark.sources.readers import (
+        read_orc, read_table, write_orc)
+
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+    filtered = back.filter(
+        F.col("o_orderdate") > F.lit("1997-06-01").cast("timestamp"))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split(
+        "PushedFilters")[1][:200]
+
+
+def test_avro_gated_with_clear_error(spark, tmp_path):
+    """Without spark-avro on the classpath the reader must fail with
+    an actionable message, not a raw ClassNotFound."""
+    import pytest
+
+    from cdc_data_pipeline_spark.sources.readers import read_avro
+
+    try:
+        df = read_avro(spark, str(tmp_path / "nothing.avro"))
+    except RuntimeError as exc:
+        assert "spark.jars.packages" in str(exc)
+    except Exception:
+        raise
+    else:  # classpath actually has avro: reading a missing path fails later
+        with pytest.raises(Exception):
+            df.count()
