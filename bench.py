@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "sentiment_scores",
     "backoff_lm_score",
     "unicode_clean",
+    "bpe_segment",
     "doc_embeddings",
 ]
 

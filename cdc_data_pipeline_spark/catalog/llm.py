@@ -856,6 +856,20 @@ FROM c
 """
 
 
+def q_bpe_segment(spark, sf_dir):
+    """BPE tokenizer trained IN-ENGINE (Sennrich et al. 2016) on the
+    corpus word-frequency table (vocabulary-sized merge iterations —
+    the corpus is scanned once), then applied per document. Iterative
+    algorithm -> rows-only driver check (the contract's documented
+    carve-out); determinism and the classic-corpus merges are pinned
+    in tests/test_bpe.py."""
+    from cdc_data_pipeline_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe.train_bpe(docs, num_merges=8, min_pair_count=2)
+    return bpe.bpe_segment(docs, merges)
+
+
 # ------------------------------------------------ char-bigram LM scoring
 
 def q_lm_score(spark, sf_dir):
@@ -1107,6 +1121,7 @@ EXTRA_QUERIES = {
     "lm_score": q_lm_score,
     "backoff_lm_score": q_backoff_lm_score,
     "unicode_clean": q_unicode_clean,
+    "bpe_segment": q_bpe_segment,
     "pq_topk": q_pq_topk,
     "nb_classify": q_nb_classify,
     "bloom_decontaminate": q_bloom_decontaminate,

@@ -1,0 +1,157 @@
+"""BPE tokenizer training at corpus scale (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units").
+
+The classic trainer never touches the raw corpus after ONE counting
+pass: merges are learned from the (word, frequency) table, which is
+VOCABULARY-sized — at 100 TB the corpus may hold 10^12 tokens but only
+~10^7-10^8 distinct words, so every merge iteration is a small job
+over the vocab table, not a corpus scan.
+
+Plan shape per merge:
+  1. pair counts: explode each word's adjacent symbol pairs, weighted
+     by word frequency — groupBy(pair).sum (map-side combine; the
+     shuffle carries distinct pairs, bounded by vocab * avg_word_len).
+  2. best pair: orderBy(count desc, pair asc).limit(1) — Spark plans
+     TakeOrderedAndProject (map-local partial top-1, no global sort).
+     The lexicographic tiebreak makes training DETERMINISTIC.
+  3. apply the merge to every word's symbol list (one Arrow batch
+     pass over the vocab table) and localCheckpoint every few
+     iterations so lineage stays flat across the loop.
+
+Iterative by nature -> no single-statement SQL oracle (the driver
+contract explicitly allows rows-only checks for iterative
+algorithms); determinism is pinned by unit tests against the
+hand-computable classic corpus, and `bpe_segment` round-trips are
+property-tested.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.functions.text import tokens
+
+END = "</w>"   # end-of-word marker: merges never cross word boundaries
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq): the ONLY corpus-wide pass of training."""
+    return (df.select(F.explode(tokens(text_col)).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+
+
+def _init_symbols(words: DataFrame) -> DataFrame:
+    """Each word as its character-symbol array + end-of-word marker."""
+    return words.select(
+        "word", "freq",
+        F.concat(F.split(F.col("word"), ""),
+                 F.array(F.lit(END))).alias("syms"))
+
+
+def _pair_counts(symed: DataFrame) -> DataFrame:
+    pairs = F.when(
+        F.size("syms") >= 2,
+        F.transform(F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("syms"), i),
+                        F.element_at(F.col("syms"), i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    return (symed.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair").agg(F.sum("freq").alias("n")))
+
+
+def _merge_udf(a: str, b: str):
+    """Replace every adjacent (a, b) in a symbol list with a+b —
+    left-to-right, non-overlapping (the standard BPE apply order)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def apply_merge(syms: pd.Series) -> pd.Series:
+        def run(s):
+            out, i, n = [], 0, len(s)
+            while i < n:
+                if i + 1 < n and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            return out
+        return syms.map(run)
+
+    return apply_merge
+
+
+def train_bpe(df: DataFrame, num_merges: int = 50,
+              text_col: str = "text", min_pair_count: int = 2,
+              checkpoint_every: int = 8) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges. Returns the ordered merge list
+    [(left, right), ...] — the tokenizer artifact.
+
+    Stops early when no pair reaches ``min_pair_count``. Driver
+    traffic per iteration is ONE (pair, count) row; the vocab table is
+    checkpointed every ``checkpoint_every`` merges so the iteration
+    count never deepens lineage unboundedly.
+    """
+    symed = _init_symbols(word_counts(df, text_col)).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for it in range(num_merges):
+        best = (_pair_counts(symed)
+                .orderBy(F.col("n").desc(), F.col("pair").asc())
+                .limit(1).collect())
+        if not best or best[0]["n"] < min_pair_count:
+            break
+        a, b = best[0]["pair"].split(" ")
+        merges.append((a, b))
+        symed = symed.withColumn("syms", _merge_udf(a, b)(F.col("syms")))
+        if (it + 1) % checkpoint_every == 0:
+            symed = symed.localCheckpoint()
+    return merges
+
+
+def bpe_segment(df: DataFrame, merges: Sequence[tuple[str, str]],
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Apply a learned merge list: (id, n_words, n_bpe_tokens,
+    segmented) where ``segmented`` is the per-word subword split
+    (space-joined words, subwords '|'-separated). One Arrow-batched
+    pass over the corpus — the broadcast artifact is the merge list
+    (kilobytes), applied greedily in training order per word (the
+    standard BPE encoder)."""
+    from pyspark.sql.functions import pandas_udf
+
+    mlist = [tuple(m) for m in merges]
+
+    @pandas_udf("struct<n_words: long, n_tokens: long, segmented: string>")
+    def seg(texts: pd.Series) -> pd.DataFrame:
+        def encode_word(w):
+            s = list(w) + [END]
+            for a, b in mlist:
+                if len(s) < 2:
+                    break
+                out, i, n = [], 0, len(s)
+                while i < n:
+                    if i + 1 < n and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            return s
+
+        rows = []
+        for t in texts:
+            ws = [w for w in (t or "").split() if w]
+            enc = [encode_word(w) for w in ws]
+            rows.append((len(ws), sum(len(e) for e in enc),
+                         " ".join("|".join(e) for e in enc)))
+        return pd.DataFrame(rows, columns=["n_words", "n_tokens", "segmented"])
+
+    out = df.select(F.col(id_col), seg(F.col(text_col)).alias("s"))
+    return out.select(id_col, "s.n_words", "s.n_tokens", "s.segmented")
