@@ -870,6 +870,30 @@ def q_bpe_segment(spark, sf_dir):
     return bpe.bpe_segment(docs, merges)
 
 
+_SPLIT_SEED = 21
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment by key hash
+    (``sampling.split_column``) — stable across re-runs and backfills:
+    new rows join their split without reshuffling old ones, the
+    property a random split lacks."""
+    docs = _docs(spark, sf_dir)
+    col = sp.split_column("doc_id",
+                          [("train", 0.9), ("val", 0.05), ("test", 0.05)],
+                          seed=_SPLIT_SEED)
+    return docs.select("doc_id", col.alias("split"))
+
+
+SQL_HASH_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN {uniform_hash_sql('doc_id', _SPLIT_SEED)} < 0.9 THEN 'train'
+            WHEN {uniform_hash_sql('doc_id', _SPLIT_SEED)} < 0.9 + 0.05 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 # ------------------------------------------------ char-bigram LM scoring
 
 def q_lm_score(spark, sf_dir):
@@ -1121,6 +1145,7 @@ EXTRA_QUERIES = {
     "lm_score": q_lm_score,
     "backoff_lm_score": q_backoff_lm_score,
     "unicode_clean": q_unicode_clean,
+    "hash_split": q_hash_split,
     "bpe_segment": q_bpe_segment,
     "pq_topk": q_pq_topk,
     "nb_classify": q_nb_classify,
@@ -1143,6 +1168,7 @@ EXTRA_ORACLES = {
     "lm_score": SQL_LM_SCORE,
     "backoff_lm_score": SQL_BACKOFF_LM_SCORE,
     "unicode_clean": SQL_UNICODE_CLEAN,
+    "hash_split": SQL_HASH_SPLIT,
     "pq_topk": SQL_PQ_TOPK,
     "nb_classify": SQL_NB_CLASSIFY,
     "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
