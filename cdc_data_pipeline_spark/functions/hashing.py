@@ -51,3 +51,13 @@ def uniform_hash_sql(expr: str, seed: int = 0) -> str:
     """The DuckDB-side twin of ``uniform_hash`` for oracle SQL."""
     return (f"(('0x' || substr(md5('{seed}|' || ({expr})::VARCHAR), 1, 15))::BIGINT"
             f" / {int(TWO_60)}.0)")
+
+
+def py_uniform_hash(value: str, seed: int = 0) -> float:
+    """Pure-Python twin of ``uniform_hash``'s md5 path (same salted
+    md5 -> first 15 hex chars -> /2^60). For test references and
+    driver-side spot checks; data paths use the Column form."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{seed}|{value}".encode()).hexdigest()[:15], 16)
+    return h / TWO_60

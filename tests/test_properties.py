@@ -307,3 +307,79 @@ def test_deterministic_shuffle_is_bijective_and_stable(spark, ids, n):
     again = deterministic_shuffle(df.repartition(5), "doc_id", n, seed=4).collect()
     assert sorted((r.doc_id, r.shard_id, r.pos) for r in out) == \
         sorted((r.doc_id, r.shard_id, r.pos) for r in again)
+
+
+NULLABLE_GROUPED = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(0, 2)),   # nullable group
+              st.one_of(st.none(), st.integers(0, 9)),   # nullable order
+              st.integers(0, 999)),                      # unique tiebreak
+    min_size=1, max_size=20, unique_by=lambda r: r[2],
+)
+
+
+@given(rows=NULLABLE_GROUPED, k=st.integers(1, 3),
+       asc=st.booleans())
+@settings(**SETTINGS)
+def test_group_topk_null_property_matches_window(spark, rows, k, asc):
+    """For ANY mix of null group keys and null order values (the r3
+    advice failure class), group_topk must equal the plain Spark rank
+    window in both sort directions."""
+    from pyspark.sql import Window
+
+    from cdc_data_pipeline_spark.operators import sampling as sp
+
+    def nkey(t):
+        return tuple((x is None, x) for x in t)
+
+    df = spark.createDataFrame(
+        rows, "g long, val long, id long").repartition(3)
+    got = sorted((tuple(r) for r in sp.group_topk(
+        df, ["g"], k, [("val", asc), ("id", True)]).collect()), key=nkey)
+    order = F.col("val").asc() if asc else F.col("val").desc()
+    w = Window.partitionBy("g").orderBy(order, F.col("id").asc())
+    expect = sorted((tuple(r) for r in
+                     df.withColumn("__rn", F.row_number().over(w))
+                     .filter(F.col("__rn") <= k).drop("__rn").collect()),
+                    key=nkey)
+    assert got == expect
+
+
+MIX_DOCS = st.lists(
+    st.tuples(st.integers(0, 999),                       # unique doc id
+              st.sampled_from(["a", "b", "c"])),         # domain
+    min_size=3, max_size=30, unique_by=lambda r: r[0],
+)
+
+
+@given(rows=MIX_DOCS, epochs=st.sampled_from([1.0, 1.5, 2.0, 3.0]))
+@settings(**SETTINGS)
+def test_mixture_repeat_python_reference(spark, rows, epochs):
+    """mixture_repeat's multiset == the python reference computation
+    (same T = min(n_d*E/p_d), same floor+fractional-hash copies), for
+    any corpus composition and epoch cap; epochs dense from 0."""
+    from cdc_data_pipeline_spark.functions.hashing import py_uniform_hash
+    from cdc_data_pipeline_spark.operators import sampling as sp
+
+    w = {"a": 0.5, "b": 0.3, "c": 0.2}
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted((r.doc_id, r.epoch) for r in
+                 sp.mixture_repeat(df, "source", w, "doc_id",
+                                   max_epochs=epochs, seed=3).collect())
+    n = {}
+    for _, d in rows:
+        n[d] = n.get(d, 0) + 1
+    present = [d for d in sorted(w) if n.get(d)]
+    if not present:
+        assert got == []
+        return
+    cap = min(n[d] * epochs / w[d] for d in present)
+    rates = {d: w[d] * cap / n[d] for d in present}
+    import math
+    expect = []
+    for i, d in rows:
+        if d not in rates:
+            continue
+        r = rates[d]
+        c = int(math.floor(r)) + (1 if py_uniform_hash(str(i), 3) < r - math.floor(r) else 0)
+        expect.extend((i, e) for e in range(c))
+    assert got == sorted(expect)
