@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from cdc_data_pipeline_spark.operators.incremental import upsert_bucketed
 
@@ -233,6 +234,85 @@ def stream_append_to_ivf_index(
             append_to_ivf_index(spark, index_path, batch_df, vec_col, id_col)
 
     writer = (vec_stream.writeStream
+              .option("checkpointLocation", checkpoint)
+              .foreachBatch(handle))
+    writer = apply_trigger(writer, trigger_available_now, processing_time)
+    return writer.start()
+
+
+def stream_curate_to_corpus(
+    doc_stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 10,
+    stopwords=("the", "a"),
+    min_stop_hits: int = 1,
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Streaming corpus curation: each document micro-batch is quality
+    gated (Gopher panel), near-dup-checked against EVERYTHING already
+    ingested via the persisted MinHash-LSH index (prefix-pruned reads
+    — historical lookup cost is proportional to the batch, not the
+    corpus), fuzzy-deduped within itself, and the survivors land in a
+    hash-bucketed corpus sink + their signatures in the index.
+
+    Composition of independently-tested pieces: gopher_quality ->
+    query_lsh_index + lsh_candidate_pairs/dedup_clusters ->
+    upsert_bucketed + append_lsh_index.
+
+    Delivery semantics: the corpus sink is ``upsert_bucketed`` (keyed
+    merge, O(batch) bucket rewrite) — a REPLAYED batch upserts the
+    same keys and changes nothing, so the corpus is exactly-once under
+    at-least-once foreachBatch. The index append is not keyed; a
+    replay can duplicate signature rows, which only re-confirms
+    candidacy (candidates are DISTINCT pairs) — correctness holds,
+    the index just carries dead weight until a rebuild.
+    """
+    from cdc_data_pipeline_spark.operators.curation import gopher_quality
+    from cdc_data_pipeline_spark.operators.dedup import (
+        dedup_clusters, dedup_exact, lsh_candidate_pairs)
+    from cdc_data_pipeline_spark.operators.dedup_index import (
+        append_lsh_index, query_lsh_index)
+    from cdc_data_pipeline_spark.operators.incremental import upsert_bucketed
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        gated = (batch.join(
+            gopher_quality(batch, min_words=min_words, stopwords=stopwords,
+                           min_stop_hits=min_stop_hits)
+            .select(id_col, "passes"), id_col)
+            .filter("passes").drop("passes")
+            .localCheckpoint())
+        if gated.isEmpty():
+            return
+        # exact + fuzzy dedup WITHIN the batch
+        exact = gated.join(dedup_exact(gated).select(id_col), id_col)
+        pairs = lsh_candidate_pairs(exact)
+        keep = (dedup_clusters(exact, pairs)
+                .filter(F.col("is_canonical")).select(id_col))
+        batch_kept = exact.join(keep, id_col)
+        # near-dup AGAINST HISTORY via the prefix-pruned index
+        dup_vs_hist = (query_lsh_index(spark, index_path, batch_kept,
+                                       text_col, id_col)
+                       .select(F.col("id_new").alias(id_col)).distinct())
+        survivors = batch_kept.join(dup_vs_hist, id_col, "left_anti") \
+                              .localCheckpoint()
+        if survivors.isEmpty():
+            return
+        # keyed merge first (idempotent), then signatures
+        upsert_bucketed(spark, corpus_path,
+                        survivors.withColumn("__ingest_batch",
+                                             F.lit(batch_id).cast("long")),
+                        [id_col], "__ingest_batch")
+        append_lsh_index(spark, index_path, survivors, text_col, id_col)
+
+    writer = (doc_stream.writeStream
               .option("checkpointLocation", checkpoint)
               .foreachBatch(handle))
     writer = apply_trigger(writer, trigger_available_now, processing_time)

@@ -403,3 +403,63 @@ def test_stream_static_broadcast_enrich_matches_batch(spark, tmp_path):
                 .agg(F.count(F.lit(1)).alias("n_events")))
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_stream_curate_to_corpus(spark, sf_dir, tmp_path):
+    """Streaming curation composition: quality gate + within-batch
+    fuzzy dedup + against-history near-dup via the persisted LSH
+    index, survivors landing in the bucketed corpus. A doc already in
+    history must NOT re-enter; an exact clone within one batch
+    collapses to one row; replaying the stream adds nothing (keyed
+    sink)."""
+    from pyspark.sql import functions as F
+
+    from cdc_data_pipeline_spark.operators.dedup_index import build_lsh_index
+    from cdc_data_pipeline_spark.sources.readers import read_table
+    from cdc_data_pipeline_spark.streaming.cdc import stream_curate_to_corpus
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") < 100)
+    index_path = str(tmp_path / "lsh_idx")
+    build_lsh_index(spark, history, index_path)
+
+    # incoming: 40 genuinely new docs, 1 exact replay of a history doc
+    # (id shifted so the keyed sink can't mask the index decision),
+    # and one within-batch exact clone pair
+    new = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 140))
+    hist_clone = history.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    batch_clone = new.limit(1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+    incoming = new.unionByName(hist_clone).unionByName(batch_clone)
+    src = str(tmp_path / "incoming")
+    incoming.write.mode("overwrite").parquet(src)
+
+    corpus_path = str(tmp_path / "corpus")
+    stream = (spark.readStream.schema(incoming.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    q = stream_curate_to_corpus(stream, corpus_path, index_path,
+                                str(tmp_path / "ck"),
+                                min_words=10, stopwords=("the", "a"),
+                                min_stop_hits=1)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(corpus_path)
+    ids = {r.doc_id for r in got.select("doc_id").collect()}
+    assert 1_000_000 not in {i // 1 for i in ids if i >= 1_000_000 and i < 2_000_000}, \
+        "history clone re-entered the corpus"
+    assert not any(1_000_000 <= i < 2_000_000 for i in ids)
+    # the exact clone never survives: either its original is in the
+    # same micro-batch (canonical = lower id) or already indexed
+    assert not any(i >= 2_000_000 for i in ids)
+    n_first = got.count()
+    assert 0 < n_first <= 41
+    # replay the whole stream from a fresh checkpoint: keyed sink
+    # makes it a no-op
+    q2 = stream_curate_to_corpus(
+        (spark.readStream.schema(incoming.schema)
+         .option("maxFilesPerTrigger", 2).parquet(src)),
+        corpus_path, index_path, str(tmp_path / "ck2"),
+        min_words=10, stopwords=("the", "a"), min_stop_hits=1)
+    q2.awaitTermination(180)
+    assert spark.read.parquet(corpus_path).count() == n_first
