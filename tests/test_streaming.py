@@ -429,7 +429,7 @@ def test_stream_curate_to_corpus(spark, sf_dir, tmp_path):
     new = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 140))
     hist_clone = history.limit(1).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
-    batch_clone = new.limit(1).select(
+    batch_clone = docs.filter(F.col("doc_id") == 100).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
     incoming = new.unionByName(hist_clone).unionByName(batch_clone)
     src = str(tmp_path / "incoming")
@@ -449,9 +449,10 @@ def test_stream_curate_to_corpus(spark, sf_dir, tmp_path):
     assert 1_000_000 not in {i // 1 for i in ids if i >= 1_000_000 and i < 2_000_000}, \
         "history clone re-entered the corpus"
     assert not any(1_000_000 <= i < 2_000_000 for i in ids)
-    # the exact clone never survives: either its original is in the
-    # same micro-batch (canonical = lower id) or already indexed
-    assert not any(i >= 2_000_000 for i in ids)
+    # the exact clone and its original never BOTH survive: same
+    # micro-batch -> one canonical; different batches -> the later one
+    # collides with the earlier one's indexed signatures
+    assert not {100, 2_000_100} <= ids
     n_first = got.count()
     assert 0 < n_first <= 41
     # replay the whole stream from a fresh checkpoint: keyed sink
