@@ -66,24 +66,28 @@ def _pair_counts(symed: DataFrame) -> DataFrame:
             .groupBy("pair").agg(F.sum("freq").alias("n")))
 
 
-def _merge_udf(a: str, b: str):
+def _apply_one(s: list, a: str, b: str) -> list:
     """Replace every adjacent (a, b) in a symbol list with a+b —
-    left-to-right, non-overlapping (the standard BPE apply order)."""
+    left-to-right, non-overlapping (the standard BPE apply order).
+    The ONE definition both the trainer and the encoder use: the two
+    must never diverge or learned merges stop applying."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        if i + 1 < n and s[i] == a and s[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+def _merge_udf(a: str, b: str):
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")
     def apply_merge(syms: pd.Series) -> pd.Series:
-        def run(s):
-            out, i, n = [], 0, len(s)
-            while i < n:
-                if i + 1 < n and s[i] == a and s[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            return out
-        return syms.map(run)
+        return syms.map(lambda s: _apply_one(list(s), a, b))
 
     return apply_merge
 
@@ -129,25 +133,25 @@ def bpe_segment(df: DataFrame, merges: Sequence[tuple[str, str]],
 
     @pandas_udf("struct<n_words: long, n_tokens: long, segmented: string>")
     def seg(texts: pd.Series) -> pd.DataFrame:
+        import re
+
+        # SAME tokenization as the trainer's word_counts: Java's \s is
+        # ASCII-only, so the Python split must be ASCII too — a plain
+        # str.split() would break on unicode whitespace (NBSP) and
+        # segment words the vocabulary never contained
+        ws_re = re.compile(r"\s+", re.ASCII)
+
         def encode_word(w):
             s = list(w) + [END]
             for a, b in mlist:
                 if len(s) < 2:
                     break
-                out, i, n = [], 0, len(s)
-                while i < n:
-                    if i + 1 < n and s[i] == a and s[i + 1] == b:
-                        out.append(a + b)
-                        i += 2
-                    else:
-                        out.append(s[i])
-                        i += 1
-                s = out
+                s = _apply_one(s, a, b)
             return s
 
         rows = []
         for t in texts:
-            ws = [w for w in (t or "").split() if w]
+            ws = [w for w in ws_re.split(t or "") if w]
             enc = [encode_word(w) for w in ws]
             rows.append((len(ws), sum(len(e) for e in enc),
                          " ".join("|".join(e) for e in enc)))

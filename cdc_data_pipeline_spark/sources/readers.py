@@ -338,7 +338,10 @@ def read_avro(spark: SparkSession, path: str, schema=None) -> DataFrame:
     try:
         return reader.format("avro").load(path)
     except Exception as exc:
-        if "Failed to find data source" in str(exc) or "avro" in str(exc).lower():
+        # ONLY the missing-data-source shape maps to the classpath
+        # hint — a broader match (e.g. any message mentioning the
+        # .avro path) would mislabel missing files/permissions
+        if "Failed to find data source" in str(exc):
             raise RuntimeError(
                 "spark-avro is not on the classpath; add "
                 "spark.jars.packages=org.apache.spark:spark-avro_2.13:<spark-version> "

@@ -284,7 +284,8 @@ def stream_curate_to_corpus(
             return
         spark = batch.sparkSession
         gated = (batch.join(
-            gopher_quality(batch, min_words=min_words, stopwords=stopwords,
+            gopher_quality(batch, text_col=text_col, id_col=id_col,
+                           min_words=min_words, stopwords=stopwords,
                            min_stop_hits=min_stop_hits)
             .select(id_col, "passes"), id_col)
             .filter("passes").drop("passes")
@@ -292,9 +293,10 @@ def stream_curate_to_corpus(
         if gated.isEmpty():
             return
         # exact + fuzzy dedup WITHIN the batch
-        exact = gated.join(dedup_exact(gated).select(id_col), id_col)
-        pairs = lsh_candidate_pairs(exact)
-        keep = (dedup_clusters(exact, pairs)
+        exact = gated.join(
+            dedup_exact(gated, text_col, id_col).select(id_col), id_col)
+        pairs = lsh_candidate_pairs(exact, text_col, id_col)
+        keep = (dedup_clusters(exact, pairs, id_col=id_col)
                 .filter(F.col("is_canonical")).select(id_col))
         batch_kept = exact.join(keep, id_col)
         # near-dup AGAINST HISTORY via the prefix-pruned index

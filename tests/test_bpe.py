@@ -64,3 +64,20 @@ def test_bpe_on_fixture_compresses_tokens(spark, sf_dir):
            .first())
     chars = docs.agg(F.sum(F.length("text"))).first()[0]
     assert agg["w"] <= agg["t"] < chars
+
+
+def test_bpe_trainer_and_encoder_tokenize_identically(spark):
+    """Unicode whitespace (NBSP): the trainer's Java \\s+ split is
+    ASCII-only, so 'vis\\u00a0major' is ONE word — the encoder must
+    agree (a plain Python str.split() would split it in two and the
+    learned merges would never apply)."""
+    df = spark.createDataFrame(
+        [(i, "vis major ok") for i in range(4)],
+        "doc_id long, text string")
+    from cdc_data_pipeline_spark.functions.text import token_count
+    n_words_native = df.select(token_count("text").alias("n")).first()["n"]
+    merges = bpe.train_bpe(df, num_merges=4, min_pair_count=2)
+    got = bpe.bpe_segment(df.limit(1), merges).first()
+    assert got.n_words == n_words_native == 2
+    # the fused word segments as subwords of ONE word (merges apply)
+    assert got.segmented.count(" ") == 1
