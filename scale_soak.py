@@ -33,13 +33,21 @@ SF_DIR = "/root/testdata/sf0.1"
 SHIFT = 100_000_000
 
 
-def replicate(spark, name, n, out_dir, key_cols):
+def replicate(spark, name, n, out_dir, key_cols, perturb_text=False):
     base = read_table(spark, SF_DIR, name)
     parts = [base]
     for i in range(1, n):
         shifted = base
         for k in key_cols:
             shifted = shifted.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+        if perturb_text:
+            # make replicas share NO shingles (every token prefixed
+            # with the replica id): measures true input scaling of the
+            # text probes, where identical clones inflate the
+            # candidate-pair OUTPUT quadratically by construction
+            shifted = shifted.withColumn(
+                "text", F.regexp_replace(F.col("text"),
+                                         r"(\S+)", f"r{i}$1"))
         parts.append(shifted)
     out = parts[0]
     for p in parts[1:]:
@@ -81,6 +89,18 @@ def run_suite(spark, li_path, doc_path, emb_path):
         "fuzzy_dedup_keep": timed(lambda: noop(_fuzzy_keep(docs))),
         "shuffle_shards": timed(lambda: noop(_shuffle(docs))),
         "ivfpq_topk": timed(lambda: noop(_ivfpq(emb))),
+    }
+
+
+def run_text_suite(spark, docp_path):
+    docs = spark.read.parquet(docp_path)
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    return {
+        "minhash_lsh_perturbed": timed(lambda: noop(dd.lsh_candidate_pairs(docs))),
+        "fuzzy_perturbed": timed(lambda: noop(_fuzzy_keep(docs))),
     }
 
 
@@ -131,9 +151,15 @@ def main():
         li_n = replicate(spark, "lineitem", n, tmp + "/xN", ["l_orderkey"])
         doc_n = replicate(spark, "documents", n, tmp + "/xN", ["doc_id"])
         emb_n = replicate(spark, "embeddings", n, tmp + "/xN", ["vec_id"])
+        docp_1 = replicate(spark, "documents", 1, tmp + "/x1p", ["doc_id"],
+                           perturb_text=True)
+        docp_n = replicate(spark, "documents", n, tmp + "/xNp", ["doc_id"],
+                           perturb_text=True)
 
         base = run_suite(spark, li_1, doc_1, emb_1)
+        base.update(run_text_suite(spark, docp_1))
         big = run_suite(spark, li_n, doc_n, emb_n)
+        big.update(run_text_suite(spark, docp_n))
         ratios = {k: round(big[k] / max(base[k], 0.05), 1) for k in base}
         print(json.dumps({"metric": "scale_soak", "n": n, "x1_sec": base,
                           "xN_sec": big, "ratio": ratios}))
