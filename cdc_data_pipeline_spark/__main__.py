@@ -104,6 +104,8 @@ def main(argv=None) -> int:
                     help="tokens per output shard")
     cp.add_argument("--eval-mod", type=int, default=97,
                     help="every Nth doc stands in for the eval set")
+    cp.add_argument("--normalize-unicode", default=None,
+                    help="prepend the unicode cleanup stage (e.g. NFC)")
     cp.add_argument("--mixture", default=None,
                     help='JSON dict of domain -> target proportion, e.g. '
                          '\'{"src0": 0.5, "src1": 0.5}\'')
@@ -175,8 +177,9 @@ def main(argv=None) -> int:
         docs = read_table(spark, args.sf_dir, "documents")
         ev = docs.filter(F.col("doc_id") % args.eval_mod == 0)
         mixture = json.loads(args.mixture) if args.mixture else None
-        _packed, funnel = curate_corpus(docs, ev, out_path=args.out,
-                                        budget=args.budget, mixture=mixture)
+        _packed, funnel = curate_corpus(
+            docs, ev, out_path=args.out, budget=args.budget,
+            mixture=mixture, normalize_unicode=args.normalize_unicode)
         print(json.dumps(funnel))
         return 0
 

@@ -43,13 +43,22 @@ def curate_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
                   num_hashes: int = 8, bands: int = 4,
                   shingle_k: int = 3,
                   mixture: dict[str, float] | None = None,
-                  domain_col: str = "source") -> tuple[DataFrame, dict]:
+                  domain_col: str = "source",
+                  normalize_unicode: str | None = None) -> tuple[DataFrame, dict]:
     """Run the full curation flow over ``docs`` (doc_id, text, ...).
 
     Returns ``(packed, funnel)``: the surviving corpus with
     ``n_tokens`` and ``shard_id`` columns, plus the per-stage count
     funnel. If ``out_path`` is given the shards are also written as
     ``shard_id=K`` parquet directories.
+
+    ``normalize_unicode`` (e.g. ``"NFC"``) prepends the fineweb-style
+    cleanup stage — unicode normalization + control-char strip
+    (``functions.text.unicode_clean_udf``) — so every downstream
+    fingerprint/shingle/dedup decision sees canonical bytes (two
+    byte-different encodings of the same text dedup as equals).
+    Default off: it is a no-op on already-clean corpora and the
+    funnel stays comparable with earlier rounds.
 
     The default quality knobs match the fixture corpus (synthetic
     vocabulary, short docs) the way ``test_full_curation_pipeline``
@@ -65,6 +74,12 @@ def curate_corpus(docs: DataFrame, eval_df: DataFrame | None = None, *,
         return df.localCheckpoint(eager=True)
 
     funnel = {"input": docs.count()}
+
+    if normalize_unicode is not None:
+        from cdc_data_pipeline_spark.functions.text import unicode_clean_udf
+
+        docs = docs.withColumn(
+            "text", unicode_clean_udf(normalize_unicode)(F.col("text")))
 
     gated = _pin(docs.join(
         gopher_quality(docs, min_words=min_words, stopwords=stopwords,

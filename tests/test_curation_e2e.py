@@ -125,3 +125,23 @@ def test_simhash_xxhash_single_pass_plan(spark, sf_dir):
     # deterministic
     again = {r.doc_id: r.simhash for r in dd.simhash(docs).collect()}
     assert again == {r.doc_id: r.simhash for r in rows}
+
+
+def test_curation_unicode_stage_dedups_byte_variants(spark):
+    """With normalize_unicode='NFC', two byte-different encodings of
+    the same text (composed vs decomposed accents) become exact
+    duplicates and collapse in the exact-dedup stage; default-off
+    keeps them distinct."""
+    from cdc_data_pipeline_spark.plans.curate import curate_corpus
+
+    base = "the cafe serves the usual menu a bit late " * 2
+    composed = base + "café"
+    decomposed = base + "café"
+    extra = [(i, "the quick brown fox number %d jumps over a lazy dog %d ok"
+              % (i, i)) for i in range(3, 15)]
+    docs = spark.createDataFrame(
+        [(1, composed), (2, decomposed)] + extra, "doc_id long, text string")
+
+    _, fun_off = curate_corpus(docs, min_words=5)
+    _, fun_on = curate_corpus(docs, min_words=5, normalize_unicode="NFC")
+    assert fun_off["after_exact_dedup"] == fun_on["after_exact_dedup"] + 1
