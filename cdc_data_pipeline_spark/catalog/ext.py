@@ -1236,7 +1236,37 @@ ORACLES["outage_attribution"] = SQL_OUTAGE_ATTRIBUTION
 # is the md5-normalize primitive inside dedup_exact, dedup_exact_pairs
 # the keyed self-join sibling of dedup_exact). Verified by
 # test_oracle_parity on every run; still benched in bench.py.
+def q_ann_recall(spark, sf_dir):
+    """In-engine ANN quality evaluation: per-query recall of the
+    nprobe=1 IVF search against the exact brute-force top-5 — the
+    sweep every ANN deployment runs to tune its knobs, expressed as
+    one job instead of a driver-side comparison."""
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    centroids = e.filter(F.col("vec_id") % 50 == 25) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    truth = sim.topk_cosine(e, queries, k=5)
+    approx = sim.ivf_topk(e, queries, centroids, k=5)
+    return sim.ann_recall(truth, approx)
+
+
+SQL_ANN_RECALL = f"""
+WITH truth AS (SELECT * FROM ({SQL_TOPK_COSINE})),
+approxq AS (SELECT * FROM ({SQL_IVF_TOPK}))
+SELECT t.query_id,
+       COUNT(*) AS n_truth,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS recall
+FROM truth t LEFT JOIN approxq a
+  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+GROUP BY t.query_id
+"""
+
+
 EXTRA_QUERIES = {
+    "ann_recall": q_ann_recall,
     "events_tumbling_window": q_events_tumbling,
     "text_fingerprint": q_text_fingerprint,
     "dedup_exact_pairs": q_dedup_exact_pairs,
@@ -1254,6 +1284,7 @@ EXTRA_QUERIES = {
     "rolling_anomalies": q_rolling_anomalies,
 }
 EXTRA_ORACLES = {
+    "ann_recall": SQL_ANN_RECALL,
     "events_tumbling_window": SQL_EVENTS_TUMBLING,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "dedup_exact_pairs": SQL_DEDUP_EXACT_PAIRS,

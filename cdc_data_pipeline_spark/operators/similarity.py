@@ -329,3 +329,25 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     # ~tables*(nbits+1)/2^nbits of the corpus survives per query — the
     # map-local cut keeps the final rank window off that skewed key
     return _rank_topk(scored, k, query_id_col)
+
+
+def ann_recall(truth: DataFrame, approx: DataFrame,
+               query_id_col: str = "query_id",
+               neighbor_id_col: str = "neighbor_id") -> DataFrame:
+    """Per-query recall of an approximate top-k against an exact one:
+    (query_id, n_truth, n_hit, recall). The evaluation loop every ANN
+    deployment runs to tune nprobe/m/ksub/tables — in-engine, so a
+    recall sweep over a 10^9-vector corpus is one job per setting, not
+    a driver-side comparison. Both inputs are (query, neighbor) top-k
+    frames (e.g. ``topk_cosine`` vs ``ivf_topk``); the join is keyed
+    on the pair, grouped per query with map-side combine."""
+    t = truth.select(query_id_col, neighbor_id_col)
+    a = (approx.select(query_id_col, neighbor_id_col)
+         .withColumn("__hit", F.lit(1)))
+    joined = t.join(a, [query_id_col, neighbor_id_col], "left")
+    return (joined.groupBy(query_id_col)
+            .agg(F.count(F.lit(1)).alias("n_truth"),
+                 F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                  .cast("long").alias("n_hit"))
+            .withColumn("recall",
+                        F.round(F.col("n_hit") / F.col("n_truth"), 6)))

@@ -244,3 +244,24 @@ def test_fact_enrich_join_is_broadcast(spark):
     plan = fact._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_ann_recall_evaluator(spark, sf_dir):
+    """ann_recall against itself is 1.0 everywhere; against a full
+    probe (nprobe = n_cells) the IVF search recovers brute force so
+    recall is 1.0; nprobe=1 recall lies in (0, 1]."""
+    from cdc_data_pipeline_spark.operators.similarity import (
+        ann_recall, ivf_topk, topk_cosine)
+
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    cents = e.filter(F.col("vec_id") % 50 == 25) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    truth = topk_cosine(e, queries, k=5)
+    self_r = ann_recall(truth, truth)
+    assert all(r.recall == 1.0 for r in self_r.collect())
+    full = ivf_topk(e, queries, cents, k=5, nprobe=cents.count())
+    assert all(r.recall == 1.0 for r in ann_recall(truth, full).collect())
+    one = ann_recall(truth, ivf_topk(e, queries, cents, k=5, nprobe=1))
+    vals = [r.recall for r in one.collect()]
+    assert vals and all(0.0 <= v <= 1.0 for v in vals)
