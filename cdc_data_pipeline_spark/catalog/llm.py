@@ -427,6 +427,140 @@ FROM sc QUALIFY rank <= {_TFIDF_TOP}
 """
 
 
+_BM25_K, _BM25_QMOD = 5, 101
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-5 "more-like-this" retrieval: every 101st
+    document is a query over the full corpus — the lexical sibling of
+    `topk_cosine`. Inverted-index postings join with broadcast query
+    terms; micro-unit LONG score sums (order-independent, like the PQ
+    integer ADC) ranked through the skew-safe group_topk cut."""
+    from cdc_data_pipeline_spark.operators import terms as tm
+
+    docs = _docs(spark, sf_dir)
+    qs = docs.filter(F.col("doc_id") % _BM25_QMOD == 0)
+    return tm.bm25_topk(docs, qs, k=_BM25_K)
+
+
+# Literal float arithmetic mirrors operators/terms.bm25_topk exactly:
+# k1=1.2, b=0.75 fold to the Python-evaluated constants 2.2 (k1+1),
+# 0.25 (1-b); every SQL literal is cast to DOUBLE so DuckDB's DECIMAL
+# parsing can't change the arithmetic; the per-term micro-unit
+# CAST(ROUND(...) AS BIGINT) makes the summed score integer-exact.
+SQL_BM25_TOPK = _DUCK_TOKS + f""",
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY doc_id, token),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 (SELECT SUM(dl) FROM dl) AS total_len),
+qt AS (SELECT DISTINCT doc_id AS query_id, token
+       FROM ex WHERE doc_id % {_BM25_QMOD} = 0),
+sc AS (SELECT q.query_id, t.doc_id AS neighbor_id,
+              CAST(ROUND(
+                ln(((s.n_docs - f.df) + CAST(0.5 AS DOUBLE))
+                   / (f.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+                * t.tf * CAST({1.2 + 1.0!r} AS DOUBLE)
+                / (t.tf + CAST(1.2 AS DOUBLE)
+                          * (CAST({1.0 - 0.75!r} AS DOUBLE)
+                             + (CAST(0.75 AS DOUBLE) * d.dl)
+                               / (s.total_len / CAST(s.n_docs AS DOUBLE))))
+                * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS ci
+       FROM tf t JOIN qt q USING (token)
+       JOIN dl d ON t.doc_id = d.doc_id
+       JOIN dfreq f ON t.token = f.token
+       CROSS JOIN stats s
+       WHERE q.query_id <> t.doc_id),
+sm AS (SELECT query_id, neighbor_id, SUM(ci) AS si
+       FROM sc GROUP BY query_id, neighbor_id)
+SELECT query_id, neighbor_id,
+       si / CAST(1000000.0 AS DOUBLE) AS bm25,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY si DESC, neighbor_id) AS INTEGER) AS rank
+FROM sm QUALIFY rank <= {_BM25_K}
+"""
+
+
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-5 over `documents` fused
+    with dense cosine top-5 over `embeddings` (the id spaces align by
+    fixture construction) via reciprocal-rank fusion — the standard
+    two-tower search shape. Every 101st id is a query on both sides;
+    both source rankings and the fused rank are fully deterministic,
+    so the composition has an exact SQL oracle."""
+    from cdc_data_pipeline_spark.operators import similarity as sim
+    from cdc_data_pipeline_spark.operators import terms as tm
+
+    docs = _docs(spark, sf_dir)
+    lex = tm.bm25_topk(docs, docs.filter(F.col("doc_id") % _BM25_QMOD == 0),
+                       k=_BM25_K)
+    emb = _emb(spark, sf_dir)
+    den = sim.topk_cosine(emb, emb.filter(F.col("vec_id") % _BM25_QMOD == 0),
+                          k=_BM25_K)
+    return sim.rrf_fuse([lex, den], k=_BM25_K)
+
+
+# The lex half replays SQL_BM25_TOPK's CTE chain verbatim; the dense
+# half replays SQL_TOPK_COSINE's at the same % {_BM25_QMOD} query set.
+SQL_HYBRID_RRF_TOPK = _DUCK_TOKS + f""",
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY doc_id, token),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 (SELECT SUM(dl) FROM dl) AS total_len),
+qt AS (SELECT DISTINCT doc_id AS query_id, token
+       FROM ex WHERE doc_id % {_BM25_QMOD} = 0),
+sc AS (SELECT q.query_id, t.doc_id AS neighbor_id,
+              CAST(ROUND(
+                ln(((s.n_docs - f.df) + CAST(0.5 AS DOUBLE))
+                   / (f.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+                * t.tf * CAST({1.2 + 1.0!r} AS DOUBLE)
+                / (t.tf + CAST(1.2 AS DOUBLE)
+                          * (CAST({1.0 - 0.75!r} AS DOUBLE)
+                             + (CAST(0.75 AS DOUBLE) * d.dl)
+                               / (s.total_len / CAST(s.n_docs AS DOUBLE))))
+                * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS ci
+       FROM tf t JOIN qt q USING (token)
+       JOIN dl d ON t.doc_id = d.doc_id
+       JOIN dfreq f ON t.token = f.token
+       CROSS JOIN stats s
+       WHERE q.query_id <> t.doc_id),
+sm AS (SELECT query_id, neighbor_id, SUM(ci) AS si
+       FROM sc GROUP BY query_id, neighbor_id),
+lex AS (SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY si DESC, neighbor_id)
+                    AS INTEGER) AS r
+        FROM sm QUALIFY r <= {_BM25_K}),
+qv AS (SELECT vec_id AS query_id, embedding AS qv
+       FROM embeddings WHERE vec_id % {_BM25_QMOD} = 0),
+dsc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.qv::DOUBLE[],
+                                            e.embedding::DOUBLE[]), 6) AS cos
+        FROM qv q JOIN embeddings e ON q.query_id <> e.vec_id),
+den AS (SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id)
+                    AS INTEGER) AS r
+        FROM dsc QUALIFY r <= {_BM25_K}),
+fused AS (SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+                 COALESCE(l.neighbor_id, d.neighbor_id) AS neighbor_id,
+                 COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r),
+                          CAST(0.0 AS DOUBLE))
+               + COALESCE(CAST(1.0 AS DOUBLE) / (60 + d.r),
+                          CAST(0.0 AS DOUBLE)) AS rrf
+          FROM lex l FULL OUTER JOIN den d
+            ON l.query_id = d.query_id AND l.neighbor_id = d.neighbor_id)
+SELECT query_id, neighbor_id, rrf,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, neighbor_id)
+            AS INTEGER) AS rank
+FROM fused QUALIFY rank <= {_BM25_K}
+"""
+
+
 # --------------------------------------------- product quantization ANN
 
 _PQ_M, _PQ_KSUB, _PQ_K = 4, 8, 5
@@ -1138,6 +1272,8 @@ EXTRA_QUERIES = {
     "source_quality": q_source_quality,
     "top_tokens": q_top_tokens,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_topk": q_bm25_topk,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "doc_chunks": q_doc_chunks,
     "doc_embeddings": q_doc_embeddings,
     "temperature_resample": q_temperature_resample,
@@ -1161,6 +1297,8 @@ EXTRA_ORACLES = {
     "source_quality": SQL_SOURCE_QUALITY,
     "top_tokens": SQL_TOP_TOKENS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "bm25_topk": SQL_BM25_TOPK,
+    "hybrid_rrf_topk": SQL_HYBRID_RRF_TOPK,
     "doc_chunks": SQL_DOC_CHUNKS,
     "doc_embeddings": SQL_DOC_EMBEDDINGS,
     "temperature_resample": SQL_TEMPERATURE_RESAMPLE,

@@ -331,6 +331,50 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     return _rank_topk(scored, k, query_id_col)
 
 
+def rrf_fuse(ranked: list[DataFrame], k: int = 5, k_rrf: int = 60,
+             query_id_col: str = "query_id",
+             neighbor_id_col: str = "neighbor_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N per-query
+    top-k rankings — the standard hybrid-retrieval combiner (e.g.
+    lexical BM25 + dense cosine ANN, the Elasticsearch/Vespa hybrid
+    default): ``rrf = sum over sources of 1/(k_rrf + rank)``, with a
+    source contributing 0 when the candidate is absent from its list.
+
+    Inputs are (query_id, neighbor_id, rank) frames (any extra columns
+    ignored); ranks must be 1-based. Scores are combined in list order
+    via a fixed left-fold of coalesced terms, so the double sum is
+    order-deterministic and an SQL oracle reproduces it bit-for-bit.
+
+    Scale: each input is already top-k-bounded per query by its
+    producer (every ranker in this module ends in a map-local-cut
+    rank), so the fused candidate set is <= sum(k_i) rows per query —
+    the final rank window is bounded by construction and needs no
+    skew cut. The full-outer joins are keyed on (query, neighbor):
+    high-cardinality, no hot key.
+
+    Returns ``(query_id, neighbor_id, rrf, rank)``.
+    """
+    assert len(ranked) >= 2, "fusion needs at least two rankings"
+    base = None
+    for i, df in enumerate(ranked):
+        d = df.select(F.col(query_id_col), F.col(neighbor_id_col),
+                      F.col(rank_col).alias(f"__r{i}"))
+        base = d if base is None else base.join(
+            d, [query_id_col, neighbor_id_col], "full_outer")
+    score = None
+    for i in range(len(ranked)):
+        term = F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col(f"__r{i}")),
+                          F.lit(0.0))
+        score = term if score is None else score + term
+    fused = base.withColumn("rrf", score)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf").desc(), F.col(neighbor_id_col).asc())
+    return (fused.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, neighbor_id_col, "rrf", "rank"))
+
+
 def ann_recall(truth: DataFrame, approx: DataFrame,
                query_id_col: str = "query_id",
                neighbor_id_col: str = "neighbor_id") -> DataFrame:

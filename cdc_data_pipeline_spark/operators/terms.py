@@ -6,6 +6,10 @@
   cap in ``operators/dedup.jaccard_candidate_pairs``).
 - ``tfidf_top_terms`` — per-document top terms by TF-IDF, the
   classic keyword/topic signal.
+- ``bm25_topk`` — Okapi BM25 query→document retrieval over the same
+  postings, the lexical complement of the embedding ANN family
+  (``operators/similarity``): sparse keyword search where cosine
+  top-k is dense semantic search.
 
 Scale design (100 TB):
 
@@ -19,6 +23,17 @@ Scale design (100 TB):
   — Zipf-truncate it with ``min_df`` before the join so the hot join
   side stays small; the final per-doc top-N is a window over the doc
   key (high cardinality, no hot partition).
+- ``bm25_topk``: the corpus shuffles ONCE to (doc, term) postings;
+  the query side (small by the retrieval contract) broadcasts into
+  the postings, so only postings for query terms survive — the
+  classic inverted-index probe expressed relationally. Per-term
+  contributions are scaled to micro-unit LONGs before the per-(query,
+  doc) sum, so the score is an order-independent integer total (no
+  float-summation drift between partial aggregates — the same trick
+  as the PQ integer ADC). The final per-query rank goes through
+  ``sampling.group_topk``'s map-local cut: a stopword-ish query term
+  matching 10% of the corpus never lands one query's scores in a
+  single window task.
 """
 
 from __future__ import annotations
@@ -27,6 +42,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdc_data_pipeline_spark.functions.text import tokens
+from cdc_data_pipeline_spark.operators.sampling import group_topk
 
 
 def _exploded(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -70,3 +86,72 @@ def tfidf_top_terms(df: DataFrame, top: int = 3, min_df: int = 1,
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= top)
             .select(id_col, "token", "tf", "tfidf", "rank"))
+
+
+def bm25_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id",
+              query_id_col: str = "query_id") -> DataFrame:
+    """Okapi BM25 top-k document retrieval (Robertson–Spärck Jones),
+    the standard lexical ranking function (Lucene/Elasticsearch
+    default). For each query document, score every corpus document
+    sharing a term and keep the top ``k``:
+
+        score(q, d) = sum over DISTINCT terms t of q:
+            idf(t) * tf(t,d) * (k1+1)
+                   / (tf(t,d) + k1 * (1 - b + b * dl(d)/avgdl))
+        idf(t) = ln((N - df(t) + 0.5) / (df(t) + 0.5) + 1)   [Lucene form]
+
+    Determinism: each per-term contribution is rounded to micro-units
+    (1e-6) and summed as a LONG — the total is order-independent, so
+    partial-aggregation order can never flip a rank, and ranking uses
+    the integer total with an id tiebreak. ``bm25`` in the output is
+    the micro-unit total / 1e6 (one exact IEEE division — identical
+    across engines).
+
+    Plan shape: corpus → (doc, term, tf) postings (one shuffle, the
+    inverted index); query terms and the query-vocabulary IDF slice
+    broadcast into the postings, so the join output is only the
+    postings of query terms; per-(query, doc) LONG sum with map-side
+    combine; ``group_topk`` final rank (map-local cut — a hot query
+    term cannot concentrate one query's candidate set in one task).
+    Self-matches (query_id == doc_id) are excluded, mirroring
+    ``similarity.topk_cosine``.
+
+    Returns ``(query_id, neighbor_id, bm25, rank)``.
+    """
+    ex = _exploded(corpus, text_col, id_col)
+    tf = ex.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # N and avgdl: two scalars (watermark-budget class). N counts ALL
+    # corpus rows (token-less documents still dilute avgdl).
+    stats = (corpus.agg(F.count(F.lit(1)).alias("n_docs"))
+             .crossJoin(dl.agg(F.sum("dl").alias("total_len"))))
+    qt = (queries
+          .select(F.col(id_col).alias(query_id_col),
+                  F.explode(tokens(text_col)).alias("token"))
+          .distinct())
+    # query-vocabulary IDF slice: |distinct query terms| rows — small
+    # enough to broadcast into the corpus-sized postings
+    dfq = dfreq.join(F.broadcast(qt.select("token").distinct()), "token")
+    scored = (tf.join(F.broadcast(qt), "token")
+              .filter(F.col(query_id_col) != F.col(id_col))
+              .join(dl, id_col)
+              .join(F.broadcast(dfq), "token")
+              .crossJoin(F.broadcast(stats)))
+    avgdl = F.col("total_len") / F.col("n_docs")
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    contrib = (idf * F.col("tf") * (k1 + 1.0)
+               / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)))
+    summed = (scored
+              .withColumn("__ci", F.round(contrib * 1e6, 0).cast("long"))
+              .groupBy(query_id_col, F.col(id_col).alias("neighbor_id"))
+              .agg(F.sum("__ci").alias("__si")))
+    top = group_topk(summed, [query_id_col], k,
+                     [("__si", False), ("neighbor_id", True)],
+                     rank_col="rank")
+    return top.select(query_id_col, "neighbor_id",
+                      (F.col("__si") / F.lit(1e6)).alias("bm25"),
+                      F.col("rank").cast("int"))

@@ -144,3 +144,55 @@ def test_sentiment_score_known_values(spark):
     assert got[2] == -1.0
     assert got[3] == 0.0
     assert got[4] is None
+
+
+def test_bm25_ranks_rare_term_match_first(spark):
+    from cdc_data_pipeline_spark.operators.terms import bm25_topk
+
+    # query 10 shares the RARE term "zebra" with doc 1 and the common
+    # term "the" (in every doc) with docs 2 and 3 -> doc 1 must rank
+    # first; self-match (doc 10 itself) is excluded.
+    corpus = spark.createDataFrame(
+        [(1, "the zebra grazes"),
+         (2, "the cat sits on the mat"),
+         (3, "the dog barks at the cat"),
+         (10, "the zebra runs")],
+        "doc_id long, text string")
+    queries = corpus.filter(F.col("doc_id") == 10)
+    out = bm25_topk(corpus, queries, k=3)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["query_id"] for r in rows] == [10, 10, 10]
+    assert rows[0]["neighbor_id"] == 1          # rare-term match wins
+    assert all(r["neighbor_id"] != 10 for r in rows)   # no self-match
+    assert rows[0]["bm25"] > rows[1]["bm25"] >= rows[2]["bm25"]
+
+
+def test_bm25_k_cap_and_determinism(spark):
+    from cdc_data_pipeline_spark.operators.terms import bm25_topk
+
+    corpus = spark.createDataFrame(
+        [(i, f"common shared w{i % 3}") for i in range(1, 9)] + [(99, "common shared w0")],
+        "doc_id long, text string")
+    queries = corpus.filter(F.col("doc_id") == 99)
+    out1 = bm25_topk(corpus, queries, k=4).collect()
+    out2 = bm25_topk(corpus.repartition(7), queries, k=4).collect()
+    assert len(out1) == 4
+    # layout-independent: identical rows and ranks after repartition
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+
+def test_rrf_fuse_prefers_candidates_in_both_lists(spark):
+    from cdc_data_pipeline_spark.operators.similarity import rrf_fuse
+
+    # candidate 7 is rank 2 in BOTH lists (rrf = 2/62); candidate 1 is
+    # rank 1 in only one list (rrf = 1/61) -> 7 must fuse above 1.
+    lex = spark.createDataFrame(
+        [(0, 1, 1), (0, 7, 2)], "query_id long, neighbor_id long, rank int")
+    den = spark.createDataFrame(
+        [(0, 3, 1), (0, 7, 2)], "query_id long, neighbor_id long, rank int")
+    out = sorted(rrf_fuse([lex, den], k=3).collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in out] == [7, 1, 3]
+    assert abs(out[0]["rrf"] - 2 / 62) < 1e-12
+    assert abs(out[1]["rrf"] - 1 / 61) < 1e-12
+    # 1 and 3 tie on score (rank 1 in one list each) -> id tiebreak
+    assert out[1]["rrf"] == out[2]["rrf"]
