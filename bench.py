@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "unicode_clean",
     "bpe_segment",
     "doc_embeddings",
+    "bm25_topk",
+    "hybrid_rrf_topk",
 ]
 
 

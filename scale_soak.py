@@ -89,6 +89,7 @@ def run_suite(spark, li_path, doc_path, emb_path):
         "fuzzy_dedup_keep": timed(lambda: noop(_fuzzy_keep(docs))),
         "shuffle_shards": timed(lambda: noop(_shuffle(docs))),
         "ivfpq_topk": timed(lambda: noop(_ivfpq(emb))),
+        "bm25_topk": timed(lambda: noop(_bm25(docs))),
     }
 
 
@@ -118,6 +119,20 @@ def _ivfpq(emb):
         .select(F.col("vec_id").alias("centroid_id"), "embedding")
     return pq.ivfpq_topk(emb, queries, centroids, dim=64, m=4, ksub=8,
                          k=5, iters=2)
+
+
+def _bm25(docs):
+    # Lexical-retrieval scale probe: the QUERY set is pinned to the
+    # original (unshifted) replica, so the corpus grows Nx while the
+    # query side stays fixed — near-linear growth means the postings
+    # restriction + broadcast query terms + group_topk cut hold.
+    from cdc_data_pipeline_spark.operators.terms import bm25_topk
+    from cdc_data_pipeline_spark.sources.readers import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    queries = docs.filter((F.col("doc_id") < SHIFT)
+                          & (F.col("doc_id") % 97 == 0))
+    return bm25_topk(docs, queries, k=5)
 
 
 def _fuzzy_keep(docs):
