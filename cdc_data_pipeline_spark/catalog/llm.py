@@ -255,6 +255,45 @@ FROM toks
 """
 
 
+_SEQ_LEN = 64
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style fixed-length sequence layout: whitespace-token counts
+    concatenated in doc_id order, cut into 64-token windows, one
+    fragment row per (doc x overlapped window) — documents span
+    boundaries (the standard causal-LM packed-pretraining map).
+    Integer cumsum + DIV arithmetic -> exact oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id", tx.token_count("text").cast("long").alias("n_tokens"))
+    out = pk.pack_sequences(with_counts, _SEQ_LEN,
+                            "n_tokens", "doc_id", chunk=128)
+    return out.select("doc_id", "n_tokens", "seq_id",
+                      "doc_offset", "seq_offset", "frag_len")
+
+
+SQL_PACK_SEQUENCES = _DUCK_TOKS + f""",
+c AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+             CAST(SUM(len(t)) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - len(t) AS s
+      FROM toks),
+b AS (SELECT doc_id, n_tokens, s, s + n_tokens AS e
+      FROM c WHERE n_tokens > 0),
+fr AS (SELECT doc_id, n_tokens, s, e,
+              unnest(range(s // {_SEQ_LEN}, (e - 1) // {_SEQ_LEN} + 1))
+                AS seq_id
+       FROM b)
+SELECT doc_id, n_tokens, seq_id,
+       GREATEST(s, seq_id * {_SEQ_LEN}) - s AS doc_offset,
+       GREATEST(s, seq_id * {_SEQ_LEN}) - seq_id * {_SEQ_LEN} AS seq_offset,
+       LEAST(e, (seq_id + 1) * {_SEQ_LEN})
+         - GREATEST(s, seq_id * {_SEQ_LEN}) AS frag_len
+FROM fr
+"""
+
+
 # --------------------------------------------------- k-means and SemDeDup
 
 _KM_K, _KM_ITERS, _SD_THRESHOLD = 8, 2, 0.30
@@ -1274,6 +1313,7 @@ EXTRA_QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "pack_sequences": q_pack_sequences,
     "doc_chunks": q_doc_chunks,
     "doc_embeddings": q_doc_embeddings,
     "temperature_resample": q_temperature_resample,
@@ -1299,6 +1339,7 @@ EXTRA_ORACLES = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "bm25_topk": SQL_BM25_TOPK,
     "hybrid_rrf_topk": SQL_HYBRID_RRF_TOPK,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "doc_chunks": SQL_DOC_CHUNKS,
     "doc_embeddings": SQL_DOC_EMBEDDINGS,
     "temperature_resample": SQL_TEMPERATURE_RESAMPLE,

@@ -432,3 +432,48 @@ def test_unicode_clean_normalizes_and_strips(spark):
     nfkc = {r.id: r.c for r in
             df.select("id", unicode_clean_udf("NFKC")(F.col("t")).alias("c")).collect()}
     assert nfkc[3] == "fine 1"               # ligature + circled digit folded
+
+
+def test_pack_sequences_window_and_span_invariants(spark):
+    from cdc_data_pipeline_spark.operators import packing as pk
+
+    # token stream: 10+3+50+64+1 = 128 tokens -> exactly 2 windows of 64
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 3), (2, 50), (3, 64), (4, 1), (5, 0)],
+        "doc_id long, n_tok long")
+    out = pk.pack_sequences(docs, 64, "n_tok", "doc_id", chunk=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # zero-token doc contributes nothing
+    assert 5 not in by_doc
+    # doc 2 starts at token 13, ends 63 -> fits window 0 entirely
+    assert [(r["seq_id"], r["seq_offset"], r["frag_len"])
+            for r in by_doc[2]] == [(0, 13, 50)]
+    # doc 3 spans the 64-boundary: [63,127) -> 1 token in w0, 63 in w1
+    frags3 = sorted((r["seq_id"], r["seq_offset"], r["doc_offset"],
+                     r["frag_len"]) for r in by_doc[3])
+    assert frags3 == [(0, 63, 0, 1), (1, 0, 1, 63)]
+    # every window except the last sums to exactly seq_len
+    per_seq = {}
+    for r in out:
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["frag_len"]
+    assert per_seq == {0: 64, 1: 64}
+    # fragments tile each document: offsets contiguous, lengths sum to T
+    for d, rows in by_doc.items():
+        rows = sorted(rows, key=lambda r: r["doc_offset"])
+        assert rows[0]["doc_offset"] == 0
+        assert sum(r["frag_len"] for r in rows) == rows[0]["n_tok"]
+        for a, z in zip(rows, rows[1:]):
+            assert z["doc_offset"] == a["doc_offset"] + a["frag_len"]
+
+
+def test_pack_sequences_layout_independent(spark):
+    from cdc_data_pipeline_spark.operators import packing as pk
+
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 90 + 1) for i in range(60)], "doc_id long, n_tok long")
+    a = pk.pack_sequences(docs, 128, "n_tok", "doc_id", chunk=7).collect()
+    b = pk.pack_sequences(docs.repartition(13), 128, "n_tok", "doc_id",
+                          chunk=1000).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
