@@ -1301,6 +1301,74 @@ FROM u
 """
 
 
+_CP_THRESH, _CP_MAXDF, _CP_KNEG, _CP_SHARDS = 0.3, 500, 2, 16
+
+
+def q_contrastive_pairs(spark, sf_dir):
+    """Contrastive (anchor, partner, label) pair mining: near-dup
+    Jaccard positives (threshold 0.3, df-capped shingle space) +
+    deterministic hash-derangement negatives (2 per doc over the
+    16-shard shuffled order), canonically oriented, accidental
+    positives anti-joined out. Both halves are exact constructions,
+    so the composition has an exact oracle."""
+    from cdc_data_pipeline_spark.operators.contrastive import (
+        mine_contrastive_pairs)
+
+    return mine_contrastive_pairs(
+        _docs(spark, sf_dir), k_neg=_CP_KNEG, pos_threshold=_CP_THRESH,
+        shingle_k=3, max_df=_CP_MAXDF, n_shards=_CP_SHARDS, seed=0)
+
+
+SQL_CONTRASTIVE_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents),
+shj AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1),
+                                  i -> array_to_string(t[i:i+2], ' '))
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks),
+exall AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM shj),
+freq AS (SELECT s, count(*) AS df FROM exall GROUP BY s),
+ex AS (SELECT e.doc_id, e.s FROM exall e JOIN freq f ON e.s = f.s
+       WHERE f.df <= {_CP_MAXDF}),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pos AS (
+  SELECT id_a, id_b, 1 AS label,
+         ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS score
+  FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= {_CP_THRESH}),
+u AS (SELECT doc_id, {uniform_hash_sql('doc_id', 0)} AS u FROM documents),
+shf AS (SELECT doc_id,
+               CAST(floor(u * {_CP_SHARDS}) AS INTEGER) AS shard_id,
+               CAST(row_number() OVER (
+                      PARTITION BY CAST(floor(u * {_CP_SHARDS}) AS INTEGER)
+                      ORDER BY u, doc_id) - 1 AS BIGINT) AS pos
+        FROM u),
+sn AS (SELECT shard_id, COUNT(*) AS n FROM shf GROUP BY 1),
+cand AS (SELECT s.doc_id, s.shard_id, s.pos, (s.pos + j.j) % sn.n AS ppos
+         FROM shf s JOIN sn USING (shard_id)
+         CROSS JOIN (SELECT unnest(range(1, {_CP_KNEG} + 1)) AS j) j),
+negr AS (SELECT DISTINCT LEAST(c.doc_id, p.doc_id) AS id_a,
+                         GREATEST(c.doc_id, p.doc_id) AS id_b
+         FROM cand c JOIN shf p
+           ON c.shard_id = p.shard_id AND c.ppos = p.pos
+         WHERE c.ppos <> c.pos),
+neg AS (SELECT n.id_a, n.id_b, 0 AS label, CAST(NULL AS DOUBLE) AS score
+        FROM negr n ANTI JOIN pos ON n.id_a = pos.id_a AND n.id_b = pos.id_b)
+SELECT * FROM pos UNION ALL SELECT * FROM neg
+"""
+
+
 EXTRA_QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "domain_caps": q_domain_caps,
@@ -1314,6 +1382,7 @@ EXTRA_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "pack_sequences": q_pack_sequences,
+    "contrastive_pairs": q_contrastive_pairs,
     "doc_chunks": q_doc_chunks,
     "doc_embeddings": q_doc_embeddings,
     "temperature_resample": q_temperature_resample,
@@ -1340,6 +1409,7 @@ EXTRA_ORACLES = {
     "bm25_topk": SQL_BM25_TOPK,
     "hybrid_rrf_topk": SQL_HYBRID_RRF_TOPK,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "contrastive_pairs": SQL_CONTRASTIVE_PAIRS,
     "doc_chunks": SQL_DOC_CHUNKS,
     "doc_embeddings": SQL_DOC_EMBEDDINGS,
     "temperature_resample": SQL_TEMPERATURE_RESAMPLE,

@@ -477,3 +477,38 @@ def test_pack_sequences_layout_independent(spark):
     b = pk.pack_sequences(docs.repartition(13), 128, "n_tok", "doc_id",
                           chunk=1000).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_mine_contrastive_pairs_semantics(spark):
+    from cdc_data_pipeline_spark.operators.contrastive import (
+        mine_contrastive_pairs)
+
+    # docs 0/1 and 2/3 are near-identical (positives); the rest unique
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"),
+         (1, "alpha beta gamma delta zeta"),
+         (2, "one two three four five six"),
+         (3, "one two three four five seven"),
+         (4, "totally different text here now"),
+         (5, "unrelated words in this document"),
+         (6, "yet another distinct entry body"),
+         (7, "final standalone document text piece")],
+        "doc_id long, text string")
+    out = mine_contrastive_pairs(docs, k_neg=2, pos_threshold=0.3,
+                                 n_shards=2)
+    rows = out.collect()
+    pos = {(r.id_a, r.id_b) for r in rows if r.label == 1}
+    neg = {(r.id_a, r.id_b) for r in rows if r.label == 0}
+    assert (0, 1) in pos and (2, 3) in pos
+    # canonical orientation, no self pairs, disjoint label sets
+    for a, b in pos | neg:
+        assert a < b
+    assert not (pos & neg)
+    # positives carry a score, negatives don't
+    assert all(r.score is not None for r in rows if r.label == 1)
+    assert all(r.score is None for r in rows if r.label == 0)
+    assert len(neg) >= len(docs.collect()) // 2   # real negative volume
+    # deterministic under layout changes
+    again = mine_contrastive_pairs(docs.repartition(5), k_neg=2,
+                                   pos_threshold=0.3, n_shards=2).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
