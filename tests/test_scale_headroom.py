@@ -545,3 +545,20 @@ def test_adc_rank_cut_headroom(spark, sf_dir):
                                [("__dl", True), ("neighbor_id", True)]).count()
     assert survivors <= k * 2 * 16 * 4   # k * queries * batches-ish
     assert survivors < n / 10
+
+
+def test_bm25_rank_has_map_local_cut(spark, sf_dir):
+    """bm25_topk's final per-query ranking must sit above the Arrow
+    map-local cut (same contract as the ANN family): a stopword-ish
+    query term matching a large corpus fraction must never land one
+    query's full candidate set in a single window task."""
+    from cdc_data_pipeline_spark.operators.terms import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 101 == 0)
+    out = bm25_topk(docs, queries, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    i_win = plan.find("Window")
+    i_map = plan.find("MapInPandas")
+    assert i_map != -1 and i_win != -1
+    assert i_win < i_map, "rank window below the map-local cut"
