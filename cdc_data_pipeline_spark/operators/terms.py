@@ -132,19 +132,30 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
           .select(F.col(id_col).alias(query_id_col),
                   F.explode(tokens(text_col)).alias("token"))
           .distinct())
-    # query-vocabulary IDF slice: |distinct query terms| rows — small
-    # enough to broadcast into the corpus-sized postings
-    dfq = dfreq.join(F.broadcast(qt.select("token").distinct()), "token")
-    scored = (tf.join(F.broadcast(qt), "token")
-              .filter(F.col(query_id_col) != F.col(id_col))
-              .join(dl, id_col)
-              .join(F.broadcast(dfq), "token")
-              .crossJoin(F.broadcast(stats)))
+    # The expensive per-element factors are hoisted OUT of the
+    # postings fan-out onto their small owning relations — ln() runs
+    # once per query-vocabulary term and the length norm once per
+    # document, not once per (query, doc, term) row. The float-op
+    # SEQUENCE is unchanged (same ops, same grouping, evaluated on
+    # the same values), so results — and the SQL oracle — are
+    # bit-identical to the inlined form.
     avgdl = F.col("total_len") / F.col("n_docs")
+    norm = dl.crossJoin(F.broadcast(stats)).select(
+        id_col, (F.lit(k1) * (F.lit(1.0 - b) + (b * F.col("dl")) / avgdl))
+        .alias("__norm"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0)
-    contrib = (idf * F.col("tf") * (k1 + 1.0)
-               / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)))
+    # query-vocabulary IDF slice: |distinct query terms| rows — small
+    # enough to broadcast into the corpus-sized postings
+    dfq = (dfreq.join(F.broadcast(qt.select("token").distinct()), "token")
+           .crossJoin(F.broadcast(stats.select("n_docs")))
+           .select("token", idf.alias("__idf")))
+    scored = (tf.join(F.broadcast(qt), "token")
+              .filter(F.col(query_id_col) != F.col(id_col))
+              .join(norm, id_col)
+              .join(F.broadcast(dfq), "token"))
+    contrib = (F.col("__idf") * F.col("tf") * (k1 + 1.0)
+               / (F.col("tf") + F.col("__norm")))
     summed = (scored
               .withColumn("__ci", F.round(contrib * 1e6, 0).cast("long"))
               .groupBy(query_id_col, F.col(id_col).alias("neighbor_id"))
