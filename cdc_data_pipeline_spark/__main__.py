@@ -83,6 +83,9 @@ def main(argv=None) -> int:
     ip.add_argument("--m", type=int, default=4)
     ip.add_argument("--ksub", type=int, default=8)
     ip.add_argument("--dim", type=int, default=64)
+    ip.add_argument("--text", action="store_true",
+                    help="build a persisted inverted TEXT index over "
+                         "the documents table instead (BM25 postings)")
     qp = sub.add_parser(
         "search", help="top-k similarity search against a persisted "
                        "IVF index (query = every Nth embedding)")
@@ -94,6 +97,9 @@ def main(argv=None) -> int:
     qp.add_argument("--pq", action="store_true",
                     help="search an IVF-PQ index (ADC over stored codes)")
     qp.add_argument("--dim", type=int, default=64)
+    qp.add_argument("--text", action="store_true",
+                    help="BM25 search a persisted inverted text index "
+                         "(query = every Nth document)")
     cp = sub.add_parser(
         "curate", help="run the full corpus-curation flow (quality -> "
                        "dedup -> mask -> decontaminate -> shards)")
@@ -136,6 +142,13 @@ def main(argv=None) -> int:
         from cdc_data_pipeline_spark.sources.readers import read_table
 
         spark = get_spark("cdc-index")
+        if args.text:
+            from cdc_data_pipeline_spark.operators.text_index import (
+                build_text_index)
+
+            docs = read_table(spark, args.sf_dir, "documents")
+            print(json.dumps(build_text_index(spark, docs, args.path)))
+            return 0
         emb = read_table(spark, args.sf_dir, "embeddings")
         if args.pq:
             stats = build_ivfpq_index(spark, emb, args.path, dim=args.dim,
@@ -155,6 +168,15 @@ def main(argv=None) -> int:
         from cdc_data_pipeline_spark.sources.readers import read_table
 
         spark = get_spark("cdc-search")
+        if args.text:
+            from cdc_data_pipeline_spark.operators.text_index import (
+                search_text_index)
+
+            docs = read_table(spark, args.sf_dir, "documents")
+            queries = docs.filter(F.col("doc_id") % args.query_mod == 0)
+            out = search_text_index(spark, args.path, queries, k=args.k)
+            out.orderBy("query_id", "rank").show(50, truncate=False)
+            return 0
         emb = read_table(spark, args.sf_dir, "embeddings")
         queries = emb.filter(F.col("vec_id") % args.query_mod == 0)
         if args.pq:

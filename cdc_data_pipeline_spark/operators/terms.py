@@ -132,13 +132,33 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
           .select(F.col(id_col).alias(query_id_col),
                   F.explode(tokens(text_col)).alias("token"))
           .distinct())
-    # The expensive per-element factors are hoisted OUT of the
-    # postings fan-out onto their small owning relations — ln() runs
-    # once per query-vocabulary term and the length norm once per
-    # document, not once per (query, doc, term) row. The float-op
-    # SEQUENCE is unchanged (same ops, same grouping, evaluated on
-    # the same values), so results — and the SQL oracle — are
-    # bit-identical to the inlined form.
+    return score_bm25_postings(tf, qt, dl, dfreq, stats, k=k, k1=k1, b=b,
+                               id_col=id_col, query_id_col=query_id_col)
+
+
+def score_bm25_postings(tf: DataFrame, qt: DataFrame, dl: DataFrame,
+                        dfreq: DataFrame, stats: DataFrame, k: int = 5,
+                        k1: float = 1.2, b: float = 0.75,
+                        id_col: str = "doc_id",
+                        query_id_col: str = "query_id") -> DataFrame:
+    """The BM25 scoring plan over pre-built relations — shared by
+    ``bm25_topk`` (relations derived from the corpus in-flight) and
+    the persisted inverted index (relations read from storage), so
+    both paths are arithmetically identical by construction.
+
+    Inputs: ``tf`` (id, token, tf) postings; ``qt`` (query_id, token)
+    DISTINCT query terms (broadcast-small); ``dl`` (id, dl) document
+    lengths; ``dfreq`` (token, df) document frequencies (may be
+    pre-restricted to the query vocabulary); ``stats`` one row
+    (n_docs, total_len).
+
+    The expensive per-element factors are hoisted OUT of the postings
+    fan-out onto their small owning relations — ln() runs once per
+    query-vocabulary term and the length norm once per document, not
+    once per (query, doc, term) row. The float-op SEQUENCE matches the
+    textbook inlined form exactly (same ops, same grouping, same
+    values), so the SQL oracle reproduces it bit-for-bit.
+    """
     avgdl = F.col("total_len") / F.col("n_docs")
     norm = dl.crossJoin(F.broadcast(stats)).select(
         id_col, (F.lit(k1) * (F.lit(1.0 - b) + (b * F.col("dl")) / avgdl))
