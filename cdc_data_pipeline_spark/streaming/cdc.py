@@ -240,6 +240,39 @@ def stream_append_to_ivf_index(
     return writer.start()
 
 
+def stream_append_to_text_index(
+    doc_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Streaming document ingest into the persisted inverted text
+    index (``operators/text_index.py``): each micro-batch tokenizes
+    its documents and appends postings/doclens plus vocab/stats DELTA
+    rows — the index stays queryable throughout, new documents become
+    searchable one micro-batch after arrival, and BM25 statistics
+    (df, n_docs, avgdl) remain EXACT because search sums the deltas.
+    Replay-idempotent under foreachBatch's at-least-once redelivery
+    (the batch append anti-joins its own doc-hash buckets)."""
+    from cdc_data_pipeline_spark.operators.text_index import (
+        append_to_text_index)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_to_text_index(batch_df.sparkSession, index_path, batch_df,
+                             text_col, id_col)
+
+    writer = (doc_stream.writeStream
+              .option("checkpointLocation", checkpoint)
+              .foreachBatch(handle))
+    writer = apply_trigger(writer, trigger_available_now, processing_time)
+    return writer.start()
+
+
 def stream_curate_to_corpus(
     doc_stream: DataFrame,
     corpus_path: str,

@@ -61,3 +61,30 @@ def test_search_prunes_token_buckets(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "tb IN (" in plan or "tb#" in plan  # partition filter present
     assert out.count() == 0  # unseen term matches nothing
+
+
+def test_streaming_ingest_into_text_index(spark, tmp_path):
+    """readStream parquet -> foreachBatch append: after the stream
+    drains, search over the maintained index equals in-flight BM25
+    over the full corpus (statistics exact across streamed batches)."""
+    from cdc_data_pipeline_spark.streaming.cdc import (
+        stream_append_to_text_index)
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    path = str(tmp_path / "tix_stream")
+    ti.build_text_index(spark, base, path)
+
+    src = str(tmp_path / "incoming")
+    new.write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(new.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    q = stream_append_to_text_index(stream, path, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    queries = docs.filter(F.col("doc_id") % 101 == 0)
+    got = sorted(map(tuple,
+                     ti.search_text_index(spark, path, queries, k=5).collect()))
+    want = sorted(map(tuple, bm25_topk(docs, queries, k=5).collect()))
+    assert got == want
