@@ -108,6 +108,32 @@ def search_text_index(spark: SparkSession, path: str, queries: DataFrame,
                                query_id_col="query_id")
 
 
+def compact_text_index(spark: SparkSession, path: str) -> dict:
+    """Offline maintenance: fold the accumulated vocab/stats DELTA
+    rows into one row per key (the LSM compaction step — streamed
+    ingest leaves one small delta file set per micro-batch, and the
+    query-time delta sum grows with batch count). Search results are
+    unchanged: summing deltas is associative, so pre-summing them is
+    transparent. Postings/doclens are already one row per fact and are
+    left untouched. Run between ingest windows — compaction rewrites
+    the vocab/stats tables in place and is the one operation here
+    that is NOT concurrent-safe with an in-flight append."""
+    vocab = (spark.read.parquet(os.path.join(path, "vocab"))
+             .groupBy("tb", "token").agg(F.sum("df").alias("df"))
+             .localCheckpoint(eager=True))  # pin before the overwrite
+    (vocab.select("token", "df", "tb")
+     .write.mode("overwrite").partitionBy("tb")
+     .parquet(os.path.join(path, "vocab")))
+    stats = (spark.read.parquet(os.path.join(path, "stats"))
+             .agg(F.sum("n_docs").alias("n_docs"),
+                  F.sum("total_len").alias("total_len"))
+             .localCheckpoint(eager=True))
+    stats.coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, "stats"))
+    return {"vocab_rows": vocab.count(),
+            "n_docs": int(stats.collect()[0]["n_docs"] or 0)}
+
+
 def append_to_text_index(spark: SparkSession, path: str, batch: DataFrame,
                          text_col: str = "text",
                          id_col: str = "doc_id") -> dict:

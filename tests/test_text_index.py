@@ -88,3 +88,25 @@ def test_streaming_ingest_into_text_index(spark, tmp_path):
                      ti.search_text_index(spark, path, queries, k=5).collect()))
     want = sorted(map(tuple, bm25_topk(docs, queries, k=5).collect()))
     assert got == want
+
+
+def test_compact_folds_deltas_without_changing_results(spark, tmp_path):
+    docs = _docs(spark)
+    parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    path = str(tmp_path / "tix")
+    ti.build_text_index(spark, parts[0], path)
+    ti.append_to_text_index(spark, path, parts[1])
+    ti.append_to_text_index(spark, path, parts[2])
+    queries = docs.filter(F.col("doc_id") % 101 == 0)
+    before = sorted(map(tuple,
+                        ti.search_text_index(spark, path, queries, k=5).collect()))
+    # 3 delta row-sets -> one row per key after compaction
+    assert spark.read.parquet(f"{path}/stats").count() == 3
+    info = ti.compact_text_index(spark, path)
+    assert spark.read.parquet(f"{path}/stats").count() == 1
+    vocab = spark.read.parquet(f"{path}/vocab")
+    assert vocab.count() == info["vocab_rows"]
+    assert vocab.groupBy("token").count().filter("count > 1").count() == 0
+    after = sorted(map(tuple,
+                       ti.search_text_index(spark, path, queries, k=5).collect()))
+    assert before == after
