@@ -5,74 +5,180 @@ persisted ANN indexes (``operators/index.py``), completing the quartet
 
 ``terms.bm25_topk`` recomputes postings per query batch — right for
 one-shot jobs, wrong for a serving corpus written once and queried
-forever. This module materializes the index as TABLES:
+forever. This module materializes the index LSM-style:
 
-    <path>/postings/tb=N/   (token, doc_id, tf), partitioned by the
-                            token's hash bucket — a query touches only
-                            its own terms' buckets (directory-level
-                            skip, the disk analogue of posting lists)
-    <path>/doclens/db=N/    (doc_id, dl), partitioned by the doc's
-                            hash bucket (append-dedup reads only the
-                            batch's own buckets)
-    <path>/vocab/tb=N/      (token, df) PER-BATCH DELTA rows
-    <path>/stats/           (n_docs, total_len) PER-BATCH DELTA rows
+    <path>/meta.json               {"n_buckets": N} — the partition
+                                   modulus is index METADATA: a reader
+                                   must prune with the writer's layout
+    <path>/base/postings/tb=K/     (token, doc_id, tf), partitioned by
+                                   token-hash bucket — a query touches
+                                   only its own terms' directories
+    <path>/base/doclens/db=K/      (doc_id, dl) by doc-hash bucket;
+                                   dl=0 rows keep token-less documents
+                                   visible to dedup and n_docs
+    <path>/base/vocab/tb=K/        (token, df) — exact in base
+    <path>/base/stats/             one (n_docs, total_len) row
+    <path>/delta/<token>/...       one DIRECTORY per appended batch
+                                   holding the same four sub-tables
+    <path>/delta/<token>/_COMMIT   marker written LAST
 
-vocab and stats are append-only DELTAS (LSM-style): an append never
-rewrites an existing file, and query time sums the deltas it needs —
-the vocab slice for the probed buckets (query-vocabulary-sized) and
-the stats rows (one per batch). Search therefore always scores
-against EXACT current df / n_docs / total_len — incremental appends
-shift idf and avgdl for every document, and this layout prices that
+Append idempotency is structural, not best-effort: the batch digest
+names the delta directory, every sub-table is written with OVERWRITE
+into that directory, and the commit marker lands last — so a replayed
+batch (foreachBatch is at-least-once) either sees its marker and
+no-ops, or re-overwrites the same partially-written directory and
+converges. Uncommitted directories are invisible to search. Search
+sums vocab/stats across base + committed deltas, so df / n_docs /
+avgdl stay EXACT after any number of appends — incremental ingest
+shifts idf and avgdl for every document, and this layout prices that
 correctly instead of serving stale statistics.
 
 Scale: the postings write is the only full-corpus shuffle; search
-reads probed token buckets + the doc-length table (doc-keyed join,
-high cardinality); scoring reuses ``terms.score_bm25_postings`` (the
-hoisted-factor plan with the skew-safe group_topk rank).
+reads probed token buckets of base + committed deltas (compaction
+bounds the delta count), the doc-length table joins doc-keyed, and
+scoring reuses ``terms.score_bm25_postings`` (the hoisted-factor plan
+with the skew-safe group_topk rank).
 """
 
 from __future__ import annotations
 
-import os
+import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_data_pipeline_spark.functions.text import tokens
 from cdc_data_pipeline_spark.operators.terms import score_bm25_postings
+from cdc_data_pipeline_spark.sources import fsutil
+from cdc_data_pipeline_spark.sources.fsutil import path_join
+
+COMMIT = "_COMMIT"
 
 
-def _tb(col) -> F.Column:
-    return F.pmod(F.xxhash64(col), F.lit(16)).cast("int")
+def _tb(col, n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def _meta(spark: SparkSession, path: str) -> dict:
+    txt = fsutil.read_text(spark, path_join(path, "meta.json"))
+    if txt is None:
+        raise FileNotFoundError(f"not a text index (no meta.json): {path}")
+    return json.loads(txt)
+
+
+def _recover(spark: SparkSession, path: str) -> None:
+    """Heal a torn compaction: the swap protocol renames base ->
+    base_old before base_new -> base, so 'base missing + base_old
+    present' uniquely identifies a crash inside the window."""
+    base = path_join(path, "base")
+    old = path_join(path, "base_old")
+    if not fsutil.exists(spark, base) and fsutil.exists(spark, old):
+        fsutil.rename(spark, old, base)
+
+
+def _committed_deltas(spark: SparkSession, path: str) -> list[str]:
+    root = path_join(path, "delta")
+    return sorted(
+        path_join(root, name) for name in fsutil.list_names(spark, root)
+        if fsutil.exists(spark, path_join(root, name, COMMIT)))
+
+
+def _read_union(spark: SparkSession, roots: list[str], table: str,
+                bucket_col: str | None = None,
+                buckets: list[int] | None = None) -> DataFrame | None:
+    """Union one sub-table across base + delta roots (absent dirs are
+    skipped — an append whose batch was fully deduped away commits an
+    empty directory). The bucket IN-filter applies per root, so the
+    scan prunes unprobed partition directories in every root."""
+    out = None
+    for r in roots:
+        p = path_join(r, table)
+        if not fsutil.exists(spark, p):
+            continue
+        df = spark.read.parquet(p)
+        if bucket_col is not None:
+            df = df.filter(F.col(bucket_col).isin(buckets))
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _dedup_batch(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic within-batch dedup: one row per id (max text as
+    the tiebreak). CDC callers with a real version column should
+    pre-apply ``incremental.latest_per_key`` — this guard only makes
+    accidental duplicate delivery harmless, it does not order
+    versions."""
+    return (batch.select(id_col, text_col)
+            .groupBy(id_col).agg(F.max(text_col).alias(text_col)))
+
+
+def _batch_token(batch: DataFrame, text_col: str, id_col: str) -> str:
+    """Content digest naming the batch's delta directory: xor of row
+    hashes (order-independent, overflow-free) + count. A pure function
+    of the deduped batch content, so every redelivery of the same
+    batch maps to the same directory."""
+    row = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"bit_xor(xxhash64(concat({id_col}, '|', {text_col})))")
+        .alias("d")).collect()[0]
+    return f"b{row['n']}x{(row['d'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
+def _index_tables(fresh: DataFrame, n_buckets: int, text_col: str,
+                  id_col: str):
+    """(postings, doclens, vocab, stats_row) for a document set.
+    doclens keeps dl=0 rows for token-less documents (they count in
+    n_docs and must be visible to the append dedup); postings/vocab
+    naturally exclude them."""
+    ex = fresh.select(F.col(id_col),
+                      F.explode(tokens(text_col)).alias("token"))
+    tf = ex.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")) \
+           .localCheckpoint(eager=True)  # one tokenize pass feeds all tables
+    postings = tf.withColumn("tb", _tb(F.col("token"), n_buckets))
+    dl = (fresh.select(id_col)
+          .join(tf.groupBy(id_col).agg(F.sum("tf").alias("dl")),
+                id_col, "left")
+          .select(id_col, F.coalesce("dl", F.lit(0)).alias("dl")))
+    doclens = dl.withColumn("db", _tb(F.col(id_col), n_buckets))
+    vocab = (tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+             .withColumn("tb", _tb(F.col("token"), n_buckets)))
+    row = dl.agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("dl").alias("t")).collect()[0]
+    return postings, doclens, vocab, (int(row["n"]), int(row["t"] or 0))
+
+
+def _write_tables(spark: SparkSession, root: str, postings, doclens, vocab,
+                  stats_row) -> None:
+    """Write the four sub-tables. EMPTY frames are skipped entirely (a
+    parquet directory with no part files cannot be re-read — schema
+    inference fails); ``_read_union`` treats the absent directory as
+    zero rows. stats is always written (a literal row, never empty)."""
+    for df, name, part in ((postings, "postings", "tb"),
+                           (doclens, "doclens", "db"),
+                           (vocab, "vocab", "tb")):
+        if df is not None and not df.isEmpty():
+            df.write.mode("overwrite").partitionBy(part) \
+                .parquet(path_join(root, name))
+    spark.createDataFrame([stats_row], "n_docs long, total_len long") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(path_join(root, "stats"))
 
 
 def build_text_index(spark: SparkSession, corpus: DataFrame, path: str,
-                     text_col: str = "text",
+                     n_buckets: int = 16, text_col: str = "text",
                      id_col: str = "doc_id") -> dict:
-    """Tokenize, aggregate, and persist the four index tables.
+    """Tokenize, aggregate, and persist the base tables; any existing
+    delta directories are removed (a build is a full rewrite).
     Returns {n_docs, n_postings}."""
-    ex = corpus.select(F.col(id_col),
-                       F.explode(tokens(text_col)).alias("token"))
-    tf = ex.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")) \
-           .localCheckpoint(eager=True)  # one tokenize pass feeds all 4 tables
-    (tf.withColumn("tb", _tb(F.col("token")))
-       .write.mode("overwrite").partitionBy("tb")
-       .parquet(os.path.join(path, "postings")))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    (dl.withColumn("db", _tb(F.col(id_col)))
-       .write.mode("overwrite").partitionBy("db")
-       .parquet(os.path.join(path, "doclens")))
-    (tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-       .withColumn("tb", _tb(F.col("token")))
-       .write.mode("overwrite").partitionBy("tb")
-       .parquet(os.path.join(path, "vocab")))
-    stats = (corpus.agg(F.count(F.lit(1)).alias("n_docs"))
-             .crossJoin(dl.agg(F.coalesce(F.sum("dl"), F.lit(0))
-                               .alias("total_len"))))
-    stats.coalesce(1).write.mode("overwrite") \
-        .parquet(os.path.join(path, "stats"))
-    return {"n_docs": int(stats.collect()[0]["n_docs"]),
-            "n_postings": tf.count()}
+    postings, doclens, vocab, stats_row = _index_tables(
+        corpus.select(id_col, text_col), n_buckets, text_col, id_col)
+    fsutil.delete(spark, path_join(path, "delta"))
+    fsutil.delete(spark, path_join(path, "base_old"))
+    _write_tables(spark, path_join(path, "base"),
+                  postings, doclens, vocab, stats_row)
+    fsutil.write_text(spark, path_join(path, "meta.json"),
+                      json.dumps({"n_buckets": n_buckets}))
+    return {"n_docs": stats_row[0], "n_postings": postings.count()}
 
 
 def search_text_index(spark: SparkSession, path: str, queries: DataFrame,
@@ -80,101 +186,108 @@ def search_text_index(spark: SparkSession, path: str, queries: DataFrame,
                       text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """BM25 top-k over the persisted index, touching only the query
-    vocabulary's postings/vocab buckets. Output matches
-    ``terms.bm25_topk`` exactly on the same corpus
+    vocabulary's postings/vocab buckets in base + committed deltas.
+    Output matches ``terms.bm25_topk`` exactly on the same corpus
     (query_id, neighbor_id, bm25, rank)."""
+    _recover(spark, path)
+    n_buckets = _meta(spark, path)["n_buckets"]
+    roots = [path_join(path, "base")] + _committed_deltas(spark, path)
     qt = (queries.select(F.col(id_col).alias("query_id"),
                          F.explode(tokens(text_col)).alias("token"))
           .distinct().localCheckpoint(eager=True))
     # probed bucket set: <= |query vocabulary| ids, driver-side and
-    # tiny — becomes a static IN-filter so the scans prune unprobed
-    # tb= directories before any file is opened
-    buckets = [r[0] for r in
-               qt.select(_tb(F.col("token")).alias("tb")).distinct().collect()]
-    postings = (spark.read.parquet(os.path.join(path, "postings"))
-                .filter(F.col("tb").isin(buckets))
-                .select(F.col(id_col), "token", "tf"))
+    # tiny — becomes a static IN-filter so every root's scan prunes
+    # unprobed tb= directories before any file is opened
+    buckets = [r[0] for r in qt.select(
+        _tb(F.col("token"), n_buckets).alias("tb")).distinct().collect()]
+    postings = _read_union(spark, roots, "postings", "tb", buckets)
+    if postings is None:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, bm25 double, rank int")
     # vocab deltas -> exact current df for the probed vocabulary
-    dfreq = (spark.read.parquet(os.path.join(path, "vocab"))
-             .filter(F.col("tb").isin(buckets))
+    dfreq = (_read_union(spark, roots, "vocab", "tb", buckets)
              .groupBy("token").agg(F.sum("df").alias("df")))
-    dl = (spark.read.parquet(os.path.join(path, "doclens"))
-          .select(F.col(id_col), "dl"))
-    stats = (spark.read.parquet(os.path.join(path, "stats"))
+    dl = _read_union(spark, roots, "doclens").select(F.col(id_col), "dl")
+    stats = (_read_union(spark, roots, "stats")
              .agg(F.sum("n_docs").alias("n_docs"),
                   F.sum("total_len").alias("total_len")))
-    return score_bm25_postings(postings, qt, dl, dfreq, stats, k=k,
-                               k1=k1, b=b, id_col=id_col,
-                               query_id_col="query_id")
-
-
-def compact_text_index(spark: SparkSession, path: str) -> dict:
-    """Offline maintenance: fold the accumulated vocab/stats DELTA
-    rows into one row per key (the LSM compaction step — streamed
-    ingest leaves one small delta file set per micro-batch, and the
-    query-time delta sum grows with batch count). Search results are
-    unchanged: summing deltas is associative, so pre-summing them is
-    transparent. Postings/doclens are already one row per fact and are
-    left untouched. Run between ingest windows — compaction rewrites
-    the vocab/stats tables in place and is the one operation here
-    that is NOT concurrent-safe with an in-flight append."""
-    vocab = (spark.read.parquet(os.path.join(path, "vocab"))
-             .groupBy("tb", "token").agg(F.sum("df").alias("df"))
-             .localCheckpoint(eager=True))  # pin before the overwrite
-    (vocab.select("token", "df", "tb")
-     .write.mode("overwrite").partitionBy("tb")
-     .parquet(os.path.join(path, "vocab")))
-    stats = (spark.read.parquet(os.path.join(path, "stats"))
-             .agg(F.sum("n_docs").alias("n_docs"),
-                  F.sum("total_len").alias("total_len"))
-             .localCheckpoint(eager=True))
-    stats.coalesce(1).write.mode("overwrite") \
-        .parquet(os.path.join(path, "stats"))
-    return {"vocab_rows": vocab.count(),
-            "n_docs": int(stats.collect()[0]["n_docs"] or 0)}
+    return score_bm25_postings(
+        postings.select(F.col(id_col), "token", "tf"), qt, dl, dfreq,
+        stats, k=k, k1=k1, b=b, id_col=id_col, query_id_col="query_id")
 
 
 def append_to_text_index(spark: SparkSession, path: str, batch: DataFrame,
                          text_col: str = "text",
                          id_col: str = "doc_id") -> dict:
-    """CDC-shape maintenance: tokenize a NEW document batch and append
-    its postings/doclens rows plus vocab/stats DELTA rows — no rewrite
-    of any existing file. Unlike the ANN indexes (whose cells drift
-    until rebuild), search statistics stay EXACT after appends because
-    df/n_docs/total_len are summed from the deltas at query time.
+    """CDC-shape maintenance: tokenize a NEW document batch and commit
+    it as one delta directory — no rewrite of any base or prior-delta
+    file. Search statistics stay EXACT after appends because search
+    sums the deltas. Unlike the ANN indexes (whose cells drift until
+    rebuild), there is no staleness to manage — only delta-count
+    growth, bounded by ``compact_text_index``.
 
-    IDEMPOTENT: the batch anti-joins on id against the doc-length
-    rows of its own doc-hash buckets, so a replayed batch (at-least-
-    once foreachBatch redelivery) appends nothing the second time;
-    the dedup scan reads only the touched db= partitions."""
-    dbs = [r[0] for r in
-           batch.select(_tb(F.col(id_col)).alias("db")).distinct().collect()]
-    existing = (spark.read.parquet(os.path.join(path, "doclens"))
-                .filter(F.col("db").isin(dbs)).select(id_col))
-    fresh = (batch.select(id_col, text_col)
-             .join(existing, id_col, "left_anti")
+    IDEMPOTENT under at-least-once redelivery at EVERY crash point:
+    the content digest of the (deduped) batch names the delta
+    directory; a replay after full commit sees the marker and no-ops,
+    and a replay after a partial write overwrites the same directory
+    — uncommitted directories are invisible to search either way.
+    Duplicate ids inside the batch are collapsed deterministically
+    first (``_dedup_batch``); ids already in the index (base or
+    committed deltas) are anti-joined away, reading only the batch's
+    own doc-hash buckets."""
+    _recover(spark, path)
+    n_buckets = _meta(spark, path)["n_buckets"]
+    batch0 = _dedup_batch(batch, text_col, id_col).localCheckpoint(eager=True)
+    token = _batch_token(batch0, text_col, id_col)
+    ddir = path_join(path, "delta", token)
+    if fsutil.exists(spark, path_join(ddir, COMMIT)):
+        return {"appended": 0, "batch": token}
+    dbs = [r[0] for r in batch0.select(
+        _tb(F.col(id_col), n_buckets).alias("db")).distinct().collect()]
+    roots = [path_join(path, "base")] + _committed_deltas(spark, path)
+    existing = _read_union(spark, roots, "doclens", "db", dbs).select(id_col)
+    fresh = (batch0.join(existing, id_col, "left_anti")
              .localCheckpoint(eager=True))
-    n_docs = fresh.count()
-    if not n_docs:
-        return {"appended": 0}
-    ex = fresh.select(F.col(id_col),
-                      F.explode(tokens(text_col)).alias("token"))
-    tf = ex.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")) \
-           .localCheckpoint(eager=True)
-    (tf.withColumn("tb", _tb(F.col("token")))
-       .write.mode("append").partitionBy("tb")
-       .parquet(os.path.join(path, "postings")))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    (dl.withColumn("db", _tb(F.col(id_col)))
-       .write.mode("append").partitionBy("db")
-       .parquet(os.path.join(path, "doclens")))
-    (tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-       .withColumn("tb", _tb(F.col("token")))
-       .write.mode("append").partitionBy("tb")
-       .parquet(os.path.join(path, "vocab")))
-    (fresh.agg(F.count(F.lit(1)).alias("n_docs"))
-     .crossJoin(dl.agg(F.coalesce(F.sum("dl"), F.lit(0))
-                       .alias("total_len")))
-     .coalesce(1).write.mode("append")
-     .parquet(os.path.join(path, "stats")))
-    return {"appended": n_docs}
+    postings, doclens, vocab, stats_row = _index_tables(
+        fresh, n_buckets, text_col, id_col)
+    _write_tables(spark, ddir, postings, doclens, vocab, stats_row)
+    fsutil.write_text(spark, path_join(ddir, COMMIT), "1")
+    return {"appended": stats_row[0], "batch": token}
+
+
+def compact_text_index(spark: SparkSession, path: str) -> dict:
+    """Offline maintenance: fold base + committed deltas into a new
+    base and drop the deltas (the LSM compaction step — search cost
+    grows with delta count, and the query-time vocab/stats delta sums
+    grow with batch count). Result-transparent: delta summing is
+    associative, so pre-merging is invisible to search.
+
+    NOT concurrent-safe with an in-flight append (documented single-
+    maintainer contract, like the versioned-table writer). The swap is
+    crash-recoverable: base_new is fully written first, then
+    base -> base_old, base_new -> base; ``_recover`` (run by every
+    entry point) heals the one torn window, and base_old/deltas are
+    only deleted after the new base is in place."""
+    _recover(spark, path)
+    deltas = _committed_deltas(spark, path)
+    roots = [path_join(path, "base")] + deltas
+    postings = _read_union(spark, roots, "postings")
+    doclens = _read_union(spark, roots, "doclens")
+    vocab = _read_union(spark, roots, "vocab")
+    if vocab is not None:
+        vocab = (vocab.groupBy("tb", "token").agg(F.sum("df").alias("df"))
+                 .select("token", "df", "tb"))
+    srow = (_read_union(spark, roots, "stats")
+            .agg(F.sum("n_docs"), F.sum("total_len")).collect()[0])
+    stats_row = (int(srow[0] or 0), int(srow[1] or 0))
+    new = path_join(path, "base_new")
+    fsutil.delete(spark, new)
+    _write_tables(spark, new, postings, doclens, vocab, stats_row)
+    old = path_join(path, "base_old")
+    fsutil.delete(spark, old)
+    fsutil.rename(spark, path_join(path, "base"), old)
+    fsutil.rename(spark, new, path_join(path, "base"))
+    fsutil.delete(spark, old)
+    for d in deltas:
+        fsutil.delete(spark, d)
+    return {"n_docs": stats_row[0], "compacted_deltas": len(deltas)}

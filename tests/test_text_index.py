@@ -59,7 +59,12 @@ def test_search_prunes_token_buckets(spark, tmp_path):
                                 "doc_id long, text string")
     out = ti.search_text_index(spark, path, one, k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "tb IN (" in plan or "tb#" in plan  # partition filter present
+    # the postings scan must carry the bucket IN-list as a PARTITION
+    # filter (directory-level skip), not merely reference the column
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*tb[^\]]*IN?\b", plan) or \
+        re.search(r"PartitionFilters: \[[^\]]*tb[^\]]*=", plan)
+    assert m, f"no tb partition filter in scan:\n{plan[:2000]}"
     assert out.count() == 0  # unseen term matches nothing
 
 
@@ -100,13 +105,75 @@ def test_compact_folds_deltas_without_changing_results(spark, tmp_path):
     queries = docs.filter(F.col("doc_id") % 101 == 0)
     before = sorted(map(tuple,
                         ti.search_text_index(spark, path, queries, k=5).collect()))
-    # 3 delta row-sets -> one row per key after compaction
-    assert spark.read.parquet(f"{path}/stats").count() == 3
+    # 2 committed deltas + base before; one folded base after
+    assert len(ti._committed_deltas(spark, path)) == 2
     info = ti.compact_text_index(spark, path)
-    assert spark.read.parquet(f"{path}/stats").count() == 1
-    vocab = spark.read.parquet(f"{path}/vocab")
-    assert vocab.count() == info["vocab_rows"]
+    assert info["compacted_deltas"] == 2
+    assert ti._committed_deltas(spark, path) == []
+    assert spark.read.parquet(f"{path}/base/stats").count() == 1
+    vocab = spark.read.parquet(f"{path}/base/vocab")
     assert vocab.groupBy("token").count().filter("count > 1").count() == 0
+    assert info["n_docs"] == docs.count()
     after = sorted(map(tuple,
                        ti.search_text_index(spark, path, queries, k=5).collect()))
     assert before == after
+
+
+def test_partial_write_replay_converges(spark, tmp_path):
+    """The crash-between-writes shape: a delta directory written
+    WITHOUT its commit marker (any partial prefix of the sub-table
+    writes) must be invisible to search, and replaying the same batch
+    must converge to exactly one committed copy."""
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    extra = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "tix")
+    ti.build_text_index(spark, base, path)
+    queries = docs.filter(F.col("doc_id") % 101 == 0)
+
+    # simulate the crash: perform the append, then delete the marker
+    # (equivalent to dying after the table writes, before the commit)
+    r = ti.append_to_text_index(spark, path, extra)
+    from cdc_data_pipeline_spark.sources import fsutil
+    marker = f"{path}/delta/{r['batch']}/{ti.COMMIT}"
+    fsutil.delete(spark, marker)
+
+    # uncommitted delta is invisible: search == base-only BM25
+    got = sorted(map(tuple,
+                     ti.search_text_index(spark, path, queries, k=5).collect()))
+    want = sorted(map(tuple, bm25_topk(base, queries, k=5).collect()))
+    assert got == want
+
+    # replay: overwrites the same directory, commits, nothing doubled
+    r2 = ti.append_to_text_index(spark, path, extra)
+    assert r2["batch"] == r["batch"] and r2["appended"] == extra.count()
+    got2 = sorted(map(tuple,
+                      ti.search_text_index(spark, path, queries, k=5).collect()))
+    want2 = sorted(map(tuple, bm25_topk(docs, queries, k=5).collect()))
+    assert got2 == want2
+
+
+def test_batch_duplicates_and_empty_text_docs(spark, tmp_path):
+    """Duplicate ids inside one batch collapse to one document, and
+    token-less documents still count in n_docs (diluting avgdl) while
+    replays add nothing."""
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta")],
+        "doc_id long, text string")
+    path = str(tmp_path / "tix")
+    ti.build_text_index(spark, base, path)
+    batch = spark.createDataFrame(
+        [(3, "beta beta zeta"), (3, "beta beta zeta"), (4, "")],
+        "doc_id long, text string")
+    assert ti.append_to_text_index(spark, path, batch)["appended"] == 2
+    assert ti.append_to_text_index(spark, path, batch)["appended"] == 0
+    # full-corpus equivalence INCLUDING the empty doc's n_docs effect
+    full = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta"),
+         (3, "beta beta zeta"), (4, "")],
+        "doc_id long, text string")
+    queries = full.filter(F.col("doc_id") == 1)
+    got = sorted(map(tuple,
+                     ti.search_text_index(spark, path, queries, k=5).collect()))
+    want = sorted(map(tuple, bm25_topk(full, queries, k=5).collect()))
+    assert got == want
