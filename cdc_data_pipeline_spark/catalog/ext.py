@@ -597,7 +597,6 @@ FROM documents
 QUERIES = {
     "events_json_extract": q_events_json,
     "text_stats": q_text_stats,
-    "token_counts": q_token_counts,
 # lang_id moved to the local-parity tier in round 3 (2-row fixture
 # output is the weakest driver signal; its CASE-WHEN machinery is
 # also pinned by scd2_check) to free the slot for ivfpq_topk — the
@@ -617,7 +616,6 @@ QUERIES = {
 ORACLES = {
     "events_json_extract": SQL_EVENTS_JSON,
     "text_stats": SQL_TEXT_STATS,
-    "token_counts": SQL_TOKEN_COUNTS,
     "quality_score": SQL_QUALITY_SCORE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
@@ -863,8 +861,6 @@ SELECT doc_id, COUNT(*) AS n_segments,
 FROM ranked GROUP BY doc_id
 """
 
-QUERIES["line_dedup"] = q_line_dedup
-ORACLES["line_dedup"] = SQL_LINE_DEDUP
 
 
 # --------------------------------------- embedding projection + int8
@@ -1266,6 +1262,7 @@ GROUP BY t.query_id
 
 
 EXTRA_QUERIES = {
+    "token_counts": q_token_counts,
     "ann_recall": q_ann_recall,
     "events_tumbling_window": q_events_tumbling,
     "text_fingerprint": q_text_fingerprint,
@@ -1284,6 +1281,7 @@ EXTRA_QUERIES = {
     "rolling_anomalies": q_rolling_anomalies,
 }
 EXTRA_ORACLES = {
+    "token_counts": SQL_TOKEN_COUNTS,
     "ann_recall": SQL_ANN_RECALL,
     "events_tumbling_window": SQL_EVENTS_TUMBLING,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
@@ -1299,3 +1297,5 @@ EXTRA_ORACLES = {
     "transition_matrix": SQL_TRANSITION_MATRIX,
     "rolling_anomalies": SQL_ROLLING_ANOMALIES,
 }
+EXTRA_QUERIES["line_dedup"] = q_line_dedup
+EXTRA_ORACLES["line_dedup"] = SQL_LINE_DEDUP

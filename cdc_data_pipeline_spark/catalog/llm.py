@@ -389,10 +389,8 @@ GROUP BY 1, 2
 
 QUERIES = {
     "decontaminate": q_decontaminate,
-    "repetition_metrics": q_repetition,
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
-    "weighted_sample": q_weighted_sample,
     "kmv_distinct": q_kmv_distinct,
     "token_shards": q_token_shards,
     "semdedup_pairs": q_semdedup_pairs,
@@ -403,10 +401,8 @@ QUERIES = {
 
 ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
-    "repetition_metrics": SQL_REPETITION,
     "pii_scrub": SQL_PII_SCRUB,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
-    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "kmv_distinct": SQL_KMV_DISTINCT,
     "token_shards": SQL_TOKEN_SHARDS,
     "semdedup_pairs": SQL_SEMDEDUP_PAIRS,
@@ -1370,6 +1366,8 @@ SELECT * FROM pos UNION ALL SELECT * FROM neg
 
 
 EXTRA_QUERIES = {
+    "weighted_sample": q_weighted_sample,
+    "repetition_metrics": q_repetition,
     "kmeans_clusters": q_kmeans_clusters,
     "domain_caps": q_domain_caps,
     "mixture_sample": q_mixture_sample,
@@ -1379,10 +1377,6 @@ EXTRA_QUERIES = {
     "source_quality": q_source_quality,
     "top_tokens": q_top_tokens,
     "tfidf_top_terms": q_tfidf_top_terms,
-    "bm25_topk": q_bm25_topk,
-    "hybrid_rrf_topk": q_hybrid_rrf_topk,
-    "pack_sequences": q_pack_sequences,
-    "contrastive_pairs": q_contrastive_pairs,
     "doc_chunks": q_doc_chunks,
     "doc_embeddings": q_doc_embeddings,
     "temperature_resample": q_temperature_resample,
@@ -1397,6 +1391,8 @@ EXTRA_QUERIES = {
     "bloom_decontaminate": q_bloom_decontaminate,
 }
 EXTRA_ORACLES = {
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "repetition_metrics": SQL_REPETITION,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "domain_caps": SQL_DOMAIN_CAPS,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
@@ -1406,10 +1402,6 @@ EXTRA_ORACLES = {
     "source_quality": SQL_SOURCE_QUALITY,
     "top_tokens": SQL_TOP_TOKENS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
-    "bm25_topk": SQL_BM25_TOPK,
-    "hybrid_rrf_topk": SQL_HYBRID_RRF_TOPK,
-    "pack_sequences": SQL_PACK_SEQUENCES,
-    "contrastive_pairs": SQL_CONTRASTIVE_PAIRS,
     "doc_chunks": SQL_DOC_CHUNKS,
     "doc_embeddings": SQL_DOC_EMBEDDINGS,
     "temperature_resample": SQL_TEMPERATURE_RESAMPLE,
@@ -1422,3 +1414,16 @@ EXTRA_ORACLES = {
     "nb_classify": SQL_NB_CLASSIFY,
     "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
 }
+
+# r04 export swap: the round's flagship additions ride the driver's
+# 50-entry conformance cap; the redundant shapes they displace
+# (weighted_sample, repetition_metrics here; token_counts, line_dedup
+# in ext.py) keep the identical oracle gate in the local-parity tier.
+QUERIES["bm25_topk"] = q_bm25_topk
+ORACLES["bm25_topk"] = SQL_BM25_TOPK
+QUERIES["hybrid_rrf_topk"] = q_hybrid_rrf_topk
+ORACLES["hybrid_rrf_topk"] = SQL_HYBRID_RRF_TOPK
+QUERIES["pack_sequences"] = q_pack_sequences
+ORACLES["pack_sequences"] = SQL_PACK_SEQUENCES
+QUERIES["contrastive_pairs"] = q_contrastive_pairs
+ORACLES["contrastive_pairs"] = SQL_CONTRASTIVE_PAIRS
