@@ -69,18 +69,45 @@ def _meta(spark: SparkSession, path: str) -> dict:
 def _recover(spark: SparkSession, path: str) -> None:
     """Heal a torn compaction: the swap protocol renames base ->
     base_old before base_new -> base, so 'base missing + base_old
-    present' uniquely identifies a crash inside the window."""
+    present' uniquely identifies a crash inside the window. MUTATING —
+    called only from the maintenance entry points (append/compact,
+    which the contract already serializes); search uses the read-only
+    ``_base_root`` fallback instead, so a live reader can never race
+    a compactor's renames."""
     base = path_join(path, "base")
     old = path_join(path, "base_old")
     if not fsutil.exists(spark, base) and fsutil.exists(spark, old):
         fsutil.rename(spark, old, base)
 
 
-def _committed_deltas(spark: SparkSession, path: str) -> list[str]:
+def _base_root(spark: SparkSession, path: str) -> str:
+    """The base directory to READ: falls back to base_old inside a
+    torn-compaction window without mutating anything."""
+    base = path_join(path, "base")
+    if not fsutil.exists(spark, base):
+        old = path_join(path, "base_old")
+        if fsutil.exists(spark, old):
+            return old
+    return base
+
+
+def _committed_deltas(spark: SparkSession, path: str,
+                      base_root: str) -> list[str]:
+    """Delta directories that are committed AND not already folded
+    into this base. The base's ``compacted.json`` manifest (written
+    inside base_new BEFORE the swap) excludes folded deltas logically
+    the instant the swap lands — their later deletion is garbage
+    collection, so a crash between the swap and the GC loop can never
+    double-count them."""
+    folded = set()
+    txt = fsutil.read_text(spark, path_join(base_root, "compacted.json"))
+    if txt is not None:
+        folded = set(json.loads(txt))
     root = path_join(path, "delta")
     return sorted(
         path_join(root, name) for name in fsutil.list_names(spark, root)
-        if fsutil.exists(spark, path_join(root, name, COMMIT)))
+        if name not in folded
+        and fsutil.exists(spark, path_join(root, name, COMMIT)))
 
 
 def _read_union(spark: SparkSession, roots: list[str], table: str,
@@ -117,9 +144,12 @@ def _batch_token(batch: DataFrame, text_col: str, id_col: str) -> str:
     hashes (order-independent, overflow-free) + count. A pure function
     of the deduped batch content, so every redelivery of the same
     batch maps to the same directory."""
+    # structural multi-column hash: NULL text and separator characters
+    # inside string ids cannot make distinct (id, text) rows collide
+    # the way a concat-with-delimiter digest can
     row = batch.agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr(f"bit_xor(xxhash64(concat({id_col}, '|', {text_col})))")
+        F.expr(f"bit_xor(xxhash64({id_col}, {text_col}))")
         .alias("d")).collect()[0]
     return f"b{row['n']}x{(row['d'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
 
@@ -167,16 +197,29 @@ def _write_tables(spark: SparkSession, root: str, postings, doclens, vocab,
 def build_text_index(spark: SparkSession, corpus: DataFrame, path: str,
                      n_buckets: int = 16, text_col: str = "text",
                      id_col: str = "doc_id") -> dict:
-    """Tokenize, aggregate, and persist the base tables; any existing
-    delta directories are removed (a build is a full rewrite).
-    Returns {n_docs, n_postings}."""
+    """Tokenize, aggregate, and persist the base tables; existing
+    delta AND base directories are removed first (a build is a full
+    rewrite — stale sub-tables must not survive under the new stats).
+    A build is not crash-atomic (rebuild on a torn build); appends and
+    searches are. ``n_buckets`` is IMMUTABLE once an index exists:
+    the partition layout on disk and the reader's probe hash must
+    agree, so changing it requires deleting the index — rebuilding in
+    place with a different modulus would have a crash window serving
+    silently incomplete prunes. Returns {n_docs, n_postings}."""
+    meta_path = path_join(path, "meta.json")
+    txt = fsutil.read_text(spark, meta_path)
+    if txt is not None and json.loads(txt)["n_buckets"] != n_buckets:
+        raise ValueError(
+            f"index at {path} was built with n_buckets="
+            f"{json.loads(txt)['n_buckets']}; delete it to change the "
+            f"bucket layout (requested {n_buckets})")
     postings, doclens, vocab, stats_row = _index_tables(
         corpus.select(id_col, text_col), n_buckets, text_col, id_col)
-    fsutil.delete(spark, path_join(path, "delta"))
-    fsutil.delete(spark, path_join(path, "base_old"))
+    for sub in ("delta", "base_old", "base_new", "base"):
+        fsutil.delete(spark, path_join(path, sub))
     _write_tables(spark, path_join(path, "base"),
                   postings, doclens, vocab, stats_row)
-    fsutil.write_text(spark, path_join(path, "meta.json"),
+    fsutil.write_text(spark, meta_path,
                       json.dumps({"n_buckets": n_buckets}))
     return {"n_docs": stats_row[0], "n_postings": postings.count()}
 
@@ -187,11 +230,13 @@ def search_text_index(spark: SparkSession, path: str, queries: DataFrame,
                       id_col: str = "doc_id") -> DataFrame:
     """BM25 top-k over the persisted index, touching only the query
     vocabulary's postings/vocab buckets in base + committed deltas.
-    Output matches ``terms.bm25_topk`` exactly on the same corpus
+    READ-ONLY (safe alongside maintenance: a torn compaction is read
+    through the base_old fallback, never healed by a reader). Output
+    matches ``terms.bm25_topk`` exactly on the same corpus
     (query_id, neighbor_id, bm25, rank)."""
-    _recover(spark, path)
     n_buckets = _meta(spark, path)["n_buckets"]
-    roots = [path_join(path, "base")] + _committed_deltas(spark, path)
+    base = _base_root(spark, path)
+    roots = [base] + _committed_deltas(spark, path, base)
     qt = (queries.select(F.col(id_col).alias("query_id"),
                          F.explode(tokens(text_col)).alias("token"))
           .distinct().localCheckpoint(eager=True))
@@ -202,8 +247,9 @@ def search_text_index(spark: SparkSession, path: str, queries: DataFrame,
         _tb(F.col("token"), n_buckets).alias("tb")).distinct().collect()]
     postings = _read_union(spark, roots, "postings", "tb", buckets)
     if postings is None:
+        idt = dict(queries.dtypes)[id_col]
         return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, bm25 double, rank int")
+            [], f"query_id {idt}, neighbor_id {idt}, bm25 double, rank int")
     # vocab deltas -> exact current df for the probed vocabulary
     dfreq = (_read_union(spark, roots, "vocab", "tb", buckets)
              .groupBy("token").agg(F.sum("df").alias("df")))
@@ -244,10 +290,14 @@ def append_to_text_index(spark: SparkSession, path: str, batch: DataFrame,
         return {"appended": 0, "batch": token}
     dbs = [r[0] for r in batch0.select(
         _tb(F.col(id_col), n_buckets).alias("db")).distinct().collect()]
-    roots = [path_join(path, "base")] + _committed_deltas(spark, path)
-    existing = _read_union(spark, roots, "doclens", "db", dbs).select(id_col)
-    fresh = (batch0.join(existing, id_col, "left_anti")
-             .localCheckpoint(eager=True))
+    base = path_join(path, "base")
+    roots = [base] + _committed_deltas(spark, path, base)
+    existing = _read_union(spark, roots, "doclens", "db", dbs)
+    # no doclens anywhere = an index built over an empty corpus being
+    # bootstrapped by its first streamed batch: nothing to dedup against
+    fresh = batch0 if existing is None else \
+        batch0.join(existing.select(id_col), id_col, "left_anti") \
+              .localCheckpoint(eager=True)
     postings, doclens, vocab, stats_row = _index_tables(
         fresh, n_buckets, text_col, id_col)
     _write_tables(spark, ddir, postings, doclens, vocab, stats_row)
@@ -263,31 +313,51 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     associative, so pre-merging is invisible to search.
 
     NOT concurrent-safe with an in-flight append (documented single-
-    maintainer contract, like the versioned-table writer). The swap is
-    crash-recoverable: base_new is fully written first, then
-    base -> base_old, base_new -> base; ``_recover`` (run by every
-    entry point) heals the one torn window, and base_old/deltas are
-    only deleted after the new base is in place."""
+    maintainer contract, like the versioned-table writer); concurrent
+    SEARCHES are safe — they read base_old through the torn window and
+    never mutate. Crash-safety is two-layered: (1) base_new carries a
+    ``compacted.json`` manifest naming the folded deltas, so the
+    instant the swap lands those deltas are excluded LOGICALLY —
+    a crash before the GC loop cannot double-count them, and the next
+    compact (or this one re-run) garbage-collects the leftovers;
+    (2) ``_recover`` heals the rename window itself (base missing,
+    base_old present)."""
     _recover(spark, path)
-    deltas = _committed_deltas(spark, path)
-    roots = [path_join(path, "base")] + deltas
+    base = path_join(path, "base")
+    deltas = _committed_deltas(spark, path, base)
+    roots = [base] + deltas
     postings = _read_union(spark, roots, "postings")
     doclens = _read_union(spark, roots, "doclens")
     vocab = _read_union(spark, roots, "vocab")
     if vocab is not None:
         vocab = (vocab.groupBy("tb", "token").agg(F.sum("df").alias("df"))
                  .select("token", "df", "tb"))
-    srow = (_read_union(spark, roots, "stats")
-            .agg(F.sum("n_docs"), F.sum("total_len")).collect()[0])
-    stats_row = (int(srow[0] or 0), int(srow[1] or 0))
+    stats_df = _read_union(spark, roots, "stats")
+    stats_row = (0, 0)
+    if stats_df is not None:
+        srow = stats_df.agg(F.sum("n_docs"), F.sum("total_len")).collect()[0]
+        stats_row = (int(srow[0] or 0), int(srow[1] or 0))
     new = path_join(path, "base_new")
     fsutil.delete(spark, new)
     _write_tables(spark, new, postings, doclens, vocab, stats_row)
+    # the manifest ACCUMULATES across compactions: a folded-but-not-
+    # yet-GC'd delta from a previous crashed run must stay excluded
+    # under the new base too (names of fully deleted deltas are
+    # harmless residue, dropped here once their directory is gone)
+    prev = fsutil.read_text(spark, path_join(base, "compacted.json"))
+    carried = [n for n in (json.loads(prev) if prev else [])
+               if fsutil.exists(spark, path_join(path, "delta", n))]
+    folded = sorted(set(carried) | {d.rsplit("/", 1)[-1] for d in deltas})
+    fsutil.write_text(spark, path_join(new, "compacted.json"),
+                      json.dumps(folded))
     old = path_join(path, "base_old")
     fsutil.delete(spark, old)
-    fsutil.rename(spark, path_join(path, "base"), old)
-    fsutil.rename(spark, new, path_join(path, "base"))
+    fsutil.rename(spark, base, old)
+    fsutil.rename(spark, new, base)
+    # everything below is garbage collection — the manifest already
+    # excludes the folded deltas from every reader (including the
+    # carried-over leftovers of a previously crashed GC)
     fsutil.delete(spark, old)
-    for d in deltas:
-        fsutil.delete(spark, d)
+    for name in folded:
+        fsutil.delete(spark, path_join(path, "delta", name))
     return {"n_docs": stats_row[0], "compacted_deltas": len(deltas)}

@@ -106,10 +106,10 @@ def test_compact_folds_deltas_without_changing_results(spark, tmp_path):
     before = sorted(map(tuple,
                         ti.search_text_index(spark, path, queries, k=5).collect()))
     # 2 committed deltas + base before; one folded base after
-    assert len(ti._committed_deltas(spark, path)) == 2
+    assert len(ti._committed_deltas(spark, path, f"{path}/base")) == 2
     info = ti.compact_text_index(spark, path)
     assert info["compacted_deltas"] == 2
-    assert ti._committed_deltas(spark, path) == []
+    assert ti._committed_deltas(spark, path, f"{path}/base") == []
     assert spark.read.parquet(f"{path}/base/stats").count() == 1
     vocab = spark.read.parquet(f"{path}/base/vocab")
     assert vocab.groupBy("token").count().filter("count > 1").count() == 0
@@ -177,3 +177,86 @@ def test_batch_duplicates_and_empty_text_docs(spark, tmp_path):
                      ti.search_text_index(spark, path, queries, k=5).collect()))
     want = sorted(map(tuple, bm25_topk(full, queries, k=5).collect()))
     assert got == want
+
+
+def test_crash_after_compact_swap_cannot_double_count(spark, tmp_path):
+    """The compacted.json manifest excludes folded deltas logically:
+    even if the GC loop never ran (crash after the base swap), a
+    still-present folded delta directory must not be read again."""
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    extra = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "tix")
+    ti.build_text_index(spark, base, path)
+    r = ti.append_to_text_index(spark, path, extra)
+    queries = docs.filter(F.col("doc_id") % 101 == 0)
+    want = sorted(map(tuple,
+                      ti.search_text_index(spark, path, queries, k=5).collect()))
+    ti.compact_text_index(spark, path)
+    # resurrect the folded delta as if GC had crashed before deleting it
+    import shutil
+    ddir = f"{path}/delta/{r['batch']}"
+    ti.build_text_index(spark, extra, str(tmp_path / "donor"))
+    shutil.copytree(str(tmp_path / "donor" / "base"), ddir)
+    from cdc_data_pipeline_spark.sources import fsutil
+    fsutil.write_text(spark, f"{ddir}/{ti.COMMIT}", "1")
+    got = sorted(map(tuple,
+                     ti.search_text_index(spark, path, queries, k=5).collect()))
+    assert got == want  # manifest keeps the leftover invisible
+    # the next compact garbage-collects it and changes nothing
+    ti.compact_text_index(spark, path)
+    assert not fsutil.exists(spark, ddir)
+    again = sorted(map(tuple,
+                       ti.search_text_index(spark, path, queries, k=5).collect()))
+    assert again == want
+
+
+def test_null_text_batches_get_distinct_digests(spark, tmp_path):
+    """Two different batches whose text is NULL must not collide on
+    the content digest (the concat-based digest nulled the whole row
+    hash; the structural hash keeps the id contribution)."""
+    path = str(tmp_path / "tix")
+    ti.build_text_index(
+        spark, spark.createDataFrame([(1, "alpha beta")],
+                                     "doc_id long, text string"), path)
+    b1 = spark.createDataFrame([(10, None)], "doc_id long, text string")
+    b2 = spark.createDataFrame([(20, None)], "doc_id long, text string")
+    r1 = ti.append_to_text_index(spark, path, b1)
+    r2 = ti.append_to_text_index(spark, path, b2)
+    assert r1["batch"] != r2["batch"]
+    assert r1["appended"] == 1 and r2["appended"] == 1
+
+
+def test_empty_index_bootstraps_from_first_append(spark, tmp_path):
+    """The streaming bootstrap shape: build over an empty corpus, then
+    the first appended batch must index cleanly."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    path = str(tmp_path / "tix")
+    assert ti.build_text_index(spark, empty, path)["n_docs"] == 0
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta")],
+        "doc_id long, text string")
+    assert ti.append_to_text_index(spark, path, batch)["appended"] == 2
+    queries = batch.filter(F.col("doc_id") == 1)
+    got = sorted(map(tuple,
+                     ti.search_text_index(spark, path, queries, k=5).collect()))
+    want = sorted(map(tuple, bm25_topk(batch, queries, k=5).collect()))
+    assert got == want
+
+
+def test_rebuild_fully_rewrites_and_bucket_layout_is_immutable(spark, tmp_path):
+    import pytest as _pytest
+
+    docs = _docs(spark)
+    path = str(tmp_path / "tix")
+    ti.build_text_index(spark, docs, path)
+    # rebuild over a 2-doc corpus: no stale postings may survive
+    small = docs.filter(F.col("doc_id").isin([0, 101]))
+    ti.build_text_index(spark, small, path)
+    queries = small.filter(F.col("doc_id") == 0)
+    got = sorted(map(tuple,
+                     ti.search_text_index(spark, path, queries, k=5).collect()))
+    want = sorted(map(tuple, bm25_topk(small, queries, k=5).collect()))
+    assert got == want and len(got) <= 1
+    with _pytest.raises(ValueError, match="n_buckets"):
+        ti.build_text_index(spark, small, path, n_buckets=32)
