@@ -8,12 +8,15 @@ Two tiers:
 
 - ``queries()`` / ``oracles()`` — the 50 entries exported through
   ``__spark_entry__`` for the driver's conformance check (the driver
-  evaluates at most 50, so every LLM-pipeline operator lives here;
-  extension modules iterate first as extra safety against a lower cap).
-- ``extra_queries()`` / ``extra_oracles()`` — redundant relational
-  shapes (each one's operator machinery also appears in an exported
-  entry, and each was driver-green in round 1). They get the identical
-  DuckDB-oracle treatment in tests/test_oracle_parity.py on every run.
+  evaluates at most 50; extension modules iterate first as extra
+  safety against a lower cap). Rounds rotate which entries ride the
+  cap — newly added flagship operators are promoted and redundant
+  shapes demoted, never removed.
+- ``extra_queries()`` / ``extra_oracles()`` — everything else: shapes
+  whose operator machinery also appears in an exported entry, plus
+  operators added after the cap filled. They get the identical
+  DuckDB-oracle treatment in tests/test_oracle_parity.py on every run,
+  so both tiers carry the same correctness evidence.
 """
 
 from cdc_data_pipeline_spark.catalog import analytics, core, ext, ingest, llm, tpch
