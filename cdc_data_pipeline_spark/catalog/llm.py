@@ -1365,7 +1365,87 @@ SELECT * FROM pos UNION ALL SELECT * FROM neg
 """
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for retrieval training: per query (every
+    101st doc), the top-5 BM25 scorers that are NOT near-duplicates
+    (Jaccard >= 0.3 over the df-capped shingle space) — known
+    positives are excluded before the rank so the top-k backfills.
+    Both halves exact -> exact composed oracle."""
+    from cdc_data_pipeline_spark.operators.contrastive import (
+        mine_hard_negatives)
+
+    docs = _docs(spark, sf_dir)
+    qs = docs.filter(F.col("doc_id") % _BM25_QMOD == 0)
+    return mine_hard_negatives(docs, qs, k_neg=_BM25_K,
+                               pos_threshold=_CP_THRESH, shingle_k=3,
+                               max_df=_CP_MAXDF)
+
+
+# bm25 chain (verbatim from SQL_BM25_TOPK) + jaccard-pos chain
+# (verbatim from SQL_CONTRASTIVE_PAIRS) + canonical-pair anti-join
+# BEFORE the rank window.
+SQL_HARD_NEGATIVES = _DUCK_TOKS + f""",
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY doc_id, token),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 (SELECT SUM(dl) FROM dl) AS total_len),
+qt AS (SELECT DISTINCT doc_id AS query_id, token
+       FROM ex WHERE doc_id % {_BM25_QMOD} = 0),
+sc AS (SELECT q.query_id, t.doc_id AS neighbor_id,
+              CAST(ROUND(
+                ln(((s.n_docs - f.df) + CAST(0.5 AS DOUBLE))
+                   / (f.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+                * t.tf * CAST({1.2 + 1.0!r} AS DOUBLE)
+                / (t.tf + CAST(1.2 AS DOUBLE)
+                          * (CAST({1.0 - 0.75!r} AS DOUBLE)
+                             + (CAST(0.75 AS DOUBLE) * d.dl)
+                               / (s.total_len / CAST(s.n_docs AS DOUBLE))))
+                * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS ci
+       FROM tf t JOIN qt q USING (token)
+       JOIN dl d ON t.doc_id = d.doc_id
+       JOIN dfreq f ON t.token = f.token
+       CROSS JOIN stats s
+       WHERE q.query_id <> t.doc_id),
+sm AS (SELECT query_id, neighbor_id, SUM(ci) AS si
+       FROM sc GROUP BY query_id, neighbor_id),
+shj AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1),
+                                  i -> array_to_string(t[i:i+2], ' '))
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks),
+exall AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM shj),
+freq AS (SELECT s, count(*) AS df FROM exall GROUP BY s),
+exc AS (SELECT e.doc_id, e.s FROM exall e JOIN freq f ON e.s = f.s
+        WHERE f.df <= {_CP_MAXDF}),
+sizes AS (SELECT doc_id, count(*) AS n FROM exc GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pos AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= {_CP_THRESH}),
+kept AS (SELECT m.query_id, m.neighbor_id, m.si
+         FROM sm m ANTI JOIN pos
+           ON LEAST(m.query_id, m.neighbor_id) = pos.id_a
+          AND GREATEST(m.query_id, m.neighbor_id) = pos.id_b)
+SELECT query_id, neighbor_id,
+       si / CAST(1000000.0 AS DOUBLE) AS bm25,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY si DESC, neighbor_id) AS INTEGER) AS rank
+FROM kept QUALIFY rank <= {_BM25_K}
+"""
+
+
 EXTRA_QUERIES = {
+    "hard_negatives": q_hard_negatives,
     "weighted_sample": q_weighted_sample,
     "repetition_metrics": q_repetition,
     "kmeans_clusters": q_kmeans_clusters,
@@ -1391,6 +1471,7 @@ EXTRA_QUERIES = {
     "bloom_decontaminate": q_bloom_decontaminate,
 }
 EXTRA_ORACLES = {
+    "hard_negatives": SQL_HARD_NEGATIVES,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "repetition_metrics": SQL_REPETITION,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from cdc_data_pipeline_spark.operators.dedup import jaccard_pairs
 from cdc_data_pipeline_spark.operators.shuffle import deterministic_shuffle
+from cdc_data_pipeline_spark.operators.terms import bm25_topk
 
 
 def mine_contrastive_pairs(df: DataFrame, k_neg: int = 2,
@@ -72,3 +73,30 @@ def mine_contrastive_pairs(df: DataFrame, k_neg: int = 2,
            .select("id_a", "id_b", F.lit(0).alias("label"),
                    F.lit(None).cast("double").alias("score")))
     return pos.unionByName(neg)
+
+
+def mine_hard_negatives(df: DataFrame, queries: DataFrame, k_neg: int = 5,
+                        pos_threshold: float = 0.5, shingle_k: int = 3,
+                        max_df: int | None = None, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """HARD negatives for retrieval-model training (the DPR/E5/SBERT
+    recipe): per query, the top-``k_neg`` BM25-scoring documents that
+    are NOT near-duplicates of it — lexically confusable but
+    semantically distinct, the negatives that actually teach a
+    bi-encoder its decision boundary (random negatives are too easy;
+    ``mine_contrastive_pairs`` supplies those).
+
+    Known positives (shingle-Jaccard >= ``pos_threshold``, the same
+    exact construction the positive miner uses) are excluded BEFORE
+    the rank, so the top-k backfills past them instead of losing
+    slots. Returns ``(query_id, neighbor_id, bm25, rank)`` — rank is
+    the hardness order (1 = hardest).
+
+    Scale: one postings build + the skew-safe BM25 rank
+    (``terms.bm25_topk``); the exclusion set is the df-capped Jaccard
+    pair list, anti-joined on the (query, neighbor) pair key.
+    """
+    pos = jaccard_pairs(df, text_col, id_col, shingle_k,
+                        pos_threshold, max_df).select("id_a", "id_b")
+    return bm25_topk(df, queries, k=k_neg, text_col=text_col,
+                     id_col=id_col, exclude_pairs=pos)

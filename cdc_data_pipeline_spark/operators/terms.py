@@ -91,7 +91,8 @@ def tfidf_top_terms(df: DataFrame, top: int = 3, min_df: int = 1,
 def bm25_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
               k1: float = 1.2, b: float = 0.75,
               text_col: str = "text", id_col: str = "doc_id",
-              query_id_col: str = "query_id") -> DataFrame:
+              query_id_col: str = "query_id",
+              exclude_pairs: DataFrame | None = None) -> DataFrame:
     """Okapi BM25 top-k document retrieval (Robertson–Spärck Jones),
     the standard lexical ranking function (Lucene/Elasticsearch
     default). For each query document, score every corpus document
@@ -133,14 +134,16 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                   F.explode(tokens(text_col)).alias("token"))
           .distinct())
     return score_bm25_postings(tf, qt, dl, dfreq, stats, k=k, k1=k1, b=b,
-                               id_col=id_col, query_id_col=query_id_col)
+                               id_col=id_col, query_id_col=query_id_col,
+                               exclude_pairs=exclude_pairs)
 
 
 def score_bm25_postings(tf: DataFrame, qt: DataFrame, dl: DataFrame,
                         dfreq: DataFrame, stats: DataFrame, k: int = 5,
                         k1: float = 1.2, b: float = 0.75,
                         id_col: str = "doc_id",
-                        query_id_col: str = "query_id") -> DataFrame:
+                        query_id_col: str = "query_id",
+                        exclude_pairs: DataFrame | None = None) -> DataFrame:
     """The BM25 scoring plan over pre-built relations — shared by
     ``bm25_topk`` (relations derived from the corpus in-flight) and
     the persisted inverted index (relations read from storage), so
@@ -180,6 +183,21 @@ def score_bm25_postings(tf: DataFrame, qt: DataFrame, dl: DataFrame,
               .withColumn("__ci", F.round(contrib * 1e6, 0).cast("long"))
               .groupBy(query_id_col, F.col(id_col).alias("neighbor_id"))
               .agg(F.sum("__ci").alias("__si")))
+    if exclude_pairs is not None:
+        # drop named (query, neighbor) pairs BEFORE ranking, so the
+        # top-k backfills past them (hard-negative mining: known
+        # positives must not consume result slots). Matched on the
+        # canonical unordered orientation.
+        ex = exclude_pairs.select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("__xa"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("__xb"))
+        summed = (summed
+                  .withColumn("__xa", F.least(F.col(query_id_col),
+                                              F.col("neighbor_id")))
+                  .withColumn("__xb", F.greatest(F.col(query_id_col),
+                                                 F.col("neighbor_id")))
+                  .join(ex, ["__xa", "__xb"], "left_anti")
+                  .drop("__xa", "__xb"))
     top = group_topk(summed, [query_id_col], k,
                      [("__si", False), ("neighbor_id", True)],
                      rank_col="rank")

@@ -512,3 +512,26 @@ def test_mine_contrastive_pairs_semantics(spark):
     again = mine_contrastive_pairs(docs.repartition(5), k_neg=2,
                                    pos_threshold=0.3, n_shards=2).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hard_negatives_exclude_near_dups_and_backfill(spark):
+    from cdc_data_pipeline_spark.operators.contrastive import (
+        mine_hard_negatives)
+
+    # doc 1 is a near-duplicate of query 10 (shares 4 of 5 shingle
+    # words) -> excluded; docs 2/3 share terms without being dups ->
+    # they are the hard negatives, backfilling doc 1's slot.
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta unrelated words here"),
+         (3, "gamma delta other content body"),
+         (4, "completely different text entirely"),
+         (10, "alpha beta gamma delta zeta")],
+        "doc_id long, text string")
+    queries = corpus.filter(F.col("doc_id") == 10)
+    out = mine_hard_negatives(corpus, queries, k_neg=2, pos_threshold=0.3)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    ids = [r["neighbor_id"] for r in rows]
+    assert 1 not in ids and 10 not in ids   # near-dup + self excluded
+    assert len(ids) == 2 and set(ids) <= {2, 3, 4}
+    assert rows[0]["bm25"] >= rows[1]["bm25"]
