@@ -383,3 +383,45 @@ def test_mixture_repeat_python_reference(spark, rows, epochs):
         c = int(math.floor(r)) + (1 if py_uniform_hash(str(i), 3) < r - math.floor(r) else 0)
         expect.extend((i, e) for e in range(c))
     assert got == sorted(expect)
+
+
+TOKCOUNTS = st.lists(st.integers(0, 40), min_size=0, max_size=25)
+
+
+@given(counts=TOKCOUNTS, seq_len=st.integers(1, 17))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_sequences_tiling_invariants(spark, counts, seq_len):
+    """For ANY token-count sequence and window size: (1) fragments
+    tile each document exactly (contiguous doc offsets summing to its
+    count); (2) every window except the last holds exactly seq_len
+    tokens; (3) window offsets never exceed seq_len; (4) zero-token
+    docs vanish."""
+    from cdc_data_pipeline_spark.operators.packing import pack_sequences
+
+    rows = [(i, c) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_sequences(df, seq_len, "n_tok", "doc_id", chunk=4).collect()
+    total = sum(c for _, c in rows)
+    by_doc, by_seq = {}, {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        by_seq[r["seq_id"]] = by_seq.get(r["seq_id"], 0) + r["frag_len"]
+        assert 0 <= r["seq_offset"] < seq_len
+        assert 0 < r["frag_len"] <= seq_len
+    for i, c in rows:
+        if c == 0:
+            assert i not in by_doc
+            continue
+        frags = sorted(by_doc[i], key=lambda r: r["doc_offset"])
+        assert frags[0]["doc_offset"] == 0
+        assert sum(f["frag_len"] for f in frags) == c
+        for a, z in zip(frags, frags[1:]):
+            assert z["doc_offset"] == a["doc_offset"] + a["frag_len"]
+    if total:
+        n_seq = (total + seq_len - 1) // seq_len
+        assert set(by_seq) == set(range(n_seq))
+        for sid, n in by_seq.items():
+            assert n == (seq_len if sid < n_seq - 1 else total - seq_len * (n_seq - 1))
+    else:
+        assert not by_seq
