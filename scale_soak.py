@@ -90,6 +90,7 @@ def run_suite(spark, li_path, doc_path, emb_path):
         "shuffle_shards": timed(lambda: noop(_shuffle(docs))),
         "ivfpq_topk": timed(lambda: noop(_ivfpq(emb))),
         "bm25_topk": timed(lambda: noop(_bm25(docs))),
+        "text_index_build_search": timed(lambda: _text_index(docs)),
     }
 
 
@@ -133,6 +134,29 @@ def _bm25(docs):
     queries = docs.filter((F.col("doc_id") < SHIFT)
                           & (F.col("doc_id") % 97 == 0))
     return bm25_topk(docs, queries, k=5)
+
+
+def _text_index(docs):
+    # Persisted-index scale probe: build (the one full-corpus shuffle)
+    # + a pinned-query search over the bucket-pruned layout. Both
+    # phases must grow ~linearly with the corpus.
+    import shutil
+    import tempfile
+
+    from cdc_data_pipeline_spark.operators import text_index as ti
+    from cdc_data_pipeline_spark.sources.readers import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    spark = docs.sparkSession
+    path = tempfile.mkdtemp(prefix="soak_tix_")
+    try:
+        ti.build_text_index(spark, docs, path)
+        queries = docs.filter((F.col("doc_id") < SHIFT)
+                              & (F.col("doc_id") % 97 == 0))
+        ti.search_text_index(spark, path, queries, k=5) \
+            .write.format("noop").mode("overwrite").save()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def _fuzzy_keep(docs):
