@@ -1365,6 +1365,101 @@ SELECT * FROM pos UNION ALL SELECT * FROM neg
 """
 
 
+def q_hybrid_ivf_rrf(spark, sf_dir):
+    """The SCALE-PATH hybrid: BM25 lexical top-5 fused with IVF ANN
+    top-5 (nprobe=1 cell pruning instead of brute-force cosine) —
+    what the hybrid looks like when the dense side must not scan the
+    corpus. Same %101 query ids on both sides; the IVF construction
+    is deterministic (9dp assignment, lowest-cid tiebreak), so the
+    whole composition keeps an exact oracle."""
+    from cdc_data_pipeline_spark.operators import similarity as sim
+    from cdc_data_pipeline_spark.operators import terms as tm
+
+    docs = _docs(spark, sf_dir)
+    lex = tm.bm25_topk(docs, docs.filter(F.col("doc_id") % _BM25_QMOD == 0),
+                       k=_BM25_K)
+    emb = _emb(spark, sf_dir)
+    centroids = emb.filter(F.col("vec_id") % 50 == 25) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    den = sim.ivf_topk(emb, emb.filter(F.col("vec_id") % _BM25_QMOD == 0),
+                       centroids, k=_BM25_K)
+    return sim.rrf_fuse([lex, den], k=_BM25_K)
+
+
+# bm25 chain verbatim; dense half = SQL_IVF_TOPK's deterministic IVF
+# construction at the % {_BM25_QMOD} query set; fused like
+# SQL_HYBRID_RRF_TOPK.
+SQL_HYBRID_IVF_RRF = _DUCK_TOKS + f""",
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY doc_id, token),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 (SELECT SUM(dl) FROM dl) AS total_len),
+qt AS (SELECT DISTINCT doc_id AS query_id, token
+       FROM ex WHERE doc_id % {_BM25_QMOD} = 0),
+sc AS (SELECT q.query_id, t.doc_id AS neighbor_id,
+              CAST(ROUND(
+                ln(((s.n_docs - f.df) + CAST(0.5 AS DOUBLE))
+                   / (f.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+                * t.tf * CAST({1.2 + 1.0!r} AS DOUBLE)
+                / (t.tf + CAST(1.2 AS DOUBLE)
+                          * (CAST({1.0 - 0.75!r} AS DOUBLE)
+                             + (CAST(0.75 AS DOUBLE) * d.dl)
+                               / (s.total_len / CAST(s.n_docs AS DOUBLE))))
+                * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS ci
+       FROM tf t JOIN qt q USING (token)
+       JOIN dl d ON t.doc_id = d.doc_id
+       JOIN dfreq f ON t.token = f.token
+       CROSS JOIN stats s
+       WHERE q.query_id <> t.doc_id),
+sm AS (SELECT query_id, neighbor_id, SUM(ci) AS si
+       FROM sc GROUP BY query_id, neighbor_id),
+lex AS (SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY si DESC, neighbor_id)
+                    AS INTEGER) AS r
+        FROM sm QUALIFY r <= {_BM25_K}),
+cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 25),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                 c.cv::DOUBLE[]), 9) DESC,
+                    c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+  QUALIFY rn = 1),
+qv AS (
+  SELECT vec_id AS query_id, embedding AS qve, cid FROM assign
+  WHERE vec_id % {_BM25_QMOD} = 0),
+dsc AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.qve::DOUBLE[],
+                                      a.embedding::DOUBLE[]), 6) AS cos
+  FROM qv q JOIN assign a ON q.cid = a.cid AND q.query_id <> a.vec_id),
+den AS (SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id)
+                    AS INTEGER) AS r
+        FROM dsc QUALIFY r <= {_BM25_K}),
+fused AS (SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+                 COALESCE(l.neighbor_id, d.neighbor_id) AS neighbor_id,
+                 COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r),
+                          CAST(0.0 AS DOUBLE))
+               + COALESCE(CAST(1.0 AS DOUBLE) / (60 + d.r),
+                          CAST(0.0 AS DOUBLE)) AS rrf
+          FROM lex l FULL OUTER JOIN den d
+            ON l.query_id = d.query_id AND l.neighbor_id = d.neighbor_id)
+SELECT query_id, neighbor_id, rrf,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, neighbor_id)
+            AS INTEGER) AS rank
+FROM fused QUALIFY rank <= {_BM25_K}
+"""
+
+
 def q_hard_negatives(spark, sf_dir):
     """Hard-negative mining for retrieval training: per query (every
     101st doc), the top-5 BM25 scorers that are NOT near-duplicates
@@ -1446,6 +1541,7 @@ FROM kept QUALIFY rank <= {_BM25_K}
 
 EXTRA_QUERIES = {
     "hard_negatives": q_hard_negatives,
+    "hybrid_ivf_rrf": q_hybrid_ivf_rrf,
     "weighted_sample": q_weighted_sample,
     "repetition_metrics": q_repetition,
     "kmeans_clusters": q_kmeans_clusters,
@@ -1472,6 +1568,7 @@ EXTRA_QUERIES = {
 }
 EXTRA_ORACLES = {
     "hard_negatives": SQL_HARD_NEGATIVES,
+    "hybrid_ivf_rrf": SQL_HYBRID_IVF_RRF,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "repetition_metrics": SQL_REPETITION,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
