@@ -332,14 +332,18 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
 
 
 def rrf_fuse(ranked: list[DataFrame], k: int = 5, k_rrf: int = 60,
+             weights: list[float] | None = None,
              query_id_col: str = "query_id",
              neighbor_id_col: str = "neighbor_id",
              rank_col: str = "rank") -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al. 2009) of N per-query
     top-k rankings — the standard hybrid-retrieval combiner (e.g.
     lexical BM25 + dense cosine ANN, the Elasticsearch/Vespa hybrid
-    default): ``rrf = sum over sources of 1/(k_rrf + rank)``, with a
+    default): ``rrf = sum over sources of w_i/(k_rrf + rank)``, with a
     source contributing 0 when the candidate is absent from its list.
+    ``weights`` (default all 1.0 — the classic unweighted RRF) biases
+    the fusion toward a source, the standard production tuning knob
+    when one retriever is known-stronger for the workload.
 
     Inputs are (query_id, neighbor_id, rank) frames (any extra columns
     ignored); ranks must be 1-based. Scores are combined in list order
@@ -356,6 +360,9 @@ def rrf_fuse(ranked: list[DataFrame], k: int = 5, k_rrf: int = 60,
     Returns ``(query_id, neighbor_id, rrf, rank)``.
     """
     assert len(ranked) >= 2, "fusion needs at least two rankings"
+    if weights is None:
+        weights = [1.0] * len(ranked)
+    assert len(weights) == len(ranked), "one weight per ranking"
     base = None
     for i, df in enumerate(ranked):
         d = df.select(F.col(query_id_col), F.col(neighbor_id_col),
@@ -363,8 +370,8 @@ def rrf_fuse(ranked: list[DataFrame], k: int = 5, k_rrf: int = 60,
         base = d if base is None else base.join(
             d, [query_id_col, neighbor_id_col], "full_outer")
     score = None
-    for i in range(len(ranked)):
-        term = F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col(f"__r{i}")),
+    for i, w in enumerate(weights):
+        term = F.coalesce(F.lit(float(w)) / (F.lit(k_rrf) + F.col(f"__r{i}")),
                           F.lit(0.0))
         score = term if score is None else score + term
     fused = base.withColumn("rrf", score)

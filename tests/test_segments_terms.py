@@ -196,3 +196,21 @@ def test_rrf_fuse_prefers_candidates_in_both_lists(spark):
     assert abs(out[1]["rrf"] - 1 / 61) < 1e-12
     # 1 and 3 tie on score (rank 1 in one list each) -> id tiebreak
     assert out[1]["rrf"] == out[2]["rrf"]
+
+
+def test_rrf_fuse_weights_bias_a_source(spark):
+    from cdc_data_pipeline_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 1, 1)], "query_id long, neighbor_id long, rank int")
+    den = spark.createDataFrame(
+        [(0, 3, 1)], "query_id long, neighbor_id long, rank int")
+    # unweighted: tie broken by id -> 1 first; weighting the dense
+    # source 3x flips the order
+    plain = sorted(rrf_fuse([lex, den], k=2).collect(),
+                   key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in plain] == [1, 3]
+    biased = sorted(rrf_fuse([lex, den], k=2, weights=[1.0, 3.0]).collect(),
+                    key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in biased] == [3, 1]
+    assert abs(biased[0]["rrf"] - 3 / 61) < 1e-12
