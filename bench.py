@@ -111,6 +111,18 @@ def main() -> None:
     wall = round(time.time() - t_wall0, 3)
     total = round(sum(timings.values()), 3)
 
+    # the delta report is a nicety — it must never fail the bench
+    # contract (BENCH_r03 recorded rc=1 from a null "parsed" block).
+    # It prints BEFORE the JSON line: the driver captures stdout+stderr
+    # merged and parses the LAST JSON-looking line, so the JSON must be
+    # the final thing this process writes (BENCH_r04 lost its parsed
+    # block to the table landing after the JSON in the merged stream).
+    try:
+        _report_deltas(timings, sf)
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"(delta report skipped: {exc})", file=sys.stderr)
+    sys.stderr.flush()
+
     print(json.dumps({
         # sum of per-query min-of-N timings (NOT end-to-end wall time —
         # that is wall_sec_all_runs, which includes every repeat run)
@@ -122,13 +134,7 @@ def main() -> None:
         "runs_per_query": runs_per_query,
         "agg": "min",
         "wall_sec_all_runs": wall,
-    }))
-    # the delta report is a nicety — it must never fail the bench
-    # contract (BENCH_r03 recorded rc=1 from a null "parsed" block)
-    try:
-        _report_deltas(timings, sf)
-    except Exception as exc:  # pragma: no cover - defensive
-        print(f"(delta report skipped: {exc})", file=sys.stderr)
+    }), flush=True)
 
 
 def _report_deltas(timings: dict[str, float], sf: float) -> None:

@@ -7,12 +7,24 @@ done in DOUBLE so a DuckDB oracle (unnest + sum of products) matches.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
 def _as_col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
+
+
+def _finite(x, where: str) -> float:
+    """repr(nan)/repr(inf) would render 'nanD'/'infD' literals that fail
+    SQL analysis with an opaque parse error far from the cause (e.g. a
+    degenerate centroid from an empty k-means cell); fail fast here."""
+    f = float(x)
+    if not math.isfinite(f):
+        raise ValueError(f"non-finite literal {f!r} in {where}")
+    return f
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
@@ -49,7 +61,8 @@ def lit_double_array(values) -> Column:
     Spark parses D-suffixed literals with ``Double.parseDouble``, so
     the resulting plan literals are bit-identical to the ``F.lit``
     form (pinned by the engine-agreement and oracle-parity tests)."""
-    return F.expr("array(" + ",".join("%rD" % float(x) for x in values) + ")")
+    return F.expr("array(" + ",".join(
+        "%rD" % _finite(x, "lit_double_array") for x in values) + ")")
 
 
 def lit_id_vector_array(pairs, id_sql_type: str = "INT") -> Column:
@@ -59,7 +72,9 @@ def lit_id_vector_array(pairs, id_sql_type: str = "INT") -> Column:
     codebooks)."""
     entries = ",".join(
         "named_struct('c', CAST({} AS {}), 'v', array({}))".format(
-            int(cid), id_sql_type, ",".join("%rD" % float(x) for x in v))
+            int(cid), id_sql_type,
+            ",".join("%rD" % _finite(x, f"lit_id_vector_array id={cid}")
+                     for x in v))
         for cid, v in pairs)
     return F.expr("array(" + entries + ")")
 
@@ -70,6 +85,8 @@ def lit_id_vector_map(pairs, id_sql_type: str = "INT") -> Column:
     for residual computation)."""
     entries = ",".join(
         "CAST({} AS {}), array({})".format(
-            int(cid), id_sql_type, ",".join("%rD" % float(x) for x in v))
+            int(cid), id_sql_type,
+            ",".join("%rD" % _finite(x, f"lit_id_vector_map id={cid}")
+                     for x in v))
         for cid, v in pairs)
     return F.expr("map(" + entries + ")")

@@ -81,7 +81,7 @@ def train_nb(df: DataFrame, label_col: str, vocab: int = 256,
     priors = (df.groupBy(F.col(label_col).alias("__cls"))
               .agg(F.count(F.lit(1)).alias("__docs")))
     total_docs = df.count()
-    dense = (v.crossJoin(totals)
+    dense = (v.crossJoin(broadcast(totals))
              .join(tc, ["tok", "__cls"], "left")
              .withColumn("__n", F.coalesce(F.col("__n"), F.lit(0)))
              .withColumn("lp", F.round(F.log(

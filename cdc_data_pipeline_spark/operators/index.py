@@ -28,6 +28,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from cdc_data_pipeline_spark.functions.vectors import cosine
 from cdc_data_pipeline_spark.operators import clustering as cl
@@ -281,10 +282,16 @@ def _append_assigned(spark: SparkSession, path: str, batch: DataFrame,
     # cells (reads only the touched partitions), then pin ONCE so the
     # count and the write don't each re-run the batch's lineage
     cell_ids = [r[0] for r in rows.select(CELL).distinct().collect()]
-    existing = (spark.read.parquet(os.path.join(path, table))
-                .filter(F.col(CELL).isin(cell_ids)).select(id_col))
-    fresh = rows.join(existing, id_col, "left_anti") \
-                .localCheckpoint(eager=True)
+    # bootstrap: an index built over an empty/zero-partition corpus
+    # leaves cells|codes without part files — treat an unreadable
+    # table as "no existing rows" (mirrors text_index._read_union)
+    try:
+        existing = (spark.read.parquet(os.path.join(path, table))
+                    .filter(F.col(CELL).isin(cell_ids)).select(id_col))
+        fresh = rows.join(existing, id_col, "left_anti")
+    except AnalysisException:
+        fresh = rows.select(*rows.columns)
+    fresh = fresh.localCheckpoint(eager=True)
     n = fresh.count()
     if n:
         fresh.write.mode("append").partitionBy(CELL) \

@@ -128,7 +128,7 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     # N and avgdl: two scalars (watermark-budget class). N counts ALL
     # corpus rows (token-less documents still dilute avgdl).
     stats = (corpus.agg(F.count(F.lit(1)).alias("n_docs"))
-             .crossJoin(dl.agg(F.sum("dl").alias("total_len"))))
+             .crossJoin(F.broadcast(dl.agg(F.sum("dl").alias("total_len")))))
     qt = (queries
           .select(F.col(id_col).alias(query_id_col),
                   F.explode(tokens(text_col)).alias("token"))
@@ -143,7 +143,8 @@ def score_bm25_postings(tf: DataFrame, qt: DataFrame, dl: DataFrame,
                         k1: float = 1.2, b: float = 0.75,
                         id_col: str = "doc_id",
                         query_id_col: str = "query_id",
-                        exclude_pairs: DataFrame | None = None) -> DataFrame:
+                        exclude_pairs: DataFrame | None = None,
+                        exclude_self: bool = True) -> DataFrame:
     """The BM25 scoring plan over pre-built relations — shared by
     ``bm25_topk`` (relations derived from the corpus in-flight) and
     the persisted inverted index (relations read from storage), so
@@ -173,8 +174,14 @@ def score_bm25_postings(tf: DataFrame, qt: DataFrame, dl: DataFrame,
     dfq = (dfreq.join(F.broadcast(qt.select("token").distinct()), "token")
            .crossJoin(F.broadcast(stats.select("n_docs")))
            .select("token", idf.alias("__idf")))
-    scored = (tf.join(F.broadcast(qt), "token")
-              .filter(F.col(query_id_col) != F.col(id_col))
+    scored = tf.join(F.broadcast(qt), "token")
+    if exclude_self:
+        # more-like-this shape: the query IS a corpus document, drop
+        # its trivial self-hit. External-query serving (persisted
+        # index search) passes False — there a query id that merely
+        # COINCIDES with a corpus doc_id is a legitimate hit.
+        scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    scored = (scored
               .join(norm, id_col)
               .join(F.broadcast(dfq), "token"))
     contrib = (F.col("__idf") * F.col("tf") * (k1 + 1.0)

@@ -147,9 +147,14 @@ def _batch_token(batch: DataFrame, text_col: str, id_col: str) -> str:
     # structural multi-column hash: NULL text and separator characters
     # inside string ids cannot make distinct (id, text) rows collide
     # the way a concat-with-delimiter digest can
+    # backtick-quote the identifiers: a column name with a space/hyphen/
+    # reserved word would otherwise fail analysis with a confusing
+    # parse error (the Column API quotes automatically; expr does not)
+    qid = "`" + id_col.replace("`", "``") + "`"
+    qtx = "`" + text_col.replace("`", "``") + "`"
     row = batch.agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr(f"bit_xor(xxhash64({id_col}, {text_col}))")
+        F.expr(f"bit_xor(xxhash64({qid}, {qtx}))")
         .alias("d")).collect()[0]
     return f"b{row['n']}x{(row['d'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
 

@@ -102,6 +102,32 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         stream.close()
 
 
+def publish_text(spark: SparkSession, path: str, text: str) -> None:
+    """Atomically publish a small pointer file: readers see either the
+    old or the new complete content, never a torn write. Bare local
+    paths go through tempfile + ``os.replace`` (POSIX-atomic); scheme
+    roots use ``write_text`` — one create-overwrite call, which is a
+    single atomic PUT on S3-class stores and a few-byte window on
+    HDFS (same contract as ``versioned.publish_pointer``)."""
+    if "://" in path:
+        write_text(spark, path, text)
+        return
+    import os
+    import tempfile
+
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".ptr_")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(text)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
 def put_file(spark: SparkSession, local_path: str, dst: str) -> None:
     """Upload one locally-staged file (copyFromLocal semantics),
     replacing any existing object."""
