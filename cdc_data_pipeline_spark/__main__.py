@@ -174,7 +174,10 @@ def main(argv=None) -> int:
 
             docs = read_table(spark, args.sf_dir, "documents")
             queries = docs.filter(F.col("doc_id") % args.query_mod == 0)
-            out = search_text_index(spark, args.path, queries, k=args.k)
+            # queries are drawn from the corpus itself here: the
+            # more-like-this shape, so suppress trivial self-hits
+            out = search_text_index(spark, args.path, queries, k=args.k,
+                                    exclude_self=True)
             out.orderBy("query_id", "rank").show(50, truncate=False)
             return 0
         emb = read_table(spark, args.sf_dir, "embeddings")

@@ -10,17 +10,34 @@ forever. This module materializes the index LSM-style:
     <path>/meta.json               {"n_buckets": N} — the partition
                                    modulus is index METADATA: a reader
                                    must prune with the writer's layout
-    <path>/base/postings/tb=K/     (token, doc_id, tf), partitioned by
+    <path>/BASE                    pointer file naming the CURRENT
+                                   base generation (atomic publish)
+    <path>/base-<gen>/postings/tb=K/  (token, doc_id, tf) by
                                    token-hash bucket — a query touches
                                    only its own terms' directories
-    <path>/base/doclens/db=K/      (doc_id, dl) by doc-hash bucket;
+    <path>/base-<gen>/doclens/db=K/   (doc_id, dl) by doc-hash bucket;
                                    dl=0 rows keep token-less documents
                                    visible to dedup and n_docs
-    <path>/base/vocab/tb=K/        (token, df) — exact in base
-    <path>/base/stats/             one (n_docs, total_len) row
+    <path>/base-<gen>/vocab/tb=K/  (token, df) — exact in base
+    <path>/base-<gen>/stats/       one (n_docs, total_len) row
+    <path>/base-<gen>/compacted.json  delta dirs folded INTO this base
     <path>/delta/<token>/...       one DIRECTORY per appended batch
                                    holding the same four sub-tables
     <path>/delta/<token>/_COMMIT   marker written LAST
+
+Base generations are IMMUTABLE once published: a writer stages the
+full ``base-<gen>`` directory, then atomically publishes the ``BASE``
+pointer (``fsutil.publish_text`` — os.replace locally, a single PUT on
+object stores). A reader resolves the pointer ONCE and every
+subsequent scan targets that immutable generation plus the delta set
+its manifest admits — compaction swapping the pointer mid-query cannot
+mix a new base with the old base's delta view. Superseded generations
+and folded deltas are garbage-collected with a ONE-GENERATION GRACE:
+publishing generation G+1 deletes only generations < G and the deltas
+generation G's own manifest had already excluded, so any reader that
+resolved G (or G+1) keeps every directory it can reach until a SECOND
+compaction completes. Long-lived query plans should be consumed within
+one compaction cycle.
 
 Append idempotency is structural, not best-effort: the batch digest
 names the delta directory, every sub-table is written with OVERWRITE
@@ -35,9 +52,11 @@ correctly instead of serving stale statistics.
 
 Scale: the postings write is the only full-corpus shuffle; search
 reads probed token buckets of base + committed deltas (compaction
-bounds the delta count), the doc-length table joins doc-keyed, and
-scoring reuses ``terms.score_bm25_postings`` (the hoisted-factor plan
-with the skew-safe group_topk rank).
+bounds the delta count), doclens is read candidate-bounded (only the
+doc-hash buckets of documents that matched a probed posting — never
+the corpus-cardinality table in full), and scoring reuses
+``terms.score_bm25_postings`` (the hoisted-factor plan with the
+skew-safe group_topk rank).
 """
 
 from __future__ import annotations
@@ -53,6 +72,7 @@ from cdc_data_pipeline_spark.sources import fsutil
 from cdc_data_pipeline_spark.sources.fsutil import path_join
 
 COMMIT = "_COMMIT"
+BASE_PTR = "BASE"
 
 
 def _tb(col, n_buckets: int) -> F.Column:
@@ -66,39 +86,48 @@ def _meta(spark: SparkSession, path: str) -> dict:
     return json.loads(txt)
 
 
-def _recover(spark: SparkSession, path: str) -> None:
-    """Heal a torn compaction: the swap protocol renames base ->
-    base_old before base_new -> base, so 'base missing + base_old
-    present' uniquely identifies a crash inside the window. MUTATING —
-    called only from the maintenance entry points (append/compact,
-    which the contract already serializes); search uses the read-only
-    ``_base_root`` fallback instead, so a live reader can never race
-    a compactor's renames."""
-    base = path_join(path, "base")
-    old = path_join(path, "base_old")
-    if not fsutil.exists(spark, base) and fsutil.exists(spark, old):
-        fsutil.rename(spark, old, base)
+def _gen_name(gen: int) -> str:
+    return f"base-{gen:010d}"
+
+
+def _base_names(spark: SparkSession, path: str) -> list[str]:
+    """Every staged-or-published base generation directory name,
+    including a pre-pointer legacy ``base`` if one exists."""
+    return [n for n in fsutil.list_names(spark, path)
+            if n == "base" or n.startswith("base-")]
+
+
+def _current_base_name(spark: SparkSession, path: str) -> str | None:
+    """The published generation (pointer content), falling back to the
+    legacy un-generationed ``base`` layout for indexes written before
+    the pointer protocol."""
+    ptr = fsutil.read_text(spark, path_join(path, BASE_PTR))
+    if ptr is not None:
+        return ptr.strip()
+    if fsutil.exists(spark, path_join(path, "base")):
+        return "base"
+    return None
 
 
 def _base_root(spark: SparkSession, path: str) -> str:
-    """The base directory to READ: falls back to base_old inside a
-    torn-compaction window without mutating anything."""
-    base = path_join(path, "base")
-    if not fsutil.exists(spark, base):
-        old = path_join(path, "base_old")
-        if fsutil.exists(spark, old):
-            return old
-    return base
+    """The base directory to READ, resolved ONCE per operation from
+    the atomically-published pointer; everything underneath it is
+    immutable, so all later lazy scans of the same operation see one
+    consistent generation."""
+    name = _current_base_name(spark, path)
+    if name is None:
+        raise FileNotFoundError(f"text index has no published base: {path}")
+    return path_join(path, name)
 
 
 def _committed_deltas(spark: SparkSession, path: str,
                       base_root: str) -> list[str]:
     """Delta directories that are committed AND not already folded
-    into this base. The base's ``compacted.json`` manifest (written
-    inside base_new BEFORE the swap) excludes folded deltas logically
-    the instant the swap lands — their later deletion is garbage
-    collection, so a crash between the swap and the GC loop can never
-    double-count them."""
+    into this base generation. The generation's ``compacted.json``
+    manifest (staged inside the directory BEFORE the pointer publish)
+    excludes folded deltas logically the instant the publish lands —
+    their later deletion is garbage collection, so a crash between the
+    publish and the GC loop can never double-count them."""
     folded = set()
     txt = fsutil.read_text(spark, path_join(base_root, "compacted.json"))
     if txt is not None:
@@ -199,18 +228,38 @@ def _write_tables(spark: SparkSession, root: str, postings, doclens, vocab,
         .parquet(path_join(root, "stats"))
 
 
+def _publish_base(spark: SparkSession, path: str, new_name: str,
+                  keep: set[str], gc_deltas: list[str]) -> None:
+    """Atomically publish ``new_name`` as the current generation, then
+    garbage-collect: base generations outside ``keep`` and the named
+    delta dirs. Everything deleted here is invisible to BOTH the new
+    generation and the one it superseded (the grace generation), so a
+    reader that resolved either pointer value never loses a directory
+    it can reach — only a reader two compactions stale can."""
+    fsutil.publish_text(spark, path_join(path, BASE_PTR), new_name)
+    for name in _base_names(spark, path):
+        if name not in keep:
+            fsutil.delete(spark, path_join(path, name))
+    for name in gc_deltas:
+        fsutil.delete(spark, path_join(path, "delta", name))
+
+
 def build_text_index(spark: SparkSession, corpus: DataFrame, path: str,
                      n_buckets: int = 16, text_col: str = "text",
                      id_col: str = "doc_id") -> dict:
-    """Tokenize, aggregate, and persist the base tables; existing
-    delta AND base directories are removed first (a build is a full
-    rewrite — stale sub-tables must not survive under the new stats).
-    A build is not crash-atomic (rebuild on a torn build); appends and
-    searches are. ``n_buckets`` is IMMUTABLE once an index exists:
-    the partition layout on disk and the reader's probe hash must
-    agree, so changing it requires deleting the index — rebuilding in
-    place with a different modulus would have a crash window serving
-    silently incomplete prunes. Returns {n_docs, n_postings}."""
+    """Tokenize, aggregate, and persist the base tables as a NEW base
+    generation, then atomically publish the ``BASE`` pointer. A build
+    is a full rewrite: its manifest names every pre-existing delta (so
+    the instant the pointer lands they are logically excluded), and
+    the GC pass then removes them plus superseded generations. Not
+    concurrent-safe with other MAINTENANCE (single-maintainer
+    contract); searches that resolved the previous pointer keep
+    working through the one-generation grace. ``n_buckets`` is
+    IMMUTABLE once an index exists: the partition layout on disk and
+    the reader's probe hash must agree, so changing it requires
+    deleting the index — rebuilding in place with a different modulus
+    would have a crash window serving silently incomplete prunes.
+    Returns {n_docs, n_postings}."""
     meta_path = path_join(path, "meta.json")
     txt = fsutil.read_text(spark, meta_path)
     if txt is not None and json.loads(txt)["n_buckets"] != n_buckets:
@@ -220,24 +269,49 @@ def build_text_index(spark: SparkSession, corpus: DataFrame, path: str,
             f"bucket layout (requested {n_buckets})")
     postings, doclens, vocab, stats_row = _index_tables(
         corpus.select(id_col, text_col), n_buckets, text_col, id_col)
-    for sub in ("delta", "base_old", "base_new", "base"):
-        fsutil.delete(spark, path_join(path, sub))
-    _write_tables(spark, path_join(path, "base"),
-                  postings, doclens, vocab, stats_row)
-    fsutil.write_text(spark, meta_path,
-                      json.dumps({"n_buckets": n_buckets}))
+    gens = [int(n[5:]) for n in _base_names(spark, path) if n != "base"]
+    cur = _current_base_name(spark, path)
+    new_name = _gen_name(max(gens, default=-1) + 1)
+    new = path_join(path, new_name)
+    fsutil.delete(spark, new)
+    _write_tables(spark, new, postings, doclens, vocab, stats_row)
+    # a rebuild supersedes every existing delta: exclude them all
+    # logically before the publish. GC only the deltas the superseded
+    # generation had ALREADY excluded — the rest stay one grace cycle
+    # for readers still holding the old pointer, invisible to new
+    # readers through the manifest either way
+    stale = fsutil.list_names(spark, path_join(path, "delta"))
+    fsutil.write_text(spark, path_join(new, "compacted.json"),
+                      json.dumps(sorted(stale)))
+    fsutil.write_text(spark, meta_path, json.dumps({"n_buckets": n_buckets}))
+    gc: list[str] = []
+    if cur is not None:
+        prev = fsutil.read_text(
+            spark, path_join(path, cur, "compacted.json"))
+        gc = [n for n in (json.loads(prev) if prev else []) if n in stale]
+    keep = {new_name} | ({cur} if cur else set())
+    _publish_base(spark, path, new_name, keep, gc)
     return {"n_docs": stats_row[0], "n_postings": postings.count()}
 
 
 def search_text_index(spark: SparkSession, path: str, queries: DataFrame,
                       k: int = 5, k1: float = 1.2, b: float = 0.75,
-                      text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      exclude_self: bool = False) -> DataFrame:
     """BM25 top-k over the persisted index, touching only the query
-    vocabulary's postings/vocab buckets in base + committed deltas.
-    READ-ONLY (safe alongside maintenance: a torn compaction is read
-    through the base_old fallback, never healed by a reader). Output
-    matches ``terms.bm25_topk`` exactly on the same corpus
+    vocabulary's postings/vocab buckets in base + committed deltas and
+    only the candidate documents' doclens buckets. READ-ONLY and
+    SNAPSHOT-CONSISTENT alongside maintenance: the base generation is
+    resolved once from the atomically-published pointer, and that
+    generation plus the deltas its manifest admits are immutable — a
+    concurrent compaction publishes a NEW generation and only
+    garbage-collects this one after a further full compaction cycle.
+
+    ``exclude_self`` defaults OFF: the query frame is an arbitrary
+    external id space here, and a query id that merely COINCIDES with
+    a corpus doc_id is a legitimate hit. Pass True for the
+    more-like-this shape (queries drawn from the corpus itself), which
+    then matches ``terms.bm25_topk`` exactly on the same corpus
     (query_id, neighbor_id, bm25, rank)."""
     n_buckets = _meta(spark, path)["n_buckets"]
     base = _base_root(spark, path)
@@ -255,16 +329,26 @@ def search_text_index(spark: SparkSession, path: str, queries: DataFrame,
         idt = dict(queries.dtypes)[id_col]
         return spark.createDataFrame(
             [], f"query_id {idt}, neighbor_id {idt}, bm25 double, rank int")
+    # candidate-bounded doclens: only documents holding a probed
+    # posting need a length norm, so derive their doc-hash bucket set
+    # (one column-pruned pass over the already-pruned postings) and
+    # prune db= directories the same way the postings scan pruned tb=
+    # — no search ever reads the corpus-cardinality doclens in full
+    cand = postings.join(F.broadcast(qt.select("token").distinct()), "token")
+    dbs = [r[0] for r in cand.select(
+        _tb(F.col(id_col), n_buckets).alias("db")).distinct().collect()]
     # vocab deltas -> exact current df for the probed vocabulary
     dfreq = (_read_union(spark, roots, "vocab", "tb", buckets)
              .groupBy("token").agg(F.sum("df").alias("df")))
-    dl = _read_union(spark, roots, "doclens").select(F.col(id_col), "dl")
+    dl = (_read_union(spark, roots, "doclens", "db", dbs)
+          .select(F.col(id_col), "dl"))
     stats = (_read_union(spark, roots, "stats")
              .agg(F.sum("n_docs").alias("n_docs"),
                   F.sum("total_len").alias("total_len")))
     return score_bm25_postings(
         postings.select(F.col(id_col), "token", "tf"), qt, dl, dfreq,
-        stats, k=k, k1=k1, b=b, id_col=id_col, query_id_col="query_id")
+        stats, k=k, k1=k1, b=b, id_col=id_col, query_id_col="query_id",
+        exclude_self=exclude_self)
 
 
 def append_to_text_index(spark: SparkSession, path: str, batch: DataFrame,
@@ -286,7 +370,6 @@ def append_to_text_index(spark: SparkSession, path: str, batch: DataFrame,
     first (``_dedup_batch``); ids already in the index (base or
     committed deltas) are anti-joined away, reading only the batch's
     own doc-hash buckets."""
-    _recover(spark, path)
     n_buckets = _meta(spark, path)["n_buckets"]
     batch0 = _dedup_batch(batch, text_col, id_col).localCheckpoint(eager=True)
     token = _batch_token(batch0, text_col, id_col)
@@ -295,7 +378,7 @@ def append_to_text_index(spark: SparkSession, path: str, batch: DataFrame,
         return {"appended": 0, "batch": token}
     dbs = [r[0] for r in batch0.select(
         _tb(F.col(id_col), n_buckets).alias("db")).distinct().collect()]
-    base = path_join(path, "base")
+    base = _base_root(spark, path)
     roots = [base] + _committed_deltas(spark, path, base)
     existing = _read_union(spark, roots, "doclens", "db", dbs)
     # no doclens anywhere = an index built over an empty corpus being
@@ -311,24 +394,30 @@ def append_to_text_index(spark: SparkSession, path: str, batch: DataFrame,
 
 
 def compact_text_index(spark: SparkSession, path: str) -> dict:
-    """Offline maintenance: fold base + committed deltas into a new
-    base and drop the deltas (the LSM compaction step — search cost
-    grows with delta count, and the query-time vocab/stats delta sums
-    grow with batch count). Result-transparent: delta summing is
-    associative, so pre-merging is invisible to search.
+    """Offline maintenance: fold the current base + committed deltas
+    into a NEW base generation, atomically publish it, and
+    garbage-collect what no resolvable reader can still reach (the
+    LSM compaction step — search cost grows with delta count, and the
+    query-time vocab/stats delta sums grow with batch count).
+    Result-transparent: delta summing is associative, so pre-merging
+    is invisible to search.
 
     NOT concurrent-safe with an in-flight append (documented single-
     maintainer contract, like the versioned-table writer); concurrent
-    SEARCHES are safe — they read base_old through the torn window and
-    never mutate. Crash-safety is two-layered: (1) base_new carries a
+    SEARCHES are snapshot-consistent — each resolved the pointer once,
+    and the one-generation GC grace keeps their resolved generation
+    (and the deltas it admits) on disk until a SECOND compaction
+    completes. Crash-safety: (1) the staged generation carries a
     ``compacted.json`` manifest naming the folded deltas, so the
-    instant the swap lands those deltas are excluded LOGICALLY —
-    a crash before the GC loop cannot double-count them, and the next
-    compact (or this one re-run) garbage-collects the leftovers;
-    (2) ``_recover`` heals the rename window itself (base missing,
-    base_old present)."""
-    _recover(spark, path)
-    base = path_join(path, "base")
+    instant the pointer publish lands those deltas are excluded
+    LOGICALLY — a crash before the GC loop cannot double-count them,
+    and the next compact garbage-collects the leftovers; (2) a crash
+    BEFORE the publish leaves an orphan staged directory the pointer
+    never references, swept by the next successful publish."""
+    cur_name = _current_base_name(spark, path)
+    if cur_name is None:
+        raise FileNotFoundError(f"text index has no published base: {path}")
+    base = path_join(path, cur_name)
     deltas = _committed_deltas(spark, path, base)
     roots = [base] + deltas
     postings = _read_union(spark, roots, "postings")
@@ -342,27 +431,24 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     if stats_df is not None:
         srow = stats_df.agg(F.sum("n_docs"), F.sum("total_len")).collect()[0]
         stats_row = (int(srow[0] or 0), int(srow[1] or 0))
-    new = path_join(path, "base_new")
+    gens = [int(n[5:]) for n in _base_names(spark, path) if n != "base"]
+    new_name = _gen_name(max(gens, default=-1) + 1)
+    new = path_join(path, new_name)
     fsutil.delete(spark, new)
     _write_tables(spark, new, postings, doclens, vocab, stats_row)
     # the manifest ACCUMULATES across compactions: a folded-but-not-
-    # yet-GC'd delta from a previous crashed run must stay excluded
-    # under the new base too (names of fully deleted deltas are
+    # yet-GC'd delta from a previous cycle must stay excluded under
+    # the new generation too (names of fully deleted deltas are
     # harmless residue, dropped here once their directory is gone)
     prev = fsutil.read_text(spark, path_join(base, "compacted.json"))
     carried = [n for n in (json.loads(prev) if prev else [])
                if fsutil.exists(spark, path_join(path, "delta", n))]
-    folded = sorted(set(carried) | {d.rsplit("/", 1)[-1] for d in deltas})
+    newly = sorted(d.rsplit("/", 1)[-1] for d in deltas)
     fsutil.write_text(spark, path_join(new, "compacted.json"),
-                      json.dumps(folded))
-    old = path_join(path, "base_old")
-    fsutil.delete(spark, old)
-    fsutil.rename(spark, base, old)
-    fsutil.rename(spark, new, base)
-    # everything below is garbage collection — the manifest already
-    # excludes the folded deltas from every reader (including the
-    # carried-over leftovers of a previously crashed GC)
-    fsutil.delete(spark, old)
-    for name in folded:
-        fsutil.delete(spark, path_join(path, "delta", name))
+                      json.dumps(sorted(set(carried) | set(newly))))
+    # publish, then GC with the one-generation grace: keep the
+    # superseded generation and the deltas IT still admits (``newly``)
+    # for readers that resolved the old pointer; delete only the
+    # ``carried`` deltas, which both surviving manifests exclude
+    _publish_base(spark, path, new_name, {new_name, cur_name}, carried)
     return {"n_docs": stats_row[0], "compacted_deltas": len(deltas)}
