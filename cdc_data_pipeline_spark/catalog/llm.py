@@ -596,6 +596,111 @@ FROM fused QUALIFY rank <= {_BM25_K}
 """
 
 
+_WRRF_LEX_W = 2.0  # production tuning knob: lexical side known-stronger
+
+
+def q_hybrid_wrrf_topk(spark, sf_dir):
+    """WEIGHTED reciprocal-rank fusion — same two rankings as
+    ``hybrid_rrf_topk`` but the lexical source carries weight 2.0 vs
+    the dense side's 1.0 (``w_i/(60+rank)`` terms), the standard
+    production bias when one retriever is known-stronger for the
+    workload. Both sources and the fused order stay fully
+    deterministic, so the weighted composition keeps an exact SQL
+    oracle."""
+    from cdc_data_pipeline_spark.operators import similarity as sim
+    from cdc_data_pipeline_spark.operators import terms as tm
+
+    docs = _docs(spark, sf_dir)
+    lex = tm.bm25_topk(docs, docs.filter(F.col("doc_id") % _BM25_QMOD == 0),
+                       k=_BM25_K)
+    emb = _emb(spark, sf_dir)
+    den = sim.topk_cosine(emb, emb.filter(F.col("vec_id") % _BM25_QMOD == 0),
+                          k=_BM25_K)
+    return sim.rrf_fuse([lex, den], k=_BM25_K, weights=[_WRRF_LEX_W, 1.0])
+
+
+# identical CTE chain; only the lex fusion term's numerator changes
+SQL_HYBRID_WRRF_TOPK = SQL_HYBRID_RRF_TOPK.replace(
+    "COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r),",
+    f"COALESCE(CAST({_WRRF_LEX_W!r} AS DOUBLE) / (60 + l.r),")
+assert SQL_HYBRID_WRRF_TOPK != SQL_HYBRID_RRF_TOPK  # replace anchored
+
+
+def q_ivfpq_residual_recall(spark, sf_dir):
+    """Recall gate for the residual IVF-PQ path (``ivfpq_topk(
+    residual=True)`` — FAISS's default encoding, Jegou et al. 2011
+    §IV) against the plain raw-vector encoding, both measured with
+    ``ann_recall`` against the EXACT within-cell L2 ranking (the
+    candidate set nprobe=1 admits, so the comparison isolates pure
+    quantization loss). Runs on a deterministic CLUSTER-STRUCTURED
+    variant of the fixture — each vector shifted +50 on dimension
+    ``vec_id % 8`` — because residual encoding is specifically the
+    fix for coarse-offset-dominated corpora: on them a raw codebook
+    spends every centroid separating cells (near-zero within-cell
+    recall) while the residual codebook sees the within-cell
+    structure (measured here: plain 0.04 / residual 0.72). On
+    near-isotropic data the ordering REVERSES (raw fixture, measured:
+    plain 0.36 / residual 0.24) — residual is not a free win, which
+    is why this gate exists. Returns one row per variant (variant,
+    mean_recall). The residual column is an
+    intermediate no single SQL statement reproduces -> rows-only
+    driver check; the residual-beats-plain inequality is asserted in
+    ``tests/test_pq.py::test_residual_recall_catalog_entry``."""
+    from cdc_data_pipeline_spark.functions.vectors import l2_distance
+    from cdc_data_pipeline_spark.operators import pq
+    from cdc_data_pipeline_spark.operators import similarity as sim
+    from cdc_data_pipeline_spark.operators.sampling import group_topk
+
+    from cdc_data_pipeline_spark.functions.vectors import lit_id_vector_map
+
+    raw = _emb(spark, sf_dir)
+    # cluster-structure the fixture deterministically: cell centers =
+    # fixture rows 0..7 scaled x50 (coarse offsets dominate), discrete
+    # within-cell motifs = fixture rows 8..15 at unit scale, + a tiny
+    # per-row jitter from the row's own embedding. True neighbors
+    # share a motif — recoverable by a residual codebook (8 motifs <=
+    # ksub), invisible to a raw codebook (64 center x motif combos).
+    seeds = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+             for r in raw.filter(F.col("vec_id") < 16).collect()}
+    cmap = lit_id_vector_map(
+        [(c, [50.0 * x for x in seeds[c]]) for c in range(8)])
+    mmap = lit_id_vector_map([(m, seeds[8 + m]) for m in range(8)])
+    cell_of = F.pmod(F.col("vec_id"), F.lit(8)).cast("int")
+    motif_of = F.pmod(F.floor(F.col("vec_id") / 8), F.lit(8)).cast("int")
+    built = F.zip_with(
+        F.zip_with(F.element_at(cmap, cell_of),
+                   F.element_at(mmap, motif_of), lambda a, b: a + b),
+        F.col("embedding"), lambda a, x: a + 0.02 * x.cast("double"))
+    e = raw.select("vec_id", built.alias("embedding"))
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    # one seed per synthetic cluster (vec_id 0..7 cover all 8 offsets)
+    centroids = e.filter(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    cells = sim.ivf_assign(e, centroids)
+    qc = (sim.ivf_assign(queries, centroids)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("__qv"), "centroid_id"))
+    exact = (qc.join(cells.select(F.col("vec_id").alias("neighbor_id"),
+                                  F.col("embedding").alias("__cv"),
+                                  "centroid_id"), "centroid_id")
+             .filter(F.col("query_id") != F.col("neighbor_id"))
+             .withColumn("__d", F.round(l2_distance("__qv", "__cv"), 9)))
+    truth = group_topk(exact, ["query_id"], _PQ_K,
+                       [("__d", True), ("neighbor_id", True)],
+                       rank_col="rank").select("query_id", "neighbor_id")
+
+    def mean_recall(residual, label):
+        approx = pq.ivfpq_topk(e, queries, centroids, dim=_DIM, m=_PQ_M,
+                               ksub=_PQ_KSUB, k=_PQ_K, iters=2,
+                               residual=residual)
+        return (sim.ann_recall(truth, approx)
+                .agg(F.round(F.avg("recall"), 6).alias("mean_recall"))
+                .select(F.lit(label).alias("variant"), "mean_recall"))
+
+    return mean_recall(False, "plain").unionByName(
+        mean_recall(True, "residual"))
+
+
 # --------------------------------------------- product quantization ANN
 
 _PQ_M, _PQ_KSUB, _PQ_K = 4, 8, 5
@@ -1542,6 +1647,8 @@ FROM kept QUALIFY rank <= {_BM25_K}
 EXTRA_QUERIES = {
     "hard_negatives": q_hard_negatives,
     "hybrid_ivf_rrf": q_hybrid_ivf_rrf,
+    "hybrid_wrrf_topk": q_hybrid_wrrf_topk,
+    "ivfpq_residual_recall": q_ivfpq_residual_recall,
     "weighted_sample": q_weighted_sample,
     "repetition_metrics": q_repetition,
     "kmeans_clusters": q_kmeans_clusters,
@@ -1569,6 +1676,10 @@ EXTRA_QUERIES = {
 EXTRA_ORACLES = {
     "hard_negatives": SQL_HARD_NEGATIVES,
     "hybrid_ivf_rrf": SQL_HYBRID_IVF_RRF,
+    "hybrid_wrrf_topk": SQL_HYBRID_WRRF_TOPK,
+    # ivfpq_residual_recall: rows-only by design (residual column is
+    # a non-SQL-expressible intermediate; inequality pinned in
+    # tests/test_pq.py::test_residual_recall_catalog_entry)
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "repetition_metrics": SQL_REPETITION,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,

@@ -92,18 +92,96 @@ def _merge_udf(a: str, b: str):
     return apply_merge
 
 
+def _train_bpe_local(rows, num_merges: int,
+                     min_pair_count: int) -> list[tuple[str, str]]:
+    """Driver-side Sennrich merge loop over a collected (word, freq)
+    table, with INCREMENTAL pair-count maintenance: a pair→owning-word
+    index restricts each merge's work to the words it touches, and a
+    lazy max-heap (fresh entry pushed on every count change, stale
+    entries discarded at the top) finds the next best pair without an
+    O(|pairs|) scan per merge. This is what makes a real 32k-merge
+    vocabulary tractable — the distributed loop's one-job-per-merge
+    scheduler round-trip is hours of fixed latency at that size.
+
+    Tiebreak identical to the distributed path (count desc, then the
+    "a b" pair STRING ascending), so both paths learn the same merges
+    on the same corpus."""
+    import heapq
+    from collections import defaultdict
+
+    vocab: list[tuple[list, int]] = [
+        (list(w) + [END], int(f)) for w, f in rows]
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set] = defaultdict(set)
+    for wi, (s, f) in enumerate(vocab):
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            counts[p] += f
+            where[p].add(wi)
+    heap = [(-n, p[0] + " " + p[1], p) for p, n in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < num_merges:
+        # discard entries whose recorded count is no longer current
+        while heap and counts.get(heap[0][2], 0) != -heap[0][0]:
+            heapq.heappop(heap)
+        if not heap or -heap[0][0] < min_pair_count:
+            break
+        a, b = heap[0][2]
+        merges.append((a, b))
+        changed: set = set()
+        for wi in where.pop((a, b), ()):
+            s, f = vocab[wi]
+            new = _apply_one(s, a, b)
+            if new == s:  # stale index entry: word no longer has (a,b)
+                continue
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] -= f
+                changed.add(p)
+                if counts[p] == 0:
+                    del counts[p]
+                    where.pop(p, None)
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                counts[p] += f
+                changed.add(p)
+                where[p].add(wi)
+            vocab[wi] = (new, f)
+        counts.pop((a, b), None)
+        for p in changed:
+            if p in counts:
+                heapq.heappush(heap, (-counts[p], p[0] + " " + p[1], p))
+    return merges
+
+
 def train_bpe(df: DataFrame, num_merges: int = 50,
               text_col: str = "text", min_pair_count: int = 2,
-              checkpoint_every: int = 8) -> list[tuple[str, str]]:
+              checkpoint_every: int = 8,
+              local_vocab_limit: int = 2_000_000) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges. Returns the ordered merge list
     [(left, right), ...] — the tokenizer artifact.
 
-    Stops early when no pair reaches ``min_pair_count``. Driver
-    traffic per iteration is ONE (pair, count) row; the vocab table is
-    checkpointed every ``checkpoint_every`` merges so the iteration
-    count never deepens lineage unboundedly.
+    Stops early when no pair reaches ``min_pair_count``.
+
+    The corpus-wide counting pass is always distributed; the merge
+    LOOP runs driver-side whenever the distinct-word table fits
+    (``local_vocab_limit`` rows — vocabulary-sized, ~10^7-10^8 words
+    even at 100 TB, so the local path is the common case and the only
+    wall-clock-sane one at real vocab sizes). Over the limit, the
+    distributed loop takes over: driver traffic per iteration is ONE
+    (pair, count) row, and the vocab table is checkpointed every
+    ``checkpoint_every`` merges so the iteration count never deepens
+    lineage unboundedly. Both paths share ``_apply_one`` and the
+    (count desc, pair-string asc) tiebreak, so they learn identical
+    merge lists; pass ``local_vocab_limit=0`` to force distributed.
     """
-    symed = _init_symbols(word_counts(df, text_col)).localCheckpoint()
+    wc = word_counts(df, text_col).localCheckpoint()
+    if local_vocab_limit and wc.count() <= local_vocab_limit:
+        return _train_bpe_local(
+            [(r["word"], r["freq"]) for r in wc.collect()],
+            num_merges, min_pair_count)
+    symed = _init_symbols(wc)
     merges: list[tuple[str, str]] = []
     for it in range(num_merges):
         best = (_pair_counts(symed)

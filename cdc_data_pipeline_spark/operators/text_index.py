@@ -297,7 +297,8 @@ def build_text_index(spark: SparkSession, corpus: DataFrame, path: str,
 def search_text_index(spark: SparkSession, path: str, queries: DataFrame,
                       k: int = 5, k1: float = 1.2, b: float = 0.75,
                       text_col: str = "text", id_col: str = "doc_id",
-                      exclude_self: bool = False) -> DataFrame:
+                      exclude_self: bool = False,
+                      materialize_candidates: bool = True) -> DataFrame:
     """BM25 top-k over the persisted index, touching only the query
     vocabulary's postings/vocab buckets in base + committed deltas and
     only the candidate documents' doclens buckets. READ-ONLY and
@@ -312,7 +313,15 @@ def search_text_index(spark: SparkSession, path: str, queries: DataFrame,
     a corpus doc_id is a legitimate hit. Pass True for the
     more-like-this shape (queries drawn from the corpus itself), which
     then matches ``terms.bm25_topk`` exactly on the same corpus
-    (query_id, neighbor_id, bm25, rank)."""
+    (query_id, neighbor_id, bm25, rank).
+
+    ``materialize_candidates`` (default ON) localCheckpoints the
+    query-vocabulary slice of the pruned postings, so the candidate
+    doc-bucket derivation and the scoring job share ONE scan of the
+    probed postings buckets instead of two. Pass False to keep the
+    whole plan lazy over the parquet roots — the shape plan-inspection
+    tooling wants (the partition-pruning filters stay visible in the
+    final plan) at the cost of a second read of the probed buckets."""
     n_buckets = _meta(spark, path)["n_buckets"]
     base = _base_root(spark, path)
     roots = [base] + _committed_deltas(spark, path, base)
@@ -329,12 +338,19 @@ def search_text_index(spark: SparkSession, path: str, queries: DataFrame,
         idt = dict(queries.dtypes)[id_col]
         return spark.createDataFrame(
             [], f"query_id {idt}, neighbor_id {idt}, bm25 double, rank int")
-    # candidate-bounded doclens: only documents holding a probed
-    # posting need a length norm, so derive their doc-hash bucket set
-    # (one column-pruned pass over the already-pruned postings) and
-    # prune db= directories the same way the postings scan pruned tb=
-    # — no search ever reads the corpus-cardinality doclens in full
-    cand = postings.join(F.broadcast(qt.select("token").distinct()), "token")
+    # candidate postings: only rows whose token is in the query
+    # vocabulary score anything, and only their documents need a
+    # length norm — checkpoint this (query-bounded) slice so both the
+    # doc-bucket derivation below and the scoring join read the probed
+    # parquet buckets exactly once
+    cand = postings.join(F.broadcast(qt.select("token").distinct()), "token") \
+                   .select(F.col(id_col), "token", "tf")
+    if materialize_candidates:
+        cand = cand.localCheckpoint(eager=True)
+    # candidate-bounded doclens: derive the candidates' doc-hash
+    # bucket set and prune db= directories the same way the postings
+    # scan pruned tb= — no search ever reads the corpus-cardinality
+    # doclens in full
     dbs = [r[0] for r in cand.select(
         _tb(F.col(id_col), n_buckets).alias("db")).distinct().collect()]
     # vocab deltas -> exact current df for the probed vocabulary
@@ -346,7 +362,7 @@ def search_text_index(spark: SparkSession, path: str, queries: DataFrame,
              .agg(F.sum("n_docs").alias("n_docs"),
                   F.sum("total_len").alias("total_len")))
     return score_bm25_postings(
-        postings.select(F.col(id_col), "token", "tf"), qt, dl, dfreq,
+        cand, qt, dl, dfreq,
         stats, k=k, k1=k1, b=b, id_col=id_col, query_id_col="query_id",
         exclude_self=exclude_self)
 
@@ -369,16 +385,30 @@ def append_to_text_index(spark: SparkSession, path: str, batch: DataFrame,
     Duplicate ids inside the batch are collapsed deterministically
     first (``_dedup_batch``); ids already in the index (base or
     committed deltas) are anti-joined away, reading only the batch's
-    own doc-hash buckets."""
+    own doc-hash buckets.
+
+    Digest names the current generation's manifest has EXCLUDED are
+    salted: after a rebuild, a grace-retained folded delta directory
+    may still carry a stale ``_COMMIT`` under this batch's digest —
+    trusting it would silently drop the re-appended documents (the
+    manifest keeps the name invisible forever and the next compact
+    GCs the directory). The salt is derived from the manifest itself,
+    so a crash-replay against the same generation re-derives the same
+    salted name and stays idempotent; across a compaction boundary
+    the anti-join converges the replay instead."""
     n_buckets = _meta(spark, path)["n_buckets"]
     batch0 = _dedup_batch(batch, text_col, id_col).localCheckpoint(eager=True)
     token = _batch_token(batch0, text_col, id_col)
+    base = _base_root(spark, path)
+    folded_txt = fsutil.read_text(spark, path_join(base, "compacted.json"))
+    folded = set(json.loads(folded_txt)) if folded_txt else set()
+    while token in folded:
+        token += "-r"
     ddir = path_join(path, "delta", token)
     if fsutil.exists(spark, path_join(ddir, COMMIT)):
         return {"appended": 0, "batch": token}
     dbs = [r[0] for r in batch0.select(
         _tb(F.col(id_col), n_buckets).alias("db")).distinct().collect()]
-    base = _base_root(spark, path)
     roots = [base] + _committed_deltas(spark, path, base)
     existing = _read_union(spark, roots, "doclens", "db", dbs)
     # no doclens anywhere = an index built over an empty corpus being

@@ -104,24 +104,31 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
 
 def publish_text(spark: SparkSession, path: str, text: str) -> None:
     """Atomically publish a small pointer file: readers see either the
-    old or the new complete content, never a torn write. Bare local
-    paths go through tempfile + ``os.replace`` (POSIX-atomic); scheme
-    roots use ``write_text`` — one create-overwrite call, which is a
-    single atomic PUT on S3-class stores and a few-byte window on
-    HDFS (same contract as ``versioned.publish_pointer``)."""
-    if "://" in path:
+    old or the new complete content, never a torn write. Paths whose
+    RESOLVED filesystem is local (bare paths under a local default FS,
+    and explicit ``file://`` roots) go through tempfile +
+    ``os.replace`` (POSIX-atomic); every other scheme uses
+    ``write_text`` — one create-overwrite call, which is a single
+    atomic PUT on S3-class stores and a few-byte window on HDFS (same
+    contract as ``versioned.publish_pointer``). Resolution goes
+    through the Hadoop FileSystem — a bare path when
+    ``fs.defaultFS`` is remote must NOT land on the driver's local
+    disk where no reader would ever find it."""
+    fs, p = _fs(spark, path)
+    if fs.getUri().getScheme() != "file":
         write_text(spark, path, text)
         return
     import os
     import tempfile
 
-    d = os.path.dirname(path) or "."
+    local = fs.makeQualified(p).toUri().getPath()
+    d = os.path.dirname(local) or "."
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, prefix=".ptr_")
     try:
         with os.fdopen(fd, "w", encoding="utf-8") as f:
             f.write(text)
-        os.replace(tmp, path)
+        os.replace(tmp, local)
     except BaseException:
         if os.path.exists(tmp):
             os.unlink(tmp)

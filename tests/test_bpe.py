@@ -7,6 +7,7 @@ import pyspark.sql.functions as F
 
 from cdc_data_pipeline_spark.operators import bpe
 from cdc_data_pipeline_spark.sources.readers import read_table
+from tests.conftest import SF0001
 
 
 def _classic(spark):
@@ -39,6 +40,22 @@ def test_bpe_training_is_deterministic_and_layout_independent(spark):
     m1 = bpe.train_bpe(df, num_merges=6)
     m2 = bpe.train_bpe(df.repartition(7), num_merges=6)
     assert m1 == m2
+
+
+def test_bpe_local_and_distributed_loops_learn_identical_merges(spark):
+    """The driver-side incremental merge loop (vocab fits) and the
+    distributed per-merge loop must produce the same ordered merge
+    list — same counts, same (count desc, pair asc) tiebreak."""
+    df = _classic(spark)
+    local = bpe.train_bpe(df, num_merges=10)
+    dist = bpe.train_bpe(df, num_merges=10, local_vocab_limit=0)
+    assert local == dist and local[:3] == [("e", "s"), ("es", "t"),
+                                           ("est", "</w>")]
+    # and on a messier corpus slice (ties, unicode, longer words)
+    docs = read_table(spark, SF0001, "documents").limit(60)
+    local2 = bpe.train_bpe(docs, num_merges=8)
+    dist2 = bpe.train_bpe(docs, num_merges=8, local_vocab_limit=0)
+    assert local2 == dist2 and len(local2) == 8
 
 
 def test_bpe_early_stop_and_empty(spark):

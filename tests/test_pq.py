@@ -240,3 +240,18 @@ def test_ivfpq_nprobe_recall_monotone(spark, emb):
     # distance can only shrink or stay
     for q in g1:
         assert q in g3
+
+
+def test_residual_recall_catalog_entry(spark):
+    """The extra-tier ``ivfpq_residual_recall`` gate: on the
+    cluster-structured fixture variant the residual encoding must
+    clearly beat the plain one (it measures exactly the within-cell
+    structure a raw codebook cannot see)."""
+    from cdc_data_pipeline_spark.catalog import llm
+    from tests.conftest import SF0001
+
+    rows = {r["variant"]: r["mean_recall"]
+            for r in llm.q_ivfpq_residual_recall(spark, SF0001).collect()}
+    assert set(rows) == {"plain", "residual"}
+    assert rows["residual"] >= rows["plain"] + 0.2, rows
+    assert rows["residual"] >= 0.5, rows

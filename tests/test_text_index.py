@@ -1,13 +1,23 @@
 """Persisted inverted text index: exact parity with the in-flight
-BM25, statistics exactness across appends, replay idempotency, and
-token-bucket partition pruning."""
+BM25, statistics exactness across appends, replay idempotency,
+token-bucket partition pruning, and the generation/pointer protocol
+(atomic publish, one-generation GC grace, orphan sweep, legacy-layout
+fallback, manifest-collision salting).
+
+Parity tests draw their queries FROM the corpus, so they compare
+against the self-excluding ``bm25_topk`` with ``exclude_self=True``
+(the more-like-this shape); the serving default ``exclude_self=False``
+is pinned separately by ``test_self_hit_kept_by_default``.
+"""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cdc_data_pipeline_spark.operators import text_index as ti
 from cdc_data_pipeline_spark.operators.terms import bm25_topk
+from cdc_data_pipeline_spark.sources import fsutil
 from cdc_data_pipeline_spark.sources.readers import read_table
 from tests.conftest import SF0001
 
@@ -16,16 +26,25 @@ def _docs(spark):
     return read_table(spark, SF0001, "documents").select("doc_id", "text")
 
 
+def _search(spark, path, queries, **kw):
+    """Corpus-drawn-query search, sorted for comparison."""
+    kw.setdefault("exclude_self", True)
+    return sorted(map(tuple,
+                      ti.search_text_index(spark, path, queries, k=5,
+                                           **kw).collect()))
+
+
+def _bm25(docs, queries):
+    return sorted(map(tuple, bm25_topk(docs, queries, k=5).collect()))
+
+
 def test_index_search_matches_inflight_bm25(spark, tmp_path):
     docs = _docs(spark)
     queries = docs.filter(F.col("doc_id") % 101 == 0)
     path = str(tmp_path / "tix")
     info = ti.build_text_index(spark, docs, path)
     assert info["n_docs"] == docs.count() and info["n_postings"] > 0
-    got = sorted(map(tuple,
-                     ti.search_text_index(spark, path, queries, k=5).collect()))
-    want = sorted(map(tuple, bm25_topk(docs, queries, k=5).collect()))
-    assert got == want
+    assert _search(spark, path, queries) == _bm25(docs, queries)
 
 
 def test_append_updates_stats_exactly_and_is_idempotent(spark, tmp_path):
@@ -44,28 +63,39 @@ def test_append_updates_stats_exactly_and_is_idempotent(spark, tmp_path):
 
     # post-append search == a fresh index over the full corpus: df,
     # n_docs and total_len must all reflect the appended batch exactly
-    got = sorted(map(tuple,
-                     ti.search_text_index(spark, path, queries, k=5).collect()))
-    want = sorted(map(tuple, bm25_topk(docs, queries, k=5).collect()))
-    assert got == want
+    assert _search(spark, path, queries) == _bm25(docs, queries)
 
 
 def test_search_prunes_token_buckets(spark, tmp_path):
     docs = _docs(spark)
     path = str(tmp_path / "tix")
     ti.build_text_index(spark, docs, path)
-    # a single-term query touches exactly one token bucket
-    one = spark.createDataFrame([(999999, "zzz_unique_term")],
-                                "doc_id long, text string")
-    out = ti.search_text_index(spark, path, one, k=5)
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    # a SEEN single-term query: with the lazy (non-materialized) plan
     # the postings scan must carry the bucket IN-list as a PARTITION
     # filter (directory-level skip), not merely reference the column
+    from cdc_data_pipeline_spark.functions.text import tokens as _toks
+    seen_tok = (docs.select(F.explode(_toks("text")).alias("t"))
+                .filter(F.length("t") > 2).limit(1).collect()[0]["t"])
+    one = spark.createDataFrame([(999999, seen_tok)],
+                                "doc_id long, text string")
+    out = ti.search_text_index(spark, path, one, k=5,
+                               materialize_candidates=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
     import re
     m = re.search(r"PartitionFilters: \[[^\]]*tb[^\]]*IN?\b", plan) or \
         re.search(r"PartitionFilters: \[[^\]]*tb[^\]]*=", plan)
     assert m, f"no tb partition filter in scan:\n{plan[:2000]}"
-    assert out.count() == 0  # unseen term matches nothing
+    assert out.count() > 0  # the seen term matches its own documents
+
+    # an UNSEEN term survives no candidate at all: the empty doc-bucket
+    # IN-list constant-folds the whole plan away — zero rows, and no
+    # parquet scan left in the executed plan
+    unseen = spark.createDataFrame([(999999, "zzz_unique_term")],
+                                   "doc_id long, text string")
+    out2 = ti.search_text_index(spark, path, unseen, k=5)
+    assert out2.count() == 0
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan2
 
 
 def test_streaming_ingest_into_text_index(spark, tmp_path):
@@ -89,10 +119,7 @@ def test_streaming_ingest_into_text_index(spark, tmp_path):
     q.awaitTermination(120)
 
     queries = docs.filter(F.col("doc_id") % 101 == 0)
-    got = sorted(map(tuple,
-                     ti.search_text_index(spark, path, queries, k=5).collect()))
-    want = sorted(map(tuple, bm25_topk(docs, queries, k=5).collect()))
-    assert got == want
+    assert _search(spark, path, queries) == _bm25(docs, queries)
 
 
 def test_compact_folds_deltas_without_changing_results(spark, tmp_path):
@@ -103,20 +130,22 @@ def test_compact_folds_deltas_without_changing_results(spark, tmp_path):
     ti.append_to_text_index(spark, path, parts[1])
     ti.append_to_text_index(spark, path, parts[2])
     queries = docs.filter(F.col("doc_id") % 101 == 0)
-    before = sorted(map(tuple,
-                        ti.search_text_index(spark, path, queries, k=5).collect()))
-    # 2 committed deltas + base before; one folded base after
-    assert len(ti._committed_deltas(spark, path, f"{path}/base")) == 2
+    before = _search(spark, path, queries)
+    # 2 committed deltas admitted by the published generation before
+    assert len(ti._committed_deltas(
+        spark, path, ti._base_root(spark, path))) == 2
     info = ti.compact_text_index(spark, path)
     assert info["compacted_deltas"] == 2
-    assert ti._committed_deltas(spark, path, f"{path}/base") == []
-    assert spark.read.parquet(f"{path}/base/stats").count() == 1
-    vocab = spark.read.parquet(f"{path}/base/vocab")
+    # after: the NEW generation's manifest admits no delta (the folded
+    # directories may remain on disk for the grace cycle — they are
+    # logically excluded either way)
+    root = ti._base_root(spark, path)
+    assert ti._committed_deltas(spark, path, root) == []
+    assert spark.read.parquet(f"{root}/stats").count() == 1
+    vocab = spark.read.parquet(f"{root}/vocab")
     assert vocab.groupBy("token").count().filter("count > 1").count() == 0
     assert info["n_docs"] == docs.count()
-    after = sorted(map(tuple,
-                       ti.search_text_index(spark, path, queries, k=5).collect()))
-    assert before == after
+    assert _search(spark, path, queries) == before
 
 
 def test_partial_write_replay_converges(spark, tmp_path):
@@ -134,23 +163,16 @@ def test_partial_write_replay_converges(spark, tmp_path):
     # simulate the crash: perform the append, then delete the marker
     # (equivalent to dying after the table writes, before the commit)
     r = ti.append_to_text_index(spark, path, extra)
-    from cdc_data_pipeline_spark.sources import fsutil
     marker = f"{path}/delta/{r['batch']}/{ti.COMMIT}"
     fsutil.delete(spark, marker)
 
     # uncommitted delta is invisible: search == base-only BM25
-    got = sorted(map(tuple,
-                     ti.search_text_index(spark, path, queries, k=5).collect()))
-    want = sorted(map(tuple, bm25_topk(base, queries, k=5).collect()))
-    assert got == want
+    assert _search(spark, path, queries) == _bm25(base, queries)
 
     # replay: overwrites the same directory, commits, nothing doubled
     r2 = ti.append_to_text_index(spark, path, extra)
     assert r2["batch"] == r["batch"] and r2["appended"] == extra.count()
-    got2 = sorted(map(tuple,
-                      ti.search_text_index(spark, path, queries, k=5).collect()))
-    want2 = sorted(map(tuple, bm25_topk(docs, queries, k=5).collect()))
-    assert got2 == want2
+    assert _search(spark, path, queries) == _bm25(docs, queries)
 
 
 def test_batch_duplicates_and_empty_text_docs(spark, tmp_path):
@@ -173,15 +195,12 @@ def test_batch_duplicates_and_empty_text_docs(spark, tmp_path):
          (3, "beta beta zeta"), (4, "")],
         "doc_id long, text string")
     queries = full.filter(F.col("doc_id") == 1)
-    got = sorted(map(tuple,
-                     ti.search_text_index(spark, path, queries, k=5).collect()))
-    want = sorted(map(tuple, bm25_topk(full, queries, k=5).collect()))
-    assert got == want
+    assert _search(spark, path, queries) == _bm25(full, queries)
 
 
 def test_crash_after_compact_swap_cannot_double_count(spark, tmp_path):
     """The compacted.json manifest excludes folded deltas logically:
-    even if the GC loop never ran (crash after the base swap), a
+    even if the GC loop never ran (crash after the pointer publish), a
     still-present folded delta directory must not be read again."""
     docs = _docs(spark)
     base = docs.filter(F.col("doc_id") % 5 != 0)
@@ -190,25 +209,24 @@ def test_crash_after_compact_swap_cannot_double_count(spark, tmp_path):
     ti.build_text_index(spark, base, path)
     r = ti.append_to_text_index(spark, path, extra)
     queries = docs.filter(F.col("doc_id") % 101 == 0)
-    want = sorted(map(tuple,
-                      ti.search_text_index(spark, path, queries, k=5).collect()))
+    want = _search(spark, path, queries)
     ti.compact_text_index(spark, path)
-    # resurrect the folded delta as if GC had crashed before deleting it
+    # resurrect the folded delta as if GC had crashed before deleting
+    # it (under grace it is in fact retained; rebuild it from a donor
+    # to make the shape explicit and GC-independent)
     import shutil
     ddir = f"{path}/delta/{r['batch']}"
-    ti.build_text_index(spark, extra, str(tmp_path / "donor"))
-    shutil.copytree(str(tmp_path / "donor" / "base"), ddir)
-    from cdc_data_pipeline_spark.sources import fsutil
+    fsutil.delete(spark, ddir)
+    donor = str(tmp_path / "donor")
+    ti.build_text_index(spark, extra, donor)
+    shutil.copytree(ti._base_root(spark, donor), ddir)
+    fsutil.delete(spark, f"{ddir}/compacted.json")
     fsutil.write_text(spark, f"{ddir}/{ti.COMMIT}", "1")
-    got = sorted(map(tuple,
-                     ti.search_text_index(spark, path, queries, k=5).collect()))
-    assert got == want  # manifest keeps the leftover invisible
+    assert _search(spark, path, queries) == want  # manifest hides it
     # the next compact garbage-collects it and changes nothing
     ti.compact_text_index(spark, path)
     assert not fsutil.exists(spark, ddir)
-    again = sorted(map(tuple,
-                       ti.search_text_index(spark, path, queries, k=5).collect()))
-    assert again == want
+    assert _search(spark, path, queries) == want
 
 
 def test_null_text_batches_get_distinct_digests(spark, tmp_path):
@@ -238,15 +256,10 @@ def test_empty_index_bootstraps_from_first_append(spark, tmp_path):
         "doc_id long, text string")
     assert ti.append_to_text_index(spark, path, batch)["appended"] == 2
     queries = batch.filter(F.col("doc_id") == 1)
-    got = sorted(map(tuple,
-                     ti.search_text_index(spark, path, queries, k=5).collect()))
-    want = sorted(map(tuple, bm25_topk(batch, queries, k=5).collect()))
-    assert got == want
+    assert _search(spark, path, queries) == _bm25(batch, queries)
 
 
 def test_rebuild_fully_rewrites_and_bucket_layout_is_immutable(spark, tmp_path):
-    import pytest as _pytest
-
     docs = _docs(spark)
     path = str(tmp_path / "tix")
     ti.build_text_index(spark, docs, path)
@@ -254,9 +267,181 @@ def test_rebuild_fully_rewrites_and_bucket_layout_is_immutable(spark, tmp_path):
     small = docs.filter(F.col("doc_id").isin([0, 101]))
     ti.build_text_index(spark, small, path)
     queries = small.filter(F.col("doc_id") == 0)
-    got = sorted(map(tuple,
-                     ti.search_text_index(spark, path, queries, k=5).collect()))
-    want = sorted(map(tuple, bm25_topk(small, queries, k=5).collect()))
-    assert got == want and len(got) <= 1
-    with _pytest.raises(ValueError, match="n_buckets"):
+    got = _search(spark, path, queries)
+    assert got == _bm25(small, queries) and len(got) <= 1
+    with pytest.raises(ValueError, match="n_buckets"):
         ti.build_text_index(spark, small, path, n_buckets=32)
+
+
+# ------------------------------------------- generation/pointer protocol
+
+
+def test_self_hit_kept_by_default(spark, tmp_path):
+    """Serving default ``exclude_self=False``: a query id that
+    coincides with a corpus doc_id keeps its (legitimate) self-hit —
+    the external-id-space contract, where the coincidence carries no
+    more-like-this meaning."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta"), (3, "zeta eta")],
+        "doc_id long, text string")
+    path = str(tmp_path / "tix")
+    ti.build_text_index(spark, docs, path)
+    queries = spark.createDataFrame([(1, "alpha beta gamma")],
+                                    "doc_id long, text string")
+    rows = (ti.search_text_index(spark, path, queries, k=5)
+            .orderBy("rank").collect())
+    assert rows[0]["neighbor_id"] == 1 and rows[0]["rank"] == 1
+    # and the more-like-this flag drops exactly that hit
+    excl = _search(spark, path, queries)
+    assert all(r[1] != 1 for r in excl)
+
+
+def test_search_snapshot_consistent_across_compaction(spark, tmp_path):
+    """A search plan that resolved the pointer BEFORE a compaction
+    still collects exact results afterwards: the resolved generation
+    and the deltas its manifest admits survive one full grace cycle."""
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    extra = docs.filter(F.col("doc_id") % 4 == 0)
+    path = str(tmp_path / "tix")
+    ti.build_text_index(spark, base, path)
+    ti.append_to_text_index(spark, path, extra)
+    queries = docs.filter(F.col("doc_id") % 101 == 0)
+    want = _search(spark, path, queries)
+    pending = ti.search_text_index(spark, path, queries, k=5,
+                                   exclude_self=True)
+    ti.compact_text_index(spark, path)  # publishes a new generation
+    assert sorted(map(tuple, pending.collect())) == want
+
+
+def test_second_compaction_gcs_grace_generation(spark, tmp_path):
+    """One-generation grace: the superseded generation (and the deltas
+    it admitted) survive the compaction that superseded them and are
+    garbage-collected only by the NEXT one."""
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    extra = docs.filter(F.col("doc_id") % 4 == 0)
+    path = str(tmp_path / "tix")
+    ti.build_text_index(spark, base, path)
+    gen0 = ti._current_base_name(spark, path)
+    r = ti.append_to_text_index(spark, path, extra)
+    ddir = f"{path}/delta/{r['batch']}"
+    queries = docs.filter(F.col("doc_id") % 101 == 0)
+    want = _search(spark, path, queries)
+
+    ti.compact_text_index(spark, path)
+    gen1 = ti._current_base_name(spark, path)
+    assert gen1 != gen0
+    assert fsutil.exists(spark, f"{path}/{gen0}")  # grace-retained
+    assert fsutil.exists(spark, ddir)
+
+    ti.compact_text_index(spark, path)
+    assert not fsutil.exists(spark, f"{path}/{gen0}")
+    assert not fsutil.exists(spark, ddir)
+    assert _search(spark, path, queries) == want
+
+
+def test_orphan_staged_generation_swept(spark, tmp_path):
+    """A crash between staging a new generation and publishing the
+    pointer leaves an orphan ``base-<gen>`` the pointer never names;
+    the next successful publish sweeps it."""
+    docs = _docs(spark).filter(F.col("doc_id") % 7 == 0)
+    path = str(tmp_path / "tix")
+    ti.build_text_index(spark, docs, path)
+    cur = ti._current_base_name(spark, path)
+    orphan = f"{path}/base-0000000099"
+    fsutil.mkdirs(spark, orphan)
+    fsutil.write_text(spark, f"{orphan}/compacted.json", "[]")
+    queries = docs.limit(2)
+    want = _search(spark, path, queries)
+    assert _search(spark, path, queries) == want  # orphan invisible
+    ti.compact_text_index(spark, path)
+    assert not fsutil.exists(spark, orphan)
+    assert ti._current_base_name(spark, path) not in (cur, "base-0000000099")
+    assert _search(spark, path, queries) == want
+
+
+def test_legacy_base_layout_reads_and_migrates(spark, tmp_path):
+    """An index written by the pre-pointer protocol (un-generationed
+    ``{path}/base``, no BASE file) reads correctly, accepts appends,
+    and migrates to the pointer protocol on its first compaction."""
+    import shutil
+
+    docs = _docs(spark)
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "tix")
+    ti.build_text_index(spark, a, path)
+    # retro-fit the legacy layout: move the published generation to
+    # {path}/base and drop the pointer
+    gen = ti._current_base_name(spark, path)
+    shutil.move(f"{path}/{gen}", f"{path}/base")
+    fsutil.delete(spark, f"{path}/{ti.BASE_PTR}")
+    assert ti._current_base_name(spark, path) == "base"
+
+    queries = docs.filter(F.col("doc_id") % 101 == 0)
+    assert _search(spark, path, queries) == _bm25(a, queries)
+    ti.append_to_text_index(spark, path, b)
+    assert _search(spark, path, queries) == _bm25(docs, queries)
+
+    ti.compact_text_index(spark, path)  # migrates: publishes a pointer
+    assert ti._current_base_name(spark, path).startswith("base-")
+    assert fsutil.exists(spark, f"{path}/base")  # grace-retained
+    assert _search(spark, path, queries) == _bm25(docs, queries)
+    ti.compact_text_index(spark, path)
+    assert not fsutil.exists(spark, f"{path}/base")
+    assert _search(spark, path, queries) == _bm25(docs, queries)
+
+
+def test_reappend_after_rebuild_is_searchable(spark, tmp_path):
+    """Manifest-collision salting: after a rebuild permanently
+    excluded a folded delta BY NAME (grace keeps its directory and
+    stale ``_COMMIT`` on disk), re-appending the same batch content
+    must not be swallowed by the stale marker — the docs must index
+    under a salted delta name."""
+    docs = _docs(spark)
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "tix")
+    ti.build_text_index(spark, a, path)
+    r1 = ti.append_to_text_index(spark, path, b)
+    assert r1["appended"] == b.count()
+
+    # rebuild over `a` only: b's delta is excluded by the new
+    # generation's manifest but its directory (with _COMMIT) survives
+    ti.build_text_index(spark, a, path)
+    assert fsutil.exists(spark, f"{path}/delta/{r1['batch']}/{ti.COMMIT}")
+    queries = docs.filter(F.col("doc_id") % 101 == 0)
+    assert _search(spark, path, queries) == _bm25(a, queries)
+
+    r2 = ti.append_to_text_index(spark, path, b)
+    assert r2["appended"] == b.count()
+    assert r2["batch"] != r1["batch"]  # salted past the excluded name
+    assert _search(spark, path, queries) == _bm25(docs, queries)
+
+    # compaction folds the salted delta and GCs the stale one; a
+    # further replay converges to zero new docs
+    ti.compact_text_index(spark, path)
+    assert not fsutil.exists(spark, f"{path}/delta/{r1['batch']}")
+    assert ti.append_to_text_index(spark, path, b)["appended"] == 0
+    assert _search(spark, path, queries) == _bm25(docs, queries)
+
+
+@pytest.mark.parametrize("scheme", ["", "file://"])
+def test_index_roundtrip_under_scheme(spark, tmp_path, scheme):
+    """The full build/search/append/compact/search cycle under a bare
+    local path AND an explicit ``file://`` scheme root — every fsutil
+    primitive (pointer publish included) must resolve both the same
+    way through the Hadoop FileSystem."""
+    docs = _docs(spark).filter(F.col("doc_id") % 7 == 0)
+    half = docs.filter(F.col("doc_id") % 14 == 0)
+    rest = docs.filter(F.col("doc_id") % 14 != 0)
+    path = scheme + str(tmp_path / "tix")
+    ti.build_text_index(spark, half, path)
+    queries = docs.limit(3)
+    assert _search(spark, path, queries) == _bm25(half, queries)
+    ti.append_to_text_index(spark, path, rest)
+    want = _bm25(docs, queries)
+    assert _search(spark, path, queries) == want
+    ti.compact_text_index(spark, path)
+    assert _search(spark, path, queries) == want
