@@ -701,6 +701,30 @@ def q_ivfpq_residual_recall(spark, sf_dir):
         mean_recall(True, "residual"))
 
 
+def q_text_index_search(spark, sf_dir):
+    """The PERSISTED inverted index end-to-end: build a base over 4/5
+    of the corpus, append the remaining 1/5 as a committed delta, then
+    BM25-search corpus-drawn queries with ``exclude_self=True`` (the
+    more-like-this shape). The oracle is the in-flight BM25 SQL over
+    the FULL corpus — so this row pins, in one parity check, the
+    generation/pointer read path, the delta statistics summing (df /
+    n_docs / avgdl exactness after appends), candidate-bounded
+    doclens, and scoring parity with ``bm25_topk``. Added after the
+    round-5 lesson: the index had no catalog row, so a breaking
+    storage-protocol change was invisible to the driver gate."""
+    import tempfile
+
+    from cdc_data_pipeline_spark.operators import text_index as ti
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="cdcspark_tix_")
+    ti.build_text_index(spark, docs.filter(F.col("doc_id") % 5 != 0), path)
+    ti.append_to_text_index(spark, path, docs.filter(F.col("doc_id") % 5 == 0))
+    queries = docs.filter(F.col("doc_id") % _BM25_QMOD == 0)
+    return ti.search_text_index(spark, path, queries, k=_BM25_K,
+                                exclude_self=True)
+
+
 # --------------------------------------------- product quantization ANN
 
 _PQ_M, _PQ_KSUB, _PQ_K = 4, 8, 5
@@ -1649,6 +1673,7 @@ EXTRA_QUERIES = {
     "hybrid_ivf_rrf": q_hybrid_ivf_rrf,
     "hybrid_wrrf_topk": q_hybrid_wrrf_topk,
     "ivfpq_residual_recall": q_ivfpq_residual_recall,
+    "text_index_search": q_text_index_search,
     "weighted_sample": q_weighted_sample,
     "repetition_metrics": q_repetition,
     "kmeans_clusters": q_kmeans_clusters,
@@ -1677,6 +1702,9 @@ EXTRA_ORACLES = {
     "hard_negatives": SQL_HARD_NEGATIVES,
     "hybrid_ivf_rrf": SQL_HYBRID_IVF_RRF,
     "hybrid_wrrf_topk": SQL_HYBRID_WRRF_TOPK,
+    # the persisted index must reproduce the in-flight BM25 exactly —
+    # same oracle, by design
+    "text_index_search": SQL_BM25_TOPK,
     # ivfpq_residual_recall: rows-only by design (residual column is
     # a non-SQL-expressible intermediate; inequality pinned in
     # tests/test_pq.py::test_residual_recall_catalog_entry)

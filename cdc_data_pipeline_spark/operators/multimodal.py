@@ -2,11 +2,13 @@
 
 Image/audio/video payloads travel as ``binary`` columns alongside a
 metadata struct; decode / feature-extract / resize / frame-sample run
-as Arrow-batched Pandas iterators via ``mapInPandas``. The decode
-libraries are not available in this container, so the actual pixel/PCM
-decode is STUBBED (deterministic fake features) behind
-``decode_stub=True`` — the Spark-side plumbing (schema, batch shape,
-partitioning, UDF signature) is real and tested.
+as Arrow-batched Pandas iterators via ``mapInPandas``. The default
+``decode_stub=True`` computes deterministic fake features from the raw
+bytes (no decode libraries needed — the Spark-side plumbing: schema,
+batch shape, partitioning, UDF signature, is real and tested
+everywhere). ``decode_stub=False`` switches to REAL image decode via
+Pillow, import-gated: it raises ``NotImplementedError`` where Pillow
+is absent and is exercised by import-skipped tests where it exists.
 
 Scale notes: binary payloads dominate row size — repartition by a
 content-size bucket before mapInPandas so Arrow batches stay bounded;
@@ -59,20 +61,37 @@ def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def _require_pil():
+    """Import gate for the real decode paths: raises the same
+    NotImplementedError the stub contract documents when Pillow is
+    absent, so callers fail fast on the driver instead of inside a
+    task retry loop."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real media decode requires Pillow, which is not installed "
+            "in this environment; run with decode_stub=True"
+        ) from exc
+
+
 def extract_features(media: DataFrame, decode_stub: bool = True, feature_dim: int = 4) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
     With ``decode_stub=True`` the "decoder" computes deterministic fake
     features from the raw bytes (length, first byte, additive checksum,
-    and a fixed-dim folded-byte histogram). A real deployment swaps the
-    body for PIL/librosa/ffmpeg decode — the signature, schema, and
-    batch shape stay identical.
+    and a fixed-dim folded-byte histogram). With ``decode_stub=False``
+    the payload is decoded as an IMAGE with Pillow (import-gated:
+    raises ``NotImplementedError`` where Pillow is absent) and the
+    feature is the mean grayscale intensity of ``feature_dim``
+    horizontal bands — a real, deterministic pixel-space signature.
+    Either way the signature, schema, and Arrow batch shape are
+    identical; audio/video decoders slot into the same seam.
     """
     if not decode_stub:
-        raise NotImplementedError(
-            "real media decode requires image/audio libs not present in this "
-            "container; run with decode_stub=True"
-        )
+        _require_pil()
 
     # no forced repartition here: shuffling binary payloads costs more
     # than the stub featurization saves. With a REAL decoder (10-100ms
@@ -80,6 +99,10 @@ def extract_features(media: DataFrame, decode_stub: bool = True, feature_dim: in
     # amortizes instantly at that per-row cost.
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        if not decode_stub:
+            from PIL import Image
         for pdf in batches:
             payloads = pdf["payload"]
             n_bytes, first_byte, checksum, feats = [], [], [], []
@@ -88,10 +111,25 @@ def extract_features(media: DataFrame, decode_stub: bool = True, feature_dim: in
                 n_bytes.append(len(b))
                 first_byte.append(b[0] if b else 0)
                 checksum.append(sum(b) % (1 << 31))
-                hist = [0.0] * feature_dim
-                for i, byte in enumerate(b):
-                    hist[i % feature_dim] += float(byte)
-                feats.append([v / max(len(b), 1) for v in hist])
+                if decode_stub:
+                    hist = [0.0] * feature_dim
+                    for i, byte in enumerate(b):
+                        hist[i % feature_dim] += float(byte)
+                    feats.append([v / max(len(b), 1) for v in hist])
+                    continue
+                img = Image.open(io.BytesIO(b)).convert("L")
+                px = list(img.getdata())
+                w, h = img.size
+                bands = [0.0] * feature_dim
+                counts = [0] * feature_dim
+                for row in range(h):
+                    band = min(row * feature_dim // max(h, 1),
+                               feature_dim - 1)
+                    seg = px[row * w:(row + 1) * w]
+                    bands[band] += float(sum(seg))
+                    counts[band] += len(seg)
+                feats.append([bands[i] / counts[i] if counts[i] else 0.0
+                              for i in range(feature_dim)])
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "n_bytes": n_bytes,
@@ -113,27 +151,39 @@ RESIZED_SCHEMA = T.StructType([
 def resize(media: DataFrame, width: int, height: int, decode_stub: bool = True) -> DataFrame:
     """Resize plumbing via mapInPandas: same media schema out, metadata
     updated to the target dims. The stub "resampler" truncates/repeats
-    payload bytes to width*height deterministically; a real deployment
-    swaps the body for PIL/ffmpeg — signature, schema, and Arrow batch
-    shape stay identical.
+    payload bytes to width*height deterministically; with
+    ``decode_stub=False`` the payload is decoded with Pillow
+    (import-gated), bilinear-resized to (width, height), and
+    re-encoded as PNG (mime updated accordingly) — signature, schema,
+    and Arrow batch shape stay identical either way.
     """
     if not decode_stub:
-        raise NotImplementedError(
-            "real resize requires image libs not present in this container; "
-            "run with decode_stub=True"
-        )
+        _require_pil()
 
     target = width * height
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        if not decode_stub:
+            from PIL import Image
         for pdf in batches:
             payloads = []
             metas = []
             for raw, meta in zip(pdf["payload"], pdf["meta"]):
                 b = bytes(raw) if raw is not None else b""
-                out = (b * (target // max(len(b), 1) + 1))[:target] if b else b"\x00" * target
-                payloads.append(out)
                 m = dict(meta) if meta is not None else {}
+                if decode_stub:
+                    out = (b * (target // max(len(b), 1) + 1))[:target] \
+                        if b else b"\x00" * target
+                else:
+                    img = Image.open(io.BytesIO(b))
+                    buf = io.BytesIO()
+                    img.resize((width, height),
+                               Image.Resampling.BILINEAR).save(buf, "PNG")
+                    out = buf.getvalue()
+                    m["mime"] = "image/png"
+                payloads.append(out)
                 m["width"], m["height"] = width, height
                 metas.append(m)
             yield pd.DataFrame({

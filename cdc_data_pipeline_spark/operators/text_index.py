@@ -298,6 +298,7 @@ def search_text_index(spark: SparkSession, path: str, queries: DataFrame,
                       k: int = 5, k1: float = 1.2, b: float = 0.75,
                       text_col: str = "text", id_col: str = "doc_id",
                       exclude_self: bool = False,
+                      exclude_pairs: DataFrame | None = None,
                       materialize_candidates: bool = True) -> DataFrame:
     """BM25 top-k over the persisted index, touching only the query
     vocabulary's postings/vocab buckets in base + committed deltas and
@@ -314,6 +315,11 @@ def search_text_index(spark: SparkSession, path: str, queries: DataFrame,
     more-like-this shape (queries drawn from the corpus itself), which
     then matches ``terms.bm25_topk`` exactly on the same corpus
     (query_id, neighbor_id, bm25, rank).
+
+    ``exclude_pairs`` (optional ``(id_a, id_b)`` frame) drops named
+    query/neighbor pairs BEFORE ranking so the top-k backfills past
+    them — the hard-negative-mining shape (known positives must not
+    consume result slots), identical semantics to ``bm25_topk``.
 
     ``materialize_candidates`` (default ON) localCheckpoints the
     query-vocabulary slice of the pruned postings, so the candidate
@@ -364,7 +370,7 @@ def search_text_index(spark: SparkSession, path: str, queries: DataFrame,
     return score_bm25_postings(
         cand, qt, dl, dfreq,
         stats, k=k, k1=k1, b=b, id_col=id_col, query_id_col="query_id",
-        exclude_self=exclude_self)
+        exclude_self=exclude_self, exclude_pairs=exclude_pairs)
 
 
 def append_to_text_index(spark: SparkSession, path: str, batch: DataFrame,

@@ -130,7 +130,10 @@ def jdbc_incremental_query(
     if last_value is not None:
         op = ">=" if inclusive else ">"
         q += f" WHERE {tracking_column} {op} {_sql_literal(last_value)}"
-    return f"({q}) AS __src"
+    # alias must start with a letter: the SQL standard (and Derby,
+    # strictly) forbids unquoted leading underscores; Postgres/MySQL
+    # merely tolerate them
+    return f"({q}) AS incr_src"
 
 
 def read_jdbc_incremental(

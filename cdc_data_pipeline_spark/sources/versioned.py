@@ -31,6 +31,28 @@ FileSystem API (``sources/fsutil.py``) using the active SparkSession
 — the same dual-path discipline as the bucketed sinks (r3 commit
 141b974), now covering the versioned-table layer too.
 
+Commit-protocol contract, per scheme (what "atomic publish" means):
+
+- bare local / ``file://``: pointer lands via tempfile + os.replace —
+  POSIX rename atomicity; readers see the old or new integer, never a
+  torn file. Version directories appear fully before the pointer.
+- ``s3a://`` (S3-class object stores): the pointer publish is ONE
+  small-object PUT — atomic and read-after-write-consistent on S3;
+  the version "directory" is a key prefix whose objects are all
+  written before the PUT, so a reader resolving the pointer never
+  lists a partial version.
+- ``hdfs://``: create-overwrite of a few-byte file — not a rename,
+  so there is a sub-millisecond window in which a reader can observe
+  a zero-length pointer; ``current_version`` treats unparseable
+  content as "no pointer" and readers should retry. Deployments
+  needing strict HDFS atomicity can point ``fsutil.publish_text`` at
+  a rename-based variant; the protocol above needs nothing else
+  changed.
+- All schemes: version directories are IMMUTABLE once the pointer
+  names them; vacuum never deletes the published version or anything
+  newer than it, so a crashed in-flight publish leaves only an
+  orphan directory (invisible — nothing references it).
+
 Concurrency contract (single-writer): the publish protocol assumes
 ONE writer per table — concurrent publishers can elect the same next
 version id and the last pointer write wins (no lock/CAS, matching the
@@ -100,17 +122,19 @@ def current_version(table_path: str) -> int | None:
 
 def publish_pointer(table_path: str, version: int) -> None:
     """Atomically repoint ``_LATEST`` (also the rollback primitive).
-    Local roots swap with ``os.replace``; scheme roots publish the
-    pointer as ONE small-object overwrite write (a single atomic PUT
-    on S3-class stores — see ``fsutil.write_text``)."""
+    Bare local roots swap with ``os.replace``; scheme roots go through
+    ``fsutil.publish_text``, which re-resolves to the same os.replace
+    when the scheme lands on a local FS (``file://``) and otherwise
+    publishes the pointer as ONE small-object overwrite write (a
+    single atomic PUT on S3-class stores)."""
     if version not in list_versions(table_path):
         raise ValueError(f"version {version} does not exist at {table_path}")
     if _is_uri(table_path):
         from cdc_data_pipeline_spark.sources import fsutil
 
-        fsutil.write_text(_active_spark(),
-                          fsutil.path_join(table_path, _POINTER),
-                          str(version))
+        fsutil.publish_text(_active_spark(),
+                            fsutil.path_join(table_path, _POINTER),
+                            str(version))
         return
     tmp = os.path.join(table_path, f".{_POINTER}.tmp")
     with open(tmp, "w") as fh:

@@ -265,3 +265,66 @@ def test_ann_recall_evaluator(spark, sf_dir):
     one = ann_recall(truth, ivf_topk(e, queries, cents, k=5, nprobe=1))
     vals = [r.recall for r in one.collect()]
     assert vals and all(0.0 <= v <= 1.0 for v in vals)
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_real_decode_gate_raises_without_pil(spark):
+    """decode_stub=False must fail FAST on the driver where Pillow is
+    absent (NotImplementedError, not a task-retry storm)."""
+    import pytest
+
+    from cdc_data_pipeline_spark.operators import multimodal as mm
+
+    if _pil_available():
+        pytest.skip("Pillow present: gate does not raise here")
+    media = mm.documents_as_media(
+        spark.createDataFrame([(1, "x")], "doc_id long, text string"))
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mm.extract_features(media, decode_stub=False)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mm.resize(media, 4, 4, decode_stub=False)
+
+
+def test_real_decode_with_pil(spark):
+    """Import-skipped real-decode path: build tiny PNGs, decode +
+    band-feature + resize through the SAME mapInPandas seams the stub
+    uses; runs wherever Pillow is installed."""
+    import pytest
+
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from pyspark.sql import functions as F
+
+    from cdc_data_pipeline_spark.operators import multimodal as mm
+
+    def png(shade):
+        img = Image.new("L", (8, 8), shade)
+        buf = io.BytesIO()
+        img.save(buf, "PNG")
+        return buf.getvalue()
+
+    rows = [(i, png(30 * i), ("image/png", 8, 8, None)) for i in range(3)]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    feats = mm.extract_features(media, decode_stub=False).collect()
+    assert len(feats) == 3
+    for r in feats:
+        # uniform-shade image: every band mean equals the shade
+        shade = 30 * r["media_id"]
+        assert all(abs(v - shade) < 1e-6 for v in r["feature"])
+
+    out = mm.resize(media, 4, 4, decode_stub=False).collect()
+    for r in out:
+        assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
+        assert r["meta"]["mime"] == "image/png"
+        img = Image.open(io.BytesIO(bytes(r["payload"])))
+        assert img.size == (4, 4)

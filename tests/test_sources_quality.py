@@ -79,17 +79,17 @@ def test_jdbc_incremental_query_embeds_watermark():
     q = jdbc_incremental_query("public.savings_plan", "updated_at",
                                "2024-01-01 10:00:00")
     assert q == ("(SELECT * FROM public.savings_plan "
-                 "WHERE updated_at > '2024-01-01 10:00:00') AS __src")
+                 "WHERE updated_at > '2024-01-01 10:00:00') AS incr_src")
 
     q = jdbc_incremental_query("t", "updated_at", "2024-01-01", inclusive=True,
                                columns=["id", "updated_at"])
     assert q == ("(SELECT id, updated_at FROM t "
-                 "WHERE updated_at >= '2024-01-01') AS __src")
+                 "WHERE updated_at >= '2024-01-01') AS incr_src")
 
     assert jdbc_incremental_query("t", "seq", 42) == \
-        "(SELECT * FROM t WHERE seq > 42) AS __src"
+        "(SELECT * FROM t WHERE seq > 42) AS incr_src"
     # first run: no watermark -> full scan, no WHERE
-    assert jdbc_incremental_query("t", "seq") == "(SELECT * FROM t) AS __src"
+    assert jdbc_incremental_query("t", "seq") == "(SELECT * FROM t) AS incr_src"
     # quotes in a (string) watermark value cannot break out of the literal
     assert "WHERE c > '''; DROP'" in jdbc_incremental_query("t", "c", "'; DROP")
 

@@ -427,6 +427,30 @@ def test_reappend_after_rebuild_is_searchable(spark, tmp_path):
     assert _search(spark, path, queries) == _bm25(docs, queries)
 
 
+def test_exclude_pairs_backfills_like_inflight(spark, tmp_path):
+    """Hard-negative-mining parity: the persisted search with
+    ``exclude_pairs`` must equal ``bm25_topk`` with the same pairs —
+    excluded neighbors never consume a result slot."""
+    docs = _docs(spark)
+    path = str(tmp_path / "tix")
+    ti.build_text_index(spark, docs, path)
+    queries = docs.filter(F.col("doc_id") % 101 == 0)
+    base = ti.search_text_index(spark, path, queries, k=5,
+                                exclude_self=True)
+    pairs = spark.createDataFrame(
+        [(r["query_id"], r["neighbor_id"])
+         for r in base.filter(F.col("rank") == 1).collect()],
+        "id_a long, id_b long")
+    got = sorted(map(tuple, ti.search_text_index(
+        spark, path, queries, k=5, exclude_self=True,
+        exclude_pairs=pairs).collect()))
+    want = sorted(map(tuple, bm25_topk(
+        docs, queries, k=5, exclude_pairs=pairs).collect()))
+    assert got == want
+    banned = {(a, b) for a, b in pairs.collect()}
+    assert all((q, n) not in banned for q, n, _, _ in got)
+
+
 @pytest.mark.parametrize("scheme", ["", "file://"])
 def test_index_roundtrip_under_scheme(spark, tmp_path, scheme):
     """The full build/search/append/compact/search cycle under a bare

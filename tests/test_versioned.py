@@ -243,3 +243,30 @@ def test_versioned_table_under_uri_fs_root(spark, tmp_path):
     runs = read_runs(spark, base)
     assert runs.count() == 1
     assert runs.first()["model"] == "tbl"
+
+
+def test_versioned_roundtrip_under_file_scheme(spark, tmp_path):
+    """The full publish/read/time-travel/rollback/vacuum cycle under
+    an explicit ``file://`` root: every metadata op resolves through
+    the Hadoop FileSystem instead of ``os``, and the pointer publish
+    still takes the atomic os.replace path (fsutil.publish_text
+    detects the local FS behind the scheme)."""
+    bare = str(tmp_path / "tbl")
+    t = "file://" + bare
+    assert publish_version(_df(spark, 3, "a"), t) == 1
+    assert publish_version(_df(spark, 5, "b"), t) == 2
+    assert current_version(t) == 2
+    assert read_versioned(spark, t).count() == 5
+    assert read_versioned(spark, t, version=1).count() == 3
+    publish_pointer(t, 1)
+    assert read_versioned(spark, t).count() == 3
+    # scheme and bare views agree: same files on disk
+    assert current_version(bare) == 1
+    assert list_versions(t) == [1, 2] == list_versions(bare)
+    publish_pointer(t, 2)
+    assert vacuum_versions(t, keep_last=1) == [1]
+    assert list_versions(bare) == [2]
+    assert read_versioned(spark, t).count() == 5
+    # no pointer-staging litter from the atomic publishes
+    assert not [f for f in os.listdir(bare)
+                if f.startswith((".ptr_", "._LATEST"))]
