@@ -702,24 +702,40 @@ def q_ivfpq_residual_recall(spark, sf_dir):
 
 
 def q_text_index_search(spark, sf_dir):
-    """The PERSISTED inverted index end-to-end: build a base over 4/5
-    of the corpus, append the remaining 1/5 as a committed delta, then
-    BM25-search corpus-drawn queries with ``exclude_self=True`` (the
-    more-like-this shape). The oracle is the in-flight BM25 SQL over
-    the FULL corpus — so this row pins, in one parity check, the
-    generation/pointer read path, the delta statistics summing (df /
-    n_docs / avgdl exactness after appends), candidate-bounded
-    doclens, and scoring parity with ``bm25_topk``. Added after the
-    round-5 lesson: the index had no catalog row, so a breaking
-    storage-protocol change was invisible to the driver gate."""
+    """The PERSISTED inverted index through its FULL CDC lifecycle:
+    build a base over 4/5 of the corpus with every 7th document's
+    text corrupted, append the remaining 1/5 (insert delta), upsert
+    the corrected 7th-documents (tombstoning their stale versions),
+    append three synthetic documents and delete them again
+    (tombstone-only delta), then BM25-search corpus-drawn queries
+    with ``exclude_self=True``. The oracle is the in-flight BM25 SQL
+    over the CLEAN full corpus — so this one parity row pins the
+    generation/pointer read path, delta statistics additivity, the
+    upsert/delete kill-set visibility filter, postings-derived df
+    exactness, candidate-bounded doclens, and scoring parity with
+    ``bm25_topk``. Added after the round-5 lesson: the index had no
+    catalog row, so a breaking storage-protocol change was invisible
+    to the driver gate."""
     import tempfile
 
     from cdc_data_pipeline_spark.operators import text_index as ti
 
     docs = _docs(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="cdcspark_tix_")
-    ti.build_text_index(spark, docs.filter(F.col("doc_id") % 5 != 0), path)
-    ti.append_to_text_index(spark, path, docs.filter(F.col("doc_id") % 5 == 0))
+    stale = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 7 == 0,
+                       F.concat(F.lit("zzstale "), F.col("text")))
+        .otherwise(F.col("text")))
+    ti.build_text_index(spark, stale.filter(F.col("doc_id") % 5 != 0), path)
+    ti.append_to_text_index(spark, path,
+                            stale.filter(F.col("doc_id") % 5 == 0))
+    ti.upsert_into_text_index(spark, path,
+                              docs.filter(F.col("doc_id") % 7 == 0))
+    extras = spark.range(3).select(
+        (F.col("id") + 1_000_000_000).alias("doc_id"),
+        F.lit("transient synthetic document").alias("text"))
+    ti.append_to_text_index(spark, path, extras)
+    ti.delete_from_text_index(spark, path, extras.select("doc_id"))
     queries = docs.filter(F.col("doc_id") % _BM25_QMOD == 0)
     return ti.search_text_index(spark, path, queries, k=_BM25_K,
                                 exclude_self=True)

@@ -21,8 +21,12 @@ forever. This module materializes the index LSM-style:
     <path>/base-<gen>/vocab/tb=K/  (token, df) — exact in base
     <path>/base-<gen>/stats/       one (n_docs, total_len) row
     <path>/base-<gen>/compacted.json  delta dirs folded INTO this base
-    <path>/delta/<token>/...       one DIRECTORY per appended batch
-                                   holding the same four sub-tables
+    <path>/delta/<token>/...       one DIRECTORY per committed batch
+                                   holding the same four sub-tables;
+                                   upsert/delete deltas additionally
+                                   carry tombstones/db=K/ rows
+                                   (doc_id, victim root) and a NET
+                                   stats correction row
     <path>/delta/<token>/_COMMIT   marker written LAST
 
 Base generations are IMMUTABLE once published: a writer stages the
@@ -44,11 +48,24 @@ names the delta directory, every sub-table is written with OVERWRITE
 into that directory, and the commit marker lands last — so a replayed
 batch (foreachBatch is at-least-once) either sees its marker and
 no-ops, or re-overwrites the same partially-written directory and
-converges. Uncommitted directories are invisible to search. Search
-sums vocab/stats across base + committed deltas, so df / n_docs /
-avgdl stay EXACT after any number of appends — incremental ingest
-shifts idf and avgdl for every document, and this layout prices that
-correctly instead of serving stale statistics.
+converges. Uncommitted directories are invisible to search.
+
+CDC-complete: beyond insert-only ``append_to_text_index``, the index
+takes latest-wins ``upsert_into_text_index`` and
+``delete_from_text_index`` — the reference's delete+insert merge
+(base_loader.py:241-249) applied to an inverted index. Mutations
+never rewrite data: each commits ONE delta whose ``tombstones`` table
+names its victims as (doc_id, root) — ROOT-ADDRESSED, exploiting the
+invariant that an id has exactly one live copy, so no cross-delta
+ordering metadata is ever needed — plus a net stats correction row.
+Search filters every per-doc relation through the kill set
+(candidate-bounded, like doclens), derives df from the visible
+postings (so idf re-prices exactly), and sums the additive stats
+rows; n_docs / total_len / df / avgdl therefore stay EXACT through
+any insert/upsert/delete mix — incremental ingest shifts idf and
+avgdl for every document, and this layout prices that correctly
+instead of serving stale statistics. Compaction resolves all
+tombstones into a clean generation.
 
 Scale: the postings write is the only full-corpus shuffle; search
 reads probed token buckets of base + committed deltas (compaction
@@ -139,6 +156,20 @@ def _committed_deltas(spark: SparkSession, path: str,
         and fsutil.exists(spark, path_join(root, name, COMMIT)))
 
 
+def _root_pairs(spark: SparkSession, path: str,
+                base_root: str) -> list[tuple[str, str]]:
+    """(stable name, full path) for the readable roots: the resolved
+    base generation plus its admitted deltas. The NAME (``base-<gen>``
+    or ``delta/<digest>``) is what tombstones record as their victim
+    root — path-prefix-free, so an index copied or mounted elsewhere
+    keeps its kill set valid."""
+    base_name = base_root.rstrip("/").rsplit("/", 1)[-1]
+    out = [(base_name, base_root)]
+    for d in _committed_deltas(spark, path, base_root):
+        out.append(("delta/" + d.rstrip("/").rsplit("/", 1)[-1], d))
+    return out
+
+
 def _read_union(spark: SparkSession, roots: list[str], table: str,
                 bucket_col: str | None = None,
                 buckets: list[int] | None = None) -> DataFrame | None:
@@ -158,6 +189,57 @@ def _read_union(spark: SparkSession, roots: list[str], table: str,
     return out
 
 
+def _read_union_tagged(spark: SparkSession, pairs: list[tuple[str, str]],
+                       table: str, bucket_col: str | None = None,
+                       buckets: list[int] | None = None) -> DataFrame | None:
+    """``_read_union`` that stamps each row with its root's stable
+    name (``__root``), the column tombstone kills match on."""
+    out = None
+    for name, r in pairs:
+        p = path_join(r, table)
+        if not fsutil.exists(spark, p):
+            continue
+        df = spark.read.parquet(p)
+        if bucket_col is not None:
+            df = df.filter(F.col(bucket_col).isin(buckets))
+        df = df.withColumn("__root", F.lit(name))
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _kills(spark: SparkSession, pairs: list[tuple[str, str]],
+           dbs: list[int] | None, id_col: str) -> DataFrame | None:
+    """The kill set: every ``(doc_id, __root)`` whose copy an upsert
+    or delete tombstoned, unioned across roots and candidate-bounded
+    by the same doc-hash bucket list as the doclens read (a tombstone
+    only matters for a document that can otherwise surface). ``dbs``
+    None means UNBOUNDED (the compaction fold). None result when no
+    root carries tombstones — the append-only fast path."""
+    paths = [p for _, p in pairs]
+    t = _read_union(spark, paths, "tombstones") if dbs is None else \
+        _read_union(spark, paths, "tombstones", "db", dbs)
+    if t is None:
+        return None
+    return t.select(F.col(id_col), F.col("victim").alias("__root"))
+
+
+def _visible(df: DataFrame | None, kills: DataFrame | None,
+             id_col: str) -> DataFrame | None:
+    """Apply the kill set to a ``__root``-tagged frame and drop the
+    tag. An id appears in at most one LIVE root (the insert path
+    anti-joins existing ids; the upsert path tombstones every prior
+    visible copy), so after this filter per-id relations are unique
+    again."""
+    if df is None:
+        return None
+    if kills is not None:
+        # no broadcast hint: the kill set is bounded by the candidate
+        # doc-bucket list on the read path but unbounded on the
+        # compaction path — let AQE pick the strategy per call site
+        df = df.join(kills, [id_col, "__root"], "left_anti")
+    return df.drop("__root")
+
+
 def _dedup_batch(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Deterministic within-batch dedup: one row per id (max text as
     the tiebreak). CDC callers with a real version column should
@@ -168,11 +250,15 @@ def _dedup_batch(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
             .groupBy(id_col).agg(F.max(text_col).alias(text_col)))
 
 
-def _batch_token(batch: DataFrame, text_col: str, id_col: str) -> str:
+def _batch_token(batch: DataFrame, text_col: str, id_col: str,
+                 kind: str = "b") -> str:
     """Content digest naming the batch's delta directory: xor of row
     hashes (order-independent, overflow-free) + count. A pure function
     of the deduped batch content, so every redelivery of the same
-    batch maps to the same directory."""
+    batch maps to the same directory. ``kind`` prefixes the name per
+    operation ("b" insert, "u" upsert) so the same payload replayed
+    through a DIFFERENT operation can never alias an existing
+    directory's commit marker."""
     # structural multi-column hash: NULL text and separator characters
     # inside string ids cannot make distinct (id, text) rows collide
     # the way a concat-with-delimiter digest can
@@ -185,7 +271,41 @@ def _batch_token(batch: DataFrame, text_col: str, id_col: str) -> str:
         F.count(F.lit(1)).alias("n"),
         F.expr(f"bit_xor(xxhash64({qid}, {qtx}))")
         .alias("d")).collect()[0]
-    return f"b{row['n']}x{(row['d'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+    return f"{kind}{row['n']}x{(row['d'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
+def _ids_token(ids: DataFrame, id_col: str) -> str:
+    """Content digest for an id-only batch (the delete shape)."""
+    qid = "`" + id_col.replace("`", "``") + "`"
+    row = ids.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"bit_xor(xxhash64({qid}))").alias("d")).collect()[0]
+    return f"d{row['n']}x{(row['d'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
+def _salt_past_manifest(spark: SparkSession, base: str, token: str) -> str:
+    """A digest name the current generation's manifest has EXCLUDED
+    must not be reused: a grace-retained folded directory may still
+    carry a stale ``_COMMIT`` under it (see ``append_to_text_index``
+    docstring). Deterministic given the manifest, so crash-replays
+    against the same generation re-derive the same salted name."""
+    folded_txt = fsutil.read_text(spark, path_join(base, "compacted.json"))
+    folded = set(json.loads(folded_txt)) if folded_txt else set()
+    while token in folded:
+        token += "-r"
+    return token
+
+
+def _write_tombstones(spark: SparkSession, ddir: str, victims: DataFrame,
+                      id_col: str, n_buckets: int) -> None:
+    """Persist the delta's kill set, doc-hash-bucketed like doclens so
+    search reads it candidate-bounded. ``victims`` is (id, __root)."""
+    if victims.isEmpty():
+        return
+    (victims.select(F.col(id_col), F.col("__root").alias("victim"))
+     .withColumn("db", _tb(F.col(id_col), n_buckets))
+     .write.mode("overwrite").partitionBy("db")
+     .parquet(path_join(ddir, "tombstones")))
 
 
 def _index_tables(fresh: DataFrame, n_buckets: int, text_col: str,
@@ -330,7 +450,7 @@ def search_text_index(spark: SparkSession, path: str, queries: DataFrame,
     final plan) at the cost of a second read of the probed buckets."""
     n_buckets = _meta(spark, path)["n_buckets"]
     base = _base_root(spark, path)
-    roots = [base] + _committed_deltas(spark, path, base)
+    pairs = _root_pairs(spark, path, base)
     qt = (queries.select(F.col(id_col).alias("query_id"),
                          F.explode(tokens(text_col)).alias("token"))
           .distinct().localCheckpoint(eager=True))
@@ -339,32 +459,38 @@ def search_text_index(spark: SparkSession, path: str, queries: DataFrame,
     # unprobed tb= directories before any file is opened
     buckets = [r[0] for r in qt.select(
         _tb(F.col("token"), n_buckets).alias("tb")).distinct().collect()]
-    postings = _read_union(spark, roots, "postings", "tb", buckets)
+    postings = _read_union_tagged(spark, pairs, "postings", "tb", buckets)
     if postings is None:
         idt = dict(queries.dtypes)[id_col]
         return spark.createDataFrame(
             [], f"query_id {idt}, neighbor_id {idt}, bm25 double, rank int")
     # candidate postings: only rows whose token is in the query
     # vocabulary score anything, and only their documents need a
-    # length norm — checkpoint this (query-bounded) slice so both the
-    # doc-bucket derivation below and the scoring join read the probed
-    # parquet buckets exactly once
-    cand = postings.join(F.broadcast(qt.select("token").distinct()), "token") \
-                   .select(F.col(id_col), "token", "tf")
+    # length norm — checkpoint this (query-bounded) slice so the
+    # doc-bucket derivation, the visibility filter, the exact df
+    # aggregation, and the scoring join all read the probed parquet
+    # buckets exactly once
+    cand0 = postings.join(F.broadcast(qt.select("token").distinct()), "token")
     if materialize_candidates:
-        cand = cand.localCheckpoint(eager=True)
-    # candidate-bounded doclens: derive the candidates' doc-hash
-    # bucket set and prune db= directories the same way the postings
-    # scan pruned tb= — no search ever reads the corpus-cardinality
-    # doclens in full
-    dbs = [r[0] for r in cand.select(
+        cand0 = cand0.localCheckpoint(eager=True)
+    # candidate-bounded doclens/tombstones: derive the candidates'
+    # doc-hash bucket set (pre-visibility superset — pruning only) and
+    # prune db= directories the same way the postings scan pruned tb=
+    # — no search ever reads a corpus-cardinality table in full
+    dbs = [r[0] for r in cand0.select(
         _tb(F.col(id_col), n_buckets).alias("db")).distinct().collect()]
-    # vocab deltas -> exact current df for the probed vocabulary
-    dfreq = (_read_union(spark, roots, "vocab", "tb", buckets)
-             .groupBy("token").agg(F.sum("df").alias("df")))
-    dl = (_read_union(spark, roots, "doclens", "db", dbs)
+    kills = _kills(spark, pairs, dbs, id_col)
+    cand = _visible(cand0, kills, id_col).select(F.col(id_col), "token", "tf")
+    # exact df for the probed vocabulary, FROM the visible candidate
+    # postings themselves (one row per (doc, token)) — upsert/delete
+    # tombstones are priced into idf without any correction table
+    dfreq = cand.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dl = (_visible(_read_union_tagged(spark, pairs, "doclens", "db", dbs),
+                   kills, id_col)
           .select(F.col(id_col), "dl"))
-    stats = (_read_union(spark, roots, "stats")
+    # stats rows are ADDITIVE across roots: upsert/delete deltas carry
+    # correction rows (negative doc/length terms for their victims)
+    stats = (_read_union(spark, [p for _, p in pairs], "stats")
              .agg(F.sum("n_docs").alias("n_docs"),
                   F.sum("total_len").alias("total_len")))
     return score_bm25_postings(
@@ -404,21 +530,23 @@ def append_to_text_index(spark: SparkSession, path: str, batch: DataFrame,
     the anti-join converges the replay instead."""
     n_buckets = _meta(spark, path)["n_buckets"]
     batch0 = _dedup_batch(batch, text_col, id_col).localCheckpoint(eager=True)
-    token = _batch_token(batch0, text_col, id_col)
     base = _base_root(spark, path)
-    folded_txt = fsutil.read_text(spark, path_join(base, "compacted.json"))
-    folded = set(json.loads(folded_txt)) if folded_txt else set()
-    while token in folded:
-        token += "-r"
+    token = _salt_past_manifest(
+        spark, base, _batch_token(batch0, text_col, id_col))
     ddir = path_join(path, "delta", token)
     if fsutil.exists(spark, path_join(ddir, COMMIT)):
         return {"appended": 0, "batch": token}
     dbs = [r[0] for r in batch0.select(
         _tb(F.col(id_col), n_buckets).alias("db")).distinct().collect()]
-    roots = [base] + _committed_deltas(spark, path, base)
-    existing = _read_union(spark, roots, "doclens", "db", dbs)
+    pairs = _root_pairs(spark, path, base)
+    kills = _kills(spark, pairs, dbs, id_col)
+    existing = _visible(
+        _read_union_tagged(spark, pairs, "doclens", "db", dbs),
+        kills, id_col)
     # no doclens anywhere = an index built over an empty corpus being
-    # bootstrapped by its first streamed batch: nothing to dedup against
+    # bootstrapped by its first streamed batch: nothing to dedup
+    # against. An id whose only copies are TOMBSTONED counts as absent
+    # — a deleted document is legitimately re-insertable.
     fresh = batch0 if existing is None else \
         batch0.join(existing.select(id_col), id_col, "left_anti") \
               .localCheckpoint(eager=True)
@@ -427,6 +555,114 @@ def append_to_text_index(spark: SparkSession, path: str, batch: DataFrame,
     _write_tables(spark, ddir, postings, doclens, vocab, stats_row)
     fsutil.write_text(spark, path_join(ddir, COMMIT), "1")
     return {"appended": stats_row[0], "batch": token}
+
+
+def upsert_into_text_index(spark: SparkSession, path: str, batch: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> dict:
+    """CDC upsert (latest wins): every document in the batch becomes
+    the LIVE version — ids already visible in the index have their
+    prior copy tombstoned, the reference's delete+insert merge shape
+    (base_loader.py:241-249) applied to the inverted index. One delta
+    directory commits atomically with: the batch's own four tables, a
+    ``tombstones`` table naming each victim as (doc_id, root) —
+    root-ADDRESSED, so no cross-delta ordering is ever needed to
+    decide which physical copy is dead — and a stats row carrying the
+    NET correction (docs added minus docs killed, length added minus
+    length killed), keeping the additive n_docs/total_len sums exact.
+    Document frequency stays exact because search derives df from the
+    visible postings themselves.
+
+    IDEMPOTENT like append: the op-prefixed content digest names the
+    directory; replay-after-commit no-ops, replay-after-partial-write
+    overwrites and converges (victims are recomputed from the
+    committed roots only — an uncommitted directory influences
+    nothing). Replayed after an intervening compaction folded this
+    batch, the recomputed victims are the batch's own (already
+    identical) folded copies — re-killing and re-inserting the same
+    content, a no-op for every search statistic. Duplicate ids inside
+    the batch collapse deterministically first; CDC callers with a
+    real version column should pre-apply
+    ``incremental.latest_per_key``. Single-maintainer contract with
+    other writes, like append/compact. Returns
+    {upserted, replaced, batch}."""
+    n_buckets = _meta(spark, path)["n_buckets"]
+    batch0 = _dedup_batch(batch, text_col, id_col).localCheckpoint(eager=True)
+    base = _base_root(spark, path)
+    token = _salt_past_manifest(
+        spark, base, _batch_token(batch0, text_col, id_col, kind="u"))
+    ddir = path_join(path, "delta", token)
+    if fsutil.exists(spark, path_join(ddir, COMMIT)):
+        return {"upserted": 0, "replaced": 0, "batch": token}
+    dbs = [r[0] for r in batch0.select(
+        _tb(F.col(id_col), n_buckets).alias("db")).distinct().collect()]
+    pairs = _root_pairs(spark, path, base)
+    kills = _kills(spark, pairs, dbs, id_col)
+    existing = _read_union_tagged(spark, pairs, "doclens", "db", dbs)
+    # victims: the currently-VISIBLE copies of the batch's ids (an
+    # already-killed copy must not be killed twice — its stats were
+    # already corrected once)
+    victims = None
+    if existing is not None:
+        vis = existing.join(kills, [id_col, "__root"], "left_anti") \
+            if kills is not None else existing
+        victims = vis.join(batch0.select(id_col), id_col) \
+            .localCheckpoint(eager=True)
+    postings, doclens, vocab, (n_new, len_new) = _index_tables(
+        batch0, n_buckets, text_col, id_col)
+    n_kill, len_kill = 0, 0
+    if victims is not None:
+        vrow = victims.agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("dl").alias("t")).collect()[0]
+        n_kill, len_kill = int(vrow["n"]), int(vrow["t"] or 0)
+    _write_tables(spark, ddir, postings, doclens, vocab,
+                  (n_new - n_kill, len_new - len_kill))
+    if victims is not None:
+        _write_tombstones(spark, ddir,
+                          victims.select(id_col, "__root"),
+                          id_col, n_buckets)
+    fsutil.write_text(spark, path_join(ddir, COMMIT), "1")
+    return {"upserted": n_new, "replaced": n_kill, "batch": token}
+
+
+def delete_from_text_index(spark: SparkSession, path: str, ids: DataFrame,
+                           id_col: str = "doc_id") -> dict:
+    """CDC delete: tombstone the visible copies of ``ids`` (an id-only
+    frame) in one committed delta — no data rewrite anywhere. The
+    delta carries only the ``tombstones`` table and a NEGATIVE stats
+    correction row, so n_docs/avgdl immediately reflect the removal
+    and idf re-prices on the next search (df is derived from visible
+    postings). Ids not present are ignored (delete is idempotent by
+    nature); the op-prefixed digest keeps replays single-committed.
+    Returns {deleted, batch}."""
+    n_buckets = _meta(spark, path)["n_buckets"]
+    ids0 = ids.select(id_col).distinct().localCheckpoint(eager=True)
+    base = _base_root(spark, path)
+    token = _salt_past_manifest(spark, base, _ids_token(ids0, id_col))
+    ddir = path_join(path, "delta", token)
+    if fsutil.exists(spark, path_join(ddir, COMMIT)):
+        return {"deleted": 0, "batch": token}
+    dbs = [r[0] for r in ids0.select(
+        _tb(F.col(id_col), n_buckets).alias("db")).distinct().collect()]
+    pairs = _root_pairs(spark, path, base)
+    kills = _kills(spark, pairs, dbs, id_col)
+    existing = _read_union_tagged(spark, pairs, "doclens", "db", dbs)
+    n_kill, len_kill = 0, 0
+    victims = None
+    if existing is not None:
+        vis = existing.join(kills, [id_col, "__root"], "left_anti") \
+            if kills is not None else existing
+        victims = vis.join(ids0, id_col).localCheckpoint(eager=True)
+        vrow = victims.agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("dl").alias("t")).collect()[0]
+        n_kill, len_kill = int(vrow["n"]), int(vrow["t"] or 0)
+    _write_tables(spark, ddir, None, None, None, (-n_kill, -len_kill))
+    if victims is not None:
+        _write_tombstones(spark, ddir,
+                          victims.select(id_col, "__root"),
+                          id_col, n_buckets)
+    fsutil.write_text(spark, path_join(ddir, COMMIT), "1")
+    return {"deleted": n_kill, "batch": token}
 
 
 def compact_text_index(spark: SparkSession, path: str) -> dict:
@@ -455,18 +691,42 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
         raise FileNotFoundError(f"text index has no published base: {path}")
     base = path_join(path, cur_name)
     deltas = _committed_deltas(spark, path, base)
-    roots = [base] + deltas
-    postings = _read_union(spark, roots, "postings")
-    doclens = _read_union(spark, roots, "doclens")
-    vocab = _read_union(spark, roots, "vocab")
-    if vocab is not None:
-        vocab = (vocab.groupBy("tb", "token").agg(F.sum("df").alias("df"))
+    pairs = _root_pairs(spark, path, base)
+    postings0 = _read_union_tagged(spark, pairs, "postings")
+    doclens0 = _read_union_tagged(spark, pairs, "doclens")
+    # the index's id column name is whatever it was built with —
+    # recover it from the stored schema (the one column that is not
+    # table machinery), so compact needs no caller-supplied names
+    fixed = {"dl", "db", "tb", "token", "tf", "__root"}
+    src = doclens0 if doclens0 is not None else postings0
+    id_col = next((c for c in src.columns if c not in fixed), "doc_id") \
+        if src is not None else "doc_id"
+    # the fold RESOLVES upsert/delete tombstones: killed copies are
+    # dropped from every table and the new generation carries no
+    # tombstones at all — kills here are unbounded (whole index), the
+    # one place that is correct
+    kills = _kills(spark, pairs, None, id_col)
+    postings = _visible(postings0, kills, id_col)
+    doclens = _visible(doclens0, kills, id_col)
+    if doclens is not None:
+        # folded relations feed three writes + the stats aggregate:
+        # pin them so the kill anti-join runs once per table
+        doclens = doclens.localCheckpoint(eager=True)
+    if postings is not None:
+        postings = postings.localCheckpoint(eager=True)
+    # vocab and stats are RECOMPUTED from the folded survivors — exact
+    # by construction whatever mix of inserts/upserts/deletes the
+    # delta set held (no correction-row arithmetic to carry forward)
+    vocab = None
+    if postings is not None:
+        vocab = (postings.groupBy("tb", "token")
+                 .agg(F.count(F.lit(1)).alias("df"))
                  .select("token", "df", "tb"))
-    stats_df = _read_union(spark, roots, "stats")
     stats_row = (0, 0)
-    if stats_df is not None:
-        srow = stats_df.agg(F.sum("n_docs"), F.sum("total_len")).collect()[0]
-        stats_row = (int(srow[0] or 0), int(srow[1] or 0))
+    if doclens is not None:
+        srow = doclens.agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("dl").alias("t")).collect()[0]
+        stats_row = (int(srow["n"]), int(srow["t"] or 0))
     gens = [int(n[5:]) for n in _base_names(spark, path) if n != "base"]
     new_name = _gen_name(max(gens, default=-1) + 1)
     new = path_join(path, new_name)

@@ -273,6 +273,58 @@ def stream_append_to_text_index(
     return writer.start()
 
 
+def stream_upsert_to_text_index(
+    doc_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delete_col: str | None = None,
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Full CDC ingest into the persisted inverted text index:
+    latest-wins UPSERT per micro-batch (changed documents replace
+    their prior version via root-addressed tombstones,
+    ``operators/text_index.upsert_into_text_index``), with optional
+    DELETE handling — rows whose boolean ``delete_col`` is true
+    tombstone the document instead of replacing it (the Debezium
+    ``op = d`` shape after ``streaming/debezium.py`` normalization).
+    BM25 statistics stay exact through both paths. Replay-idempotent:
+    both operations commit op-prefixed content-digest delta
+    directories. Single-maintainer: do not run alongside another
+    writer on the same index (foreachBatch serializes batches within
+    this one stream, which is the supported topology)."""
+    from cdc_data_pipeline_spark.operators.text_index import (
+        delete_from_text_index, upsert_into_text_index)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if delete_col is not None:
+            dels = batch_df.filter(F.col(delete_col)).select(id_col)
+            ups = batch_df.filter(~F.coalesce(F.col(delete_col),
+                                              F.lit(False)))
+            # deletes first: a same-batch re-insert of a deleted id
+            # (rare, but CDC replays produce it) must land as the
+            # LIVE copy
+            if not dels.isEmpty():
+                delete_from_text_index(spark, index_path, dels, id_col)
+            if not ups.isEmpty():
+                upsert_into_text_index(spark, index_path, ups,
+                                       text_col, id_col)
+            return
+        upsert_into_text_index(spark, index_path, batch_df,
+                               text_col, id_col)
+
+    writer = (doc_stream.writeStream
+              .option("checkpointLocation", checkpoint)
+              .foreachBatch(handle))
+    writer = apply_trigger(writer, trigger_available_now, processing_time)
+    return writer.start()
+
+
 def stream_curate_to_corpus(
     doc_stream: DataFrame,
     corpus_path: str,

@@ -451,6 +451,159 @@ def test_exclude_pairs_backfills_like_inflight(spark, tmp_path):
     assert all((q, n) not in banned for q, n, _, _ in got)
 
 
+def test_streaming_cdc_upsert_delete_into_text_index(spark, tmp_path):
+    """The full CDC stream shape: micro-batches carrying updates AND
+    deletes (boolean delete flag, the normalized Debezium ``op = d``)
+    flow through ``stream_upsert_to_text_index``; after the stream
+    drains, search equals in-flight BM25 over the net corpus."""
+    from cdc_data_pipeline_spark.streaming.cdc import (
+        stream_upsert_to_text_index)
+
+    docs = _docs(spark).filter(F.col("doc_id") % 2 == 0)
+    path = str(tmp_path / "tix_cdc")
+    ti.build_text_index(spark, docs, path)
+
+    upd = docs.filter(F.col("doc_id") % 6 == 0) \
+        .withColumn("text", F.concat(F.col("text"), F.lit(" v2"))) \
+        .withColumn("is_deleted", F.lit(False))
+    dels = docs.filter(F.col("doc_id") % 6 == 2) \
+        .withColumn("is_deleted", F.lit(True))
+    changes = upd.unionByName(dels)
+    src = str(tmp_path / "incoming")
+    changes.write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(changes.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    q = stream_upsert_to_text_index(stream, path, str(tmp_path / "ck"),
+                                    delete_col="is_deleted")
+    q.awaitTermination(120)
+
+    net = (docs.filter(F.col("doc_id") % 6 == 4)
+           .unionByName(upd.drop("is_deleted")))
+    queries = net.filter(F.col("doc_id") % 50 == 0)
+    assert _search(spark, path, queries) == _bm25(net, queries)
+
+
+# ------------------------------------------------- CDC upsert / delete
+
+
+def test_upsert_replaces_documents_exactly(spark, tmp_path):
+    """Latest-wins upsert: after replacing every 5th document's text,
+    search must equal in-flight BM25 over the NET corpus — postings,
+    df, n_docs, and total_len all re-priced (the reference's
+    delete+insert merge applied to the inverted index)."""
+    docs = _docs(spark)
+    stale = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 5 == 0,
+                       F.concat(F.lit("zzz stale zzz "), F.col("text")))
+        .otherwise(F.col("text")))
+    path = str(tmp_path / "tix")
+    ti.build_text_index(spark, stale, path)
+    fresh = docs.filter(F.col("doc_id") % 5 == 0)
+    r = ti.upsert_into_text_index(spark, path, fresh)
+    assert r["upserted"] == fresh.count() == r["replaced"]
+    queries = docs.filter(F.col("doc_id") % 101 == 0)
+    assert _search(spark, path, queries) == _bm25(docs, queries)
+    # replay: op-prefixed digest no-ops on the committed marker
+    r2 = ti.upsert_into_text_index(spark, path, fresh)
+    assert r2["upserted"] == 0 and r2["batch"] == r["batch"]
+    assert _search(spark, path, queries) == _bm25(docs, queries)
+
+
+def test_upsert_mixes_new_and_replaced(spark, tmp_path):
+    docs = _docs(spark)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    path = str(tmp_path / "tix")
+    ti.build_text_index(spark, half, path)
+    # batch = every 4th doc: half already present (replaced with the
+    # SAME text), half brand new
+    batch = docs.filter(F.col("doc_id") % 4 == 1).unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0))
+    r = ti.upsert_into_text_index(spark, path, batch)
+    assert r["upserted"] == batch.count()
+    assert r["replaced"] == docs.filter(F.col("doc_id") % 4 == 0).count()
+    net = half.unionByName(docs.filter(F.col("doc_id") % 4 == 1))
+    queries = docs.filter(F.col("doc_id") % 101 == 0)
+    assert _search(spark, path, queries) == _bm25(net, queries)
+
+
+def test_second_upsert_of_same_id(spark, tmp_path):
+    """Two successive updates of one document across two deltas: the
+    root-addressed tombstones leave exactly one visible copy with no
+    ordering metadata needed."""
+    base = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")],
+        "doc_id long, text string")
+    path = str(tmp_path / "tix")
+    ti.build_text_index(spark, base, path)
+    ti.upsert_into_text_index(spark, path, spark.createDataFrame(
+        [(1, "alpha epsilon")], "doc_id long, text string"))
+    ti.upsert_into_text_index(spark, path, spark.createDataFrame(
+        [(1, "zeta eta theta")], "doc_id long, text string"))
+    net = spark.createDataFrame(
+        [(1, "zeta eta theta"), (2, "gamma delta")],
+        "doc_id long, text string")
+    queries = net
+    assert _search(spark, path, queries) == _bm25(net, queries)
+    # and compaction resolves all tombstones without changing results
+    ti.compact_text_index(spark, path)
+    assert _search(spark, path, queries) == _bm25(net, queries)
+    root = ti._base_root(spark, path)
+    assert not fsutil.exists(spark, f"{root}/tombstones")
+
+
+def test_delete_reprices_statistics_and_allows_reinsert(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "tix")
+    ti.build_text_index(spark, docs, path)
+    gone = docs.filter(F.col("doc_id") % 3 == 0)
+    r = ti.delete_from_text_index(spark, path, gone.select("doc_id"))
+    assert r["deleted"] == gone.count()
+    kept = docs.filter(F.col("doc_id") % 3 != 0)
+    queries = kept.filter(F.col("doc_id") % 101 == 0)
+    assert _search(spark, path, queries) == _bm25(kept, queries)
+    # deleting the same ids again touches nothing (no visible copies)
+    r2 = ti.delete_from_text_index(spark, path, gone.select("doc_id"))
+    assert r2["deleted"] == 0
+    # a deleted id is re-insertable through the plain append path
+    assert ti.append_to_text_index(spark, path, gone)["appended"] == \
+        gone.count()
+    assert _search(spark, path, queries) == _bm25(docs, queries)
+
+
+def test_cdc_mixed_stream_then_compact(spark, tmp_path):
+    """Insert + upsert + delete deltas stacked, searched, compacted,
+    searched again: results equal in-flight BM25 over the net corpus
+    at every step (the full CDC lifecycle on the persisted index)."""
+    docs = _docs(spark)
+    a = docs.filter(F.col("doc_id") % 4 == 0)      # base
+    b = docs.filter(F.col("doc_id") % 4 == 1)      # inserted
+    c = docs.filter(F.col("doc_id") % 4 == 2)      # upserted (new)
+    path = str(tmp_path / "tix")
+    ti.build_text_index(spark, a, path)
+    ti.append_to_text_index(spark, path, b)
+    ti.upsert_into_text_index(spark, path, c)
+    # replace half of b via upsert with changed text
+    b_new = b.filter(F.col("doc_id") % 8 == 1) \
+        .withColumn("text", F.concat(F.col("text"), F.lit(" updated")))
+    ti.upsert_into_text_index(spark, path, b_new)
+    # delete half of a
+    a_gone = a.filter(F.col("doc_id") % 8 == 0)
+    ti.delete_from_text_index(spark, path, a_gone.select("doc_id"))
+
+    net = (a.join(a_gone.select("doc_id"), "doc_id", "left_anti")
+           .unionByName(b.filter(F.col("doc_id") % 8 != 1))
+           .unionByName(b_new).unionByName(c))
+    queries = docs.filter(F.col("doc_id") % 101 == 0)
+    want = _bm25(net, queries)
+    assert _search(spark, path, queries) == want
+    info = ti.compact_text_index(spark, path)
+    assert info["n_docs"] == net.count()
+    assert _search(spark, path, queries) == want
+    # second compact GCs grace dirs; still exact
+    ti.compact_text_index(spark, path)
+    assert _search(spark, path, queries) == want
+
+
 @pytest.mark.parametrize("scheme", ["", "file://"])
 def test_index_roundtrip_under_scheme(spark, tmp_path, scheme):
     """The full build/search/append/compact/search cycle under a bare
