@@ -1,0 +1,331 @@
+"""Shared LSM storage protocol for the persisted indexes.
+
+Every persisted index in this engine (inverted text, IVF, IVF-PQ)
+faces the same storage problem: a build is one big shuffle whose
+output must be served for a long time while CDC keeps mutating the
+corpus underneath it. The answer is the same everywhere, so it lives
+here once:
+
+    <path>/BASE                    pointer file naming the CURRENT
+                                   base generation (atomic publish via
+                                   ``fsutil.publish_text``)
+    <path>/base-<gen>/...          IMMUTABLE base tables
+    <path>/base-<gen>/compacted.json  delta names folded INTO this
+                                   generation (logical exclusion —
+                                   effective the instant the pointer
+                                   publish lands)
+    <path>/delta/<digest>/...      one directory per committed batch;
+                                   mutation deltas carry a
+                                   ``tombstones`` table addressing
+                                   victims as (id, root)
+    <path>/delta/<digest>/_COMMIT  marker written LAST
+
+Protocol guarantees (pinned by ``tests/test_text_index.py`` and
+``tests/test_index.py``):
+
+- **Snapshot consistency**: a reader resolves the ``BASE`` pointer
+  ONCE per operation; that generation plus the delta set its manifest
+  admits are immutable, so a concurrent compaction swapping the
+  pointer mid-query cannot mix generations.
+- **One-generation GC grace**: publishing generation G+1 deletes only
+  generations < G and deltas G's own manifest had already excluded —
+  a reader that resolved G keeps every directory it can reach until a
+  SECOND compaction completes.
+- **Structural idempotency**: the content digest of a (deduped) batch
+  names its delta directory and the commit marker lands last, so an
+  at-least-once replay either no-ops on the marker or re-overwrites
+  the same partially-written directory and converges. Uncommitted
+  directories are invisible.
+- **Root-addressed tombstones**: a mutation names its victims as
+  (id, root-name) — exploiting the invariant that an id has exactly
+  one LIVE physical copy, so no cross-delta ordering metadata (LSN,
+  sequence number) is ever needed. Compaction resolves all tombstones
+  into a clean generation.
+- **Orphan sweep**: a crash between staging ``base-<gen>`` and the
+  pointer publish leaves an orphan directory no pointer references;
+  the next successful publish's GC pass removes it.
+
+Reference parity: this generalizes the reference's delete+insert CDC
+merge (clickhouse_load_tool/base_loader.py:241-249) and its staged
+object-store publish (base_loader.py:107-165) from plain tables to
+index structures, re-expressed for immutable-file storage (parquet on
+a Hadoop FileSystem) instead of a mutating DBMS.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.sources import fsutil
+from cdc_data_pipeline_spark.sources.fsutil import path_join
+
+COMMIT = "_COMMIT"
+BASE_PTR = "BASE"
+
+
+def gen_name(gen: int) -> str:
+    return f"base-{gen:010d}"
+
+
+def base_names(spark: SparkSession, path: str) -> list[str]:
+    """Every staged-or-published base generation directory name,
+    including a pre-pointer legacy ``base`` if one exists."""
+    return [n for n in fsutil.list_names(spark, path)
+            if n == "base" or n.startswith("base-")]
+
+
+def next_gen_name(spark: SparkSession, path: str) -> str:
+    gens = [int(n[5:]) for n in base_names(spark, path) if n != "base"]
+    return gen_name(max(gens, default=-1) + 1)
+
+
+def current_base_name(spark: SparkSession, path: str,
+                      legacy_probe: tuple[str, ...] = ("base",),
+                      legacy_name: str = "base") -> str | None:
+    """The published generation (pointer content), falling back to a
+    legacy pre-pointer layout: if any of ``legacy_probe`` exists under
+    ``path``, the index predates the pointer protocol and
+    ``legacy_name`` is returned (``"base"`` for the text index's old
+    ``<path>/base`` directory; ``"."`` for the ANN indexes, whose old
+    layout kept tables at the index root itself)."""
+    ptr = fsutil.read_text(spark, path_join(path, BASE_PTR))
+    if ptr is not None:
+        return ptr.strip()
+    for probe in legacy_probe:
+        if fsutil.exists(spark, path_join(path, probe)):
+            return legacy_name
+    return None
+
+
+def root_for(path: str, name: str) -> str:
+    """Directory for a root name (``"."`` = the index root itself —
+    the ANN indexes' legacy layout)."""
+    return path if name == "." else path_join(path, name)
+
+
+def committed_deltas(spark: SparkSession, path: str,
+                     base_root: str) -> list[str]:
+    """Delta directories that are committed AND not already folded
+    into this base generation. The generation's ``compacted.json``
+    manifest (staged inside the directory BEFORE the pointer publish)
+    excludes folded deltas logically the instant the publish lands —
+    their later deletion is garbage collection, so a crash between the
+    publish and the GC loop can never double-count them."""
+    folded = set()
+    txt = fsutil.read_text(spark, path_join(base_root, "compacted.json"))
+    if txt is not None:
+        folded = set(json.loads(txt))
+    root = path_join(path, "delta")
+    return sorted(
+        path_join(root, name) for name in fsutil.list_names(spark, root)
+        if name not in folded
+        and fsutil.exists(spark, path_join(root, name, COMMIT)))
+
+
+def root_pairs(spark: SparkSession, path: str, base_name: str,
+               base_root: str) -> list[tuple[str, str]]:
+    """(stable name, full path) for the readable roots: the resolved
+    base generation plus its admitted deltas. The NAME (``base-<gen>``,
+    ``"."`` for a legacy ANN root, or ``delta/<digest>``) is what
+    tombstones record as their victim root — path-prefix-free, so an
+    index copied or mounted elsewhere keeps its kill set valid."""
+    out = [(base_name, base_root)]
+    for d in committed_deltas(spark, path, base_root):
+        out.append(("delta/" + d.rstrip("/").rsplit("/", 1)[-1], d))
+    return out
+
+
+def read_union(spark: SparkSession, roots: list[str], table: str,
+               bucket_col: str | None = None,
+               buckets: list[int] | None = None) -> DataFrame | None:
+    """Union one sub-table across base + delta roots (absent dirs are
+    skipped — an append whose batch was fully deduped away commits an
+    empty directory). The bucket IN-filter applies per root, so the
+    scan prunes unprobed partition directories in every root."""
+    out = None
+    for r in roots:
+        p = path_join(r, table)
+        if not fsutil.exists(spark, p):
+            continue
+        df = spark.read.parquet(p)
+        if bucket_col is not None:
+            df = df.filter(F.col(bucket_col).isin(buckets))
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def read_union_tagged(spark: SparkSession, pairs: list[tuple[str, str]],
+                      table: str, bucket_col: str | None = None,
+                      buckets: list[int] | None = None) -> DataFrame | None:
+    """``read_union`` that stamps each row with its root's stable
+    name (``__root``), the column tombstone kills match on."""
+    out = None
+    for name, r in pairs:
+        p = path_join(r, table)
+        if not fsutil.exists(spark, p):
+            continue
+        df = spark.read.parquet(p)
+        if bucket_col is not None:
+            df = df.filter(F.col(bucket_col).isin(buckets))
+        df = df.withColumn("__root", F.lit(name))
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def kills(spark: SparkSession, pairs: list[tuple[str, str]],
+          id_col: str, bucket_col: str | None = None,
+          buckets: list[int] | None = None) -> DataFrame | None:
+    """The kill set: every ``(id, __root)`` whose copy an upsert or
+    delete tombstoned, unioned across roots and optionally pruned by
+    the tombstone table's partition column (``db`` doc-hash buckets
+    for the text index, ``cid`` cells for the ANN indexes — a
+    tombstone only matters for a copy that can otherwise surface).
+    ``buckets`` None means UNBOUNDED (the compaction fold). None
+    result when no root carries tombstones — the append-only fast
+    path."""
+    paths = [p for _, p in pairs]
+    t = read_union(spark, paths, "tombstones") if buckets is None else \
+        read_union(spark, paths, "tombstones", bucket_col, buckets)
+    if t is None:
+        return None
+    return t.select(F.col(id_col), F.col("victim").alias("__root"))
+
+
+def visible(df: DataFrame | None, kill_set: DataFrame | None,
+            id_col: str) -> DataFrame | None:
+    """Apply the kill set to a ``__root``-tagged frame and drop the
+    tag. An id appears in at most one LIVE root (the insert path
+    anti-joins existing ids; the upsert path tombstones every prior
+    visible copy), so after this filter per-id relations are unique
+    again."""
+    if df is None:
+        return None
+    if kill_set is not None:
+        # no broadcast hint: the kill set is bounded by the candidate
+        # bucket list on the read path but unbounded on the compaction
+        # path — let AQE pick the strategy per call site
+        df = df.join(kill_set, [id_col, "__root"], "left_anti")
+    return df.drop("__root")
+
+
+def _quote(col: str) -> str:
+    return "`" + col.replace("`", "``") + "`"
+
+
+def content_token(df: DataFrame, cols: list[str], kind: str) -> str:
+    """Content digest naming a batch's delta directory: xor of
+    structural row hashes (order-independent, overflow-free) + count.
+    A pure function of the (deduped) batch content, so every
+    redelivery of the same batch maps to the same directory. ``kind``
+    prefixes the name per operation ("b" insert, "u" upsert, "d"
+    delete) so the same payload replayed through a DIFFERENT operation
+    can never alias an existing directory's commit marker. The
+    structural multi-column hash means NULLs and separator characters
+    inside string values cannot make distinct rows collide the way a
+    concat-with-delimiter digest can; identifiers are backtick-quoted
+    so exotic column names survive ``expr`` parsing."""
+    hashed = ", ".join(_quote(c) for c in cols)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"bit_xor(xxhash64({hashed}))").alias("d")).collect()[0]
+    return f"{kind}{row['n']}x{(row['d'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
+def salt_past_manifest(spark: SparkSession, base_root: str,
+                       token: str) -> str:
+    """A digest name the current generation's manifest has EXCLUDED
+    must not be reused: a grace-retained folded directory may still
+    carry a stale ``_COMMIT`` under it — trusting that marker would
+    silently drop the new batch (the manifest keeps the name invisible
+    forever and the next compact GCs the directory). Deterministic
+    given the manifest, so crash-replays against the same generation
+    re-derive the same salted name."""
+    folded_txt = fsutil.read_text(spark, path_join(base_root,
+                                                   "compacted.json"))
+    folded = set(json.loads(folded_txt)) if folded_txt else set()
+    while token in folded:
+        token += "-r"
+    return token
+
+
+def write_tombstones(spark: SparkSession, ddir: str, victims: DataFrame,
+                     id_col: str, bucket_expr) -> None:
+    """Persist a delta's kill set, partitioned by ``bucket_expr``
+    (a Column: doc-hash bucket for the text index, victim cell for the
+    ANN indexes) so readers prune it the same way they prune the data
+    tables. ``victims`` is (id, __root); the partition column is named
+    after ``bucket_expr``'s alias, which the caller bakes in."""
+    if victims.isEmpty():
+        return
+    out = victims.select(F.col(id_col), F.col("__root").alias("victim"),
+                         bucket_expr)
+    part = [c for c in out.columns if c not in (id_col, "victim")][0]
+    out.write.mode("overwrite").partitionBy(part) \
+        .parquet(path_join(ddir, "tombstones"))
+
+
+def publish_base(spark: SparkSession, path: str, new_name: str,
+                 keep: set[str], gc_deltas: list[str],
+                 legacy_tables: tuple[str, ...] = ()) -> None:
+    """Atomically publish ``new_name`` as the current generation, then
+    garbage-collect: base generations outside ``keep``, the named
+    delta dirs, and — when the grace set no longer includes the legacy
+    pre-pointer root — the legacy layout's root-level tables.
+    Everything deleted here is invisible to BOTH the new generation
+    and the one it superseded (the grace generation), so a reader that
+    resolved either pointer value never loses a directory it can reach
+    — only a reader two compactions stale can."""
+    fsutil.publish_text(spark, path_join(path, BASE_PTR), new_name)
+    for name in base_names(spark, path):
+        if name not in keep:
+            fsutil.delete(spark, path_join(path, name))
+    for name in gc_deltas:
+        fsutil.delete(spark, path_join(path, "delta", name))
+    if legacy_tables and "." not in keep and "base" not in keep:
+        for t in legacy_tables:
+            fsutil.delete(spark, path_join(path, t))
+
+
+def rebuild_manifest(spark: SparkSession, path: str,
+                     new_root: str) -> list[str]:
+    """A rebuild supersedes every existing delta: write the staged
+    generation's manifest naming them all (logical exclusion before
+    the publish). Returns the names, for the caller's GC decision."""
+    stale = fsutil.list_names(spark, path_join(path, "delta"))
+    fsutil.write_text(spark, path_join(new_root, "compacted.json"),
+                      json.dumps(sorted(stale)))
+    return stale
+
+
+def rebuild_gc_list(spark: SparkSession, path: str, cur_name: str | None,
+                    stale: list[str]) -> list[str]:
+    """Deltas safe to GC at a rebuild publish: only those the
+    SUPERSEDED generation had already excluded — the rest stay one
+    grace cycle for readers still holding the old pointer (invisible
+    to new readers through the manifest either way)."""
+    if cur_name is None:
+        return []
+    prev = fsutil.read_text(
+        spark, path_join(root_for(path, cur_name), "compacted.json"))
+    return [n for n in (json.loads(prev) if prev else []) if n in stale]
+
+
+def compact_manifest(spark: SparkSession, path: str, base_root: str,
+                     new_root: str, deltas: list[str]) -> list[str]:
+    """Write the staged compaction generation's manifest: the folded
+    deltas plus every still-on-disk name carried from the superseded
+    generation's manifest (a folded-but-not-yet-GC'd delta from a
+    previous cycle must stay excluded under the new generation too;
+    names of fully deleted deltas are harmless residue, dropped here
+    once their directory is gone). Returns the carried names — the GC
+    set for the publish (both surviving manifests exclude them)."""
+    prev = fsutil.read_text(spark, path_join(base_root, "compacted.json"))
+    carried = [n for n in (json.loads(prev) if prev else [])
+               if fsutil.exists(spark, path_join(path, "delta", n))]
+    newly = sorted(d.rsplit("/", 1)[-1] for d in deltas)
+    fsutil.write_text(spark, path_join(new_root, "compacted.json"),
+                      json.dumps(sorted(set(carried) | set(newly))))
+    return carried

@@ -84,12 +84,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_data_pipeline_spark.functions.text import tokens
+from cdc_data_pipeline_spark.operators import lsm
 from cdc_data_pipeline_spark.operators.terms import score_bm25_postings
 from cdc_data_pipeline_spark.sources import fsutil
 from cdc_data_pipeline_spark.sources.fsutil import path_join
 
-COMMIT = "_COMMIT"
-BASE_PTR = "BASE"
+# the generation/pointer/tombstone machinery is the SHARED protocol in
+# ``operators/lsm.py`` (the ANN indexes speak it too); this module
+# keeps thin private wrappers so its storage layout reads as one piece
+COMMIT = lsm.COMMIT
+BASE_PTR = lsm.BASE_PTR
 
 
 def _tb(col, n_buckets: int) -> F.Column:
@@ -104,26 +108,18 @@ def _meta(spark: SparkSession, path: str) -> dict:
 
 
 def _gen_name(gen: int) -> str:
-    return f"base-{gen:010d}"
+    return lsm.gen_name(gen)
 
 
 def _base_names(spark: SparkSession, path: str) -> list[str]:
-    """Every staged-or-published base generation directory name,
-    including a pre-pointer legacy ``base`` if one exists."""
-    return [n for n in fsutil.list_names(spark, path)
-            if n == "base" or n.startswith("base-")]
+    return lsm.base_names(spark, path)
 
 
 def _current_base_name(spark: SparkSession, path: str) -> str | None:
     """The published generation (pointer content), falling back to the
     legacy un-generationed ``base`` layout for indexes written before
     the pointer protocol."""
-    ptr = fsutil.read_text(spark, path_join(path, BASE_PTR))
-    if ptr is not None:
-        return ptr.strip()
-    if fsutil.exists(spark, path_join(path, "base")):
-        return "base"
-    return None
+    return lsm.current_base_name(spark, path)
 
 
 def _base_root(spark: SparkSession, path: str) -> str:
@@ -139,105 +135,38 @@ def _base_root(spark: SparkSession, path: str) -> str:
 
 def _committed_deltas(spark: SparkSession, path: str,
                       base_root: str) -> list[str]:
-    """Delta directories that are committed AND not already folded
-    into this base generation. The generation's ``compacted.json``
-    manifest (staged inside the directory BEFORE the pointer publish)
-    excludes folded deltas logically the instant the publish lands —
-    their later deletion is garbage collection, so a crash between the
-    publish and the GC loop can never double-count them."""
-    folded = set()
-    txt = fsutil.read_text(spark, path_join(base_root, "compacted.json"))
-    if txt is not None:
-        folded = set(json.loads(txt))
-    root = path_join(path, "delta")
-    return sorted(
-        path_join(root, name) for name in fsutil.list_names(spark, root)
-        if name not in folded
-        and fsutil.exists(spark, path_join(root, name, COMMIT)))
+    return lsm.committed_deltas(spark, path, base_root)
 
 
 def _root_pairs(spark: SparkSession, path: str,
                 base_root: str) -> list[tuple[str, str]]:
-    """(stable name, full path) for the readable roots: the resolved
-    base generation plus its admitted deltas. The NAME (``base-<gen>``
-    or ``delta/<digest>``) is what tombstones record as their victim
-    root — path-prefix-free, so an index copied or mounted elsewhere
-    keeps its kill set valid."""
     base_name = base_root.rstrip("/").rsplit("/", 1)[-1]
-    out = [(base_name, base_root)]
-    for d in _committed_deltas(spark, path, base_root):
-        out.append(("delta/" + d.rstrip("/").rsplit("/", 1)[-1], d))
-    return out
+    return lsm.root_pairs(spark, path, base_name, base_root)
 
 
 def _read_union(spark: SparkSession, roots: list[str], table: str,
                 bucket_col: str | None = None,
                 buckets: list[int] | None = None) -> DataFrame | None:
-    """Union one sub-table across base + delta roots (absent dirs are
-    skipped — an append whose batch was fully deduped away commits an
-    empty directory). The bucket IN-filter applies per root, so the
-    scan prunes unprobed partition directories in every root."""
-    out = None
-    for r in roots:
-        p = path_join(r, table)
-        if not fsutil.exists(spark, p):
-            continue
-        df = spark.read.parquet(p)
-        if bucket_col is not None:
-            df = df.filter(F.col(bucket_col).isin(buckets))
-        out = df if out is None else out.unionByName(df)
-    return out
+    return lsm.read_union(spark, roots, table, bucket_col, buckets)
 
 
 def _read_union_tagged(spark: SparkSession, pairs: list[tuple[str, str]],
                        table: str, bucket_col: str | None = None,
                        buckets: list[int] | None = None) -> DataFrame | None:
-    """``_read_union`` that stamps each row with its root's stable
-    name (``__root``), the column tombstone kills match on."""
-    out = None
-    for name, r in pairs:
-        p = path_join(r, table)
-        if not fsutil.exists(spark, p):
-            continue
-        df = spark.read.parquet(p)
-        if bucket_col is not None:
-            df = df.filter(F.col(bucket_col).isin(buckets))
-        df = df.withColumn("__root", F.lit(name))
-        out = df if out is None else out.unionByName(df)
-    return out
+    return lsm.read_union_tagged(spark, pairs, table, bucket_col, buckets)
 
 
 def _kills(spark: SparkSession, pairs: list[tuple[str, str]],
            dbs: list[int] | None, id_col: str) -> DataFrame | None:
-    """The kill set: every ``(doc_id, __root)`` whose copy an upsert
-    or delete tombstoned, unioned across roots and candidate-bounded
-    by the same doc-hash bucket list as the doclens read (a tombstone
-    only matters for a document that can otherwise surface). ``dbs``
-    None means UNBOUNDED (the compaction fold). None result when no
-    root carries tombstones — the append-only fast path."""
-    paths = [p for _, p in pairs]
-    t = _read_union(spark, paths, "tombstones") if dbs is None else \
-        _read_union(spark, paths, "tombstones", "db", dbs)
-    if t is None:
-        return None
-    return t.select(F.col(id_col), F.col("victim").alias("__root"))
+    """Kill set candidate-bounded by the same doc-hash bucket list as
+    the doclens read; ``dbs`` None means UNBOUNDED (the compaction
+    fold)."""
+    return lsm.kills(spark, pairs, id_col, "db", dbs)
 
 
 def _visible(df: DataFrame | None, kills: DataFrame | None,
              id_col: str) -> DataFrame | None:
-    """Apply the kill set to a ``__root``-tagged frame and drop the
-    tag. An id appears in at most one LIVE root (the insert path
-    anti-joins existing ids; the upsert path tombstones every prior
-    visible copy), so after this filter per-id relations are unique
-    again."""
-    if df is None:
-        return None
-    if kills is not None:
-        # no broadcast hint: the kill set is bounded by the candidate
-        # doc-bucket list on the read path but unbounded on the
-        # compaction path — let AQE pick the strategy per call site
-        df = df.join(kills, [id_col, "__root"], "left_anti")
-    return df.drop("__root")
+    return lsm.visible(df, kills, id_col)
 
 
 def _dedup_batch(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -252,60 +181,26 @@ def _dedup_batch(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def _batch_token(batch: DataFrame, text_col: str, id_col: str,
                  kind: str = "b") -> str:
-    """Content digest naming the batch's delta directory: xor of row
-    hashes (order-independent, overflow-free) + count. A pure function
-    of the deduped batch content, so every redelivery of the same
-    batch maps to the same directory. ``kind`` prefixes the name per
-    operation ("b" insert, "u" upsert) so the same payload replayed
-    through a DIFFERENT operation can never alias an existing
-    directory's commit marker."""
-    # structural multi-column hash: NULL text and separator characters
-    # inside string ids cannot make distinct (id, text) rows collide
-    # the way a concat-with-delimiter digest can
-    # backtick-quote the identifiers: a column name with a space/hyphen/
-    # reserved word would otherwise fail analysis with a confusing
-    # parse error (the Column API quotes automatically; expr does not)
-    qid = "`" + id_col.replace("`", "``") + "`"
-    qtx = "`" + text_col.replace("`", "``") + "`"
-    row = batch.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr(f"bit_xor(xxhash64({qid}, {qtx}))")
-        .alias("d")).collect()[0]
-    return f"{kind}{row['n']}x{(row['d'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+    """Content digest naming the batch's delta directory (see
+    ``lsm.content_token`` for the hashing contract)."""
+    return lsm.content_token(batch, [id_col, text_col], kind)
 
 
 def _ids_token(ids: DataFrame, id_col: str) -> str:
     """Content digest for an id-only batch (the delete shape)."""
-    qid = "`" + id_col.replace("`", "``") + "`"
-    row = ids.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr(f"bit_xor(xxhash64({qid}))").alias("d")).collect()[0]
-    return f"d{row['n']}x{(row['d'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+    return lsm.content_token(ids, [id_col], "d")
 
 
 def _salt_past_manifest(spark: SparkSession, base: str, token: str) -> str:
-    """A digest name the current generation's manifest has EXCLUDED
-    must not be reused: a grace-retained folded directory may still
-    carry a stale ``_COMMIT`` under it (see ``append_to_text_index``
-    docstring). Deterministic given the manifest, so crash-replays
-    against the same generation re-derive the same salted name."""
-    folded_txt = fsutil.read_text(spark, path_join(base, "compacted.json"))
-    folded = set(json.loads(folded_txt)) if folded_txt else set()
-    while token in folded:
-        token += "-r"
-    return token
+    return lsm.salt_past_manifest(spark, base, token)
 
 
 def _write_tombstones(spark: SparkSession, ddir: str, victims: DataFrame,
                       id_col: str, n_buckets: int) -> None:
     """Persist the delta's kill set, doc-hash-bucketed like doclens so
     search reads it candidate-bounded. ``victims`` is (id, __root)."""
-    if victims.isEmpty():
-        return
-    (victims.select(F.col(id_col), F.col("__root").alias("victim"))
-     .withColumn("db", _tb(F.col(id_col), n_buckets))
-     .write.mode("overwrite").partitionBy("db")
-     .parquet(path_join(ddir, "tombstones")))
+    lsm.write_tombstones(spark, ddir, victims, id_col,
+                         _tb(F.col(id_col), n_buckets).alias("db"))
 
 
 def _index_tables(fresh: DataFrame, n_buckets: int, text_col: str,
@@ -350,18 +245,7 @@ def _write_tables(spark: SparkSession, root: str, postings, doclens, vocab,
 
 def _publish_base(spark: SparkSession, path: str, new_name: str,
                   keep: set[str], gc_deltas: list[str]) -> None:
-    """Atomically publish ``new_name`` as the current generation, then
-    garbage-collect: base generations outside ``keep`` and the named
-    delta dirs. Everything deleted here is invisible to BOTH the new
-    generation and the one it superseded (the grace generation), so a
-    reader that resolved either pointer value never loses a directory
-    it can reach — only a reader two compactions stale can."""
-    fsutil.publish_text(spark, path_join(path, BASE_PTR), new_name)
-    for name in _base_names(spark, path):
-        if name not in keep:
-            fsutil.delete(spark, path_join(path, name))
-    for name in gc_deltas:
-        fsutil.delete(spark, path_join(path, "delta", name))
+    lsm.publish_base(spark, path, new_name, keep, gc_deltas)
 
 
 def build_text_index(spark: SparkSession, corpus: DataFrame, path: str,
@@ -389,9 +273,8 @@ def build_text_index(spark: SparkSession, corpus: DataFrame, path: str,
             f"bucket layout (requested {n_buckets})")
     postings, doclens, vocab, stats_row = _index_tables(
         corpus.select(id_col, text_col), n_buckets, text_col, id_col)
-    gens = [int(n[5:]) for n in _base_names(spark, path) if n != "base"]
     cur = _current_base_name(spark, path)
-    new_name = _gen_name(max(gens, default=-1) + 1)
+    new_name = lsm.next_gen_name(spark, path)
     new = path_join(path, new_name)
     fsutil.delete(spark, new)
     _write_tables(spark, new, postings, doclens, vocab, stats_row)
@@ -400,15 +283,9 @@ def build_text_index(spark: SparkSession, corpus: DataFrame, path: str,
     # generation had ALREADY excluded — the rest stay one grace cycle
     # for readers still holding the old pointer, invisible to new
     # readers through the manifest either way
-    stale = fsutil.list_names(spark, path_join(path, "delta"))
-    fsutil.write_text(spark, path_join(new, "compacted.json"),
-                      json.dumps(sorted(stale)))
+    stale = lsm.rebuild_manifest(spark, path, new)
     fsutil.write_text(spark, meta_path, json.dumps({"n_buckets": n_buckets}))
-    gc: list[str] = []
-    if cur is not None:
-        prev = fsutil.read_text(
-            spark, path_join(path, cur, "compacted.json"))
-        gc = [n for n in (json.loads(prev) if prev else []) if n in stale]
+    gc = lsm.rebuild_gc_list(spark, path, cur, stale)
     keep = {new_name} | ({cur} if cur else set())
     _publish_base(spark, path, new_name, keep, gc)
     return {"n_docs": stats_row[0], "n_postings": postings.count()}
@@ -727,24 +604,16 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
         srow = doclens.agg(F.count(F.lit(1)).alias("n"),
                            F.sum("dl").alias("t")).collect()[0]
         stats_row = (int(srow["n"]), int(srow["t"] or 0))
-    gens = [int(n[5:]) for n in _base_names(spark, path) if n != "base"]
-    new_name = _gen_name(max(gens, default=-1) + 1)
+    new_name = lsm.next_gen_name(spark, path)
     new = path_join(path, new_name)
     fsutil.delete(spark, new)
     _write_tables(spark, new, postings, doclens, vocab, stats_row)
-    # the manifest ACCUMULATES across compactions: a folded-but-not-
-    # yet-GC'd delta from a previous cycle must stay excluded under
-    # the new generation too (names of fully deleted deltas are
-    # harmless residue, dropped here once their directory is gone)
-    prev = fsutil.read_text(spark, path_join(base, "compacted.json"))
-    carried = [n for n in (json.loads(prev) if prev else [])
-               if fsutil.exists(spark, path_join(path, "delta", n))]
-    newly = sorted(d.rsplit("/", 1)[-1] for d in deltas)
-    fsutil.write_text(spark, path_join(new, "compacted.json"),
-                      json.dumps(sorted(set(carried) | set(newly))))
-    # publish, then GC with the one-generation grace: keep the
-    # superseded generation and the deltas IT still admits (``newly``)
-    # for readers that resolved the old pointer; delete only the
-    # ``carried`` deltas, which both surviving manifests exclude
+    # the manifest ACCUMULATES across compactions (see
+    # ``lsm.compact_manifest``); publish, then GC with the
+    # one-generation grace: keep the superseded generation and the
+    # deltas IT still admits for readers that resolved the old
+    # pointer; delete only the carried deltas, which both surviving
+    # manifests exclude
+    carried = lsm.compact_manifest(spark, path, base, new, deltas)
     _publish_base(spark, path, new_name, {new_name, cur_name}, carried)
     return {"n_docs": stats_row[0], "compacted_deltas": len(deltas)}

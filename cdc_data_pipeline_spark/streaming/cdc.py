@@ -240,6 +240,62 @@ def stream_append_to_ivf_index(
     return writer.start()
 
 
+def stream_upsert_to_ivf_index(
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    pq_dim: int | None = None,
+    delete_col: str | None = None,
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Full CDC ingest into a persisted ANN index: latest-wins UPSERT
+    per micro-batch (a changed embedding replaces its prior version
+    via a root-addressed tombstone even when it moves to a different
+    cell — ``operators/index.py::upsert_into_*``), with optional
+    DELETE handling: rows whose boolean ``delete_col`` is true
+    tombstone the vector instead of replacing it (the Debezium
+    ``op = d`` shape after ``streaming/debezium.py`` normalization).
+    ``pq_dim`` selects the IVF-PQ form. Replay-idempotent (op-prefixed
+    content-digest deltas); single-maintainer like the append sink."""
+    from cdc_data_pipeline_spark.operators.index import (
+        delete_from_ivf_index, upsert_into_ivf_index,
+        upsert_into_ivfpq_index)
+
+    def upsert(spark, batch_df: DataFrame) -> None:
+        if pq_dim is not None:
+            upsert_into_ivfpq_index(spark, index_path, batch_df, pq_dim,
+                                    vec_col, id_col)
+        else:
+            upsert_into_ivf_index(spark, index_path, batch_df,
+                                  vec_col, id_col)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if delete_col is not None:
+            dels = batch_df.filter(F.col(delete_col)).select(id_col)
+            ups = batch_df.filter(~F.coalesce(F.col(delete_col),
+                                              F.lit(False)))
+            # deletes first: a same-batch re-insert of a deleted id
+            # must land as the LIVE copy
+            if not dels.isEmpty():
+                delete_from_ivf_index(spark, index_path, dels, id_col)
+            if not ups.isEmpty():
+                upsert(spark, ups)
+            return
+        upsert(spark, batch_df)
+
+    writer = (vec_stream.writeStream
+              .option("checkpointLocation", checkpoint)
+              .foreachBatch(handle))
+    writer = apply_trigger(writer, trigger_available_now, processing_time)
+    return writer.start()
+
+
 def stream_append_to_text_index(
     doc_stream: DataFrame,
     index_path: str,

@@ -1,5 +1,8 @@
-"""Persisted IVF index: partition pruning actually happens, recall
-tracks nprobe, and the build is deterministic."""
+"""Persisted IVF / IVF-PQ indexes on the shared LSM protocol:
+partition pruning actually happens, recall tracks nprobe, builds are
+deterministic and published as immutable generations, and the CDC
+surface (append / upsert / delete / compact) keeps query results
+exactly equal to brute-force search over the net corpus."""
 
 from __future__ import annotations
 
@@ -7,11 +10,29 @@ import pyspark.sql.functions as F
 
 from cdc_data_pipeline_spark.operators import index as ix
 from cdc_data_pipeline_spark.operators.similarity import topk_cosine
+from cdc_data_pipeline_spark.sources import fsutil
 from cdc_data_pipeline_spark.sources.readers import read_table
 
 
 def _queries(e):
     return e.filter(F.col("vec_id") % 100 == 3)
+
+
+def _base_cells(spark, path):
+    """The published generation's cells table (layout-aware)."""
+    _, root, _ = ix._resolve(spark, path)
+    return spark.read.parquet(f"{root}/cells")
+
+
+def _exact(spark, path, corpus, q, k=5, n_cells=8, pq=False, dim=64):
+    """Query with nprobe = n_cells (IS exact search) as sorted tuples,
+    for equality against a brute-force oracle over the net corpus."""
+    if pq:
+        got = ix.query_ivfpq_index(spark, path, q, dim=dim, k=k,
+                                   nprobe=n_cells)
+    else:
+        got = ix.query_ivf_index(spark, path, q, k=k, nprobe=n_cells)
+    return sorted(map(tuple, got.collect()))
 
 
 def test_query_reads_only_probed_cell_partitions(spark, sf_dir, tmp_path):
@@ -27,13 +48,14 @@ def test_query_reads_only_probed_cell_partitions(spark, sf_dir, tmp_path):
 
     # the scan that produced the result touched <= n_queries*nprobe
     # cell directories (partition pruning at the source)
-    cells = (spark.read.parquet(f"{path}/cells")
-             .filter(F.col(ix.CELL).isin(
-                 [r[0] for r in ix._assign_queries(
-                     q, spark.read.parquet(f"{path}/centroids"), 1,
-                     "embedding", "vec_id").select(ix.CELL).collect()]))
+    _, root, _ = ix._resolve(spark, path)
+    cents = spark.read.parquet(f"{root}/centroids")
+    probed = [r[0] for r in ix._assign_queries(
+        q, cents, 1, "embedding", "vec_id").select(ix.CELL).collect()]
+    cells = (_base_cells(spark, path)
+             .filter(F.col(ix.CELL).isin(probed))
              .select(F.input_file_name().alias("f")).distinct().collect())
-    all_files = (spark.read.parquet(f"{path}/cells")
+    all_files = (_base_cells(spark, path)
                  .select(F.input_file_name().alias("f")).distinct().count())
     assert len(cells) < all_files  # strictly fewer files than full scan
 
@@ -62,9 +84,31 @@ def test_build_is_deterministic(spark, sf_dir, tmp_path):
     p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
     ix.build_ivf_index(spark, e, p1, n_cells=8, iters=2)
     ix.build_ivf_index(spark, e.repartition(7), p2, n_cells=8, iters=2)
-    a = spark.read.parquet(f"{p1}/cells").select("vec_id", ix.CELL)
-    b = spark.read.parquet(f"{p2}/cells").select("vec_id", ix.CELL)
+    a = ix.read_index_rows(spark, p1).select("vec_id", ix.CELL)
+    b = ix.read_index_rows(spark, p2).select("vec_id", ix.CELL)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_rebuild_publishes_new_generation_with_grace(spark, sf_dir,
+                                                     tmp_path):
+    """A second build supersedes the first generation behind the
+    atomic pointer; the superseded generation survives one grace
+    cycle, and pre-rebuild deltas are logically excluded."""
+    e = read_table(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") % 5 != 0)
+    path = str(tmp_path / "ivf_re")
+    ix.build_ivf_index(spark, old, path, n_cells=8, iters=2)
+    ix.append_to_ivf_index(spark, path, e.filter(F.col("vec_id") % 5 == 0))
+    gen0 = ix._resolve(spark, path)[0]
+    ix.build_ivf_index(spark, e, path, n_cells=8, iters=2)
+    gen1, root1, pairs1 = ix._resolve(spark, path)
+    assert gen1 != gen0
+    assert fsutil.exists(spark, f"{tmp_path}/ivf_re/{gen0}")  # grace
+    assert len(pairs1) == 1  # rebuild excluded the old delta
+    assert ix.read_index_rows(spark, path).count() == e.count()
+    q = _queries(e).limit(3)
+    assert _exact(spark, path, e, q) == \
+        sorted(map(tuple, topk_cosine(e, q, k=5).collect()))
 
 
 def test_ivfpq_index_round_trip_and_exact_scoring(spark, sf_dir, tmp_path):
@@ -83,7 +127,7 @@ def test_ivfpq_index_round_trip_and_exact_scoring(spark, sf_dir, tmp_path):
                                 m=4, ksub=8, iters=2)
     assert info["n_cells"] == 8 and info["m"] == 4
 
-    codes_tab = spark.read.parquet(f"{path}/codes")
+    codes_tab = ix.read_index_rows(spark, path)
     assert "embedding" not in codes_tab.columns  # PQ memory win persisted
     assert codes_tab.count() == e.count()
 
@@ -122,10 +166,10 @@ def test_ivfpq_index_round_trip_and_exact_scoring(spark, sf_dir, tmp_path):
 
 
 def test_incremental_append_to_both_index_forms(spark, sf_dir, tmp_path):
-    """CDC maintenance: appending a new batch against the stored
+    """CDC insert: appending a new batch against the published
     centroids/codebooks makes the new vectors immediately searchable,
-    leaves existing rows untouched, and keeps code comparability (the
-    appended codes equal a fresh encode with the stored books)."""
+    leaves existing files untouched, and keeps code comparability
+    (the appended codes equal a fresh encode with the stored books)."""
     from cdc_data_pipeline_spark.operators import pq
 
     e = read_table(spark, sf_dir, "embeddings")
@@ -134,12 +178,11 @@ def test_incremental_append_to_both_index_forms(spark, sf_dir, tmp_path):
 
     p1 = str(tmp_path / "ivf_inc")
     ix.build_ivf_index(spark, old, p1, n_cells=8, iters=2)
-    before = spark.read.parquet(f"{p1}/cells").count()
-    ix.append_to_ivf_index(spark, p1, new)
-    cells = spark.read.parquet(f"{p1}/cells")
-    assert cells.count() == before + new.count() == e.count()
-    # a query finds an appended vector as its own nearest neighbor's
-    # cellmate: search returns rows for queries drawn from the batch
+    before = ix.read_index_rows(spark, p1).count()
+    r = ix.append_to_ivf_index(spark, p1, new)
+    assert r["appended"] == new.count()
+    assert ix.read_index_rows(spark, p1).count() == \
+        before + new.count() == e.count()
     got = ix.query_ivf_index(spark, p1, new.limit(2), k=3, nprobe=8)
     assert got.count() > 0
     appended_ids = {r.vec_id for r in new.select("vec_id").collect()}
@@ -149,7 +192,7 @@ def test_incremental_append_to_both_index_forms(spark, sf_dir, tmp_path):
     ix.build_ivfpq_index(spark, old, p2, dim=64, n_cells=8, m=4, ksub=8,
                          iters=2)
     ix.append_to_ivfpq_index(spark, p2, new, dim=64)
-    codes = spark.read.parquet(f"{p2}/codes")
+    codes = ix.read_index_rows(spark, p2)
     assert codes.count() == e.count()
     # appended codes == fresh encode with the stored books
     books = ix.load_codebooks(spark, p2)
@@ -181,8 +224,7 @@ def test_streaming_ingest_into_ivf_index(spark, sf_dir, tmp_path):
         stream, path, str(tmp_path / "ck"))
     q.awaitTermination(120)
 
-    cells = spark.read.parquet(f"{path}/cells")
-    assert cells.count() == e.count()
+    assert ix.read_index_rows(spark, path).count() == e.count()
     got = ix.query_ivf_index(spark, path, new.limit(2), k=3, nprobe=8)
     appended = {r.vec_id for r in new.select("vec_id").collect()}
     assert {r.neighbor_id for r in got.collect()} & appended
@@ -200,11 +242,11 @@ def test_append_is_idempotent_under_replay(spark, sf_dir, tmp_path):
     p1 = str(tmp_path / "ivf_replay")
     ix.build_ivf_index(spark, old, p1, n_cells=8, iters=2)
     assert ix.append_to_ivf_index(spark, p1, new)["appended"] == new.count()
-    # replay: same batch again
+    # replay: same batch again no-ops on the commit marker
     assert ix.append_to_ivf_index(spark, p1, new)["appended"] == 0
-    assert spark.read.parquet(f"{p1}/cells").count() == e.count()
+    assert ix.read_index_rows(spark, p1).count() == e.count()
     # partial redelivery mixed with genuinely new rows: none exist
-    # here, so everything drops
+    # here, so everything drops via the visible-ids anti-join
     assert ix.append_to_ivf_index(spark, p1, new.limit(7))["appended"] == 0
 
     p2 = str(tmp_path / "ivfpq_replay")
@@ -213,4 +255,213 @@ def test_append_is_idempotent_under_replay(spark, sf_dir, tmp_path):
     assert ix.append_to_ivfpq_index(spark, p2, new, dim=64)["appended"] == \
         new.count()
     assert ix.append_to_ivfpq_index(spark, p2, new, dim=64)["appended"] == 0
-    assert spark.read.parquet(f"{p2}/codes").count() == e.count()
+    assert ix.read_index_rows(spark, p2).count() == e.count()
+
+
+# ------------------------------------------------- CDC upsert / delete
+
+
+def test_upsert_moves_vector_across_cells_exactly(spark, sf_dir, tmp_path):
+    """Latest-wins upsert where the new embedding assigns to a
+    DIFFERENT cell than the copy it replaces: the ids side table
+    finds the victim, the tombstone kills exactly that copy, and
+    exact-mode search equals brute-force cosine over the net corpus."""
+    e = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_up")
+    ix.build_ivf_index(spark, e, path, n_cells=8, iters=2)
+    # replacement embeddings: negated vectors land far from the
+    # originals' cells
+    changed = e.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x))
+    r = ix.upsert_into_ivf_index(spark, path, changed)
+    assert r["upserted"] == changed.count() == r["replaced"]
+
+    net = e.filter(F.col("vec_id") % 10 != 0).unionByName(changed)
+    q = net.filter(F.col("vec_id") % 100 == 3).limit(4)
+    assert _exact(spark, path, net, q) == \
+        sorted(map(tuple, topk_cosine(net, q, k=5).collect()))
+    assert ix.read_index_rows(spark, path).count() == e.count()
+    # replay: op-prefixed digest no-ops on the committed marker
+    r2 = ix.upsert_into_ivf_index(spark, path, changed)
+    assert r2["upserted"] == 0 and r2["batch"] == r["batch"]
+    assert _exact(spark, path, net, q) == \
+        sorted(map(tuple, topk_cosine(net, q, k=5).collect()))
+
+
+def test_delete_then_reinsert(spark, sf_dir, tmp_path):
+    e = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_del")
+    ix.build_ivf_index(spark, e, path, n_cells=8, iters=2)
+    gone = e.filter(F.col("vec_id") % 3 == 0)
+    r = ix.delete_from_ivf_index(spark, path, gone.select("vec_id"))
+    assert r["deleted"] == gone.count()
+    kept = e.filter(F.col("vec_id") % 3 != 0)
+    assert ix.read_index_rows(spark, path).count() == kept.count()
+    q = kept.filter(F.col("vec_id") % 100 == 3).limit(4)
+    assert _exact(spark, path, kept, q) == \
+        sorted(map(tuple, topk_cosine(kept, q, k=5).collect()))
+    # deleting again touches nothing (no visible copies)
+    assert ix.delete_from_ivf_index(
+        spark, path, gone.select("vec_id"))["deleted"] == 0
+    # a deleted id is re-insertable through the plain append path
+    assert ix.append_to_ivf_index(spark, path, gone)["appended"] == \
+        gone.count()
+    assert ix.read_index_rows(spark, path).count() == e.count()
+
+
+def test_cdc_mixed_lifecycle_then_compact(spark, sf_dir, tmp_path):
+    """Insert + upsert + delete deltas stacked, searched, compacted
+    (twice — the second GCs the grace generation), searched again:
+    results equal brute-force search over the net corpus at every
+    step, and the folded generation carries no tombstones."""
+    e = read_table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 4 == 0)          # base
+    b = e.filter(F.col("vec_id") % 4 == 1)          # inserted
+    c = e.filter(F.col("vec_id") % 4 == 2)          # upserted (new)
+    path = str(tmp_path / "ivf_mix")
+    ix.build_ivf_index(spark, a, path, n_cells=8, iters=2)
+    ix.append_to_ivf_index(spark, path, b)
+    ix.upsert_into_ivf_index(spark, path, c)
+    # replace half of b with changed embeddings
+    b_new = b.filter(F.col("vec_id") % 8 == 1).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x))
+    ix.upsert_into_ivf_index(spark, path, b_new)
+    a_gone = a.filter(F.col("vec_id") % 8 == 0)
+    ix.delete_from_ivf_index(spark, path, a_gone.select("vec_id"))
+
+    net = (a.join(a_gone.select("vec_id"), "vec_id", "left_anti")
+           .unionByName(b.filter(F.col("vec_id") % 8 != 1))
+           .unionByName(b_new).unionByName(c))
+    q = net.filter(F.col("vec_id") % 100 == 3).limit(4)
+    want = sorted(map(tuple, topk_cosine(net, q, k=5).collect()))
+    assert _exact(spark, path, net, q) == want
+
+    info = ix.compact_ann_index(spark, path)
+    assert info["n_vectors"] == net.count()
+    assert _exact(spark, path, net, q) == want
+    _, root, pairs = ix._resolve(spark, path)
+    assert len(pairs) == 1  # all deltas folded
+    assert not fsutil.exists(spark, f"{root}/tombstones")
+    # second compact GCs grace dirs; still exact
+    ix.compact_ann_index(spark, path)
+    assert _exact(spark, path, net, q) == want
+
+
+def test_ivfpq_cdc_upsert_delete_compact(spark, sf_dir, tmp_path):
+    """The same CDC lifecycle on the IVF-PQ form: after upsert +
+    delete + compact, exact-mode ADC search equals a fresh encode of
+    the net corpus scored the same way (codes stay comparable because
+    upserts encode with the published codebooks)."""
+    from cdc_data_pipeline_spark.operators import pq
+
+    e = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq_cdc")
+    ix.build_ivfpq_index(spark, e, path, dim=64, n_cells=8, m=4, ksub=8,
+                         iters=2)
+    changed = e.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x))
+    r = ix.upsert_into_ivfpq_index(spark, path, changed, dim=64)
+    assert r["upserted"] == changed.count() == r["replaced"]
+    gone = e.filter(F.col("vec_id") % 10 == 5)
+    assert ix.delete_from_ivfpq_index(
+        spark, path, gone.select("vec_id"))["deleted"] == gone.count()
+
+    net_codes = ix.read_index_rows(spark, path)
+    assert net_codes.count() == e.count() - gone.count()
+    # visible codes equal a fresh encode of the net corpus
+    net = (e.filter((F.col("vec_id") % 10 != 0) &
+                    (F.col("vec_id") % 10 != 5)).unionByName(changed))
+    books = ix.load_codebooks(spark, path)
+    expect = {r.vec_id: list(r.codes)
+              for r in pq.pq_encode(net, books, 64).collect()}
+    got = {r.vec_id: list(r.codes) for r in net_codes.collect()}
+    assert got == expect
+
+    ix.compact_ann_index(spark, path)
+    after = {r.vec_id: list(r.codes)
+             for r in ix.read_index_rows(spark, path).collect()}
+    assert after == expect
+
+
+def test_legacy_layout_reads_mutates_and_migrates(spark, sf_dir, tmp_path):
+    """An index written by the pre-pointer layout (tables at the root,
+    no BASE/meta.json) still queries, takes CDC deltas, and is
+    migrated by compaction — the second compact garbage-collects the
+    legacy root-level tables."""
+    e = read_table(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") % 5 != 0)
+    new = e.filter(F.col("vec_id") % 5 == 0)
+    # stage a modern build elsewhere, then copy its tables to the
+    # index root in the legacy arrangement
+    donor = str(tmp_path / "donor")
+    ix.build_ivf_index(spark, old, donor, n_cells=8, iters=2)
+    _, droot, _ = ix._resolve(spark, donor)
+    path = str(tmp_path / "legacy")
+    import shutil
+    shutil.copytree(f"{droot}/cells", f"{path}/cells")
+    shutil.copytree(f"{droot}/centroids", f"{path}/centroids")
+
+    name, root, pairs = ix._resolve(spark, path)
+    assert name == "." and root == path
+    q = _queries(old).limit(3)
+    want = sorted(map(tuple, topk_cosine(old, q, k=5).collect()))
+    assert _exact(spark, path, old, q) == want
+
+    # CDC against the legacy root (victim lookup falls back to the
+    # column-pruned id+cell scan; tombstones address root ".")
+    assert ix.append_to_ivf_index(spark, path, new)["appended"] == \
+        new.count()
+    changed = old.filter(F.col("vec_id") % 10 == 1).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x))
+    ix.upsert_into_ivf_index(spark, path, changed)
+    net = (old.filter(F.col("vec_id") % 10 != 1)
+           .unionByName(new).unionByName(changed))
+    q2 = net.filter(F.col("vec_id") % 100 == 3).limit(4)
+    want2 = sorted(map(tuple, topk_cosine(net, q2, k=5).collect()))
+    assert _exact(spark, path, net, q2) == want2
+
+    # first compact publishes generation 0 (legacy root kept one
+    # grace cycle); second compact GCs the legacy tables
+    ix.compact_ann_index(spark, path)
+    assert ix._resolve(spark, path)[0].startswith("base-")
+    assert fsutil.exists(spark, f"{path}/cells")  # grace
+    assert _exact(spark, path, net, q2) == want2
+    ix.compact_ann_index(spark, path)
+    assert not fsutil.exists(spark, f"{path}/cells")
+    assert _exact(spark, path, net, q2) == want2
+
+
+def test_streaming_cdc_upsert_delete_into_ivf_index(spark, sf_dir,
+                                                    tmp_path):
+    """The full CDC stream shape for the ANN index: micro-batches
+    carrying updates AND deletes (boolean delete flag) flow through
+    ``stream_upsert_to_ivf_index``; after the stream drains,
+    exact-mode search equals brute-force over the net corpus."""
+    from cdc_data_pipeline_spark.streaming.cdc import (
+        stream_upsert_to_ivf_index)
+
+    e = read_table(spark, sf_dir, "embeddings")
+    half = e.filter(F.col("vec_id") % 2 == 0)
+    path = str(tmp_path / "ivf_cdc_stream")
+    ix.build_ivf_index(spark, half, path, n_cells=8, iters=2)
+
+    upd = half.filter(F.col("vec_id") % 6 == 0) \
+        .withColumn("embedding", F.transform("embedding", lambda x: -x)) \
+        .withColumn("is_deleted", F.lit(False))
+    dels = half.filter(F.col("vec_id") % 6 == 2) \
+        .withColumn("is_deleted", F.lit(True))
+    changes = upd.unionByName(dels)
+    src = str(tmp_path / "incoming")
+    changes.write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(changes.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    q = stream_upsert_to_ivf_index(stream, path, str(tmp_path / "ck"),
+                                   delete_col="is_deleted")
+    q.awaitTermination(120)
+
+    net = (half.filter(F.col("vec_id") % 6 == 4)
+           .unionByName(upd.drop("is_deleted")))
+    assert ix.read_index_rows(spark, path).count() == net.count()
+    qs = net.filter(F.col("vec_id") % 100 == 3).limit(3)
+    assert _exact(spark, path, net, qs) == \
+        sorted(map(tuple, topk_cosine(net, qs, k=5).collect()))
