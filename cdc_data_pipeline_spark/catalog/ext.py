@@ -1299,3 +1299,51 @@ EXTRA_ORACLES = {
 }
 EXTRA_QUERIES["line_dedup"] = q_line_dedup
 EXTRA_ORACLES["line_dedup"] = SQL_LINE_DEDUP
+
+
+def q_lsh_index_pairs(spark, sf_dir):
+    """The PERSISTED MinHash-LSH index through its FULL CDC lifecycle,
+    pinned to the in-flight ``minhash_lsh_pairs`` oracle. Designed so
+    every visibility bug surfaces DETERMINISTICALLY: the stale build
+    replaces every 7th document's text with a donor document's text (a
+    guaranteed signature collision — a missed upsert tombstone pairs
+    the victim with the donor), and the appended-then-deleted extras
+    are exact copies of real documents (a missed delete tombstone
+    pairs the extra with its source). Lifecycle: build over 4/5 of the
+    doctored corpus -> append the remaining 1/5 -> upsert the
+    corrected 7th-documents -> append 3 duplicate extras -> delete
+    them -> compact (fold every delta + resolve tombstones into a new
+    generation) -> query the index with the full corpus. The final
+    visible signature set must equal clean one-shot LSH over
+    ``documents``, so canonicalized (index x batch) candidates equal
+    ``SQL_MINHASH_LSH_PAIRS`` exactly."""
+    import tempfile
+
+    from cdc_data_pipeline_spark.operators import dedup_index as di
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="cdcspark_lshx_")
+    donor = docs.filter(F.col("doc_id") == 1) \
+                .select(F.col("text").alias("donor_text"))
+    stale = (docs.crossJoin(F.broadcast(donor))
+             .select("doc_id",
+                     F.when(F.col("doc_id") % 7 == 0, F.col("donor_text"))
+                     .otherwise(F.col("text")).alias("text")))
+    di.build_lsh_index(spark, stale.filter(F.col("doc_id") % 5 != 0), path,
+                       n_prefixes=16)
+    di.append_lsh_index(spark, path, stale.filter(F.col("doc_id") % 5 == 0))
+    di.upsert_lsh_index(spark, path, docs.filter(F.col("doc_id") % 7 == 0))
+    extras = (docs.filter(F.col("doc_id").isin(2, 3, 4))
+              .select((F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+                      "text"))
+    di.append_lsh_index(spark, path, extras)
+    di.delete_from_lsh_index(spark, path, extras.select("doc_id"))
+    di.compact_lsh_index(spark, path)
+    cand = di.query_lsh_index(spark, path, docs)
+    return (cand.select(
+        F.least("id_existing", "id_new").alias("id_a"),
+        F.greatest("id_existing", "id_new").alias("id_b")).distinct())
+
+
+EXTRA_QUERIES["lsh_index_pairs"] = q_lsh_index_pairs
+EXTRA_ORACLES["lsh_index_pairs"] = SQL_MINHASH_LSH_PAIRS

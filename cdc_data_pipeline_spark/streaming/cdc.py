@@ -408,10 +408,10 @@ def stream_curate_to_corpus(
     Delivery semantics: the corpus sink is ``upsert_bucketed`` (keyed
     merge, O(batch) bucket rewrite) — a REPLAYED batch upserts the
     same keys and changes nothing, so the corpus is exactly-once under
-    at-least-once foreachBatch. The index append is not keyed; a
-    replay can duplicate signature rows, which only re-confirms
-    candidacy (candidates are DISTINCT pairs) — correctness holds,
-    the index just carries dead weight until a rebuild.
+    at-least-once foreachBatch. The index append commits one
+    content-digest-named delta with a last-written ``_COMMIT`` marker
+    (``dedup_index.append_lsh_index``), so a REPLAYED batch
+    early-returns on the marker — the whole handler is idempotent.
     """
     from cdc_data_pipeline_spark.operators.curation import gopher_quality
     from cdc_data_pipeline_spark.operators.dedup import (
