@@ -100,6 +100,13 @@ def main(argv=None) -> int:
     qp.add_argument("--text", action="store_true",
                     help="BM25 search a persisted inverted text index "
                          "(query = every Nth document)")
+    mp = sub.add_parser(
+        "compact", help="fold a persisted index's base + CDC deltas "
+                        "into a fresh generation (text / IVF / IVF-PQ "
+                        "/ LSH auto-detected from the index metadata) "
+                        "and garbage-collect with the one-generation "
+                        "grace")
+    mp.add_argument("--path", required=True)
     cp = sub.add_parser(
         "curate", help="run the full corpus-curation flow (quality -> "
                        "dedup -> mask -> decontaminate -> shards)")
@@ -189,6 +196,34 @@ def main(argv=None) -> int:
             out = query_ivf_index(spark, args.path, queries,
                                   k=args.k, nprobe=args.nprobe)
         out.orderBy("query_id", "rank").show(50, truncate=False)
+        return 0
+
+    if args.cmd == "compact":
+        from cdc_data_pipeline_spark.session import get_spark
+        from cdc_data_pipeline_spark.sources import fsutil
+
+        spark = get_spark("cdc-compact")
+        txt = fsutil.read_text(spark, fsutil.path_join(args.path,
+                                                       "meta.json"))
+        meta = json.loads(txt) if txt else {}
+        kind = meta.get("kind",
+                        "text" if "n_buckets" in meta else None)
+        if kind == "lsh":
+            from cdc_data_pipeline_spark.operators.dedup_index import (
+                compact_lsh_index)
+            out = compact_lsh_index(spark, args.path)
+        elif kind in ("ivf", "ivfpq"):
+            from cdc_data_pipeline_spark.operators.index import (
+                compact_ann_index)
+            out = compact_ann_index(spark, args.path)
+        elif kind == "text":
+            from cdc_data_pipeline_spark.operators.text_index import (
+                compact_text_index)
+            out = compact_text_index(spark, args.path)
+        else:
+            print(json.dumps({"error": f"no index metadata at {args.path}"}))
+            return 1
+        print(json.dumps({"kind": kind, **out}))
         return 0
 
     if args.cmd == "curate":

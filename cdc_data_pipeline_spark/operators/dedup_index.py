@@ -461,6 +461,7 @@ def compact_lsh_index(spark: SparkSession, path: str,
                                       "n_id_buckets": n_ib}))
     carried = lsm.compact_manifest(spark, path, base_root, new, deltas)
     lsm.publish_base(spark, path, new_name, {new_name, cur_name},
-                     carried, legacy_tables=_LEGACY_TABLES)
+                     carried, legacy_tables=_LEGACY_TABLES,
+                     expect_ptr=lsm.expected_ptr(cur_name))
     n = rows.select(id_col).distinct().count() if rows is not None else 0
     return {"n_docs": n, "compacted_deltas": len(deltas)}

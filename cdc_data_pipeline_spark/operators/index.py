@@ -651,6 +651,7 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
                           json.dumps({**meta, "n_id_buckets": n_ib}))
     carried = lsm.compact_manifest(spark, path, base_root, new, deltas)
     lsm.publish_base(spark, path, new_name, {new_name, cur_name},
-                     carried, legacy_tables=_LEGACY_TABLES)
+                     carried, legacy_tables=_LEGACY_TABLES,
+                     expect_ptr=lsm.expected_ptr(cur_name))
     return {"n_vectors": rows.count() if rows is not None else 0,
             "compacted_deltas": len(deltas)}

@@ -44,6 +44,19 @@ Protocol guarantees (pinned by ``tests/test_text_index.py`` and
 - **Orphan sweep**: a crash between staging ``base-<gen>`` and the
   pointer publish leaves an orphan directory no pointer references;
   the next successful publish's GC pass removes it.
+- **Single maintenance writer, detected violations**: mutations and
+  compactions assume ONE maintenance writer at a time (queries are
+  lock-free and need no coordination) — the same external-locking
+  contract as Hudi/Delta on stores without compare-and-swap. A
+  compaction additionally records the pointer value it resolved and
+  ``publish_base`` re-reads the pointer immediately before
+  publishing: two racing compactions (or a compact racing a rebuild)
+  turn from a SILENT lost update into a raised
+  ``ConcurrentPublishError`` whose staged generation the next
+  successful publish sweeps as an orphan. Best-effort only — the
+  check-to-publish window is not atomic without a CAS primitive —
+  so it detects, not prevents; deploys wanting hard exclusion put a
+  lock service around maintenance.
 
 Reference parity: this generalizes the reference's delete+insert CDC
 merge (clickhouse_load_tool/base_loader.py:241-249) and its staged
@@ -64,6 +77,22 @@ from cdc_data_pipeline_spark.sources.fsutil import path_join
 
 COMMIT = "_COMMIT"
 BASE_PTR = "BASE"
+_UNCHECKED = object()
+
+
+class ConcurrentPublishError(RuntimeError):
+    """Another maintenance writer published between this writer's
+    snapshot resolve and its publish attempt; this writer's staged
+    generation was NOT published (the next successful publish sweeps
+    it as an orphan). Re-run the maintenance operation against the
+    new snapshot."""
+
+
+def expected_ptr(cur_name: str | None) -> str | None:
+    """The raw pointer value a resolved base name implies: legacy
+    layouts (``"base"``/``"."``) predate the pointer file, so their
+    expectation is 'no pointer exists yet'."""
+    return None if cur_name in (None, ".", "base") else cur_name
 
 
 def gen_name(gen: int) -> str:
@@ -269,7 +298,8 @@ def write_tombstones(spark: SparkSession, ddir: str, victims: DataFrame,
 
 def publish_base(spark: SparkSession, path: str, new_name: str,
                  keep: set[str], gc_deltas: list[str],
-                 legacy_tables: tuple[str, ...] = ()) -> None:
+                 legacy_tables: tuple[str, ...] = (),
+                 expect_ptr: str | None | object = _UNCHECKED) -> None:
     """Atomically publish ``new_name`` as the current generation, then
     garbage-collect: base generations outside ``keep``, the named
     delta dirs, and — when the grace set no longer includes the legacy
@@ -277,7 +307,21 @@ def publish_base(spark: SparkSession, path: str, new_name: str,
     Everything deleted here is invisible to BOTH the new generation
     and the one it superseded (the grace generation), so a reader that
     resolved either pointer value never loses a directory it can reach
-    — only a reader two compactions stale can."""
+    — only a reader two compactions stale can.
+
+    ``expect_ptr`` (compaction callers): the pointer value this writer
+    resolved its snapshot from (``expected_ptr(cur_name)``). If the
+    pointer moved since, raise ``ConcurrentPublishError`` BEFORE
+    publishing — a racing maintainer won, and overwriting its pointer
+    would silently discard everything it folded. Rebuilds skip the
+    check: replacing whatever is current is their contract."""
+    if expect_ptr is not _UNCHECKED:
+        cur = fsutil.read_text(spark, path_join(path, BASE_PTR))
+        cur = cur.strip() if cur is not None else None
+        if cur != expect_ptr:
+            raise ConcurrentPublishError(
+                f"{path}: pointer moved {expect_ptr!r} -> {cur!r} during "
+                f"maintenance; staged {new_name!r} left unpublished")
     fsutil.publish_text(spark, path_join(path, BASE_PTR), new_name)
     for name in base_names(spark, path):
         if name not in keep:

@@ -244,8 +244,10 @@ def _write_tables(spark: SparkSession, root: str, postings, doclens, vocab,
 
 
 def _publish_base(spark: SparkSession, path: str, new_name: str,
-                  keep: set[str], gc_deltas: list[str]) -> None:
-    lsm.publish_base(spark, path, new_name, keep, gc_deltas)
+                  keep: set[str], gc_deltas: list[str],
+                  expect_ptr=lsm._UNCHECKED) -> None:
+    lsm.publish_base(spark, path, new_name, keep, gc_deltas,
+                     expect_ptr=expect_ptr)
 
 
 def build_text_index(spark: SparkSession, corpus: DataFrame, path: str,
@@ -615,5 +617,6 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     # pointer; delete only the carried deltas, which both surviving
     # manifests exclude
     carried = lsm.compact_manifest(spark, path, base, new, deltas)
-    _publish_base(spark, path, new_name, {new_name, cur_name}, carried)
+    _publish_base(spark, path, new_name, {new_name, cur_name}, carried,
+                  expect_ptr=lsm.expected_ptr(cur_name))
     return {"n_docs": stats_row[0], "compacted_deltas": len(deltas)}

@@ -94,6 +94,58 @@ def run_suite(spark, li_path, doc_path, emb_path):
     }
 
 
+def run_cdc_suite(spark, doc_path):
+    """The LSM indexes' core scale claim: FIXED-SIZE batch maintenance
+    (query / append / upsert / delete against the persisted MinHash-LSH
+    index, append + search against the persisted inverted text index)
+    must stay ~FLAT as the indexed corpus grows Nx — the prefix/bucket
+    pruning and the id-hash-bucketed victim lookups make every
+    maintenance op O(batch), not O(corpus). Build time is reported too
+    and is EXPECTED to grow ~N (the one full-corpus pass)."""
+    from cdc_data_pipeline_spark.operators import dedup_index as di
+    from cdc_data_pipeline_spark.operators import text_index as ti
+    from cdc_data_pipeline_spark.sources.readers import ensure_parallelism
+
+    docs = ensure_parallelism(spark.read.parquet(doc_path)) \
+        .select("doc_id", "text")
+    # fixed-size slices pinned to the original (unshifted) replica so
+    # they are IDENTICAL at 1x and Nx
+    fixed = docs.filter((F.col("doc_id") < SHIFT)
+                        & (F.col("doc_id") % 59 == 0))
+    incoming = fixed.select((F.col("doc_id") + 9 * SHIFT).alias("doc_id"),
+                            F.concat(F.lit("x9"), F.col("text")).alias("text"))
+    edited = fixed.select("doc_id",
+                          F.concat(F.lit("edited "), F.col("text"))
+                          .alias("text"))
+    out = {}
+    lsh = tempfile.mkdtemp(prefix="soak_lshcdc_")
+    tix = tempfile.mkdtemp(prefix="soak_tixcdc_")
+    try:
+        out["lsh_build"] = timed(lambda: di.build_lsh_index(
+            spark, docs, lsh))
+        out["lsh_query_fixed"] = timed(lambda: di.query_lsh_index(
+            spark, lsh, fixed).write.format("noop").mode("overwrite").save())
+        out["lsh_append_fixed"] = timed(lambda: di.append_lsh_index(
+            spark, lsh, incoming))
+        out["lsh_upsert_fixed"] = timed(lambda: di.upsert_lsh_index(
+            spark, lsh, edited))
+        out["lsh_delete_fixed"] = timed(lambda: di.delete_from_lsh_index(
+            spark, lsh, incoming.select("doc_id")))
+        out["tix_build"] = timed(lambda: ti.build_text_index(
+            spark, docs, tix))
+        out["tix_append_fixed"] = timed(lambda: ti.append_to_text_index(
+            spark, tix, incoming))
+        out["tix_upsert_fixed"] = timed(lambda: ti.upsert_into_text_index(
+            spark, tix, edited))
+        out["tix_search_fixed"] = timed(lambda: ti.search_text_index(
+            spark, tix, fixed.limit(50), k=5)
+            .write.format("noop").mode("overwrite").save())
+    finally:
+        shutil.rmtree(lsh, ignore_errors=True)
+        shutil.rmtree(tix, ignore_errors=True)
+    return out
+
+
 def run_text_suite(spark, docp_path):
     docs = spark.read.parquet(docp_path)
 
@@ -197,8 +249,10 @@ def main():
 
         base = run_suite(spark, li_1, doc_1, emb_1)
         base.update(run_text_suite(spark, docp_1))
+        base.update(run_cdc_suite(spark, doc_1))
         big = run_suite(spark, li_n, doc_n, emb_n)
         big.update(run_text_suite(spark, docp_n))
+        big.update(run_cdc_suite(spark, doc_n))
         ratios = {k: round(big[k] / max(base[k], 0.05), 1) for k in base}
         print(json.dumps({"metric": "scale_soak", "n": n, "x1_sec": base,
                           "xN_sec": big, "ratio": ratios}))
