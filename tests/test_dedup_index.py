@@ -8,6 +8,7 @@ from __future__ import annotations
 import json
 
 import pyspark.sql.functions as F
+import pytest
 
 from cdc_data_pipeline_spark.operators import dedup as dd
 from cdc_data_pipeline_spark.operators import dedup_index as di
@@ -340,3 +341,29 @@ def test_rebuild_changes_params_and_excludes_old_deltas(spark, sf_dir,
     assert _query_pairs(spark, path, probe) == _fresh_pairs(
         spark, docs, probe, tmp_path, "reb", num_hashes=12, bands=6,
         n_prefixes=16)
+
+
+@pytest.mark.parametrize("scheme", ["", "file://"])
+def test_lsh_roundtrip_under_scheme(spark, sf_dir, tmp_path, scheme):
+    """The build/query/upsert/delete/compact cycle under a bare local
+    path AND an explicit ``file://`` scheme root — every fsutil
+    primitive (pointer publish included) must resolve both the same
+    way through the Hadoop FileSystem."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    changed = docs.filter(F.col("doc_id") % 9 == 0) \
+        .withColumn("text", F.concat(F.lit("rewritten qwerty "),
+                                     F.reverse("text")))
+    dead = docs.filter(F.col("doc_id") % 15 == 0).select("doc_id")
+    probe = docs.limit(40)
+
+    path = scheme + str(tmp_path / "schidx")
+    di.build_lsh_index(spark, docs, path, n_prefixes=8)
+    di.upsert_lsh_index(spark, path, changed)
+    di.delete_from_lsh_index(spark, path, dead)
+    net = (docs.filter(F.col("doc_id") % 9 != 0).unionByName(changed)
+           .join(dead, "doc_id", "left_anti"))
+    want = _fresh_pairs(spark, net, probe, tmp_path, f"sch{bool(scheme)}",
+                        n_prefixes=8)
+    assert _query_pairs(spark, path, probe) == want
+    di.compact_lsh_index(spark, path)
+    assert _query_pairs(spark, path, probe) == want
