@@ -603,7 +603,11 @@ QUERIES = {
 # PQ family's first driver pin (catalog/llm.py).
     "quality_score": q_quality_score,
     "dedup_exact": q_dedup_exact,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+# minhash_lsh_pairs rotated to the local-parity tier in round 6: the
+# lsh_index_pairs lifecycle row carries the IDENTICAL oracle over the
+# same banded-signature machinery PLUS the persisted index's full CDC
+# protocol — the r5 lesson was that index breakage must be
+# driver-visible.
     "jaccard_pairs": q_jaccard_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embed_near_dup": q_embed_near_dup,
@@ -618,7 +622,6 @@ ORACLES = {
     "text_stats": SQL_TEXT_STATS,
     "quality_score": SQL_QUALITY_SCORE,
     "dedup_exact": SQL_DEDUP_EXACT,
-    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
@@ -1345,5 +1348,96 @@ def q_lsh_index_pairs(spark, sf_dir):
         F.greatest("id_existing", "id_new").alias("id_b")).distinct())
 
 
-EXTRA_QUERIES["lsh_index_pairs"] = q_lsh_index_pairs
-EXTRA_ORACLES["lsh_index_pairs"] = SQL_MINHASH_LSH_PAIRS
+# driver tier (rotated in for minhash_lsh_pairs in round 6 — same
+# oracle, strictly more machinery under the check)
+QUERIES["lsh_index_pairs"] = q_lsh_index_pairs
+ORACLES["lsh_index_pairs"] = SQL_MINHASH_LSH_PAIRS
+EXTRA_QUERIES["minhash_lsh_pairs"] = q_minhash_lsh_pairs
+EXTRA_ORACLES["minhash_lsh_pairs"] = SQL_MINHASH_LSH_PAIRS
+
+
+def q_ivf_index_topk(spark, sf_dir):
+    """The PERSISTED IVF ANN index through its FULL CDC lifecycle with
+    a FROZEN coarse quantizer (build_ivf_index(centroids=...) — the
+    FAISS pretrained-quantizer pattern), making every step exactly
+    SQL-replayable: corpus cells by 6dp-rounded squared-distance
+    argmin (lowest-cid tiebreak, the assign_clusters arithmetic the
+    kmeans oracle already pins), query probes by 9dp cosine
+    (nprobe=1), scoring by 6dp cosine with self-exclusion. Designed
+    like ``lsh_index_pairs`` so visibility bugs surface
+    DETERMINISTICALLY: the stale build carries a donor vector's
+    embedding for every 7th id (a missed upsert tombstone plants a
+    spurious cos~1 neighbor in the donor's cell) and the
+    appended-then-deleted extras are exact copies of real vectors (a
+    missed delete tombstone surfaces as a cos=1.0 rank-1 hit).
+    Lifecycle: build 4/5 doctored -> append 1/5 -> upsert corrections
+    -> append 3 duplicate extras -> delete them -> compact -> query.
+    The final visible set must equal `embeddings` exactly."""
+    import tempfile
+
+    from cdc_data_pipeline_spark.operators import index as ix
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="cdcspark_ivfx_")
+    cents = (e.filter(F.col("vec_id") % 50 == 25)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    donor = e.filter(F.col("vec_id") == 3) \
+             .select(F.col("embedding").alias("donor_v"))
+    stale = (e.crossJoin(F.broadcast(donor))
+             .select("vec_id",
+                     F.when(F.col("vec_id") % 7 == 0, F.col("donor_v"))
+                     .otherwise(F.col("embedding")).alias("embedding")))
+    ix.build_ivf_index(spark, stale.filter(F.col("vec_id") % 5 != 0),
+                       path, centroids=cents)
+    ix.append_to_ivf_index(spark, path,
+                           stale.filter(F.col("vec_id") % 5 == 0))
+    ix.upsert_into_ivf_index(spark, path,
+                             e.filter(F.col("vec_id") % 7 == 0))
+    extras = (e.filter(F.col("vec_id").isin(2, 3, 4))
+              .select((F.col("vec_id") + 1_000_000_000).alias("vec_id"),
+                      "embedding"))
+    ix.append_to_ivf_index(spark, path, extras)
+    ix.delete_from_ivf_index(spark, path, extras.select("vec_id"))
+    ix.compact_ann_index(spark, path)
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return ix.query_ivf_index(spark, path, queries, k=5, nprobe=1)
+
+
+_IVFX_DIST = ("ROUND(list_sum(list_transform(range(1, 64 + 1), "
+              "i -> (a.e[i] - c.e[i]) * (a.e[i] - c.e[i]))), 6)")
+
+# The oracle sees only the CLEAN net corpus: the Spark side's entire
+# CDC lifecycle must converge the index to exactly this state, so any
+# stale/resurrected/missing row diverges the comparison.
+SQL_IVF_INDEX_TOPK = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e FROM v WHERE vec_id % 50 = 25),
+d AS (SELECT a.vec_id, a.e, c.cid, {_IVFX_DIST} AS d
+      FROM v a CROSS JOIN cents c),
+asg AS (SELECT vec_id, e, cid
+        FROM (SELECT vec_id, e, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d, cid) AS rn
+              FROM d) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id % 100 = 0),
+qp AS (SELECT query_id, qv, cid
+       FROM (SELECT q.query_id, q.qv, c.cid,
+                    row_number() OVER (
+                      PARTITION BY q.query_id
+                      ORDER BY ROUND(list_cosine_similarity(q.qv, c.e), 9)
+                               DESC, c.cid ASC) AS rn
+             FROM q CROSS JOIN cents c) WHERE rn <= 1),
+scored AS (
+  SELECT qp.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(qp.qv, a.e), 6) AS cos
+  FROM qp JOIN asg a ON qp.cid = a.cid AND qp.query_id <> a.vec_id)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC)
+            AS INTEGER) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
+
+EXTRA_QUERIES["ivf_index_topk"] = q_ivf_index_topk
+EXTRA_ORACLES["ivf_index_topk"] = SQL_IVF_INDEX_TOPK

@@ -1689,7 +1689,6 @@ EXTRA_QUERIES = {
     "hybrid_ivf_rrf": q_hybrid_ivf_rrf,
     "hybrid_wrrf_topk": q_hybrid_wrrf_topk,
     "ivfpq_residual_recall": q_ivfpq_residual_recall,
-    "text_index_search": q_text_index_search,
     "weighted_sample": q_weighted_sample,
     "repetition_metrics": q_repetition,
     "kmeans_clusters": q_kmeans_clusters,
@@ -1718,9 +1717,6 @@ EXTRA_ORACLES = {
     "hard_negatives": SQL_HARD_NEGATIVES,
     "hybrid_ivf_rrf": SQL_HYBRID_IVF_RRF,
     "hybrid_wrrf_topk": SQL_HYBRID_WRRF_TOPK,
-    # the persisted index must reproduce the in-flight BM25 exactly —
-    # same oracle, by design
-    "text_index_search": SQL_BM25_TOPK,
     # ivfpq_residual_recall: rows-only by design (residual column is
     # a non-SQL-expressible intermediate; inequality pinned in
     # tests/test_pq.py::test_residual_recall_catalog_entry)
@@ -1752,8 +1748,16 @@ EXTRA_ORACLES = {
 # 50-entry conformance cap; the redundant shapes they displace
 # (weighted_sample, repetition_metrics here; token_counts, line_dedup
 # in ext.py) keep the identical oracle gate in the local-parity tier.
-QUERIES["bm25_topk"] = q_bm25_topk
-ORACLES["bm25_topk"] = SQL_BM25_TOPK
+# Round-6 rotation: the persisted text index's full-CDC-lifecycle row
+# rides the driver cap (its oracle IS SQL_BM25_TOPK and its search
+# plan IS score_bm25_postings, so the in-flight bm25_topk machinery
+# stays driver-checked through it — the r5 lesson was that index
+# breakage must be driver-visible); bm25_topk itself moves to the
+# local-parity tier and stays a bench headline entry.
+QUERIES["text_index_search"] = q_text_index_search
+ORACLES["text_index_search"] = SQL_BM25_TOPK
+EXTRA_QUERIES["bm25_topk"] = q_bm25_topk
+EXTRA_ORACLES["bm25_topk"] = SQL_BM25_TOPK
 QUERIES["hybrid_rrf_topk"] = q_hybrid_rrf_topk
 ORACLES["hybrid_rrf_topk"] = SQL_HYBRID_RRF_TOPK
 QUERIES["pack_sequences"] = q_pack_sequences

@@ -205,18 +205,32 @@ def build_ivf_index(spark: SparkSession, corpus: DataFrame, path: str,
                     n_cells: int = 64, iters: int = 3,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     sample_fraction: float = 1.0, seed: int = 0,
-                    n_id_buckets: int = 32) -> dict:
+                    n_id_buckets: int = 32,
+                    centroids: DataFrame | None = None,
+                    centroid_id_col: str = "centroid_id") -> dict:
     """Train, assign, and persist as a NEW base generation, then
     atomically publish the ``BASE`` pointer (a rebuild: every
     pre-existing delta is excluded by the staged manifest the instant
     the publish lands — retraining changes the cell space, so old
     assignments must never mix in). ``n_cells`` may change across
     rebuilds (each generation is self-describing); ``n_id_buckets``
-    is index-lifetime metadata, immutable once set. Returns {n_cells,
-    n_vectors}."""
+    is index-lifetime metadata, immutable once set.
+
+    ``centroids`` (optional, a ``(centroid_id, vector)`` frame —
+    broadcast-small by the IVF contract) skips training and freezes
+    the coarse quantizer to the given cells: the
+    pretrained-quantizer pattern (FAISS ``IndexIVF`` with an
+    externally trained ``quantizer``), and what makes the index's
+    full CDC lifecycle exactly SQL-oracle-checkable (the
+    ``ivf_index_topk`` catalog row). Returns {n_cells, n_vectors}."""
     n_id_buckets = _pin_id_buckets(spark, path, n_id_buckets)
-    cents = train_centroids(corpus, n_cells, iters, vec_col, id_col,
-                            sample_fraction, seed)
+    if centroids is not None:
+        cents = sorted(
+            (int(r[0]), [float(x) for x in r[1]]) for r in
+            centroids.select(centroid_id_col, vec_col).collect())
+    else:
+        cents = train_centroids(corpus, n_cells, iters, vec_col, id_col,
+                                sample_fraction, seed)
     assigned = (cl.assign_clusters(corpus, cents, vec_col, id_col)
                 .withColumn(CELL, F.col("cluster").cast("int"))
                 .select(id_col, vec_col, CELL))
