@@ -100,6 +100,13 @@ def main(argv=None) -> int:
     qp.add_argument("--text", action="store_true",
                     help="BM25 search a persisted inverted text index "
                          "(query = every Nth document)")
+    stp = sub.add_parser(
+        "stats", help="maintenance signal for a persisted index: "
+                      "published generation, unfolded delta count "
+                      "(per-query read amplification), tombstone "
+                      "deltas — the inputs a compaction scheduler "
+                      "needs")
+    stp.add_argument("--path", required=True)
     mp = sub.add_parser(
         "compact", help="fold a persisted index's base + CDC deltas "
                         "into a fresh generation (text / IVF / IVF-PQ "
@@ -196,6 +203,14 @@ def main(argv=None) -> int:
             out = query_ivf_index(spark, args.path, queries,
                                   k=args.k, nprobe=args.nprobe)
         out.orderBy("query_id", "rank").show(50, truncate=False)
+        return 0
+
+    if args.cmd == "stats":
+        from cdc_data_pipeline_spark.operators import lsm
+        from cdc_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("cdc-stats")
+        print(json.dumps(lsm.index_stats(spark, args.path)))
         return 0
 
     if args.cmd == "compact":

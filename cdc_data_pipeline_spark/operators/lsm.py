@@ -95,6 +95,33 @@ def expected_ptr(cur_name: str | None) -> str | None:
     return None if cur_name in (None, ".", "base") else cur_name
 
 
+def index_stats(spark: SparkSession, path: str) -> dict:
+    """Maintenance signal for a compaction scheduler: the published
+    generation, the committed-but-unfolded delta count (the read
+    amplification every query pays — each delta is one more root to
+    scan per probed bucket), how many of those deltas carry tombstones
+    (dead rows inflating scans until the next fold), and how many
+    generation directories sit on disk (>2 means grace + orphans
+    awaiting GC). Kind-agnostic: works on any index built on this
+    protocol (text / IVF / IVF-PQ / LSH), legacy layouts included."""
+    meta_txt = fsutil.read_text(spark, path_join(path, "meta.json"))
+    meta = json.loads(meta_txt) if meta_txt else {}
+    kind = meta.get("kind", "text" if "n_buckets" in meta else None)
+    cur = current_base_name(
+        spark, path, legacy_probe=("base", "bands", "cells", "codes"),
+        legacy_name="<legacy>")
+    if cur is None:
+        return {"kind": kind, "generation": None, "n_generations": 0,
+                "n_deltas": 0, "n_tombstone_deltas": 0}
+    base_root = path if cur == "<legacy>" else path_join(path, cur)
+    deltas = committed_deltas(spark, path, base_root)
+    tomb = sum(1 for d in deltas
+               if fsutil.exists(spark, path_join(d, "tombstones")))
+    return {"kind": kind, "generation": cur,
+            "n_generations": len(base_names(spark, path)),
+            "n_deltas": len(deltas), "n_tombstone_deltas": tomb}
+
+
 def gen_name(gen: int) -> str:
     return f"base-{gen:010d}"
 

@@ -381,6 +381,55 @@ def stream_upsert_to_text_index(
     return writer.start()
 
 
+def stream_upsert_to_lsh_index(
+    doc_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delete_col: str | None = None,
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Full CDC ingest into the persisted MinHash-LSH dedup index:
+    latest-wins UPSERT per micro-batch (a re-ingested document whose
+    text changed replaces its prior signature rows via root-addressed
+    tombstones, ``operators/dedup_index.upsert_lsh_index`` — even
+    though the new text signs into different band buckets), with
+    optional DELETE handling — rows whose boolean ``delete_col`` is
+    true tombstone the document instead (the Debezium ``op = d`` shape
+    after ``streaming/debezium.py`` normalization). Near-dup queries
+    against the index stay exact through both paths. Replay-idempotent
+    (op-prefixed content-digest deltas); single-maintainer like the
+    text/ANN sinks (foreachBatch serializes batches within this one
+    stream, which is the supported topology)."""
+    from cdc_data_pipeline_spark.operators.dedup_index import (
+        delete_from_lsh_index, upsert_lsh_index)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if delete_col is not None:
+            dels = batch_df.filter(F.col(delete_col)).select(id_col)
+            ups = batch_df.filter(~F.coalesce(F.col(delete_col),
+                                              F.lit(False)))
+            # deletes first: a same-batch re-insert of a deleted id
+            # must land as the LIVE copy
+            if not dels.isEmpty():
+                delete_from_lsh_index(spark, index_path, dels, id_col)
+            if not ups.isEmpty():
+                upsert_lsh_index(spark, index_path, ups, text_col, id_col)
+            return
+        upsert_lsh_index(spark, index_path, batch_df, text_col, id_col)
+
+    writer = (doc_stream.writeStream
+              .option("checkpointLocation", checkpoint)
+              .foreachBatch(handle))
+    writer = apply_trigger(writer, trigger_available_now, processing_time)
+    return writer.start()
+
+
 def stream_curate_to_corpus(
     doc_stream: DataFrame,
     corpus_path: str,

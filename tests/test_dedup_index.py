@@ -367,3 +367,66 @@ def test_lsh_roundtrip_under_scheme(spark, sf_dir, tmp_path, scheme):
     assert _query_pairs(spark, path, probe) == want
     di.compact_lsh_index(spark, path)
     assert _query_pairs(spark, path, probe) == want
+
+
+def test_streaming_cdc_upsert_delete_into_lsh_index(spark, sf_dir,
+                                                    tmp_path):
+    """The full CDC stream shape: micro-batches carrying updates AND
+    deletes (boolean delete flag, the normalized Debezium ``op = d``)
+    flow through ``stream_upsert_to_lsh_index``; after the stream
+    drains, candidate pairs equal a fresh build over the net corpus."""
+    from cdc_data_pipeline_spark.streaming.cdc import (
+        stream_upsert_to_lsh_index)
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    path = str(tmp_path / "lsh_cdc")
+    di.build_lsh_index(spark, docs, path, n_prefixes=8)
+
+    upd = docs.filter(F.col("doc_id") % 6 == 0) \
+        .withColumn("text", F.concat(F.lit("rev2 qux "), F.col("text"))) \
+        .withColumn("is_deleted", F.lit(False))
+    dels = docs.filter(F.col("doc_id") % 6 == 2) \
+        .withColumn("is_deleted", F.lit(True))
+    changes = upd.unionByName(dels)
+    src = str(tmp_path / "incoming")
+    changes.write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(changes.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    q = stream_upsert_to_lsh_index(stream, path, str(tmp_path / "ck"),
+                                   delete_col="is_deleted")
+    q.awaitTermination(120)
+
+    net = (docs.filter(F.col("doc_id") % 6 == 4)
+           .unionByName(upd.drop("is_deleted")))
+    probe = net.filter(F.col("doc_id") % 13 == 0)
+    assert _query_pairs(spark, path, probe) == _fresh_pairs(
+        spark, net, probe, tmp_path, "stream", n_prefixes=8)
+
+
+def test_index_stats_maintenance_signal(spark, sf_dir, tmp_path):
+    """``lsm.index_stats`` tracks the compaction signal through the
+    lifecycle: fresh build -> 0 deltas; mutations -> delta and
+    tombstone counts rise; compact -> 0 deltas again (grace generation
+    still on disk), second compact -> grace GC'd."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "statsidx")
+    di.build_lsh_index(spark, docs.filter(F.col("doc_id") % 2 == 0),
+                       path, n_prefixes=8)
+    s0 = lsm.index_stats(spark, path)
+    assert s0["kind"] == "lsh" and s0["n_deltas"] == 0 \
+        and s0["generation"].startswith("base-")
+
+    di.append_lsh_index(spark, path,
+                        docs.filter(F.col("doc_id") % 2 == 1))
+    di.delete_from_lsh_index(
+        spark, path, docs.filter(F.col("doc_id") % 12 == 0)
+        .select("doc_id"))
+    s1 = lsm.index_stats(spark, path)
+    assert s1["n_deltas"] == 2 and s1["n_tombstone_deltas"] == 1
+
+    di.compact_lsh_index(spark, path)
+    s2 = lsm.index_stats(spark, path)
+    assert s2["n_deltas"] == 0 and s2["generation"] != s0["generation"]
+    assert s2["n_generations"] == 2  # new + grace
+    di.compact_lsh_index(spark, path)
+    assert lsm.index_stats(spark, path)["n_generations"] == 2
