@@ -1764,3 +1764,97 @@ QUERIES["pack_sequences"] = q_pack_sequences
 ORACLES["pack_sequences"] = SQL_PACK_SEQUENCES
 QUERIES["contrastive_pairs"] = q_contrastive_pairs
 ORACLES["contrastive_pairs"] = SQL_CONTRASTIVE_PAIRS
+
+
+def q_ivfpq_index_topk(spark, sf_dir):
+    """The PERSISTED IVF-PQ index (codes-only storage) through its
+    FULL CDC lifecycle with BOTH quantizers frozen
+    (``build_ivfpq_index(centroids=..., codebooks=...)`` — the FAISS
+    pretrained-quantizer pattern): coarse cells by 6dp squared-distance
+    argmin, PQ codebooks trained in-flight over the CLEAN corpus with
+    the exact ``train_pq_codebooks`` arithmetic the ``_pq_sql_ctes``
+    oracle replays, query probes by 9dp cosine (nprobe=1), integer ADC
+    scoring. Donor-copy stale embeddings and duplicate-copy deleted
+    extras make any missed tombstone a deterministic dist~0 intruder.
+    Lifecycle: build 4/5 doctored -> append 1/5 -> upsert corrections
+    -> append 3 duplicate extras -> delete them -> compact -> query.
+    Pins what the IVF row cannot: codebook persistence/reload and
+    encode-at-mutate against PUBLISHED codebooks."""
+    import tempfile
+
+    from cdc_data_pipeline_spark.operators import index as ix
+    from cdc_data_pipeline_spark.operators import pq
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="cdcspark_pqx_")
+    cents = (e.filter(F.col("vec_id") % 50 == 25)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    books = pq.train_pq_codebooks(e, _DIM, _PQ_M, _PQ_KSUB, iters=2)
+    donor = e.filter(F.col("vec_id") == 3) \
+             .select(F.col("embedding").alias("donor_v"))
+    stale = (e.crossJoin(F.broadcast(donor))
+             .select("vec_id",
+                     F.when(F.col("vec_id") % 7 == 0, F.col("donor_v"))
+                     .otherwise(F.col("embedding")).alias("embedding")))
+    ix.build_ivfpq_index(spark, stale.filter(F.col("vec_id") % 5 != 0),
+                         path, dim=_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+                         centroids=cents, codebooks=books)
+    ix.append_to_ivfpq_index(spark, path,
+                             stale.filter(F.col("vec_id") % 5 == 0),
+                             dim=_DIM)
+    ix.upsert_into_ivfpq_index(spark, path,
+                               e.filter(F.col("vec_id") % 7 == 0), _DIM)
+    extras = (e.filter(F.col("vec_id").isin(2, 3, 4))
+              .select((F.col("vec_id") + 1_000_000_000).alias("vec_id"),
+                      "embedding"))
+    ix.append_to_ivfpq_index(spark, path, extras, dim=_DIM)
+    ix.delete_from_ivf_index(spark, path, extras.select("vec_id"))
+    ix.compact_ann_index(spark, path)
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return ix.query_ivfpq_index(spark, path, queries, dim=_DIM,
+                                k=_PQ_K, nprobe=1)
+
+
+_PQX_DIST = ("ROUND(list_sum(list_transform(range(1, " + str(_DIM) +
+             " + 1), i -> (a.e[i] - c.cv[i]) * (a.e[i] - c.cv[i]))), 6)")
+
+# The oracle replays the index's own semantics over the CLEAN corpus
+# (codes/dtab/codebooks from _pq_sql_ctes; corpus cells by 6dp
+# squared-distance argmin — the assign_clusters arithmetic; query
+# probes by 9dp cosine): the Spark side's CDC lifecycle must converge
+# the persisted codes to exactly this state.
+SQL_IVFPQ_INDEX_TOPK = _pq_sql_ctes() + f""",
+cents AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id % 50 = 25),
+vfull AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+dfull AS (SELECT a.vec_id, c.ccid, {_PQX_DIST} AS d
+          FROM vfull a CROSS JOIN cents c),
+asg AS (SELECT vec_id, ccid
+        FROM (SELECT vec_id, ccid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d, ccid) AS rn
+              FROM dfull) WHERE rn = 1),
+qp AS (SELECT vec_id AS query_id, ccid
+       FROM (SELECT q.vec_id, c.ccid,
+                    row_number() OVER (
+                      PARTITION BY q.vec_id
+                      ORDER BY ROUND(list_cosine_similarity(q.e, c.cv), 9)
+                               DESC, c.ccid ASC) AS rn
+             FROM vfull q CROSS JOIN cents c
+             WHERE q.vec_id % 100 = 0) WHERE rn <= 1),
+scored AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+                  CAST(SUM(t.dl) AS BIGINT) AS dl
+           FROM codes c JOIN dtab t ON c.sub = t.sub AND c.cid = t.cid
+                                   AND t.query_id <> c.vec_id
+           JOIN asg ON asg.vec_id = c.vec_id
+           JOIN qp ON qp.query_id = t.query_id AND qp.ccid = asg.ccid
+           GROUP BY 1, 2)
+SELECT query_id, neighbor_id, ROUND(dl / 1000000.0, 6) AS dist_sq,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY dl, neighbor_id) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= {_PQ_K}
+"""
+
+
+EXTRA_QUERIES["ivfpq_index_topk"] = q_ivfpq_index_topk
+EXTRA_ORACLES["ivfpq_index_topk"] = SQL_IVFPQ_INDEX_TOPK

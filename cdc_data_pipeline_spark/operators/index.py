@@ -245,21 +245,40 @@ def build_ivfpq_index(spark: SparkSession, corpus: DataFrame, path: str,
                       ksub: int = 8, iters: int = 3, pq_iters: int = 2,
                       vec_col: str = "embedding", id_col: str = "vec_id",
                       sample_fraction: float = 1.0, seed: int = 0,
-                      n_id_buckets: int = 32) -> dict:
+                      n_id_buckets: int = 32,
+                      centroids: DataFrame | None = None,
+                      centroid_id_col: str = "centroid_id",
+                      codebooks=None) -> dict:
     """The serving form of ``pq.ivfpq_topk``: coarse centroids + PQ
     codebooks + a cell-partitioned CODE table (m small ints per
     vector — the raw embeddings are not stored at all, the PQ memory
     win made durable), published as a generation like
-    ``build_ivf_index``. Returns {n_cells, m, ksub, n_vectors}."""
+    ``build_ivf_index``. Returns {n_cells, m, ksub, n_vectors}.
+
+    ``centroids`` (a ``(centroid_id, vector)`` frame) and
+    ``codebooks`` (``pq.Codebooks`` — per-subspace [(cid, vector)]
+    lists) optionally skip training and freeze the quantizers — the
+    FAISS pretrained-quantizer pattern, and what makes the persisted
+    index's CDC lifecycle exactly SQL-oracle-checkable (the
+    ``ivfpq_index_topk`` catalog row)."""
     from cdc_data_pipeline_spark.operators import pq
 
     n_id_buckets = _pin_id_buckets(spark, path, n_id_buckets)
-    cents = train_centroids(corpus, n_cells, iters, vec_col, id_col,
-                            sample_fraction, seed)
-    train = corpus if sample_fraction >= 1.0 else \
-        hash_sample(corpus, sample_fraction, id_col, seed=seed, fast=True)
-    books = pq.train_pq_codebooks(train, dim, m, ksub, pq_iters,
-                                  vec_col, id_col, seed)
+    if centroids is not None:
+        cents = sorted(
+            (int(r[0]), [float(x) for x in r[1]]) for r in
+            centroids.select(centroid_id_col, vec_col).collect())
+    else:
+        cents = train_centroids(corpus, n_cells, iters, vec_col, id_col,
+                                sample_fraction, seed)
+    if codebooks is not None:
+        books = codebooks
+    else:
+        train = corpus if sample_fraction >= 1.0 else \
+            hash_sample(corpus, sample_fraction, id_col, seed=seed,
+                        fast=True)
+        books = pq.train_pq_codebooks(train, dim, m, ksub, pq_iters,
+                                      vec_col, id_col, seed)
     assigned = (cl.assign_clusters(corpus, cents, vec_col, id_col)
                 .withColumn(CELL, F.col("cluster").cast("int")))
     encoded = pq.pq_encode(assigned, books, dim, vec_col, id_col,
