@@ -146,6 +146,44 @@ def run_cdc_suite(spark, doc_path):
     return out
 
 
+def run_ann_cdc_suite(spark, emb_path):
+    """Same O(batch) claim for the persisted IVF ANN index: fixed-size
+    vector-batch maintenance must stay ~flat as the indexed corpus
+    grows Nx (cell-pruned probes, id-hash-bucketed victim lookups).
+    Build trains 128 centroids then assigns the corpus — expected ~N."""
+    from cdc_data_pipeline_spark.operators import index as ix
+    from cdc_data_pipeline_spark.sources.readers import ensure_parallelism
+
+    emb = ensure_parallelism(spark.read.parquet(emb_path)) \
+        .select("vec_id", "embedding")
+    fixed = emb.filter((F.col("vec_id") < SHIFT)
+                       & (F.col("vec_id") % 59 == 0))
+    incoming = fixed.select((F.col("vec_id") + 9 * SHIFT).alias("vec_id"),
+                            "embedding")
+    moved = fixed.select("vec_id",
+                         F.transform("embedding", lambda x: -x)
+                         .alias("embedding"))
+    out = {}
+    path = tempfile.mkdtemp(prefix="soak_ivfcdc_")
+    try:
+        out["ivf_build"] = timed(lambda: ix.build_ivf_index(
+            spark, emb, path, n_cells=128, iters=2))
+        out["ivf_query_fixed"] = timed(lambda: ix.query_ivf_index(
+            spark, path, fixed, k=5, nprobe=2)
+            .write.format("noop").mode("overwrite").save())
+        out["ivf_append_fixed"] = timed(lambda: ix.append_to_ivf_index(
+            spark, path, incoming))
+        # negated vectors assign to DIFFERENT cells: the upsert must
+        # find each victim's old cell via the ids side table
+        out["ivf_upsert_fixed"] = timed(lambda: ix.upsert_into_ivf_index(
+            spark, path, moved))
+        out["ivf_delete_fixed"] = timed(lambda: ix.delete_from_ivf_index(
+            spark, path, incoming.select("vec_id")))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def run_text_suite(spark, docp_path):
     docs = spark.read.parquet(docp_path)
 
@@ -250,9 +288,11 @@ def main():
         base = run_suite(spark, li_1, doc_1, emb_1)
         base.update(run_text_suite(spark, docp_1))
         base.update(run_cdc_suite(spark, doc_1))
+        base.update(run_ann_cdc_suite(spark, emb_1))
         big = run_suite(spark, li_n, doc_n, emb_n)
         big.update(run_text_suite(spark, docp_n))
         big.update(run_cdc_suite(spark, doc_n))
+        big.update(run_ann_cdc_suite(spark, emb_n))
         ratios = {k: round(big[k] / max(base[k], 0.05), 1) for k in base}
         print(json.dumps({"metric": "scale_soak", "n": n, "x1_sec": base,
                           "xN_sec": big, "ratio": ratios}))
