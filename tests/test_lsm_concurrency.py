@@ -120,3 +120,30 @@ def test_racing_text_compaction_detected(spark, sf_dir, tmp_path,
     after = {tuple(r) for r in
              ti.search_text_index(spark, path, queries, k=3).collect()}
     assert after == before
+
+
+def test_racing_ann_compaction_detected(spark, sf_dir, tmp_path,
+                                        monkeypatch):
+    from cdc_data_pipeline_spark.operators import index as ix
+    from cdc_data_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    path = str(tmp_path / "ivfx")
+    ix.build_ivf_index(spark, emb.filter(F.col("vec_id") % 2 == 0), path,
+                       n_cells=8, iters=1)
+    ix.append_to_ivf_index(spark, path,
+                           emb.filter(F.col("vec_id") % 2 == 1))
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    before = {tuple(r) for r in
+              ix.query_ivf_index(spark, path, queries, k=3).collect()}
+
+    _race(monkeypatch, lambda: ix.compact_ann_index(spark, path))
+    with pytest.raises(lsm.ConcurrentPublishError):
+        ix.compact_ann_index(spark, path)
+    monkeypatch.undo()
+
+    after = {tuple(r) for r in
+             ix.query_ivf_index(spark, path, queries, k=3).collect()}
+    assert after == before
