@@ -114,6 +114,11 @@ def main(argv=None) -> int:
                         "and garbage-collect with the one-generation "
                         "grace")
     mp.add_argument("--path", required=True)
+    mp.add_argument("--when-deltas-over", type=int, default=None,
+                    metavar="N",
+                    help="only compact when more than N committed "
+                         "deltas are unfolded (lets a cron scheduler "
+                         "run this unconditionally)")
     cp = sub.add_parser(
         "curate", help="run the full corpus-curation flow (quality -> "
                        "dedup -> mask -> decontaminate -> shards)")
@@ -218,6 +223,13 @@ def main(argv=None) -> int:
         from cdc_data_pipeline_spark.sources import fsutil
 
         spark = get_spark("cdc-compact")
+        if args.when_deltas_over is not None:
+            from cdc_data_pipeline_spark.operators import lsm
+
+            st = lsm.index_stats(spark, args.path)
+            if st["n_deltas"] <= args.when_deltas_over:
+                print(json.dumps({"skipped": True, **st}))
+                return 0
         txt = fsutil.read_text(spark, fsutil.path_join(args.path,
                                                        "meta.json"))
         meta = json.loads(txt) if txt else {}
