@@ -219,38 +219,21 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "compact":
+        from cdc_data_pipeline_spark.operators import lsm
         from cdc_data_pipeline_spark.session import get_spark
-        from cdc_data_pipeline_spark.sources import fsutil
 
         spark = get_spark("cdc-compact")
         if args.when_deltas_over is not None:
-            from cdc_data_pipeline_spark.operators import lsm
-
             st = lsm.index_stats(spark, args.path)
             if st["n_deltas"] <= args.when_deltas_over:
                 print(json.dumps({"skipped": True, **st}))
                 return 0
-        txt = fsutil.read_text(spark, fsutil.path_join(args.path,
-                                                       "meta.json"))
-        meta = json.loads(txt) if txt else {}
-        kind = meta.get("kind",
-                        "text" if "n_buckets" in meta else None)
-        if kind == "lsh":
-            from cdc_data_pipeline_spark.operators.dedup_index import (
-                compact_lsh_index)
-            out = compact_lsh_index(spark, args.path)
-        elif kind in ("ivf", "ivfpq"):
-            from cdc_data_pipeline_spark.operators.index import (
-                compact_ann_index)
-            out = compact_ann_index(spark, args.path)
-        elif kind == "text":
-            from cdc_data_pipeline_spark.operators.text_index import (
-                compact_text_index)
-            out = compact_text_index(spark, args.path)
-        else:
-            print(json.dumps({"error": f"no index metadata at {args.path}"}))
+        try:
+            out = lsm.compact_index(spark, args.path)
+        except ValueError as ex:
+            print(json.dumps({"error": str(ex)}))
             return 1
-        print(json.dumps({"kind": kind, **out}))
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "curate":

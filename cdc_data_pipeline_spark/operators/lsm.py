@@ -122,6 +122,41 @@ def index_stats(spark: SparkSession, path: str) -> dict:
             "n_deltas": len(deltas), "n_tombstone_deltas": tomb}
 
 
+def compact_index(spark: SparkSession, path: str) -> dict:
+    """Kind-dispatched compaction for any index on this protocol —
+    the kind comes from ``meta.json`` (a text index's legacy meta
+    carries only ``n_buckets``). Imports are local: the index modules
+    import this one."""
+    txt = fsutil.read_text(spark, path_join(path, "meta.json"))
+    meta = json.loads(txt) if txt else {}
+    kind = meta.get("kind", "text" if "n_buckets" in meta else None)
+    if kind == "lsh":
+        from cdc_data_pipeline_spark.operators.dedup_index import (
+            compact_lsh_index)
+        return {"kind": kind, **compact_lsh_index(spark, path)}
+    if kind in ("ivf", "ivfpq"):
+        from cdc_data_pipeline_spark.operators.index import (
+            compact_ann_index)
+        return {"kind": kind, **compact_ann_index(spark, path)}
+    if kind == "text":
+        from cdc_data_pipeline_spark.operators.text_index import (
+            compact_text_index)
+        return {"kind": kind, **compact_text_index(spark, path)}
+    raise ValueError(f"no index metadata at {path}")
+
+
+def maybe_compact_index(spark: SparkSession, path: str,
+                        over: int | None) -> dict | None:
+    """Threshold-gated ``compact_index``: fold only when MORE than
+    ``over`` committed deltas are unfolded (None disables). The
+    in-stream maintenance hook — inside ``foreachBatch`` this is
+    serialized with the sink's own mutations, so the
+    single-maintenance-writer contract holds by construction."""
+    if over is None or index_stats(spark, path)["n_deltas"] <= over:
+        return None
+    return compact_index(spark, path)
+
+
 def gen_name(gen: int) -> str:
     return f"base-{gen:010d}"
 

@@ -5,6 +5,15 @@ base_loader.py:631-692 driving _perform_incremental_load) becomes a
 Structured Streaming query whose sink applies the SAME pure merge
 functions per micro-batch — one code path for batch and streaming,
 which is the idiomatic Spark CDC design.
+
+Every persisted-index sink takes ``compact_over`` (default None =
+off): after a batch lands, fold base + deltas into a fresh generation
+when MORE than that many committed deltas are unfolded
+(``lsm.maybe_compact_index``). Inside foreachBatch the fold is
+serialized with the sink's own mutations, so the
+single-maintenance-writer contract holds by construction — the one
+place auto-compaction needs no external lock. Without it a 24/7
+stream grows per-query read amplification without bound.
 """
 
 from __future__ import annotations
@@ -14,6 +23,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cdc_data_pipeline_spark.operators import lsm
 from cdc_data_pipeline_spark.operators.incremental import upsert_bucketed
 
 
@@ -208,6 +218,7 @@ def stream_append_to_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     pq_dim: int | None = None,
+    compact_over: int | None = None,
     trigger_available_now: bool = True,
     processing_time: str | None = None,
 ):
@@ -232,6 +243,7 @@ def stream_append_to_ivf_index(
                                   vec_col, id_col)
         else:
             append_to_ivf_index(spark, index_path, batch_df, vec_col, id_col)
+        lsm.maybe_compact_index(spark, index_path, compact_over)
 
     writer = (vec_stream.writeStream
               .option("checkpointLocation", checkpoint)
@@ -248,6 +260,7 @@ def stream_upsert_to_ivf_index(
     id_col: str = "vec_id",
     pq_dim: int | None = None,
     delete_col: str | None = None,
+    compact_over: int | None = None,
     trigger_available_now: bool = True,
     processing_time: str | None = None,
 ):
@@ -286,8 +299,9 @@ def stream_upsert_to_ivf_index(
                 delete_from_ivf_index(spark, index_path, dels, id_col)
             if not ups.isEmpty():
                 upsert(spark, ups)
-            return
-        upsert(spark, batch_df)
+        else:
+            upsert(spark, batch_df)
+        lsm.maybe_compact_index(spark, index_path, compact_over)
 
     writer = (vec_stream.writeStream
               .option("checkpointLocation", checkpoint)
@@ -302,6 +316,7 @@ def stream_append_to_text_index(
     checkpoint: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    compact_over: int | None = None,
     trigger_available_now: bool = True,
     processing_time: str | None = None,
 ):
@@ -321,6 +336,8 @@ def stream_append_to_text_index(
             return
         append_to_text_index(batch_df.sparkSession, index_path, batch_df,
                              text_col, id_col)
+        lsm.maybe_compact_index(batch_df.sparkSession, index_path,
+                                compact_over)
 
     writer = (doc_stream.writeStream
               .option("checkpointLocation", checkpoint)
@@ -336,6 +353,7 @@ def stream_upsert_to_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     delete_col: str | None = None,
+    compact_over: int | None = None,
     trigger_available_now: bool = True,
     processing_time: str | None = None,
 ):
@@ -370,9 +388,10 @@ def stream_upsert_to_text_index(
             if not ups.isEmpty():
                 upsert_into_text_index(spark, index_path, ups,
                                        text_col, id_col)
-            return
-        upsert_into_text_index(spark, index_path, batch_df,
-                               text_col, id_col)
+        else:
+            upsert_into_text_index(spark, index_path, batch_df,
+                                   text_col, id_col)
+        lsm.maybe_compact_index(spark, index_path, compact_over)
 
     writer = (doc_stream.writeStream
               .option("checkpointLocation", checkpoint)
@@ -388,6 +407,7 @@ def stream_upsert_to_lsh_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     delete_col: str | None = None,
+    compact_over: int | None = None,
     trigger_available_now: bool = True,
     processing_time: str | None = None,
 ):
@@ -420,8 +440,9 @@ def stream_upsert_to_lsh_index(
                 delete_from_lsh_index(spark, index_path, dels, id_col)
             if not ups.isEmpty():
                 upsert_lsh_index(spark, index_path, ups, text_col, id_col)
-            return
-        upsert_lsh_index(spark, index_path, batch_df, text_col, id_col)
+        else:
+            upsert_lsh_index(spark, index_path, batch_df, text_col, id_col)
+        lsm.maybe_compact_index(spark, index_path, compact_over)
 
     writer = (doc_stream.writeStream
               .option("checkpointLocation", checkpoint)
@@ -467,7 +488,8 @@ def stream_curate_to_corpus(
         dedup_clusters, dedup_exact, lsh_candidate_pairs)
     from cdc_data_pipeline_spark.operators.dedup_index import (
         append_lsh_index, query_lsh_index)
-    from cdc_data_pipeline_spark.operators.incremental import upsert_bucketed
+    from cdc_data_pipeline_spark.operators.incremental import (
+        upsert_bucketed)
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():

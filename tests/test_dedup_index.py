@@ -430,3 +430,35 @@ def test_index_stats_maintenance_signal(spark, sf_dir, tmp_path):
     assert s2["n_generations"] == 2  # new + grace
     di.compact_lsh_index(spark, path)
     assert lsm.index_stats(spark, path)["n_generations"] == 2
+
+
+def test_stream_compact_over_bounds_deltas(spark, sf_dir, tmp_path):
+    """In-stream maintenance: with ``compact_over=1`` the sink folds
+    whenever more than one delta is unfolded, so a multi-batch stream
+    ends with bounded read amplification AND exact results."""
+    from cdc_data_pipeline_spark.streaming.cdc import (
+        stream_upsert_to_lsh_index)
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    path = str(tmp_path / "lsh_autocompact")
+    di.build_lsh_index(spark, docs, path, n_prefixes=8)
+
+    upd = docs.filter(F.col("doc_id") % 4 == 0) \
+        .withColumn("text", F.concat(F.lit("rev3 zork "), F.col("text")))
+    src = str(tmp_path / "incoming")
+    upd.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(upd.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream_upsert_to_lsh_index(stream, path, str(tmp_path / "ck"),
+                                   compact_over=1)
+    q.awaitTermination(180)
+
+    st = lsm.index_stats(spark, path)
+    assert st["n_deltas"] <= 1, st
+    assert st["generation"] != "base-0000000000"  # at least one fold
+
+    net = docs.filter(F.col("doc_id") % 4 != 0).unionByName(
+        upd.select("doc_id", "text"))
+    probe = net.filter(F.col("doc_id") % 13 == 0)
+    assert _query_pairs(spark, path, probe) == _fresh_pairs(
+        spark, net, probe, tmp_path, "autoc", n_prefixes=8)
