@@ -643,6 +643,46 @@ def _assign_encode(spark: SparkSession, base_root: str, rows: DataFrame,
                         keep_cols=(CELL,))
 
 
+def retrain_ivf_index(spark: SparkSession, path: str,
+                      n_cells: int | None = None, iters: int = 3,
+                      seed: int = 0,
+                      vec_col: str = "embedding") -> dict:
+    """Drift response for the raw-vector IVF form — compact + retrain
+    in ONE publish: read the VISIBLE (id, vector) set from the
+    published snapshot (base + admitted deltas, tombstones resolved),
+    train FRESH centroids on it, and publish as a rebuild (the staged
+    manifest excludes every delta — their rows are already inside the
+    new generation, re-assigned in the new cell space). The standard
+    answer when appended batches have drifted the distribution and
+    recall degraded: cells re-balance around the corpus as it is NOW.
+    Exactly equivalent to ``build_ivf_index`` over the net corpus with
+    the same (n_cells, iters, seed) — k-means init is content-hashed,
+    not order-dependent — which the test pins.
+
+    ``n_cells`` defaults to the current generation's cell count.
+    IVF-PQ cannot retrain in place (codes are not invertible back to
+    vectors); rebuild it from the source corpus instead."""
+    meta = _meta(spark, path)
+    if meta["kind"] != "ivf":
+        raise ValueError(
+            f"retrain needs stored raw vectors; index at {path} is "
+            f"{meta['kind']!r} (codes are not invertible) — rebuild "
+            f"from the source corpus instead")
+    _, base_root, pairs = _resolve(spark, path)
+    rows0 = lsm.read_union_tagged(spark, pairs, "cells")
+    if rows0 is None:
+        raise FileNotFoundError(f"no cells table at {path}")
+    id_col = _id_col_of(rows0)
+    rows = (lsm.visible(rows0, lsm.kills(spark, pairs, id_col), id_col)
+            .select(id_col, vec_col).localCheckpoint(eager=True))
+    if n_cells is None:
+        n_cells = spark.read.parquet(
+            path_join(base_root, "centroids")).count()
+    return build_ivf_index(spark, rows, path, n_cells=n_cells,
+                           iters=iters, vec_col=vec_col, id_col=id_col,
+                           seed=seed)
+
+
 def compact_ann_index(spark: SparkSession, path: str) -> dict:
     """Offline maintenance for either index form: fold the current
     base + committed deltas into a NEW generation (resolving all

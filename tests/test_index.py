@@ -465,3 +465,48 @@ def test_streaming_cdc_upsert_delete_into_ivf_index(spark, sf_dir,
     qs = net.filter(F.col("vec_id") % 100 == 3).limit(3)
     assert _exact(spark, path, net, qs) == \
         sorted(map(tuple, topk_cosine(net, qs, k=5).collect()))
+
+
+def test_retrain_ivf_equals_fresh_build_over_net_corpus(spark, sf_dir,
+                                                        tmp_path):
+    """retrain_ivf_index = compact + retrain in one publish: after a
+    CDC lifecycle it must equal build_ivf_index over the net corpus
+    with the same (n_cells, iters, seed) — k-means init is
+    content-hashed, so same inputs give identical centroids."""
+    import pytest
+
+    from cdc_data_pipeline_spark.operators import lsm
+
+    e = read_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    path = str(tmp_path / "ret")
+    ix.build_ivf_index(spark, e.filter(F.col("vec_id") % 2 == 0), path,
+                       n_cells=4, iters=1)
+    ix.append_to_ivf_index(spark, path,
+                           e.filter(F.col("vec_id") % 2 == 1))
+    moved = e.filter(F.col("vec_id") % 10 == 0) \
+        .select("vec_id", F.transform("embedding", lambda x: -x)
+                .alias("embedding"))
+    ix.upsert_into_ivf_index(spark, path, moved)
+    dead = e.filter(F.col("vec_id") % 10 == 5).select("vec_id")
+    ix.delete_from_ivf_index(spark, path, dead)
+
+    out = ix.retrain_ivf_index(spark, path, n_cells=8, iters=2)
+    assert out == {"n_cells": 8, "n_vectors": e.count() - dead.count()}
+    st = lsm.index_stats(spark, path)
+    assert st["n_deltas"] == 0  # rebuild manifest excludes them all
+
+    net = (e.filter((F.col("vec_id") % 10 != 0)
+                    & (F.col("vec_id") % 10 != 5))
+           .unionByName(moved))
+    fresh = str(tmp_path / "fresh")
+    ix.build_ivf_index(spark, net, fresh, n_cells=8, iters=2)
+    q = _queries(e)
+    assert _exact(spark, path, net, q, n_cells=8) == \
+        _exact(spark, fresh, net, q, n_cells=8)
+
+    # IVF-PQ refuses: codes are not invertible
+    pqp = str(tmp_path / "pq")
+    ix.build_ivfpq_index(spark, e, pqp, dim=64, n_cells=4, m=4, ksub=8)
+    with pytest.raises(ValueError, match="not invertible"):
+        ix.retrain_ivf_index(spark, pqp)
