@@ -27,6 +27,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def lifecycle_result(df: DataFrame, tmp_path: str) -> DataFrame:
+    """Finish a persisted-index LIFECYCLE catalog entry: materialize
+    the served result (localCheckpoint — the frame must stop
+    referencing the throwaway index's files before they go away), then
+    remove the tempdir so repeated catalog runs leave no ``cdcspark_*``
+    residue behind. Callers wrap their whole lifecycle in
+    try/finally(rmtree) and route the success path through here."""
+    import shutil
+
+    out = df.localCheckpoint(eager=True)
+    shutil.rmtree(tmp_path, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------- models
 
 def q_stg_savings_plan(spark, sf_dir):

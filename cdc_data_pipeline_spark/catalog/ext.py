@@ -612,7 +612,11 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "embed_near_dup": q_embed_near_dup,
     "topk_cosine": q_topk_cosine,
-    "ivf_topk": q_ivf_topk,
+# ivf_topk rotated to the local-parity tier in round 7: the
+# ivf_index_topk lifecycle row (registered below) serves the SAME
+# query shape through strictly more machinery — the persisted IVF
+# index's full CDC protocol — putting all three persisted index
+# families (text, LSH, ANN) under the driver gate.
     "ann_lsh_topk": q_ann_lsh_topk,
     "media_features": q_media_features,
 }
@@ -626,7 +630,6 @@ ORACLES = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "topk_cosine": SQL_TOPK_COSINE,
-    "ivf_topk": SQL_IVF_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "media_features": SQL_MEDIA_FEATURES,
 }
@@ -1320,32 +1323,42 @@ def q_lsh_index_pairs(spark, sf_dir):
     visible signature set must equal clean one-shot LSH over
     ``documents``, so canonicalized (index x batch) candidates equal
     ``SQL_MINHASH_LSH_PAIRS`` exactly."""
+    import shutil
     import tempfile
 
+    from cdc_data_pipeline_spark.catalog.core import lifecycle_result
     from cdc_data_pipeline_spark.operators import dedup_index as di
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     path = tempfile.mkdtemp(prefix="cdcspark_lshx_")
-    donor = docs.filter(F.col("doc_id") == 1) \
-                .select(F.col("text").alias("donor_text"))
-    stale = (docs.crossJoin(F.broadcast(donor))
-             .select("doc_id",
-                     F.when(F.col("doc_id") % 7 == 0, F.col("donor_text"))
-                     .otherwise(F.col("text")).alias("text")))
-    di.build_lsh_index(spark, stale.filter(F.col("doc_id") % 5 != 0), path,
-                       n_prefixes=16)
-    di.append_lsh_index(spark, path, stale.filter(F.col("doc_id") % 5 == 0))
-    di.upsert_lsh_index(spark, path, docs.filter(F.col("doc_id") % 7 == 0))
-    extras = (docs.filter(F.col("doc_id").isin(2, 3, 4))
-              .select((F.col("doc_id") + 1_000_000_000).alias("doc_id"),
-                      "text"))
-    di.append_lsh_index(spark, path, extras)
-    di.delete_from_lsh_index(spark, path, extras.select("doc_id"))
-    di.compact_lsh_index(spark, path)
-    cand = di.query_lsh_index(spark, path, docs)
-    return (cand.select(
-        F.least("id_existing", "id_new").alias("id_a"),
-        F.greatest("id_existing", "id_new").alias("id_b")).distinct())
+    try:
+        donor = docs.filter(F.col("doc_id") == 1) \
+                    .select(F.col("text").alias("donor_text"))
+        stale = (docs.crossJoin(F.broadcast(donor))
+                 .select("doc_id",
+                         F.when(F.col("doc_id") % 7 == 0,
+                                F.col("donor_text"))
+                         .otherwise(F.col("text")).alias("text")))
+        di.build_lsh_index(spark, stale.filter(F.col("doc_id") % 5 != 0),
+                           path, n_prefixes=16)
+        di.append_lsh_index(spark, path,
+                            stale.filter(F.col("doc_id") % 5 == 0))
+        di.upsert_lsh_index(spark, path,
+                            docs.filter(F.col("doc_id") % 7 == 0))
+        extras = (docs.filter(F.col("doc_id").isin(2, 3, 4))
+                  .select((F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+                          "text"))
+        di.append_lsh_index(spark, path, extras)
+        di.delete_from_lsh_index(spark, path, extras.select("doc_id"))
+        di.compact_lsh_index(spark, path)
+        cand = di.query_lsh_index(spark, path, docs)
+        return lifecycle_result(
+            cand.select(
+                F.least("id_existing", "id_new").alias("id_a"),
+                F.greatest("id_existing", "id_new").alias("id_b"))
+            .distinct(), path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 # driver tier (rotated in for minhash_lsh_pairs in round 6 — same
@@ -1373,34 +1386,40 @@ def q_ivf_index_topk(spark, sf_dir):
     Lifecycle: build 4/5 doctored -> append 1/5 -> upsert corrections
     -> append 3 duplicate extras -> delete them -> compact -> query.
     The final visible set must equal `embeddings` exactly."""
+    import shutil
     import tempfile
 
+    from cdc_data_pipeline_spark.catalog.core import lifecycle_result
     from cdc_data_pipeline_spark.operators import index as ix
 
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     path = tempfile.mkdtemp(prefix="cdcspark_ivfx_")
-    cents = (e.filter(F.col("vec_id") % 50 == 25)
-             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
-    donor = e.filter(F.col("vec_id") == 3) \
-             .select(F.col("embedding").alias("donor_v"))
-    stale = (e.crossJoin(F.broadcast(donor))
-             .select("vec_id",
-                     F.when(F.col("vec_id") % 7 == 0, F.col("donor_v"))
-                     .otherwise(F.col("embedding")).alias("embedding")))
-    ix.build_ivf_index(spark, stale.filter(F.col("vec_id") % 5 != 0),
-                       path, centroids=cents)
-    ix.append_to_ivf_index(spark, path,
-                           stale.filter(F.col("vec_id") % 5 == 0))
-    ix.upsert_into_ivf_index(spark, path,
-                             e.filter(F.col("vec_id") % 7 == 0))
-    extras = (e.filter(F.col("vec_id").isin(2, 3, 4))
-              .select((F.col("vec_id") + 1_000_000_000).alias("vec_id"),
-                      "embedding"))
-    ix.append_to_ivf_index(spark, path, extras)
-    ix.delete_from_ivf_index(spark, path, extras.select("vec_id"))
-    ix.compact_ann_index(spark, path)
-    queries = e.filter(F.col("vec_id") % 100 == 0)
-    return ix.query_ivf_index(spark, path, queries, k=5, nprobe=1)
+    try:
+        cents = (e.filter(F.col("vec_id") % 50 == 25)
+                 .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+        donor = e.filter(F.col("vec_id") == 3) \
+                 .select(F.col("embedding").alias("donor_v"))
+        stale = (e.crossJoin(F.broadcast(donor))
+                 .select("vec_id",
+                         F.when(F.col("vec_id") % 7 == 0, F.col("donor_v"))
+                         .otherwise(F.col("embedding")).alias("embedding")))
+        ix.build_ivf_index(spark, stale.filter(F.col("vec_id") % 5 != 0),
+                           path, centroids=cents)
+        ix.append_to_ivf_index(spark, path,
+                               stale.filter(F.col("vec_id") % 5 == 0))
+        ix.upsert_into_ivf_index(spark, path,
+                                 e.filter(F.col("vec_id") % 7 == 0))
+        extras = (e.filter(F.col("vec_id").isin(2, 3, 4))
+                  .select((F.col("vec_id") + 1_000_000_000).alias("vec_id"),
+                          "embedding"))
+        ix.append_to_ivf_index(spark, path, extras)
+        ix.delete_from_ivf_index(spark, path, extras.select("vec_id"))
+        ix.compact_ann_index(spark, path)
+        queries = e.filter(F.col("vec_id") % 100 == 0)
+        return lifecycle_result(
+            ix.query_ivf_index(spark, path, queries, k=5, nprobe=1), path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 _IVFX_DIST = ("ROUND(list_sum(list_transform(range(1, 64 + 1), "
@@ -1439,5 +1458,12 @@ FROM scored QUALIFY rank <= 5
 """
 
 
-EXTRA_QUERIES["ivf_index_topk"] = q_ivf_index_topk
-EXTRA_ORACLES["ivf_index_topk"] = SQL_IVF_INDEX_TOPK
+# driver tier (rotated in for ivf_topk in round 7 — the lifecycle row
+# exercises the same cell-pruned query shape through the persisted
+# index's full CDC machinery, so all three persisted index families
+# now sit under the driver gate). ivf_topk keeps identical coverage
+# in the local-parity tier.
+QUERIES["ivf_index_topk"] = q_ivf_index_topk
+ORACLES["ivf_index_topk"] = SQL_IVF_INDEX_TOPK
+EXTRA_QUERIES["ivf_topk"] = q_ivf_topk
+EXTRA_ORACLES["ivf_topk"] = SQL_IVF_TOPK

@@ -716,29 +716,36 @@ def q_text_index_search(spark, sf_dir):
     ``bm25_topk``. Added after the round-5 lesson: the index had no
     catalog row, so a breaking storage-protocol change was invisible
     to the driver gate."""
+    import shutil
     import tempfile
 
+    from cdc_data_pipeline_spark.catalog.core import lifecycle_result
     from cdc_data_pipeline_spark.operators import text_index as ti
 
     docs = _docs(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="cdcspark_tix_")
-    stale = docs.withColumn(
-        "text", F.when(F.col("doc_id") % 7 == 0,
-                       F.concat(F.lit("zzstale "), F.col("text")))
-        .otherwise(F.col("text")))
-    ti.build_text_index(spark, stale.filter(F.col("doc_id") % 5 != 0), path)
-    ti.append_to_text_index(spark, path,
-                            stale.filter(F.col("doc_id") % 5 == 0))
-    ti.upsert_into_text_index(spark, path,
-                              docs.filter(F.col("doc_id") % 7 == 0))
-    extras = spark.range(3).select(
-        (F.col("id") + 1_000_000_000).alias("doc_id"),
-        F.lit("transient synthetic document").alias("text"))
-    ti.append_to_text_index(spark, path, extras)
-    ti.delete_from_text_index(spark, path, extras.select("doc_id"))
-    queries = docs.filter(F.col("doc_id") % _BM25_QMOD == 0)
-    return ti.search_text_index(spark, path, queries, k=_BM25_K,
-                                exclude_self=True)
+    try:
+        stale = docs.withColumn(
+            "text", F.when(F.col("doc_id") % 7 == 0,
+                           F.concat(F.lit("zzstale "), F.col("text")))
+            .otherwise(F.col("text")))
+        ti.build_text_index(spark, stale.filter(F.col("doc_id") % 5 != 0),
+                            path)
+        ti.append_to_text_index(spark, path,
+                                stale.filter(F.col("doc_id") % 5 == 0))
+        ti.upsert_into_text_index(spark, path,
+                                  docs.filter(F.col("doc_id") % 7 == 0))
+        extras = spark.range(3).select(
+            (F.col("id") + 1_000_000_000).alias("doc_id"),
+            F.lit("transient synthetic document").alias("text"))
+        ti.append_to_text_index(spark, path, extras)
+        ti.delete_from_text_index(spark, path, extras.select("doc_id"))
+        queries = docs.filter(F.col("doc_id") % _BM25_QMOD == 0)
+        return lifecycle_result(
+            ti.search_text_index(spark, path, queries, k=_BM25_K,
+                                 exclude_self=True), path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 # --------------------------------------------- product quantization ANN
@@ -1780,39 +1787,45 @@ def q_ivfpq_index_topk(spark, sf_dir):
     -> append 3 duplicate extras -> delete them -> compact -> query.
     Pins what the IVF row cannot: codebook persistence/reload and
     encode-at-mutate against PUBLISHED codebooks."""
+    import shutil
     import tempfile
 
+    from cdc_data_pipeline_spark.catalog.core import lifecycle_result
     from cdc_data_pipeline_spark.operators import index as ix
     from cdc_data_pipeline_spark.operators import pq
 
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     path = tempfile.mkdtemp(prefix="cdcspark_pqx_")
-    cents = (e.filter(F.col("vec_id") % 50 == 25)
-             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
-    books = pq.train_pq_codebooks(e, _DIM, _PQ_M, _PQ_KSUB, iters=2)
-    donor = e.filter(F.col("vec_id") == 3) \
-             .select(F.col("embedding").alias("donor_v"))
-    stale = (e.crossJoin(F.broadcast(donor))
-             .select("vec_id",
-                     F.when(F.col("vec_id") % 7 == 0, F.col("donor_v"))
-                     .otherwise(F.col("embedding")).alias("embedding")))
-    ix.build_ivfpq_index(spark, stale.filter(F.col("vec_id") % 5 != 0),
-                         path, dim=_DIM, m=_PQ_M, ksub=_PQ_KSUB,
-                         centroids=cents, codebooks=books)
-    ix.append_to_ivfpq_index(spark, path,
-                             stale.filter(F.col("vec_id") % 5 == 0),
-                             dim=_DIM)
-    ix.upsert_into_ivfpq_index(spark, path,
-                               e.filter(F.col("vec_id") % 7 == 0), _DIM)
-    extras = (e.filter(F.col("vec_id").isin(2, 3, 4))
-              .select((F.col("vec_id") + 1_000_000_000).alias("vec_id"),
-                      "embedding"))
-    ix.append_to_ivfpq_index(spark, path, extras, dim=_DIM)
-    ix.delete_from_ivf_index(spark, path, extras.select("vec_id"))
-    ix.compact_ann_index(spark, path)
-    queries = e.filter(F.col("vec_id") % 100 == 0)
-    return ix.query_ivfpq_index(spark, path, queries, dim=_DIM,
-                                k=_PQ_K, nprobe=1)
+    try:
+        cents = (e.filter(F.col("vec_id") % 50 == 25)
+                 .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+        books = pq.train_pq_codebooks(e, _DIM, _PQ_M, _PQ_KSUB, iters=2)
+        donor = e.filter(F.col("vec_id") == 3) \
+                 .select(F.col("embedding").alias("donor_v"))
+        stale = (e.crossJoin(F.broadcast(donor))
+                 .select("vec_id",
+                         F.when(F.col("vec_id") % 7 == 0, F.col("donor_v"))
+                         .otherwise(F.col("embedding")).alias("embedding")))
+        ix.build_ivfpq_index(spark, stale.filter(F.col("vec_id") % 5 != 0),
+                             path, dim=_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+                             centroids=cents, codebooks=books)
+        ix.append_to_ivfpq_index(spark, path,
+                                 stale.filter(F.col("vec_id") % 5 == 0),
+                                 dim=_DIM)
+        ix.upsert_into_ivfpq_index(spark, path,
+                                   e.filter(F.col("vec_id") % 7 == 0), _DIM)
+        extras = (e.filter(F.col("vec_id").isin(2, 3, 4))
+                  .select((F.col("vec_id") + 1_000_000_000).alias("vec_id"),
+                          "embedding"))
+        ix.append_to_ivfpq_index(spark, path, extras, dim=_DIM)
+        ix.delete_from_ivf_index(spark, path, extras.select("vec_id"))
+        ix.compact_ann_index(spark, path)
+        queries = e.filter(F.col("vec_id") % 100 == 0)
+        return lifecycle_result(
+            ix.query_ivfpq_index(spark, path, queries, dim=_DIM,
+                                 k=_PQ_K, nprobe=1), path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 _PQX_DIST = ("ROUND(list_sum(list_transform(range(1, " + str(_DIM) +

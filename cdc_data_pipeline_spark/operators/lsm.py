@@ -68,6 +68,7 @@ a Hadoop FileSystem) instead of a mutating DBMS.
 from __future__ import annotations
 
 import json
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -77,6 +78,7 @@ from cdc_data_pipeline_spark.sources.fsutil import path_join
 
 COMMIT = "_COMMIT"
 BASE_PTR = "BASE"
+MAINT_LOCK = "_MAINT_LOCK"
 _UNCHECKED = object()
 
 
@@ -86,6 +88,120 @@ class ConcurrentPublishError(RuntimeError):
     generation was NOT published (the next successful publish sweeps
     it as an orphan). Re-run the maintenance operation against the
     new snapshot."""
+
+
+class MaintenanceLockHeld(RuntimeError):
+    """Another maintenance writer holds the opt-in lock and the
+    acquire timeout elapsed. The index is untouched; retry later or
+    raise the timeout."""
+
+
+def _try_create_exclusive(spark: SparkSession, path: str,
+                          text: str) -> bool:
+    """One atomic create-if-absent attempt; False when the file
+    already exists. Paths whose RESOLVED filesystem is local go
+    through ``os.open(O_CREAT|O_EXCL)`` — POSIX-atomic, where Hadoop's
+    RawLocalFileSystem ``create(f, overwrite=false)`` is a NON-atomic
+    exists-then-create that two racing writers both pass (observed in
+    the serialize test). Remote schemes use the Hadoop
+    create-no-overwrite, atomic on HDFS; S3 lacks atomic
+    create-exclusive entirely, see ``maintenance_lock``."""
+    import os
+
+    fs, p = fsutil._fs(spark, path)
+    if fs.getUri().getScheme() == "file":
+        local = fs.makeQualified(p).toUri().getPath()
+        os.makedirs(os.path.dirname(local) or ".", exist_ok=True)
+        try:
+            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(text)
+        return True
+    parent = p.getParent()
+    if parent is not None:
+        fs.mkdirs(parent)
+    try:
+        stream = fs.create(p, False)
+    except Exception as ex:  # py4j wraps FileAlreadyExistsException
+        msg = str(ex)
+        if "Exists" in msg or "already exists" in msg.lower():
+            return False
+        raise
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+    return True
+
+
+class maintenance_lock:
+    """Opt-in HARD mutual exclusion for maintenance (compact /
+    retrain / rebuild) — the escape hatch the detect-not-prevent
+    contract documents. A create-exclusive marker file under the index
+    root is the mutex: atomic on local filesystems and HDFS, which is
+    exactly where deploys can get real exclusion without a lock
+    service. On S3-class stores create-exclusive is not atomic — keep
+    relying on ``ConcurrentPublishError`` detection there, or bring an
+    external lock service (the same contract as Hudi/Delta).
+
+    Blocking acquire: polls until the holder releases (two compactions
+    under the lock SERIALIZE instead of one raising), with stale-TTL
+    takeover — a holder that crashed without releasing is expired once
+    the marker's modification time is older than ``ttl_sec``. Raises
+    ``MaintenanceLockHeld`` when ``timeout_sec`` elapses first.
+    Release deletes the marker only while it still carries this
+    writer's token: a lock lost to a stale takeover is never
+    double-released. Detection stays on as the backstop — a takeover
+    that was wrong (the holder was alive, just slow) still ends in
+    ``ConcurrentPublishError``, not silent loss.
+
+        with lsm.maintenance_lock(spark, path):
+            compact_text_index(spark, path)
+    """
+
+    def __init__(self, spark: SparkSession, path: str,
+                 ttl_sec: float = 3600.0, timeout_sec: float = 60.0,
+                 poll_sec: float = 0.25, owner: str | None = None):
+        self._spark = spark
+        self._lock_path = path_join(path, MAINT_LOCK)
+        self._ttl = ttl_sec
+        self._timeout = timeout_sec
+        self._poll = poll_sec
+        self._token = f"{owner or 'maint'}-{uuid.uuid4().hex}"
+
+    def __enter__(self):
+        import time
+
+        spark = self._spark
+        deadline = time.monotonic() + self._timeout
+        while not _try_create_exclusive(spark, self._lock_path,
+                                        self._token):
+            fs, p = fsutil._fs(spark, self._lock_path)
+            try:
+                st = fs.getFileStatus(p)
+                age = time.time() - st.getModificationTime() / 1000.0
+            except Exception:
+                continue  # released between attempts: retry now
+            if age > self._ttl:
+                # crashed holder: expire the marker and retry the
+                # create-exclusive (racing expirers then race the
+                # create, which only one can win)
+                fsutil.delete(spark, self._lock_path)
+                continue
+            if time.monotonic() >= deadline:
+                raise MaintenanceLockHeld(
+                    f"{self._lock_path}: held by another maintenance "
+                    f"writer (age {age:.1f}s <= ttl {self._ttl}s)")
+            time.sleep(self._poll)
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        cur = fsutil.read_text(self._spark, self._lock_path)
+        if cur == self._token:
+            fsutil.delete(self._spark, self._lock_path)
+        return False
 
 
 def expected_ptr(cur_name: str | None) -> str | None:
@@ -104,16 +220,21 @@ def index_stats(spark: SparkSession, path: str) -> dict:
     generation directories sit on disk (>2 means grace + orphans
     awaiting GC). Kind-agnostic: works on any index built on this
     protocol (text / IVF / IVF-PQ / LSH), legacy layouts included."""
-    meta_txt = fsutil.read_text(spark, path_join(path, "meta.json"))
-    meta = json.loads(meta_txt) if meta_txt else {}
-    kind = meta.get("kind", "text" if "n_buckets" in meta else None)
+    kind = _detect_kind(spark, path)
     cur = current_base_name(
         spark, path, legacy_probe=("base", "bands", "cells", "codes"),
         legacy_name="<legacy>")
     if cur is None:
         return {"kind": kind, "generation": None, "n_generations": 0,
                 "n_deltas": 0, "n_tombstone_deltas": 0}
-    base_root = path if cur == "<legacy>" else path_join(path, cur)
+    if cur == "<legacy>":
+        # the legacy base root is kind-specific: the text index kept
+        # its tables under <path>/base; ANN/LSH kept them at the index
+        # root itself — resolve the way the per-index _resolve helpers do
+        base_root = path_join(path, "base") if kind == "text" and \
+            fsutil.exists(spark, path_join(path, "base")) else path
+    else:
+        base_root = path_join(path, cur)
     deltas = committed_deltas(spark, path, base_root)
     tomb = sum(1 for d in deltas
                if fsutil.exists(spark, path_join(d, "tombstones")))
@@ -122,14 +243,45 @@ def index_stats(spark: SparkSession, path: str) -> dict:
             "n_deltas": len(deltas), "n_tombstone_deltas": tomb}
 
 
-def compact_index(spark: SparkSession, path: str) -> dict:
-    """Kind-dispatched compaction for any index on this protocol —
-    the kind comes from ``meta.json`` (a text index's legacy meta
-    carries only ``n_buckets``). Imports are local: the index modules
-    import this one."""
+def _detect_kind(spark: SparkSession, path: str) -> str | None:
+    """Index kind from ``meta.json``, falling back to structural
+    detection for legacy pre-meta layouts (mirroring ``index._meta``'s
+    legacy synthesis): root-level ``codes``/``cells`` is an ANN index,
+    ``bands`` is LSH, ``base`` is the text index's old layout. This is
+    what lets ``compact_index`` / the ``compact`` CLI migrate exactly
+    the layouts the per-kind compactors document as their migration
+    path."""
     txt = fsutil.read_text(spark, path_join(path, "meta.json"))
     meta = json.loads(txt) if txt else {}
     kind = meta.get("kind", "text" if "n_buckets" in meta else None)
+    if kind is not None:
+        return kind
+    if fsutil.exists(spark, path_join(path, "codes")):
+        return "ivfpq"
+    if fsutil.exists(spark, path_join(path, "cells")):
+        return "ivf"
+    if fsutil.exists(spark, path_join(path, "bands")):
+        return "lsh"
+    if fsutil.exists(spark, path_join(path, "base")):
+        return "text"
+    return None
+
+
+def compact_index(spark: SparkSession, path: str, lock: bool = False,
+                  lock_ttl_sec: float = 3600.0,
+                  lock_timeout_sec: float = 60.0) -> dict:
+    """Kind-dispatched compaction for any index on this protocol —
+    the kind comes from ``meta.json`` (a text index's legacy meta
+    carries only ``n_buckets``), or from structural layout detection
+    for legacy pre-meta indexes. Imports are local: the index modules
+    import this one. ``lock=True`` serializes against other locked
+    maintainers via ``maintenance_lock`` (hard exclusion on
+    local/HDFS; detection stays the backstop)."""
+    if lock:
+        with maintenance_lock(spark, path, ttl_sec=lock_ttl_sec,
+                              timeout_sec=lock_timeout_sec):
+            return compact_index(spark, path)
+    kind = _detect_kind(spark, path)
     if kind == "lsh":
         from cdc_data_pipeline_spark.operators.dedup_index import (
             compact_lsh_index)
@@ -168,9 +320,30 @@ def base_names(spark: SparkSession, path: str) -> list[str]:
             if n == "base" or n.startswith("base-")]
 
 
+def _gen_ordinal(name: str) -> int | None:
+    """Numeric ordinal of a ``base-<gen>[-<nonce>]`` directory name
+    (None for the pre-pointer legacy ``base`` or anything foreign)."""
+    if not name.startswith("base-"):
+        return None
+    head = name[5:].split("-", 1)[0]
+    return int(head) if head.isdigit() else None
+
+
 def next_gen_name(spark: SparkSession, path: str) -> str:
-    gens = [int(n[5:]) for n in base_names(spark, path) if n != "base"]
-    return gen_name(max(gens, default=-1) + 1)
+    """A COLLISION-PROOF name for a staged generation: the next
+    ordinal after every staged-or-published generation on disk, plus a
+    random nonce. Two maintainers that race the same directory listing
+    derive the same ordinal but different nonces, so the loser stages
+    (and, on crash, abandons) its OWN directory — it can never delete
+    or write into a name another writer published. The loser's orphan
+    is swept by the next successful publish's GC pass. Generation
+    names, unlike delta digests, carry no replay-idempotency contract,
+    so randomness here is safe: a crash-replayed maintenance run
+    simply stages a fresh name against the same snapshot."""
+    ords = [o for o in (_gen_ordinal(n) for n in base_names(spark, path))
+            if o is not None]
+    return (gen_name(max(ords, default=-1) + 1)
+            + "-" + uuid.uuid4().hex[:8])
 
 
 def current_base_name(spark: SparkSession, path: str,

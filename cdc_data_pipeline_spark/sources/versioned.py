@@ -226,9 +226,13 @@ def published_row_count(table_path: str, version: int) -> int:
 
     if _is_uri(table_path):
         if not table_path.startswith("file://"):
-            raise NotImplementedError(
-                "footer-only row counts need a pyarrow filesystem for "
-                "this scheme; read the version with Spark and count")
+            # no local pyarrow view of this scheme: count through a
+            # Spark scan of the pinned version instead. Still cheap —
+            # a bare parquet count() is satisfied from row-group
+            # metadata (no column data is materialized), it just rides
+            # the cluster's Hadoop FS instead of local footer reads.
+            spark = _active_spark()
+            return spark.read.parquet(_vdir(table_path, version)).count()
         table_path = table_path[len("file://"):]
     vdir = os.path.join(table_path, f"v={version}")
     return sum(pq.ParquetFile(p).metadata.num_rows

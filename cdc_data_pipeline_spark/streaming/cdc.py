@@ -20,11 +20,42 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdc_data_pipeline_spark.operators import lsm
 from cdc_data_pipeline_spark.operators.incremental import upsert_bucketed
+
+
+def collapse_latest_op(batch_df: DataFrame, id_col: str,
+                       delete_col: str | None,
+                       order_col: str | None) -> DataFrame:
+    """Collapse a CDC micro-batch to the LATEST operation per id.
+
+    Debezium-style feeds routinely batch several ops for one key into
+    a single micro-batch (insert then update, update then delete). The
+    index sinks apply all deletes before all upserts — correct only
+    when the delete is the EARLIER op. Without collapsing, an upsert
+    followed by a later delete for the same id would re-insert after
+    the delete and silently lose it. With ``order_col`` (an
+    lsn/ts/offset column that orders ops within a key), only each
+    key's final op survives, so apply-deletes-then-upserts is exact
+    for any op mix. Ties on ``order_col`` resolve to the upsert (the
+    same outcome the delete-then-reinsert path already produces).
+
+    When ``order_col`` is None the sinks CANNOT know which op came
+    last; input batches must then contain at most one op per key (or
+    only delete-before-reinsert mixes) — this is a documented contract
+    of every ``stream_upsert_to_*_index`` sink."""
+    if order_col is None:
+        return batch_df
+    order = [F.col(order_col).desc()]
+    if delete_col is not None:
+        order.append(F.coalesce(F.col(delete_col),
+                                F.lit(False)).cast("int").asc())
+    w = Window.partitionBy(id_col).orderBy(*order)
+    return (batch_df.withColumn("__opn", F.row_number().over(w))
+            .filter(F.col("__opn") == 1).drop("__opn"))
 
 
 def apply_trigger(writer, trigger_available_now: bool = True,
@@ -260,6 +291,7 @@ def stream_upsert_to_ivf_index(
     id_col: str = "vec_id",
     pq_dim: int | None = None,
     delete_col: str | None = None,
+    order_col: str | None = None,
     compact_over: int | None = None,
     trigger_available_now: bool = True,
     processing_time: str | None = None,
@@ -272,7 +304,15 @@ def stream_upsert_to_ivf_index(
     tombstone the vector instead of replacing it (the Debezium
     ``op = d`` shape after ``streaming/debezium.py`` normalization).
     ``pq_dim`` selects the IVF-PQ form. Replay-idempotent (op-prefixed
-    content-digest deltas); single-maintainer like the append sink."""
+    content-digest deltas); single-maintainer like the append sink.
+
+    ``order_col`` (an lsn/ts/offset ordering ops within a key):
+    collapses each micro-batch to the latest op per id BEFORE
+    splitting deletes from upserts (``collapse_latest_op``), so a
+    batch carrying upsert-then-later-delete for one id applies the
+    delete. WITHOUT it, batches must contain at most one op per key
+    (or only delete-before-reinsert mixes) — an upsert after a later
+    delete for the same id would silently undo the delete."""
     from cdc_data_pipeline_spark.operators.index import (
         delete_from_ivf_index, upsert_into_ivf_index,
         upsert_into_ivfpq_index)
@@ -289,6 +329,8 @@ def stream_upsert_to_ivf_index(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        batch_df = collapse_latest_op(batch_df, id_col, delete_col,
+                                      order_col)
         if delete_col is not None:
             dels = batch_df.filter(F.col(delete_col)).select(id_col)
             ups = batch_df.filter(~F.coalesce(F.col(delete_col),
@@ -353,6 +395,7 @@ def stream_upsert_to_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     delete_col: str | None = None,
+    order_col: str | None = None,
     compact_over: int | None = None,
     trigger_available_now: bool = True,
     processing_time: str | None = None,
@@ -368,7 +411,13 @@ def stream_upsert_to_text_index(
     both operations commit op-prefixed content-digest delta
     directories. Single-maintainer: do not run alongside another
     writer on the same index (foreachBatch serializes batches within
-    this one stream, which is the supported topology)."""
+    this one stream, which is the supported topology).
+
+    ``order_col`` (lsn/ts/offset): collapses the batch to the latest
+    op per id before splitting (``collapse_latest_op``) so
+    upsert-then-later-delete mixes apply the delete; without it,
+    batches must carry at most one op per key (or only
+    delete-before-reinsert mixes)."""
     from cdc_data_pipeline_spark.operators.text_index import (
         delete_from_text_index, upsert_into_text_index)
 
@@ -376,6 +425,8 @@ def stream_upsert_to_text_index(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        batch_df = collapse_latest_op(batch_df, id_col, delete_col,
+                                      order_col)
         if delete_col is not None:
             dels = batch_df.filter(F.col(delete_col)).select(id_col)
             ups = batch_df.filter(~F.coalesce(F.col(delete_col),
@@ -407,6 +458,7 @@ def stream_upsert_to_lsh_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     delete_col: str | None = None,
+    order_col: str | None = None,
     compact_over: int | None = None,
     trigger_available_now: bool = True,
     processing_time: str | None = None,
@@ -422,7 +474,13 @@ def stream_upsert_to_lsh_index(
     against the index stay exact through both paths. Replay-idempotent
     (op-prefixed content-digest deltas); single-maintainer like the
     text/ANN sinks (foreachBatch serializes batches within this one
-    stream, which is the supported topology)."""
+    stream, which is the supported topology).
+
+    ``order_col`` (lsn/ts/offset): collapses the batch to the latest
+    op per id before splitting (``collapse_latest_op``) so
+    upsert-then-later-delete mixes apply the delete; without it,
+    batches must carry at most one op per key (or only
+    delete-before-reinsert mixes)."""
     from cdc_data_pipeline_spark.operators.dedup_index import (
         delete_from_lsh_index, upsert_lsh_index)
 
@@ -430,6 +488,8 @@ def stream_upsert_to_lsh_index(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        batch_df = collapse_latest_op(batch_df, id_col, delete_col,
+                                      order_col)
         if delete_col is not None:
             dels = batch_df.filter(F.col(delete_col)).select(id_col)
             ups = batch_df.filter(~F.coalesce(F.col(delete_col),

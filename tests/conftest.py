@@ -1,5 +1,9 @@
 from __future__ import annotations
 
+import glob
+import os
+import shutil
+import subprocess
 import sys
 from pathlib import Path
 
@@ -13,11 +17,56 @@ SF0001 = "/root/testdata/sf0.001"
 SF001 = "/root/testdata/sf0.01"
 
 
+def _mockfs_classpath() -> str | None:
+    """Compile tests/javasrc/**/MockFileSystem.java (a
+    RawLocalFileSystem reporting scheme ``mockfs``) against pyspark's
+    bundled Hadoop jars, once per source change. Returns the class dir
+    for ``spark.driver.extraClassPath``, or None when javac is absent
+    — mockfs-parameterized tests skip then."""
+    src = Path(__file__).parent / "javasrc" / "cdcspark" / "testfs" / \
+        "MockFileSystem.java"
+    out = Path(__file__).parent / ".mockfs_classes"
+    cls = out / "cdcspark" / "testfs" / "MockFileSystem.class"
+    if cls.exists() and cls.stat().st_mtime >= src.stat().st_mtime:
+        return str(out)
+    if shutil.which("javac") is None:
+        return None
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    if not glob.glob(os.path.join(jars, "hadoop-client-api*.jar")):
+        return None
+    out.mkdir(exist_ok=True)
+    r = subprocess.run(
+        ["javac", "-cp", os.path.join(jars, "*"), "-d", str(out),
+         str(src)], capture_output=True, text=True)
+    if r.returncode != 0:
+        sys.stderr.write(f"mockfs compile failed:\n{r.stderr}\n")
+        return None
+    return str(out)
+
+
+MOCKFS_CLASSPATH = _mockfs_classpath()
+# scheme-parameterized suites append this: [""] (bare), "file://", and
+# — when the mock remote FS compiled — "mockfs://" forcing every
+# non-local resolution branch
+MOCKFS_PARAM = pytest.param(
+    "mockfs://",
+    marks=pytest.mark.skipif(MOCKFS_CLASSPATH is None,
+                             reason="javac/hadoop jars unavailable"))
+
+
 @pytest.fixture(scope="session")
 def spark():
     from cdc_data_pipeline_spark.session import get_spark
 
-    s = get_spark("cdc-tests", cpus=8, shuffle_partitions=8)
+    extra = {}
+    if MOCKFS_CLASSPATH is not None:
+        extra["spark.driver.extraClassPath"] = MOCKFS_CLASSPATH
+        extra["spark.hadoop.fs.mockfs.impl"] = \
+            "cdcspark.testfs.MockFileSystem"
+    s = get_spark("cdc-tests", cpus=8, shuffle_partitions=8,
+                  extra_conf=extra)
     yield s
     s.stop()
 

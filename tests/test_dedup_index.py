@@ -10,6 +10,8 @@ import json
 import pyspark.sql.functions as F
 import pytest
 
+from conftest import MOCKFS_PARAM
+
 from cdc_data_pipeline_spark.operators import dedup as dd
 from cdc_data_pipeline_spark.operators import dedup_index as di
 from cdc_data_pipeline_spark.operators import lsm
@@ -343,7 +345,7 @@ def test_rebuild_changes_params_and_excludes_old_deltas(spark, sf_dir,
         n_prefixes=16)
 
 
-@pytest.mark.parametrize("scheme", ["", "file://"])
+@pytest.mark.parametrize("scheme", ["", "file://", MOCKFS_PARAM])
 def test_lsh_roundtrip_under_scheme(spark, sf_dir, tmp_path, scheme):
     """The build/query/upsert/delete/compact cycle under a bare local
     path AND an explicit ``file://`` scheme root — every fsutil

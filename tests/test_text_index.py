@@ -13,6 +13,8 @@ is pinned separately by ``test_self_hit_kept_by_default``.
 from __future__ import annotations
 
 import pytest
+
+from conftest import MOCKFS_PARAM
 from pyspark.sql import functions as F
 
 from cdc_data_pipeline_spark.operators import text_index as ti
@@ -604,7 +606,7 @@ def test_cdc_mixed_stream_then_compact(spark, tmp_path):
     assert _search(spark, path, queries) == want
 
 
-@pytest.mark.parametrize("scheme", ["", "file://"])
+@pytest.mark.parametrize("scheme", ["", "file://", MOCKFS_PARAM])
 def test_index_roundtrip_under_scheme(spark, tmp_path, scheme):
     """The full build/search/append/compact/search cycle under a bare
     local path AND an explicit ``file://`` scheme root — every fsutil

@@ -5,6 +5,9 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
+from conftest import MOCKFS_PARAM
 from pyspark.sql import functions as F
 
 from cdc_data_pipeline_spark.sources.versioned import (
@@ -209,16 +212,19 @@ def test_materialize_checks_gate_the_publish(spark, tmp_path):
     assert list_versions(f"{base}/stg") == [1]
 
 
-def test_versioned_table_under_uri_fs_root(spark, tmp_path):
-    """r3 verdict item #5 completion: the versioned-table layer must
-    run the full publish / time-travel / rollback / vacuum / run-audit
-    cycle against a scheme-qualified root (file:// — the sandbox proxy
-    for s3a://), routing every metadata op through the Hadoop
-    FileSystem API instead of os.path."""
+@pytest.mark.parametrize("scheme", ["file://", MOCKFS_PARAM])
+def test_versioned_table_under_uri_fs_root(spark, tmp_path, scheme):
+    """r3 verdict item #5 completion (r7: + mockfs://, a REMOTE-
+    resolving scheme): the versioned-table layer must run the full
+    publish / time-travel / rollback / vacuum / run-audit cycle
+    against a scheme-qualified root, routing every metadata op through
+    the Hadoop FileSystem API instead of os.path. Under mockfs:// the
+    pointer publish takes the stream-write branch and the row count
+    takes the Spark fallback — the object-store shapes."""
     from cdc_data_pipeline_spark.sources.versioned import (
         append_run_record, published_row_count, read_runs)
 
-    t = "file://" + str(tmp_path / "uri_wh" / "tbl")
+    t = scheme + str(tmp_path / "uri_wh" / "tbl")
     assert publish_version(_df(spark, 3, "a"), t) == 1
     assert publish_version(_df(spark, 5, "b"), t) == 2
     assert publish_version(_df(spark, 7, "c"), t) == 3
@@ -234,10 +240,11 @@ def test_versioned_table_under_uri_fs_root(spark, tmp_path):
     assert removed == [1]
     assert list_versions(t) == [2, 3]
     assert read_versioned(spark, t).count() == 5
-    # footer-only row count works under file://
+    # footer-only row count under file://; Spark-count fallback
+    # under the remote-resolving mockfs://
     assert published_row_count(t, 2) == 5
     # run-audit record lands and reads back under the URI root
-    base = "file://" + str(tmp_path / "uri_wh")
+    base = scheme + str(tmp_path / "uri_wh")
     append_run_record(base, {"run_id": "r1", "model": "tbl",
                              "version": 2, "rows": 5})
     runs = read_runs(spark, base)
