@@ -119,6 +119,17 @@ def main(argv=None) -> int:
                     help="only compact when more than N committed "
                          "deltas are unfolded (lets a cron scheduler "
                          "run this unconditionally)")
+    mp.add_argument("--lock", action="store_true",
+                    help="serialize against other locked maintainers "
+                         "via the index's lock file (hard exclusion "
+                         "on local/HDFS; stale locks expire after "
+                         "--lock-ttl)")
+    mp.add_argument("--lock-ttl", type=float, default=3600.0,
+                    metavar="SEC", help="age at which a crashed "
+                         "holder's lock is expired (default 3600)")
+    mp.add_argument("--lock-timeout", type=float, default=60.0,
+                    metavar="SEC", help="max wait for the lock before "
+                         "giving up (default 60)")
     cp = sub.add_parser(
         "curate", help="run the full corpus-curation flow (quality -> "
                        "dedup -> mask -> decontaminate -> shards)")
@@ -229,8 +240,10 @@ def main(argv=None) -> int:
                 print(json.dumps({"skipped": True, **st}))
                 return 0
         try:
-            out = lsm.compact_index(spark, args.path)
-        except ValueError as ex:
+            out = lsm.compact_index(spark, args.path, lock=args.lock,
+                                    lock_ttl_sec=args.lock_ttl,
+                                    lock_timeout_sec=args.lock_timeout)
+        except (ValueError, lsm.MaintenanceLockHeld) as ex:
             print(json.dumps({"error": str(ex)}))
             return 1
         print(json.dumps(out))

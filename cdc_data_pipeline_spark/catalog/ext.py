@@ -594,6 +594,70 @@ FROM documents
 """
 
 
+def q_audio_features(spark, sf_dir):
+    """REAL audio decode pinned cross-engine: each document's code
+    points become 16-bit PCM samples, encoded into an actual WAV
+    container (stdlib ``wave``) and decoded back by
+    ``multimodal.extract_audio_features`` — so the full binary
+    encode/parse roundtrip plus the energy math sits under the oracle,
+    which recomputes duration and RMS from the same code-point
+    arithmetic without ever seeing a WAV byte. Integer-valued squares
+    sum exactly in doubles on both engines, so 6dp rounding is safe."""
+    import pandas as pd
+
+    from cdc_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features)
+
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 4)
+
+    def to_wav(batches):
+        import array
+        import io
+        import wave
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                samples = array.array(
+                    "h", [((ord(c) % 256) - 128) * 256 for c in text])
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(to_wav, "media_id long, payload binary")
+    feats = extract_audio_features(media, n_bands=4)
+    return feats.select(
+        "media_id", "n_channels", "sample_rate", "n_samples",
+        "duration_ms", F.round("rms", 6).alias("rms"),
+        F.round(F.element_at("band_rms", 1), 6).alias("band0_rms"))
+
+
+SQL_AUDIO_FEATURES = """
+WITH chars AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> ((ord(substr(text, i, 1)) % 256) - 128)
+                             * 256) AS s
+  FROM documents WHERE length(text) >= 4)
+SELECT doc_id AS media_id,
+       1::INTEGER AS n_channels, 8000::INTEGER AS sample_rate,
+       len(s)::BIGINT AS n_samples,
+       (len(s) * 1000 // 8000)::BIGINT AS duration_ms,
+       ROUND(sqrt(list_sum(list_transform(s, x -> x::DOUBLE * x))
+                  / len(s)), 6) AS rms,
+       ROUND(sqrt(list_sum(list_transform(
+                    s[1:greatest(len(s) // 4, 1)], x -> x::DOUBLE * x))
+                  / greatest(len(s) // 4, 1)), 6) AS band0_rms
+FROM chars
+"""
+
+
 QUERIES = {
     "events_json_extract": q_events_json,
     "text_stats": q_text_stats,
@@ -1466,4 +1530,6 @@ FROM scored QUALIFY rank <= 5
 QUERIES["ivf_index_topk"] = q_ivf_index_topk
 ORACLES["ivf_index_topk"] = SQL_IVF_INDEX_TOPK
 EXTRA_QUERIES["ivf_topk"] = q_ivf_topk
+EXTRA_QUERIES["audio_features"] = q_audio_features
+EXTRA_ORACLES["audio_features"] = SQL_AUDIO_FEATURES
 EXTRA_ORACLES["ivf_topk"] = SQL_IVF_TOPK

@@ -352,12 +352,19 @@ def delete_from_lsh_index(spark: SparkSession, path: str, ids: DataFrame,
     ibs = [r[0] for r in ids0.select(
         _ib(F.col(id_col), n_ib).alias("ib")).distinct().collect()]
     vis = _visible_ids(spark, pairs, ibs, id_col)
+    victims = None
     n_kill = 0
     if vis is not None:
         victims = vis.join(ids0, id_col).localCheckpoint(eager=True)
         n_kill = victims.count()
-        if n_kill:
-            _write_tombstones(spark, ddir, victims, id_col)
+    if n_kill == 0:
+        # nothing visible matched: commit nothing — replaying a no-op
+        # delete is itself a no-op, and committing an empty marker
+        # would add one delta dir per no-op delete until the next
+        # compact (see index.delete_from_ivf_index).
+        fsutil.delete(spark, ddir)  # clears a crashed partial stage
+        return {"deleted": 0, "batch": token}
+    _write_tombstones(spark, ddir, victims, id_col)
     fsutil.write_text(spark, path_join(ddir, COMMIT), "1")
     return {"deleted": n_kill, "batch": token}
 

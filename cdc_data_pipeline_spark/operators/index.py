@@ -553,14 +553,25 @@ def delete_from_ivf_index(spark: SparkSession, path: str, ids: DataFrame,
     ibs = [r[0] for r in ids0.select(
         _ib(F.col(id_col), n_ib).alias("ib")).distinct().collect()]
     vis = _visible_id_cells(spark, pairs, ibs, id_col, table)
+    victims = None
     n_kill = 0
     if vis is not None:
         victims = vis.join(ids0, id_col).localCheckpoint(eager=True)
         n_kill = victims.count()
-        if n_kill:
-            lsm.write_tombstones(spark, ddir,
-                                 victims.select(id_col, "__root", "cid"),
-                                 id_col, F.col("cid").alias("cid"))
+    if n_kill == 0:
+        # nothing visible matched: commit nothing. The marker's only
+        # job is replay idempotency and replaying a no-op delete is
+        # itself a no-op (foreachBatch never redelivers a batch older
+        # than a later committed one, so the marker never needs to
+        # fence a later re-insert). Without this, every no-op delete
+        # added a tombstone-less delta dir until the next compact —
+        # unbounded read amplification for streams that delete ids
+        # that may not exist.
+        fsutil.delete(spark, ddir)  # clears a crashed partial stage
+        return {"deleted": 0, "batch": token}
+    lsm.write_tombstones(spark, ddir,
+                         victims.select(id_col, "__root", "cid"),
+                         id_col, F.col("cid").alias("cid"))
     fsutil.write_text(spark, path_join(ddir, COMMIT), "1")
     return {"deleted": n_kill, "batch": token}
 

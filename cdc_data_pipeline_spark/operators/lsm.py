@@ -53,10 +53,15 @@ Protocol guarantees (pinned by ``tests/test_text_index.py`` and
   publishing: two racing compactions (or a compact racing a rebuild)
   turn from a SILENT lost update into a raised
   ``ConcurrentPublishError`` whose staged generation the next
-  successful publish sweeps as an orphan. Best-effort only — the
-  check-to-publish window is not atomic without a CAS primitive —
-  so it detects, not prevents; deploys wanting hard exclusion put a
-  lock service around maintenance.
+  successful publish sweeps as an orphan. Staged generation names
+  carry a random nonce (``next_gen_name``), so racing maintainers
+  stage disjoint directories — the loser can abandon or be swept but
+  never clobber the winner's published files. The detection remains
+  best-effort (the check-to-publish window is not atomic without a
+  CAS primitive); deploys wanting HARD exclusion opt into
+  ``maintenance_lock`` — a create-exclusive marker with stale-TTL
+  takeover, atomic on local/HDFS — or bring a lock service on
+  S3-class stores.
 
 Reference parity: this generalizes the reference's delete+insert CDC
 merge (clickhouse_load_tool/base_loader.py:241-249) and its staged

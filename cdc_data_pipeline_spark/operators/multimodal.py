@@ -141,6 +141,87 @@ def extract_features(media: DataFrame, decode_stub: bool = True, feature_dim: in
     return media.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("band_rms", T.ArrayType(T.DoubleType()), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+
+def extract_audio_features(media: DataFrame,
+                           n_bands: int = 4) -> DataFrame:
+    """REAL audio decode on the media seam: PCM WAV payloads are
+    parsed with the stdlib ``wave`` module inside the same
+    Arrow-batched ``mapInPandas`` shape as the image path — no
+    external dependency, so this path runs (and is tested) everywhere,
+    unlike the Pillow-gated image decode. Emits channel count, sample
+    rate, exact duration, overall RMS, and RMS over ``n_bands`` equal
+    time slices (the classic energy-envelope feature for silence
+    trimming / segment selection in a speech-data pipeline). A payload
+    that is not a decodable PCM WAV yields NULL features and the error
+    string instead of failing the job — at 100 TB a corrupt object
+    must quarantine, not kill the stage. 8/16/32-bit integer PCM
+    supported; compressed formats stay a documented seam."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import array
+        import io
+        import math
+        import wave
+
+        def decode(b: bytes):
+            with wave.open(io.BytesIO(b), "rb") as w:
+                nch, sw = w.getnchannels(), w.getsampwidth()
+                rate, nf = w.getframerate(), w.getnframes()
+                raw = w.readframes(nf)
+            if sw == 1:  # 8-bit WAV is unsigned
+                samples = [s - 128 for s in raw]
+            elif sw == 2:
+                samples = array.array("h")
+                samples.frombytes(raw[: len(raw) // 2 * 2])
+            elif sw == 4:
+                samples = array.array("i")
+                samples.frombytes(raw[: len(raw) // 4 * 4])
+            else:
+                raise ValueError(f"unsupported sample width {sw}")
+            n = len(samples)
+            full = math.sqrt(sum(float(s) * s for s in samples) / n) \
+                if n else 0.0
+            bands = []
+            per = max(n // n_bands, 1)
+            for i in range(n_bands):
+                seg = samples[i * per: (i + 1) * per] \
+                    if i < n_bands - 1 else samples[(n_bands - 1) * per:]
+                bands.append(
+                    math.sqrt(sum(float(s) * s for s in seg) / len(seg))
+                    if len(seg) else 0.0)
+            return (nch, rate, nf,
+                    int(nf * 1000 // rate) if rate else 0, full, bands)
+
+        for pdf in batches:
+            cols = {k: [] for k in ("n_channels", "sample_rate",
+                                    "n_samples", "duration_ms", "rms",
+                                    "band_rms", "decode_error")}
+            for raw in pdf["payload"]:
+                try:
+                    nch, rate, nf, dur, full, bands = decode(
+                        bytes(raw) if raw is not None else b"")
+                    vals = (nch, rate, nf, dur, full, bands, None)
+                except Exception as ex:  # quarantine, don't kill
+                    vals = (None, None, None, None, None, None,
+                            f"{type(ex).__name__}: {ex}")
+                for k, v in zip(cols, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
+
+    return media.mapInPandas(featurize, schema=AUDIO_FEATURE_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("payload", T.BinaryType(), True),

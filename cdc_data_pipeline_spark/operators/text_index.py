@@ -535,11 +535,18 @@ def delete_from_text_index(spark: SparkSession, path: str, ids: DataFrame,
         vrow = victims.agg(F.count(F.lit(1)).alias("n"),
                            F.sum("dl").alias("t")).collect()[0]
         n_kill, len_kill = int(vrow["n"]), int(vrow["t"] or 0)
+    if n_kill == 0:
+        # nothing visible matched: commit nothing (a zero stats
+        # correction + no tombstones changes no answer). Replaying a
+        # no-op delete is itself a no-op, so the idempotency marker is
+        # not needed; committing it anyway would add one delta dir per
+        # no-op delete until the next compact.
+        fsutil.delete(spark, ddir)  # clears a crashed partial stage
+        return {"deleted": 0, "batch": token}
     _write_tables(spark, ddir, None, None, None, (-n_kill, -len_kill))
-    if victims is not None:
-        _write_tombstones(spark, ddir,
-                          victims.select(id_col, "__root"),
-                          id_col, n_buckets)
+    _write_tombstones(spark, ddir,
+                      victims.select(id_col, "__root"),
+                      id_col, n_buckets)
     fsutil.write_text(spark, path_join(ddir, COMMIT), "1")
     return {"deleted": n_kill, "batch": token}
 

@@ -510,3 +510,58 @@ def test_retrain_ivf_equals_fresh_build_over_net_corpus(spark, sf_dir,
     ix.build_ivfpq_index(spark, e, pqp, dim=64, n_cells=4, m=4, ksub=8)
     with pytest.raises(ValueError, match="not invertible"):
         ix.retrain_ivf_index(spark, pqp)
+
+
+def test_recall_drift_retrain_recovery(spark, sf_dir, tmp_path):
+    """The operational loop that justifies retrain's existence, closed
+    end-to-end: a drifted ingest degrades recall@k at fixed nprobe,
+    ``retrain_ivf_index`` re-balances cells around the corpus as it is
+    NOW, and recall recovers to the fresh-build band (retrain == fresh
+    build is pinned exactly by the lifecycle test above; this pins the
+    drop -> retrain -> recovery signal the evaluator + retrain pair
+    exist for).
+
+    Drift construction: 167 new vectors straddling the perpendicular
+    bisector of two published centroids (mid + 0.05 * a diverse
+    perturbation per id). Under the STALE quantizer the cloud's
+    members split between the two cells, so an nprobe=1 query from
+    the cloud reaches only the same-side half of its true neighbors;
+    after retrain the dense cloud earns its own centroid and the same
+    queries recover brute-force recall."""
+    from cdc_data_pipeline_spark.operators.similarity import ann_recall
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    ix.build_ivf_index(spark, e, path, n_cells=8, iters=2)
+
+    _, base_root, _ = ix._resolve(spark, path)
+    cents = spark.read.parquet(f"{base_root}/centroids") \
+        .orderBy(ix.CELL).limit(2).collect()
+    ca, cb = [list(r["embedding"]) for r in cents]
+    mid = [(x + y) / 2.0 for x, y in zip(ca, cb)]
+    mid_df = spark.createDataFrame([(mid,)], "mid: array<double>")
+    drift = (e.filter(F.col("vec_id") % 3 == 0)
+             .crossJoin(F.broadcast(mid_df))
+             .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                     F.zip_with("mid", "embedding",
+                                lambda m, v: m + 0.05 * v)
+                     .cast("array<float>").alias("embedding")))
+    ix.append_to_ivf_index(spark, path, drift)
+
+    queries = drift.filter(F.col("vec_id") % 5 == 0)
+    net = e.withColumn("embedding",
+                       F.col("embedding").cast("array<float>")) \
+        .unionByName(drift)
+    truth = topk_cosine(net, queries, k=5).localCheckpoint()
+
+    def mean_recall():
+        approx = ix.query_ivf_index(spark, path, queries, k=5, nprobe=1)
+        return ann_recall(truth, approx).agg(F.avg("recall")).first()[0]
+
+    before = mean_recall()
+    ix.retrain_ivf_index(spark, path, iters=2)
+    after = mean_recall()
+    # prototype run: 0.647 -> 1.0; assert with slack against fixture
+    # regeneration, keeping the drop and the recovery both visible
+    assert before <= after - 0.15, (before, after)
+    assert after >= 0.9, (before, after)

@@ -197,3 +197,45 @@ def test_index_stats_legacy_text_resolves_base_root(spark, sf_dir,
     fsutil.write_text(spark, f"{path}/base/compacted.json",
                       json.dumps([dname]))
     assert lsm.index_stats(spark, path)["n_deltas"] == 0
+
+
+# ---------------------------------------------- no-op delete hygiene
+
+def test_noop_deletes_accumulate_no_deltas(spark, sf_dir, tmp_path):
+    """A delete matching zero visible ids commits NOTHING on any of
+    the three index families: replaying a no-op delete is itself a
+    no-op, so the idempotency marker is unnecessary — and before r7
+    each such delete added one delta dir until the next compact
+    (unbounded read amplification for streams deleting maybe-absent
+    ids). Matched deletes still commit, and answers are unchanged."""
+    from cdc_data_pipeline_spark.operators import index as ix
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
+    ghost_ids = spark.range(3).select(
+        (F.col("id") + 5_000_000_000).alias("doc_id"))
+
+    tix = str(tmp_path / "tix")
+    ti.build_text_index(spark, docs, tix)
+    lsh = str(tmp_path / "lsh")
+    di.build_lsh_index(spark, docs, lsh, n_prefixes=8)
+    emb = read_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding").filter(F.col("vec_id") % 4 == 0)
+    ivf = str(tmp_path / "ivf")
+    ix.build_ivf_index(spark, emb, ivf, n_cells=4, iters=1)
+    ghost_vecs = spark.range(3).select(
+        (F.col("id") + 5_000_000_000).alias("vec_id"))
+
+    for _ in range(3):  # repeated no-ops: still zero deltas
+        assert ti.delete_from_text_index(
+            spark, tix, ghost_ids)["deleted"] == 0
+        assert di.delete_from_lsh_index(
+            spark, lsh, ghost_ids)["deleted"] == 0
+        assert ix.delete_from_ivf_index(
+            spark, ivf, ghost_vecs)["deleted"] == 0
+    for path in (tix, lsh, ivf):
+        assert lsm.index_stats(spark, path)["n_deltas"] == 0, path
+
+    # a MATCHED delete still commits one tombstone delta
+    victim = docs.select("doc_id").limit(1)
+    assert ti.delete_from_text_index(spark, tix, victim)["deleted"] == 1
+    assert lsm.index_stats(spark, tix)["n_deltas"] == 1

@@ -463,3 +463,28 @@ def test_stream_curate_to_corpus(spark, sf_dir, tmp_path):
         min_words=10, stopwords=("the", "a"), min_stop_hits=1)
     q2.awaitTermination(180)
     assert spark.read.parquet(corpus_path).count() == n_first
+
+
+def test_collapse_latest_op_unit(spark):
+    """The per-batch latest-op collapse the CDC index sinks apply when
+    an ``order_col`` is given: highest order wins per id; an exact
+    order tie resolves to the upsert (matching the sink's
+    delete-then-reinsert outcome); rows without competition pass
+    through untouched."""
+    from cdc_data_pipeline_spark.streaming.cdc import collapse_latest_op
+
+    df = spark.createDataFrame(
+        [(1, "a1", False, 1), (1, None, True, 2),    # later delete wins
+         (2, None, True, 1), (2, "b2", False, 2),    # later upsert wins
+         (3, None, True, 5), (3, "c", False, 5),     # tie -> upsert
+         (4, "solo", False, 9)],
+        "doc_id long, text string, is_deleted boolean, ts long")
+    got = {r["doc_id"]: (r["text"], r["is_deleted"])
+           for r in collapse_latest_op(df, "doc_id", "is_deleted",
+                                       "ts").collect()}
+    assert got == {1: (None, True), 2: ("b2", False),
+                   3: ("c", False), 4: ("solo", False)}
+    # no order column: pass-through unchanged (documented contract:
+    # at most one op per key then)
+    assert collapse_latest_op(df, "doc_id", "is_deleted",
+                              None).count() == 7

@@ -485,6 +485,46 @@ def test_streaming_cdc_upsert_delete_into_text_index(spark, tmp_path):
     assert _search(spark, path, queries) == _bm25(net, queries)
 
 
+def test_stream_batch_mixed_ops_per_id_respects_order_col(spark,
+                                                          tmp_path):
+    """One micro-batch carrying SEVERAL ops for the same id (the
+    routine Debezium shape): with ``order_col`` the sink collapses to
+    each id's LATEST op before splitting deletes from upserts, so an
+    upsert followed by a later delete ends with the id GONE (pre-r7
+    the upsert re-inserted after the delete and the delete was
+    silently lost), while a delete followed by a later upsert keeps
+    the new version."""
+    from cdc_data_pipeline_spark.streaming.cdc import (
+        stream_upsert_to_text_index)
+
+    docs = _docs(spark).filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "tix")
+    ti.build_text_index(spark, docs, path)
+    ids = sorted(r[0] for r in docs.select("doc_id").limit(2).collect())
+    id_gone, id_kept = ids[0], ids[1]
+
+    changes = spark.createDataFrame(
+        [(id_gone, "doomed update qqq", False, 1),
+         (id_gone, None, True, 2),           # later delete WINS
+         (id_kept, None, True, 1),
+         (id_kept, "resurrected zxqv text", False, 2)],  # later upsert WINS
+        "doc_id long, text string, is_deleted boolean, ts long")
+    src = str(tmp_path / "incoming")
+    changes.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(changes.schema).parquet(src)
+    q = stream_upsert_to_text_index(stream, path, str(tmp_path / "ck"),
+                                    delete_col="is_deleted",
+                                    order_col="ts")
+    q.awaitTermination(120)
+
+    net = (docs.filter(~F.col("doc_id").isin(id_gone, id_kept))
+           .unionByName(spark.createDataFrame(
+               [(id_kept, "resurrected zxqv text")],
+               "doc_id long, text string")))
+    queries = net.limit(5)
+    assert _search(spark, path, queries) == _bm25(net, queries)
+
+
 # ------------------------------------------------- CDC upsert / delete
 
 
