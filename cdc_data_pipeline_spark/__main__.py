@@ -130,6 +130,18 @@ def main(argv=None) -> int:
     mp.add_argument("--lock-timeout", type=float, default=60.0,
                     metavar="SEC", help="max wait for the lock before "
                          "giving up (default 60)")
+    rp = sub.add_parser(
+        "retrain", help="drift response for a raw-vector IVF index: "
+                        "compact + re-cluster around the corpus as it "
+                        "is NOW, in one rebuild publish (IVF-PQ "
+                        "refuses — codes are not invertible)")
+    rp.add_argument("--path", required=True)
+    rp.add_argument("--cells", type=int, default=None,
+                    help="new cell count (default: keep the current "
+                         "generation's)")
+    rp.add_argument("--iters", type=int, default=3)
+    rp.add_argument("--lock", action="store_true",
+                    help="serialize against other locked maintainers")
     cp = sub.add_parser(
         "curate", help="run the full corpus-curation flow (quality -> "
                        "dedup -> mask -> decontaminate -> shards)")
@@ -243,6 +255,28 @@ def main(argv=None) -> int:
             out = lsm.compact_index(spark, args.path, lock=args.lock,
                                     lock_ttl_sec=args.lock_ttl,
                                     lock_timeout_sec=args.lock_timeout)
+        except (ValueError, lsm.MaintenanceLockHeld) as ex:
+            print(json.dumps({"error": str(ex)}))
+            return 1
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "retrain":
+        from cdc_data_pipeline_spark.operators import lsm
+        from cdc_data_pipeline_spark.operators.index import retrain_ivf_index
+        from cdc_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("cdc-retrain")
+        try:
+            if args.lock:
+                with lsm.maintenance_lock(spark, args.path):
+                    out = retrain_ivf_index(spark, args.path,
+                                            n_cells=args.cells,
+                                            iters=args.iters)
+            else:
+                out = retrain_ivf_index(spark, args.path,
+                                        n_cells=args.cells,
+                                        iters=args.iters)
         except (ValueError, lsm.MaintenanceLockHeld) as ex:
             print(json.dumps({"error": str(ex)}))
             return 1

@@ -226,12 +226,14 @@ def index_stats(spark: SparkSession, path: str) -> dict:
     awaiting GC). Kind-agnostic: works on any index built on this
     protocol (text / IVF / IVF-PQ / LSH), legacy layouts included."""
     kind = _detect_kind(spark, path)
+    lock_age = _lock_age_sec(spark, path)
     cur = current_base_name(
         spark, path, legacy_probe=("base", "bands", "cells", "codes"),
         legacy_name="<legacy>")
     if cur is None:
         return {"kind": kind, "generation": None, "n_generations": 0,
-                "n_deltas": 0, "n_tombstone_deltas": 0}
+                "n_deltas": 0, "n_tombstone_deltas": 0,
+                "maintenance_lock_age_sec": lock_age}
     if cur == "<legacy>":
         # the legacy base root is kind-specific: the text index kept
         # its tables under <path>/base; ANN/LSH kept them at the index
@@ -245,7 +247,22 @@ def index_stats(spark: SparkSession, path: str) -> dict:
                if fsutil.exists(spark, path_join(d, "tombstones")))
     return {"kind": kind, "generation": cur,
             "n_generations": len(base_names(spark, path)),
-            "n_deltas": len(deltas), "n_tombstone_deltas": tomb}
+            "n_deltas": len(deltas), "n_tombstone_deltas": tomb,
+            "maintenance_lock_age_sec": lock_age}
+
+
+def _lock_age_sec(spark: SparkSession, path: str) -> float | None:
+    """Age of a held ``maintenance_lock`` marker (None when free) —
+    the scheduler-facing signal distinguishing 'another maintainer is
+    active' from 'a crashed holder awaits TTL takeover'."""
+    import time
+
+    fs, p = fsutil._fs(spark, path_join(path, MAINT_LOCK))
+    try:
+        st = fs.getFileStatus(p)
+    except Exception:
+        return None
+    return round(time.time() - st.getModificationTime() / 1000.0, 3)
 
 
 def _detect_kind(spark: SparkSession, path: str) -> str | None:

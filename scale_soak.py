@@ -179,6 +179,12 @@ def run_ann_cdc_suite(spark, emb_path):
             spark, path, moved))
         out["ivf_delete_fixed"] = timed(lambda: ix.delete_from_ivf_index(
             spark, path, incoming.select("vec_id")))
+        # drift response: compact + re-cluster in one publish. Reads
+        # the whole visible corpus, so expected ~N like the build —
+        # what must NOT appear is superlinearity from the folded
+        # delta/tombstone resolution
+        out["ivf_retrain"] = timed(lambda: ix.retrain_ivf_index(
+            spark, path, iters=2))
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out

@@ -6,7 +6,10 @@ exactly equal to brute-force search over the net corpus."""
 
 from __future__ import annotations
 
+import pytest
 import pyspark.sql.functions as F
+
+from conftest import MOCKFS_PARAM
 
 from cdc_data_pipeline_spark.operators import index as ix
 from cdc_data_pipeline_spark.operators.similarity import topk_cosine
@@ -565,3 +568,33 @@ def test_recall_drift_retrain_recovery(spark, sf_dir, tmp_path):
     # regeneration, keeping the drop and the recovery both visible
     assert before <= after - 0.15, (before, after)
     assert after >= 0.9, (before, after)
+
+
+@pytest.mark.parametrize("scheme", ["", "file://", MOCKFS_PARAM])
+def test_ann_roundtrip_under_scheme(spark, sf_dir, tmp_path, scheme):
+    """The ANN build/query/append/upsert/delete/compact cycle under a
+    bare local path, an explicit ``file://`` root, AND the mock remote
+    scheme — completing the per-family scheme coverage the text and
+    LSH suites already carry. Under ``mockfs://`` every pointer
+    publish takes the stream-write branch and every parquet write
+    rides the Hadoop FS."""
+    e = read_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding").filter(F.col("vec_id") % 2 == 0)
+    path = scheme + str(tmp_path / "annidx")
+    half = e.filter(F.col("vec_id") % 4 == 0)
+    rest = e.filter(F.col("vec_id") % 4 != 0)
+    ix.build_ivf_index(spark, half, path, n_cells=4, iters=1)
+    ix.append_to_ivf_index(spark, path, rest)
+    changed = e.filter(F.col("vec_id") % 20 == 0).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x))
+    ix.upsert_into_ivf_index(spark, path, changed)
+    dead = e.filter(F.col("vec_id") % 20 == 2).select("vec_id")
+    ix.delete_from_ivf_index(spark, path, dead)
+
+    net = (e.filter(F.col("vec_id") % 20 != 0).unionByName(changed)
+           .join(dead, "vec_id", "left_anti"))
+    q = _queries(e).limit(4)
+    want = sorted(map(tuple, topk_cosine(net, q, k=5).collect()))
+    assert _exact(spark, path, net, q, n_cells=4) == want
+    ix.compact_ann_index(spark, path)
+    assert _exact(spark, path, net, q, n_cells=4) == want

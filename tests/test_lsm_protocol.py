@@ -94,6 +94,9 @@ def test_locked_compactions_serialize_instead_of_racing(
 def test_lock_timeout_raises_held(spark, tmp_path):
     path = str(tmp_path / "idx")
     with lsm.maintenance_lock(spark, path, timeout_sec=60):
+        # stats expose the held lock's age — the scheduler signal
+        age = lsm._lock_age_sec(spark, path)
+        assert age is not None and 0 <= age < 60
         with pytest.raises(lsm.MaintenanceLockHeld):
             with lsm.maintenance_lock(spark, path, ttl_sec=3600,
                                       timeout_sec=0.4, poll_sec=0.1):
@@ -101,6 +104,7 @@ def test_lock_timeout_raises_held(spark, tmp_path):
     # the failed acquire must not have released the holder's lock; the
     # holder's own exit does
     assert not fsutil.exists(spark, path_join(path, lsm.MAINT_LOCK))
+    assert lsm._lock_age_sec(spark, path) is None
 
 
 def test_stale_lock_takeover_and_safe_release(spark, tmp_path):
@@ -239,3 +243,24 @@ def test_noop_deletes_accumulate_no_deltas(spark, sf_dir, tmp_path):
     victim = docs.select("doc_id").limit(1)
     assert ti.delete_from_text_index(spark, tix, victim)["deleted"] == 1
     assert lsm.index_stats(spark, tix)["n_deltas"] == 1
+
+
+def test_lock_remote_scheme_branch_under_mockfs(spark, tmp_path):
+    """The lock's REMOTE branch (Hadoop create-no-overwrite, the
+    HDFS-shaped path) under the mock remote scheme: acquire, observe
+    contention (timeout raise), release, reacquire. Local paths take
+    the O_EXCL branch, so only a non-file scheme executes this code."""
+    from conftest import MOCKFS_CLASSPATH
+    if MOCKFS_CLASSPATH is None:
+        pytest.skip("javac/hadoop jars unavailable")
+    path = "mockfs://" + str(tmp_path / "idx")
+    with lsm.maintenance_lock(spark, path, timeout_sec=5):
+        assert fsutil.exists(spark, path_join(path, lsm.MAINT_LOCK))
+        with pytest.raises(lsm.MaintenanceLockHeld):
+            with lsm.maintenance_lock(spark, path, ttl_sec=3600,
+                                      timeout_sec=0.4, poll_sec=0.1):
+                pass
+    assert not fsutil.exists(spark, path_join(path, lsm.MAINT_LOCK))
+    # reacquirable after release
+    with lsm.maintenance_lock(spark, path, timeout_sec=5):
+        pass
