@@ -394,3 +394,59 @@ def test_extract_audio_features_real_wav_decode(spark):
 
     assert got[4]["rms"] is None and got[4]["decode_error"] is not None
     assert got[5]["rms"] is None and got[5]["decode_error"] is not None
+
+
+def test_audio_spectral_features_pure_tones(spark):
+    """Frequency-domain features are REAL: a pure 1 kHz tone at 8 kHz
+    concentrates its energy in band 2 of 8 (0-4 kHz span, 500 Hz
+    bands) with centroid ~1 kHz; a 3 kHz tone lands in band 6; a
+    gain-scaled copy produces the IDENTICAL fingerprint (energy ratios
+    survive amplitude scaling — the property that makes the
+    fingerprint a dedup key); corrupt payloads quarantine."""
+    import math
+
+    from cdc_data_pipeline_spark.operators.multimodal import (
+        audio_spectral_features)
+
+    def tone(freq, amp, n=8000, rate=8000):
+        return [int(amp * math.sin(2 * math.pi * freq * i / rate))
+                for i in range(n)]
+
+    # non-divisor frequencies: 1009/2999 Hz don't divide the 8 kHz
+    # rate, so spectral leakage spreads energy across many bins and
+    # the log-band fingerprint is rich (a divisor tone like 1000 Hz is
+    # 8-sample periodic INCLUDING its quantization noise — the whole
+    # spectrum collapses onto 2 harmonic bins and two such tones can
+    # share a fingerprint legitimately)
+    base = tone(1009, 8000)
+    rows = [
+        (1, _wav_bytes(base)),
+        # exact 2x gain (integer-exact scaling: the power spectrum is
+        # 4x everywhere, so every energy RATIO — and the fingerprint —
+        # is bit-identical; a re-quantized analog gain would differ by
+        # its quantization noise, which IS a different signal)
+        (2, _wav_bytes([s * 2 for s in base])),
+        (3, _wav_bytes(tone(2999, 8000))),
+        (4, b"definitely not audio"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict()
+           for r in audio_spectral_features(media, n_bins=8).collect()}
+
+    a = got[1]
+    assert a["decode_error"] is None
+    assert a["dominant_band"] == 2            # 1009 Hz / ~500 Hz bands
+    assert abs(a["spectral_centroid_hz"] - 1009.0) < 25.0
+    assert a["band_energy"][2] > 0.9
+    assert abs(sum(a["band_energy"]) - 1.0) < 1e-9
+
+    assert got[2]["fingerprint"] == a["fingerprint"]  # gain-invariant
+    assert got[2]["dominant_band"] == 2
+
+    c = got[3]
+    assert c["dominant_band"] == 5            # 2999 Hz / ~500 Hz bands
+    assert abs(c["spectral_centroid_hz"] - 2999.0) < 25.0
+    assert c["fingerprint"] != a["fingerprint"]
+
+    assert got[4]["fingerprint"] is None
+    assert got[4]["decode_error"] is not None
