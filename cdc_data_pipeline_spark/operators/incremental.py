@@ -48,15 +48,27 @@ def full_load(batch: DataFrame) -> DataFrame:
     return batch
 
 
-def upsert(target: DataFrame, batch: DataFrame, keys: Sequence[str]) -> DataFrame:
+def upsert(target: DataFrame, batch: DataFrame, keys: Sequence[str],
+           evolve_schema: bool = False) -> DataFrame:
     """M2: incremental upsert (delete+insert by key).
 
     Reference: base_loader.py:275-338 — temp table + DELETE WHERE key IN
     + INSERT. Spark-first: rows of ``target`` whose key appears in the
     batch are dropped (left_anti) and the batch is appended. One shuffle
     at most; broadcast anti-join when the batch is small.
-    """
-    return target.join(batch.select(*keys).distinct(), list(keys), "left_anti").unionByName(batch)
+
+    ``evolve_schema=True`` accepts a drifted batch (the Debezium
+    schema-change shape the reference handles via live DDL,
+    base_loader.py:762-855): columns NEW in the batch surface as NULL
+    on historical rows, columns the batch DROPPED surface as NULL on
+    its rows — latest-wins semantics, a replaced row simply no longer
+    carries the field. Default stays strict: silent column drift in a
+    feed that should be stable is a bug worth failing on."""
+    anti = target.join(batch.select(*keys).distinct(), list(keys),
+                       "left_anti")
+    if evolve_schema:
+        return anti.unionByName(batch, allowMissingColumns=True)
+    return anti.unionByName(batch)
 
 
 def latest_per_key(
@@ -87,6 +99,7 @@ def upsert_dedup(
     keys: Sequence[str],
     tracking_column: str,
     tiebreakers: Sequence[str] = (),
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """M3: incremental upsert + keep-latest dedup ("special" load).
 
@@ -95,7 +108,7 @@ def upsert_dedup(
     small), then upserted.
     """
     deduped = latest_per_key(batch, keys, tracking_column, tiebreakers)
-    return upsert(target, deduped, keys)
+    return upsert(target, deduped, keys, evolve_schema=evolve_schema)
 
 
 def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
@@ -190,6 +203,7 @@ def upsert_bucketed(
     tracking_column: str,
     n_buckets: int = 64,
     tiebreakers: Sequence[str] = (),
+    evolve_schema: bool = False,
 ) -> None:
     """M2/M3 against a hash-bucketed parquet target, touching ONLY the
     buckets the batch's keys hash into.
@@ -203,7 +217,14 @@ def upsert_bucketed(
     of the naive sink does not scale past a few GB.
 
     Idempotent under replay: latest-record-wins within the bucket.
-    """
+
+    ``evolve_schema=True`` accepts drifted batches (see ``upsert``):
+    the merge unions by name with missing columns as NULL, and the
+    target read merges footers across buckets so earlier evolution is
+    visible whatever bucket it landed in. Untouched buckets keep their
+    old physical schema — readers of an evolved table must read with
+    ``mergeSchema`` (as this sink itself does) until a compaction
+    rewrites them. Default stays strict."""
     from cdc_data_pipeline_spark.sources import fsutil
 
     if batch.isEmpty():
@@ -215,7 +236,9 @@ def upsert_bucketed(
     target = None
     if fsutil.exists(spark, target_path):
         try:
-            target = spark.read.parquet(target_path)
+            reader = spark.read.option("mergeSchema", "true") \
+                if evolve_schema else spark.read
+            target = reader.parquet(target_path)
         except Exception:
             target = None  # dir exists but holds no data files yet
     if target is None:
@@ -224,7 +247,8 @@ def upsert_bucketed(
     buckets = [r[0] for r in stamped.select(BUCKET_COL).distinct().collect()]
     # partition filter prunes the scan to the affected buckets only
     affected = target.filter(F.col(BUCKET_COL).isin(buckets))
-    merged = upsert_dedup(affected, deduped, keys, tracking_column, tiebreakers)
+    merged = upsert_dedup(affected, deduped, keys, tracking_column,
+                          tiebreakers, evolve_schema=evolve_schema)
     _overwrite_buckets_atomic(merged, target_path, buckets)
 
 

@@ -97,6 +97,7 @@ def stream_upsert_to_parquet(
     trigger_available_now: bool = True,
     n_buckets: int = 64,
     processing_time: str | None = None,
+    evolve_schema: bool = False,
 ):
     """Run a streaming query that upsert-dedup-merges every micro-batch
     into a hash-bucketed parquet target. Exactly-once-ish: the merge is
@@ -109,12 +110,17 @@ def stream_upsert_to_parquet(
     rewrites only the buckets its keys fall in (see
     ``incremental.upsert_bucketed``) — per-batch cost stays O(batch),
     not O(table), which is what makes this sink viable at 100 TB.
-    """
+
+    ``evolve_schema=True`` tolerates mid-stream schema drift in the
+    feed (see ``incremental.upsert`` — note the stream's own source
+    schema is fixed at start; this matters when the sink path is
+    shared with batch writers or the stream is restarted with a wider
+    schema)."""
     spark = stream.sparkSession
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         upsert_bucketed(spark, target_path, batch, keys, tracking_column,
-                        n_buckets=n_buckets)
+                        n_buckets=n_buckets, evolve_schema=evolve_schema)
 
     writer = (
         stream.writeStream.foreachBatch(merge_batch)

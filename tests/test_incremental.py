@@ -178,3 +178,50 @@ def test_backfill_snapshot_idempotent_per_partition(spark, tmp_path):
     assert out2.filter(F.col("snapshot_date") == "2024-01-01").count() == 1
     assert mtimes("2024-01-01") == before_d1      # untouched partition
     assert mtimes("2024-01-02") != before_d2      # rewritten partition
+
+
+def test_upsert_bucketed_schema_evolution(spark, tmp_path):
+    """CDC feeds evolve (the Debezium schema-change shape the
+    reference meets with live DDL): with ``evolve_schema=True`` a
+    batch carrying a NEW column upserts cleanly — historical rows
+    surface NULL for it — and a later batch that DROPPED a column
+    leaves NULL on its replaced rows (latest-wins: the new version
+    simply doesn't carry the field). The default stays strict and
+    fails fast on drift."""
+    import pytest
+
+    from cdc_data_pipeline_spark.operators.incremental import (
+        upsert_bucketed)
+
+    tgt = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)],
+        "k long, v string, ts long")
+    upsert_bucketed(spark, tgt, base, ["k"], "ts", n_buckets=4)
+
+    widened = spark.createDataFrame(
+        [(2, "b2", 20, "extra2"), (4, "d", 20, "extra4")],
+        "k long, v string, ts long, note string")
+    # strict default: silent drift is a bug worth failing on
+    with pytest.raises(Exception):
+        upsert_bucketed(spark, tgt, widened, ["k"], "ts", n_buckets=4)
+    upsert_bucketed(spark, tgt, widened, ["k"], "ts", n_buckets=4,
+                    evolve_schema=True)
+
+    out = {r["k"]: (r["v"], r["ts"], r["note"])
+           for r in spark.read.option("mergeSchema", "true")
+           .parquet(tgt).collect()}
+    assert out[2] == ("b2", 20, "extra2")
+    assert out[4] == ("d", 20, "extra4")
+    assert out[1] == ("a", 10, None)      # historical rows: NULL note
+    assert out[3] == ("c", 10, None)
+
+    narrowed = spark.createDataFrame([(2, 30)], "k long, ts long")
+    upsert_bucketed(spark, tgt, narrowed, ["k"], "ts", n_buckets=4,
+                    evolve_schema=True)
+    out = {r["k"]: (r["v"], r["ts"], r["note"])
+           for r in spark.read.option("mergeSchema", "true")
+           .parquet(tgt).collect()}
+    assert out[2] == (None, 30, None)     # replaced row dropped fields
+    assert out[4] == ("d", 20, "extra4")  # other keys untouched
+    assert len(out) == 4
