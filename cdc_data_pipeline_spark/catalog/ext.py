@@ -658,6 +658,64 @@ FROM chars
 """
 
 
+def q_video_features(spark, sf_dir):
+    """REAL video decode pinned cross-engine: each document's code
+    points become one Y4M frame apiece (4x2 C420 planes filled with
+    ``ord(c) % 256``, chroma at midpoint), containerized with real
+    YUV4MPEG2 headers and decoded back by
+    ``multimodal.extract_video_features`` — the full header parse,
+    frame walk, chroma skip, luma math, scene-cut count and duration
+    arithmetic sit under the oracle, which recomputes everything from
+    code-point arithmetic without ever seeing a Y4M byte. Frame lumas
+    are integers, so means sum exactly in doubles on both engines."""
+    import pandas as pd
+
+    from cdc_data_pipeline_spark.operators.multimodal import (
+        extract_video_features)
+
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 1)
+
+    def to_y4m(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                out = bytearray(b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n")
+                for ch in text:
+                    out += b"FRAME\n" + bytes([ord(ch) % 256] * 8) \
+                        + b"\x80" * 4
+                payloads.append(bytes(out))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(to_y4m, "media_id long, payload binary")
+    feats = extract_video_features(media, scene_threshold=16.0)
+    return feats.select(
+        "media_id", "width", "height", "n_frames", "duration_ms",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.element_at("frame_lumas", 1).alias("luma0"),
+        "scene_changes")
+
+
+SQL_VIDEO_FEATURES = """
+WITH chars AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> ord(substr(text, i, 1)) % 256) AS f
+  FROM documents WHERE length(text) >= 1)
+SELECT doc_id AS media_id,
+       4::INTEGER AS width, 2::INTEGER AS height,
+       len(f)::BIGINT AS n_frames,
+       (len(f) * 1000 // 25)::BIGINT AS duration_ms,
+       ROUND(list_sum(list_transform(f, x -> x::DOUBLE)) / len(f), 6)
+         AS mean_luma,
+       f[1]::DOUBLE AS luma0,
+       len(list_filter(range(2, len(f) + 1),
+                       i -> abs(f[i] - f[i - 1]) > 16))::BIGINT
+         AS scene_changes
+FROM chars
+"""
+
+
 QUERIES = {
     "events_json_extract": q_events_json,
     "text_stats": q_text_stats,
@@ -1532,4 +1590,6 @@ ORACLES["ivf_index_topk"] = SQL_IVF_INDEX_TOPK
 EXTRA_QUERIES["ivf_topk"] = q_ivf_topk
 EXTRA_QUERIES["audio_features"] = q_audio_features
 EXTRA_ORACLES["audio_features"] = SQL_AUDIO_FEATURES
+EXTRA_QUERIES["video_features"] = q_video_features
+EXTRA_ORACLES["video_features"] = SQL_VIDEO_FEATURES
 EXTRA_ORACLES["ivf_topk"] = SQL_IVF_TOPK
