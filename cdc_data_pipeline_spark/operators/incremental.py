@@ -195,13 +195,64 @@ def _overwrite_buckets_atomic(merged: DataFrame, target_path: str,
     fs.delete(spark, tmp)
 
 
+TABLE_META = "_cdc_table.json"
+
+
+def _read_table_meta(spark: SparkSession, target_path: str) -> dict | None:
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    txt = fsutil.read_text(spark, fsutil.path_join(target_path, TABLE_META))
+    if txt is None:
+        return None
+    import json
+
+    return json.loads(txt)
+
+
+def _publish_table_meta(spark: SparkSession, root: str, keys: Sequence[str],
+                        tracking_column: str, n_buckets: int) -> None:
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    import json
+
+    fsutil.publish_text(
+        spark, fsutil.path_join(root, TABLE_META),
+        json.dumps({"keys": list(keys), "tracking_column": tracking_column,
+                    "n_buckets": n_buckets}))
+
+
+def _resolve_table_layout(meta: dict | None, keys: Sequence[str],
+                          tracking_column: str,
+                          n_buckets: int | None) -> int:
+    """The bucket count is a TABLE property, not a call property: a
+    batch stamped with a different ``n_buckets`` than the table's
+    layout hashes keys into the wrong partitions, the anti-join then
+    misses the old row versions living elsewhere, and the table
+    silently accumulates duplicate keys. Persisted metadata makes that
+    drift a loud error instead."""
+    if meta is None:
+        return 64 if n_buckets is None else n_buckets
+    if list(keys) != list(meta["keys"]) \
+            or tracking_column != meta["tracking_column"]:
+        raise ValueError(
+            f"table layout mismatch: table is keyed on {meta['keys']} "
+            f"tracking {meta['tracking_column']!r}, caller passed "
+            f"{list(keys)} / {tracking_column!r}")
+    if n_buckets is not None and n_buckets != meta["n_buckets"]:
+        raise ValueError(
+            f"n_buckets={n_buckets} conflicts with the table's persisted "
+            f"layout ({meta['n_buckets']} buckets) — pass n_buckets=None "
+            f"to follow the table, or run rebucket() to change the layout")
+    return meta["n_buckets"]
+
+
 def upsert_bucketed(
     spark: SparkSession,
     target_path: str,
     batch: DataFrame,
     keys: Sequence[str],
     tracking_column: str,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     tiebreakers: Sequence[str] = (),
     evolve_schema: bool = False,
 ) -> None:
@@ -223,15 +274,24 @@ def upsert_bucketed(
     target read merges footers across buckets so earlier evolution is
     visible whatever bucket it landed in. Untouched buckets keep their
     old physical schema — readers of an evolved table must read with
-    ``mergeSchema`` (as this sink itself does) until a compaction
-    rewrites them. Default stays strict."""
+    ``mergeSchema`` (as this sink itself does) until ``compact_table``
+    rewrites them. Default stays strict.
+
+    The layout (keys, tracking column, bucket count) persists in
+    ``_cdc_table.json`` (``_``-prefixed: invisible to Spark scans) on
+    create; later calls follow it — ``n_buckets=None`` adopts the
+    table's value, an explicit mismatch raises (see
+    ``_resolve_table_layout``), and a pre-metadata table is backfilled
+    from the caller's values, which its data already embodies."""
     from cdc_data_pipeline_spark.sources import fsutil
 
     if batch.isEmpty():
         # 0-row guard (reference: base_loader.py:308-310) — also keeps an
         # empty first micro-batch from creating a file-less target dir
         return
-    stamped = batch.withColumn(BUCKET_COL, bucket_of(keys, n_buckets))
+    meta = _read_table_meta(spark, target_path)
+    n_resolved = _resolve_table_layout(meta, keys, tracking_column, n_buckets)
+    stamped = batch.withColumn(BUCKET_COL, bucket_of(keys, n_resolved))
     deduped = latest_per_key(stamped, keys, tracking_column, tiebreakers)
     target = None
     if fsutil.exists(spark, target_path):
@@ -243,6 +303,8 @@ def upsert_bucketed(
             target = None  # dir exists but holds no data files yet
     if target is None:
         deduped.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
+        _publish_table_meta(spark, target_path, keys, tracking_column,
+                            n_resolved)
         return
     buckets = [r[0] for r in stamped.select(BUCKET_COL).distinct().collect()]
     # partition filter prunes the scan to the affected buckets only
@@ -250,6 +312,126 @@ def upsert_bucketed(
     merged = upsert_dedup(affected, deduped, keys, tracking_column,
                           tiebreakers, evolve_schema=evolve_schema)
     _overwrite_buckets_atomic(merged, target_path, buckets)
+    if meta is None:  # legacy pre-metadata table: backfill the layout
+        _publish_table_meta(spark, target_path, keys, tracking_column,
+                            n_resolved)
+
+
+def _rewrite_table(spark: SparkSession, target_path: str, meta: dict,
+                   files_per_bucket: int = 1) -> None:
+    """Full-table rewrite under the (possibly new) layout in ``meta``:
+    re-stamp buckets, cluster each bucket into ``files_per_bucket``
+    files, write to a staging sibling WITH its metadata, then swap —
+    readers see the old table until the atomic rename, and a crash
+    mid-rewrite leaves the live table untouched."""
+    from cdc_data_pipeline_spark.sources import fsutil as fs
+
+    keys, n = meta["keys"], meta["n_buckets"]
+    df = spark.read.option("mergeSchema", "true").parquet(target_path)
+    data = df.drop(BUCKET_COL).withColumn(BUCKET_COL, bucket_of(keys, n))
+    f = max(int(files_per_bucket), 1)
+    if f > 1:
+        # salt WITHIN each bucket so one oversized bucket still splits
+        salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.lit(1)),
+                      F.lit(f))
+        data = data.repartition(n * f, F.col(BUCKET_COL), salt)
+    else:
+        data = data.repartition(n, F.col(BUCKET_COL))
+    tmp = target_path.rstrip("/") + ".__rewrite__"
+    fs.delete(spark, tmp)
+    data.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+    import json
+
+    fs.publish_text(spark, fs.path_join(tmp, TABLE_META), json.dumps(meta))
+    _replace_dir(spark, target_path, tmp)
+
+
+def rebucket(spark: SparkSession, target_path: str, n_buckets: int,
+             keys: Sequence[str] | None = None,
+             tracking_column: str | None = None,
+             files_per_bucket: int = 1) -> None:
+    """Change a bucketed table's layout — the grow operation. A bucket
+    count fixed at table creation stops fitting as the table grows
+    1000×: per-bucket merge cost in ``upsert_bucketed`` is O(bucket),
+    so buckets must stay executor-sized. Rebucketing is ONE planned
+    full rewrite (shuffle on the new bucket id) after which every
+    incremental batch is cheap again — versus every batch paying for
+    oversized buckets forever. Layout args come from the persisted
+    metadata; ``keys``/``tracking_column`` are only for pre-metadata
+    tables. The swap is atomic; concurrent upserts remain unsafe
+    during a rewrite (single-maintenance-writer contract, same as the
+    index families — use ``lsm.maintenance_lock`` for hard exclusion)."""
+    meta = _read_table_meta(spark, target_path)
+    if meta is None:
+        if keys is None or tracking_column is None:
+            raise ValueError(
+                "table has no persisted layout; pass keys and "
+                "tracking_column to rebucket a pre-metadata table")
+        meta = {"keys": list(keys), "tracking_column": tracking_column}
+    meta["n_buckets"] = int(n_buckets)
+    _rewrite_table(spark, target_path, meta, files_per_bucket)
+
+
+def compact_table(spark: SparkSession, target_path: str,
+                  files_per_bucket: int = 1) -> None:
+    """Maintenance rewrite under the CURRENT layout: clusters every
+    bucket into ``files_per_bucket`` files (a shuffle-partition-spread
+    write can leave ~shuffle.partitions files per bucket) and rewrites
+    every footer with the merged schema — after ``evolve_schema``
+    upserts, untouched buckets keep their old physical schema until
+    this runs, forcing readers through ``mergeSchema``. Post-compact,
+    a plain read sees the full schema."""
+    meta = _read_table_meta(spark, target_path)
+    if meta is None:
+        raise ValueError(
+            "table has no persisted layout; run one upsert_bucketed "
+            "(which backfills it) or use rebucket(keys=..., "
+            "tracking_column=...)")
+    _rewrite_table(spark, target_path, meta, files_per_bucket)
+
+
+def table_stats(spark: SparkSession, target_path: str) -> dict:
+    """Maintenance signal for a bucketed table (the table analogue of
+    ``lsm.index_stats``): row counts and skew across buckets (a
+    max/mean ratio ≫ 1 says hot keys or a stale layout — rebucket or
+    salt), physical file count, and whether bucket footers disagree on
+    schema (drift from ``evolve_schema`` upserts — compact to unify).
+    Schema drift is probed per BUCKET, not per file: a bucket is
+    always rewritten wholesale by one write, so all its files share
+    one schema; n_buckets footer reads, no data scan."""
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    meta = _read_table_meta(spark, target_path)
+    df = spark.read.option("mergeSchema", "true").parquet(target_path)
+    per = df.groupBy(BUCKET_COL).count().collect()  # ≤ n_buckets rows
+    counts = [r["count"] for r in per]
+    n_rows = sum(counts)
+    skew = (max(counts) * len(counts) / n_rows) if n_rows else 0.0
+    n_files = 0
+    max_files = 0
+    schemas = set()
+    for name in fsutil.list_names(spark, target_path):
+        if not name.startswith(f"{BUCKET_COL}="):
+            continue
+        bucket_dir = fsutil.path_join(target_path, name)
+        files = [x for x in fsutil.list_names(spark, bucket_dir)
+                 if x.endswith(".parquet")]
+        n_files += len(files)
+        max_files = max(max_files, len(files))
+        if files:
+            schemas.add(tuple(sorted(
+                spark.read.parquet(bucket_dir).schema.fieldNames())))
+    return {
+        "meta": meta,
+        "n_rows": n_rows,
+        "n_buckets_observed": len(counts),
+        "n_files": n_files,
+        "max_files_per_bucket": max_files,
+        "bucket_skew": round(skew, 3),
+        "distinct_schemas": len(schemas),
+        "schema_drift": len(schemas) > 1,
+        "columns": df.schema.fieldNames(),
+    }
 
 
 def write_merged(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> None:

@@ -134,7 +134,7 @@ def scd2_bucketed(
     keys: Sequence[str],
     check_cols: Sequence[str],
     run_ts: str,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     close_deleted: bool = False,
 ) -> None:
     """Maintain an SCD2 snapshot at ``target_path`` partitioned by key
@@ -149,13 +149,21 @@ def scd2_bucketed(
     ``close_deleted=True`` must observe every key to detect absences,
     so it degrades to a full-table merge (all buckets affected) — the
     cost is inherent to hard-delete detection, not to this layout.
+
+    The layout persists in ``_cdc_table.json`` like
+    ``incremental.upsert_bucketed`` (tracking_column None — versioning
+    here is SCD2's validity interval, not a tracking column):
+    ``n_buckets=None`` follows the table, a mismatch raises.
     """
     from cdc_data_pipeline_spark.operators.incremental import (
-        BUCKET_COL, _overwrite_buckets_atomic, bucket_of)
+        BUCKET_COL, _overwrite_buckets_atomic, _publish_table_meta,
+        _read_table_meta, _resolve_table_layout, bucket_of)
     from cdc_data_pipeline_spark.sources import fsutil
 
     if batch.isEmpty():
         return
+    meta = _read_table_meta(spark, target_path)
+    n_buckets = _resolve_table_layout(meta, keys, None, n_buckets)
     target = None
     if fsutil.exists(spark, target_path):
         try:
@@ -166,6 +174,7 @@ def scd2_bucketed(
         merged = scd2_merge(None, batch, keys, check_cols, run_ts)
         merged.withColumn(BUCKET_COL, bucket_of(keys, n_buckets)) \
             .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
+        _publish_table_meta(spark, target_path, keys, None, n_buckets)
         return
     if close_deleted:
         buckets = list(range(n_buckets))
@@ -177,6 +186,8 @@ def scd2_bucketed(
     merged = scd2_merge(affected, batch, keys, check_cols, run_ts, close_deleted)
     stamped = merged.withColumn(BUCKET_COL, bucket_of(keys, n_buckets))
     _overwrite_buckets_atomic(stamped, target_path, buckets)
+    if meta is None:  # legacy pre-metadata table: backfill the layout
+        _publish_table_meta(spark, target_path, keys, None, n_buckets)
 
 
 def temporal_join(facts: DataFrame, snapshot: DataFrame, keys: Sequence[str],

@@ -95,7 +95,7 @@ def stream_upsert_to_parquet(
     tracking_column: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     processing_time: str | None = None,
     evolve_schema: bool = False,
 ):
@@ -138,7 +138,7 @@ def stream_scd2_to_parquet(
     checkpoint_dir: str,
     ts_of_batch=None,
     trigger_available_now: bool = True,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     processing_time: str | None = None,
 ):
     """Maintain an SCD2 snapshot from a change stream: each micro-batch

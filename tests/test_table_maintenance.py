@@ -1,0 +1,148 @@
+"""Bucketed-table layout metadata + maintenance (rebucket / compact /
+stats).
+
+The bucket count is a TABLE property: before the persisted layout, a
+caller passing a different ``n_buckets`` than the table was created
+with stamped batches into the wrong buckets — the anti-join then missed
+the old row versions living elsewhere and the table silently
+accumulated duplicate keys. These tests pin that the layout is loudly
+enforced, that growing it (``rebucket``) is a planned atomic rewrite,
+and that ``compact_table`` unifies post-evolution physical schemas.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.operators.incremental import (
+    TABLE_META, compact_table, rebucket, table_stats, upsert_bucketed)
+
+
+def _rows(spark, path):
+    return {r["k"]: (r["v"], r["ts"])
+            for r in spark.read.option("mergeSchema", "true")
+            .parquet(path).select("k", "v", "ts").collect()}
+
+
+def test_layout_metadata_enforced(spark, tmp_path):
+    tgt = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(20)], "k long, v string, ts long")
+    upsert_bucketed(spark, tgt, base, ["k"], "ts", n_buckets=4)
+    assert (tmp_path / "tbl" / TABLE_META).exists()
+
+    batch = spark.createDataFrame([(3, "v3b", 20)],
+                                  "k long, v string, ts long")
+    # the pre-metadata hazard, now a loud error: wrong bucket count
+    with pytest.raises(ValueError, match="n_buckets=8 conflicts"):
+        upsert_bucketed(spark, tgt, batch, ["k"], "ts", n_buckets=8)
+    # wrong key / tracking layout is equally fatal
+    with pytest.raises(ValueError, match="layout mismatch"):
+        upsert_bucketed(spark, tgt, batch, ["k"], "v", n_buckets=4)
+
+    # None follows the table; matching explicit value also fine
+    upsert_bucketed(spark, tgt, batch, ["k"], "ts")
+    upsert_bucketed(
+        spark, tgt,
+        spark.createDataFrame([(5, "v5b", 20)], "k long, v string, ts long"),
+        ["k"], "ts", n_buckets=4)
+    got = _rows(spark, tgt)
+    assert len(got) == 20                       # no duplicate keys
+    assert got[3] == ("v3b", 20) and got[5] == ("v5b", 20)
+
+
+def test_legacy_table_backfills_metadata(spark, tmp_path):
+    tgt = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(10)], "k long, v string, ts long")
+    upsert_bucketed(spark, tgt, base, ["k"], "ts", n_buckets=4)
+    (tmp_path / "tbl" / TABLE_META).unlink()    # simulate pre-metadata
+
+    batch = spark.createDataFrame([(1, "v1b", 20)],
+                                  "k long, v string, ts long")
+    upsert_bucketed(spark, tgt, batch, ["k"], "ts", n_buckets=4)
+    assert (tmp_path / "tbl" / TABLE_META).exists()
+    # backfilled layout is now enforced
+    with pytest.raises(ValueError, match="conflicts"):
+        upsert_bucketed(spark, tgt, batch, ["k"], "ts", n_buckets=16)
+    assert len(_rows(spark, tgt)) == 10
+
+
+def test_rebucket_grows_layout(spark, tmp_path):
+    tgt = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(50)], "k long, v string, ts long")
+    upsert_bucketed(spark, tgt, base, ["k"], "ts", n_buckets=2)
+
+    rebucket(spark, tgt, 8)
+    dirs = {p.name for p in (tmp_path / "tbl").iterdir()
+            if p.name.startswith("__kb=")}
+    assert len(dirs) > 2 and len(dirs) <= 8     # data actually re-spread
+    assert _rows(spark, tgt) == {i: (f"v{i}", 10) for i in range(50)}
+    st = table_stats(spark, tgt)
+    assert st["meta"]["n_buckets"] == 8
+
+    # post-rebucket upserts follow the NEW layout and still dedup keys
+    with pytest.raises(ValueError, match="conflicts"):
+        upsert_bucketed(
+            spark, tgt,
+            spark.createDataFrame([(7, "x", 20)],
+                                  "k long, v string, ts long"),
+            ["k"], "ts", n_buckets=2)
+    upsert_bucketed(
+        spark, tgt,
+        spark.createDataFrame([(7, "v7b", 20)],
+                              "k long, v string, ts long"),
+        ["k"], "ts")
+    got = _rows(spark, tgt)
+    assert len(got) == 50 and got[7] == ("v7b", 20)
+
+
+def test_compact_unifies_schema_and_files(spark, tmp_path):
+    tgt = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(40)], "k long, v string, ts long")
+    upsert_bucketed(spark, tgt, base, ["k"], "ts", n_buckets=4)
+    widened = spark.createDataFrame(
+        [(1, "v1b", 20, "n1")], "k long, v string, ts long, note string")
+    upsert_bucketed(spark, tgt, widened, ["k"], "ts", evolve_schema=True)
+
+    st = table_stats(spark, tgt)
+    assert st["schema_drift"] and st["distinct_schemas"] == 2
+    assert st["n_rows"] == 40
+
+    compact_table(spark, tgt)
+    st2 = table_stats(spark, tgt)
+    assert not st2["schema_drift"] and st2["distinct_schemas"] == 1
+    assert st2["max_files_per_bucket"] == 1
+    assert st2["n_rows"] == 40 and st2["n_buckets_observed"] == 4
+    # plain read (no mergeSchema) now sees the evolved column everywhere
+    plain = spark.read.parquet(tgt)
+    assert "note" in plain.columns
+    got = {r["k"]: r["note"] for r in plain.collect()}
+    assert got[1] == "n1" and got[2] is None
+
+    # files_per_bucket>1 splits an oversized bucket's rewrite
+    compact_table(spark, tgt, files_per_bucket=2)
+    st3 = table_stats(spark, tgt)
+    assert st3["n_rows"] == 40
+    assert st3["max_files_per_bucket"] <= 2
+
+
+def test_scd2_bucketed_layout_enforced(spark, tmp_path):
+    from cdc_data_pipeline_spark.operators.scd2 import scd2_bucketed
+
+    tgt = str(tmp_path / "snap")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, attr string")
+    scd2_bucketed(spark, tgt, b1, ["k"], ["attr"], "2024-01-01 00:00:00",
+                  n_buckets=4)
+    assert (tmp_path / "snap" / TABLE_META).exists()
+
+    b2 = spark.createDataFrame([(1, "a2")], "k long, attr string")
+    with pytest.raises(ValueError, match="conflicts"):
+        scd2_bucketed(spark, tgt, b2, ["k"], ["attr"],
+                      "2024-01-02 00:00:00", n_buckets=8)
+    scd2_bucketed(spark, tgt, b2, ["k"], ["attr"], "2024-01-02 00:00:00")
+    snap = spark.read.parquet(tgt)
+    assert snap.filter(F.col("k") == 1).count() == 2      # two versions
+    assert snap.filter(F.col("dbt_valid_to").isNull()).count() == 2
