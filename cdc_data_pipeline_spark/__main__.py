@@ -70,6 +70,27 @@ def main(argv=None) -> int:
         "vacuum", help="delete all but the last N versions of a versioned table")
     vcp.add_argument("--table-path", required=True)
     vcp.add_argument("--keep", type=int, default=2)
+    tsp = sub.add_parser(
+        "table-stats", help="maintenance signal for a bucketed CDC "
+                            "table: rows + skew per bucket, file "
+                            "counts, per-bucket schema drift")
+    tsp.add_argument("--path", required=True)
+    tcp = sub.add_parser(
+        "table-compact", help="rewrite a bucketed CDC table under its "
+                              "current layout: unify post-evolution "
+                              "footer schemas, cluster each bucket "
+                              "into --files-per-bucket files")
+    tcp.add_argument("--path", required=True)
+    tcp.add_argument("--files-per-bucket", type=int, default=1)
+    trp = sub.add_parser(
+        "table-rebucket", help="grow a bucketed CDC table's layout "
+                               "(one planned full rewrite; buckets "
+                               "must stay executor-sized as the "
+                               "table grows)")
+    trp.add_argument("--path", required=True)
+    trp.add_argument("--to", type=int, required=True,
+                     help="new bucket count")
+    trp.add_argument("--files-per-bucket", type=int, default=1)
     ip = sub.add_parser(
         "index", help="build a persisted IVF similarity index from the "
                       "embeddings table (--pq adds PQ codes: the code "
@@ -175,6 +196,20 @@ def main(argv=None) -> int:
             removed = V.vacuum_versions(args.table_path, keep_last=args.keep)
             print(json.dumps({"removed": removed,
                               "versions": V.list_versions(args.table_path)}))
+        return 0
+
+    if args.cmd in ("table-stats", "table-compact", "table-rebucket"):
+        from cdc_data_pipeline_spark.operators import incremental as inc
+        from cdc_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("cdc-table")
+        if args.cmd == "table-compact":
+            inc.compact_table(spark, args.path,
+                              files_per_bucket=args.files_per_bucket)
+        elif args.cmd == "table-rebucket":
+            inc.rebucket(spark, args.path, args.to,
+                         files_per_bucket=args.files_per_bucket)
+        print(json.dumps(inc.table_stats(spark, args.path)))
         return 0
 
     if args.cmd == "index":
