@@ -82,6 +82,9 @@ def main(argv=None) -> int:
                               "into --files-per-bucket files")
     tcp.add_argument("--path", required=True)
     tcp.add_argument("--files-per-bucket", type=int, default=1)
+    tcp.add_argument("--lock", action="store_true",
+                     help="serialize against other locked maintainers "
+                          "via a sibling lock root")
     trp = sub.add_parser(
         "table-rebucket", help="grow a bucketed CDC table's layout "
                                "(one planned full rewrite; buckets "
@@ -91,6 +94,9 @@ def main(argv=None) -> int:
     trp.add_argument("--to", type=int, required=True,
                      help="new bucket count")
     trp.add_argument("--files-per-bucket", type=int, default=1)
+    trp.add_argument("--lock", action="store_true",
+                     help="serialize against other locked maintainers "
+                          "via a sibling lock root")
     ip = sub.add_parser(
         "index", help="build a persisted IVF similarity index from the "
                       "embeddings table (--pq adds PQ codes: the code "
@@ -205,10 +211,12 @@ def main(argv=None) -> int:
         spark = get_spark("cdc-table")
         if args.cmd == "table-compact":
             inc.compact_table(spark, args.path,
-                              files_per_bucket=args.files_per_bucket)
+                              files_per_bucket=args.files_per_bucket,
+                              lock=args.lock)
         elif args.cmd == "table-rebucket":
             inc.rebucket(spark, args.path, args.to,
-                         files_per_bucket=args.files_per_bucket)
+                         files_per_bucket=args.files_per_bucket,
+                         lock=args.lock)
         print(json.dumps(inc.table_stats(spark, args.path)))
         return 0
 

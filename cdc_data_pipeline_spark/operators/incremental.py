@@ -346,10 +346,28 @@ def _rewrite_table(spark: SparkSession, target_path: str, meta: dict,
     _replace_dir(spark, target_path, tmp)
 
 
+def _maybe_table_lock(spark: SparkSession, target_path: str, lock: bool,
+                      lock_ttl: float, lock_timeout: float):
+    """Optional hard exclusion for table rewrites, same contract as
+    ``lsm.maintenance_lock`` on the index families. The marker lives
+    under a SIBLING root (``<table>.__maint__``): the rewrite swaps
+    the table directory wholesale, which would delete a marker living
+    inside it mid-hold."""
+    if not lock:
+        from contextlib import nullcontext
+
+        return nullcontext()
+    from cdc_data_pipeline_spark.operators.lsm import maintenance_lock
+
+    return maintenance_lock(spark, target_path.rstrip("/") + ".__maint__",
+                            ttl_sec=lock_ttl, timeout_sec=lock_timeout)
+
+
 def rebucket(spark: SparkSession, target_path: str, n_buckets: int,
              keys: Sequence[str] | None = None,
              tracking_column: str | None = None,
-             files_per_bucket: int = 1) -> None:
+             files_per_bucket: int = 1, lock: bool = False,
+             lock_ttl: float = 3600.0, lock_timeout: float = 60.0) -> None:
     """Change a bucketed table's layout — the grow operation. A bucket
     count fixed at table creation stops fitting as the table grows
     1000×: per-bucket merge cost in ``upsert_bucketed`` is O(bucket),
@@ -361,19 +379,23 @@ def rebucket(spark: SparkSession, target_path: str, n_buckets: int,
     tables. The swap is atomic; concurrent upserts remain unsafe
     during a rewrite (single-maintenance-writer contract, same as the
     index families — use ``lsm.maintenance_lock`` for hard exclusion)."""
-    meta = _read_table_meta(spark, target_path)
-    if meta is None:
-        if keys is None or tracking_column is None:
-            raise ValueError(
-                "table has no persisted layout; pass keys and "
-                "tracking_column to rebucket a pre-metadata table")
-        meta = {"keys": list(keys), "tracking_column": tracking_column}
-    meta["n_buckets"] = int(n_buckets)
-    _rewrite_table(spark, target_path, meta, files_per_bucket)
+    with _maybe_table_lock(spark, target_path, lock, lock_ttl,
+                           lock_timeout):
+        meta = _read_table_meta(spark, target_path)
+        if meta is None:
+            if keys is None or tracking_column is None:
+                raise ValueError(
+                    "table has no persisted layout; pass keys and "
+                    "tracking_column to rebucket a pre-metadata table")
+            meta = {"keys": list(keys), "tracking_column": tracking_column}
+        meta["n_buckets"] = int(n_buckets)
+        _rewrite_table(spark, target_path, meta, files_per_bucket)
 
 
 def compact_table(spark: SparkSession, target_path: str,
-                  files_per_bucket: int = 1) -> None:
+                  files_per_bucket: int = 1, lock: bool = False,
+                  lock_ttl: float = 3600.0,
+                  lock_timeout: float = 60.0) -> None:
     """Maintenance rewrite under the CURRENT layout: clusters every
     bucket into ``files_per_bucket`` files (a shuffle-partition-spread
     write can leave ~shuffle.partitions files per bucket) and rewrites
@@ -381,13 +403,15 @@ def compact_table(spark: SparkSession, target_path: str,
     upserts, untouched buckets keep their old physical schema until
     this runs, forcing readers through ``mergeSchema``. Post-compact,
     a plain read sees the full schema."""
-    meta = _read_table_meta(spark, target_path)
-    if meta is None:
-        raise ValueError(
-            "table has no persisted layout; run one upsert_bucketed "
-            "(which backfills it) or use rebucket(keys=..., "
-            "tracking_column=...)")
-    _rewrite_table(spark, target_path, meta, files_per_bucket)
+    with _maybe_table_lock(spark, target_path, lock, lock_ttl,
+                           lock_timeout):
+        meta = _read_table_meta(spark, target_path)
+        if meta is None:
+            raise ValueError(
+                "table has no persisted layout; run one upsert_bucketed "
+                "(which backfills it) or use rebucket(keys=..., "
+                "tracking_column=...)")
+        _rewrite_table(spark, target_path, meta, files_per_bucket)
 
 
 def table_stats(spark: SparkSession, target_path: str) -> dict:

@@ -146,3 +146,41 @@ def test_scd2_bucketed_layout_enforced(spark, tmp_path):
     snap = spark.read.parquet(tgt)
     assert snap.filter(F.col("k") == 1).count() == 2      # two versions
     assert snap.filter(F.col("dbt_valid_to").isNull()).count() == 2
+
+
+def test_locked_table_rewrites_serialize(spark, tmp_path):
+    """Two concurrent compact_table calls under ``lock=True``
+    SERIALIZE (both complete, data intact) — the table analogue of the
+    index-family lock test. The marker lives in a SIBLING root because
+    the rewrite swaps the table directory wholesale; it is gone after
+    both release."""
+    import threading
+
+    from cdc_data_pipeline_spark.operators import lsm
+    from cdc_data_pipeline_spark.sources import fsutil
+    from cdc_data_pipeline_spark.sources.fsutil import path_join
+
+    tgt = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(30)], "k long, v string, ts long")
+    upsert_bucketed(spark, tgt, base, ["k"], "ts", n_buckets=4)
+
+    errors = []
+    barrier = threading.Barrier(2)
+
+    def run():
+        barrier.wait()
+        try:
+            compact_table(spark, tgt, lock=True, lock_timeout=600)
+        except Exception as ex:  # noqa: BLE001 - assert below
+            errors.append(ex)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(600)
+    assert errors == []
+    assert not fsutil.exists(
+        spark, path_join(tgt + ".__maint__", lsm.MAINT_LOCK))
+    assert _rows(spark, tgt) == {i: (f"v{i}", 10) for i in range(30)}
