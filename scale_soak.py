@@ -146,6 +146,57 @@ def run_cdc_suite(spark, doc_path):
     return out
 
 
+def run_table_cdc_suite(spark, li_path, scaled_buckets=64):
+    """The bucketed-table analogue of the index CDC suites. Pins two
+    claims: a small fixed batch upsert stays ~FLAT as the table grows
+    Nx (partition pruning: only the ~20 touched buckets are merged),
+    and ``rebucket`` — the planned full-corpus rewrite — grows ~N.
+    Both layout variants are measured: one frozen at the 1x bucket
+    count and one scaled ∝ corpus. At fixture scale both stay flat
+    because per-task constant overhead dominates the per-bucket data
+    term; the frozen layout's ~N degradation (each affected bucket is
+    rewritten wholesale, and frozen buckets grow with the corpus)
+    emerges once buckets outgrow that overhead — which is exactly the
+    signal ``table_stats``' skew/row counts give a scheduler to
+    trigger ``rebucket`` before it hurts."""
+    from cdc_data_pipeline_spark.sources.readers import ensure_parallelism
+
+    li = ensure_parallelism(spark.read.parquet(li_path)).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    keys = ["l_orderkey", "l_linenumber"]
+    # a handful of orders (~20 rows), pinned to the unshifted replica
+    # so the batch is IDENTICAL at 1x and Nx — and SMALL relative to
+    # the bucket count, so partition pruning is what's being measured
+    # (a batch touching most buckets degenerates to a full-table merge
+    # under every layout)
+    fixed_batch = li.filter((F.col("l_orderkey") < SHIFT)
+                            & (F.col("l_orderkey") % 30011 == 0)) \
+        .withColumn("l_shipdate",
+                    F.col("l_shipdate") + F.expr("INTERVAL 1 DAY"))
+    out = {}
+    frozen_root = tempfile.mkdtemp(prefix="soak_tblf_")
+    scaled_root = tempfile.mkdtemp(prefix="soak_tbls_")
+    try:
+        frozen = frozen_root + "/t"
+        scaled = scaled_root + "/t"
+        out["tbl_build"] = timed(lambda: inc.upsert_bucketed(
+            spark, frozen, li, keys, "l_shipdate", n_buckets=64))
+        inc.upsert_bucketed(spark, scaled, li, keys, "l_shipdate",
+                            n_buckets=scaled_buckets)
+        out["tbl_upsert_frozen_layout"] = timed(
+            lambda: inc.upsert_bucketed(spark, frozen, fixed_batch,
+                                        keys, "l_shipdate"))
+        out["tbl_upsert_scaled_layout"] = timed(
+            lambda: inc.upsert_bucketed(spark, scaled, fixed_batch,
+                                        keys, "l_shipdate"))
+        out["tbl_rebucket"] = timed(lambda: inc.rebucket(
+            spark, frozen, 2 * scaled_buckets))
+    finally:
+        shutil.rmtree(frozen_root, ignore_errors=True)
+        shutil.rmtree(scaled_root, ignore_errors=True)
+    return out
+
+
 def run_ann_cdc_suite(spark, emb_path):
     """Same O(batch) claim for the persisted IVF ANN index: fixed-size
     vector-batch maintenance must stay ~flat as the indexed corpus
@@ -295,10 +346,12 @@ def main():
         base.update(run_text_suite(spark, docp_1))
         base.update(run_cdc_suite(spark, doc_1))
         base.update(run_ann_cdc_suite(spark, emb_1))
+        base.update(run_table_cdc_suite(spark, li_1, scaled_buckets=64))
         big = run_suite(spark, li_n, doc_n, emb_n)
         big.update(run_text_suite(spark, docp_n))
         big.update(run_cdc_suite(spark, doc_n))
         big.update(run_ann_cdc_suite(spark, emb_n))
+        big.update(run_table_cdc_suite(spark, li_n, scaled_buckets=64 * n))
         ratios = {k: round(big[k] / max(base[k], 0.05), 1) for k in base}
         print(json.dumps({"metric": "scale_soak", "n": n, "x1_sec": base,
                           "xN_sec": big, "ratio": ratios}))
