@@ -668,27 +668,12 @@ def q_video_features(spark, sf_dir):
     arithmetic sit under the oracle, which recomputes everything from
     code-point arithmetic without ever seeing a Y4M byte. Frame lumas
     are integers, so means sum exactly in doubles on both engines."""
-    import pandas as pd
-
     from cdc_data_pipeline_spark.operators.multimodal import (
         extract_video_features)
 
     docs = _docs(spark, sf_dir).filter(F.length("text") >= 1)
-
-    def to_y4m(batches):
-        for pdf in batches:
-            payloads = []
-            for text in pdf["text"]:
-                out = bytearray(b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n")
-                for ch in text:
-                    out += b"FRAME\n" + bytes([ord(ch) % 256] * 8) \
-                        + b"\x80" * 4
-                payloads.append(bytes(out))
-            yield pd.DataFrame({"media_id": pdf["doc_id"],
-                                "payload": payloads})
-
-    media = docs.mapInPandas(to_y4m, "media_id long, payload binary")
-    feats = extract_video_features(media, scene_threshold=16.0)
+    feats = extract_video_features(_docs_as_y4m(docs),
+                                   scene_threshold=16.0)
     return feats.select(
         "media_id", "width", "height", "n_frames", "duration_ms",
         F.round("mean_luma", 6).alias("mean_luma"),
@@ -713,6 +698,78 @@ SELECT doc_id AS media_id,
                        i -> abs(f[i] - f[i - 1]) > 16))::BIGINT
          AS scene_changes
 FROM chars
+"""
+
+
+def _docs_as_y4m(docs):
+    """documents -> real Y4M clips, one 4x2 C420 frame per code point
+    (shared by the video feature + dedup entries)."""
+    import pandas as pd
+
+    def to_y4m(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                out = bytearray(b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n")
+                for ch in text:
+                    out += b"FRAME\n" + bytes([ord(ch) % 256] * 8) \
+                        + b"\x80" * 4
+                payloads.append(bytes(out))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.mapInPandas(to_y4m, "media_id long, payload binary")
+
+
+def q_video_dup_pairs(spark, sf_dir):
+    """Cross-modal dedup, end to end REAL: Y4M clips decode through
+    ``extract_video_features``, the 64-bit temporal fingerprint
+    (sign-of-difference over frame lumas) feeds the SAME
+    pigeonhole-blocked Hamming join text SimHash uses
+    (``dedup.hamming_near_pairs``), and near-identical clips come out
+    as pairs. max_hamming=3 < blocks=8 guarantees full recall, so the
+    banded join must equal the oracle's brute-force O(n^2) scan —
+    pinning the blocking math, the fingerprint packing (incl. the
+    two's-complement sign), and the decode in one row. Clips shorter
+    than 16 frames are excluded: their fingerprints carry too few bits
+    to mean anything (an all-zero tail pairs everything short)."""
+    from cdc_data_pipeline_spark.operators.dedup import hamming_near_pairs
+    from cdc_data_pipeline_spark.operators.multimodal import (
+        extract_video_features)
+
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 16)
+    fps = extract_video_features(_docs_as_y4m(docs)) \
+        .select("media_id", "fingerprint")
+    return hamming_near_pairs(fps, fp_col="fingerprint",
+                              id_col="media_id", bits=64,
+                              max_hamming=3, blocks=8) \
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+SQL_VIDEO_DUP_PAIRS = """
+WITH chars AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> ord(substr(text, i, 1)) % 256) AS f
+  FROM documents WHERE length(text) >= 16),
+packed AS (
+  SELECT doc_id,
+         list_sum(list_transform(
+           range(1, least(len(f), 65)),
+           j -> CASE WHEN f[j + 1] > f[j]
+                THEN (1::HUGEINT << (least(len(f), 65) - 1 - j))
+                ELSE 0::HUGEINT END)) AS s
+  FROM chars),
+fp AS (
+  SELECT doc_id,
+         (CASE WHEN s >= 9223372036854775808::HUGEINT
+               THEN s - 18446744073709551616::HUGEINT
+               ELSE s END)::BIGINT AS v
+  FROM packed)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.v, b.v))::INTEGER AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.v, b.v)) <= 3
 """
 
 
@@ -1592,4 +1649,6 @@ EXTRA_QUERIES["audio_features"] = q_audio_features
 EXTRA_ORACLES["audio_features"] = SQL_AUDIO_FEATURES
 EXTRA_QUERIES["video_features"] = q_video_features
 EXTRA_ORACLES["video_features"] = SQL_VIDEO_FEATURES
+EXTRA_QUERIES["video_dup_pairs"] = q_video_dup_pairs
+EXTRA_ORACLES["video_dup_pairs"] = SQL_VIDEO_DUP_PAIRS
 EXTRA_ORACLES["ivf_topk"] = SQL_IVF_TOPK

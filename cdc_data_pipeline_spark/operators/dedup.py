@@ -280,29 +280,58 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
             f"({max_hamming=} >= {blocks=}); raise blocks or pass "
             f"allow_partial_recall=True to accept approximate recall"
         )
-    bits_per_block = bits // blocks
-    mask = (1 << bits_per_block) - 1
     if hash_fn == "md5":
         sh = simhash_md5(df, text_col, id_col, bits)
     else:
         sh = simhash(df, text_col, id_col, bits)
-    blocked = sh.select(
-        id_col, "simhash",
+    return hamming_near_pairs(sh, fp_col="simhash", id_col=id_col,
+                              bits=bits, max_hamming=max_hamming,
+                              blocks=blocks, allow_partial_recall=True)
+
+
+def hamming_near_pairs(fps: DataFrame, fp_col: str, id_col: str = "doc_id",
+                       bits: int = 64, max_hamming: int = 3,
+                       blocks: int = 8,
+                       allow_partial_recall: bool = False) -> DataFrame:
+    """Near-dup pairs by Hamming distance over ANY integer fingerprint
+    column — the pairing half of ``simhash_near_pairs``, factored out
+    so non-text fingerprints (the audio Haitsma-Kalker and video
+    temporal fingerprints from ``operators.multimodal``) feed the same
+    machinery: one modality-specific featurizer, one shared dedup
+    join.
+
+    Pigeonhole blocking: split the fingerprint into ``blocks`` chunks;
+    any pair within distance d < blocks must agree on >= 1 full chunk,
+    so the join key is (chunk_index, chunk_value) — no cross join.
+    Full recall REQUIRES ``max_hamming < blocks`` (a pair at distance
+    d >= blocks can differ in every chunk and never collide);
+    violating configurations raise unless ``allow_partial_recall``.
+    """
+    if max_hamming >= blocks and not allow_partial_recall:
+        raise ValueError(
+            f"pigeonhole blocking misses pairs at Hamming distance >= "
+            f"blocks ({max_hamming=} >= {blocks=}); raise blocks or pass "
+            f"allow_partial_recall=True to accept approximate recall"
+        )
+    bits_per_block = bits // blocks
+    mask = (1 << bits_per_block) - 1
+    blocked = fps.select(
+        id_col, fp_col,
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("blk"),
-                     F.shiftright(F.col("simhash"), i * bits_per_block).bitwiseAND(F.lit(mask)).alias("val"))
+                     F.shiftright(F.col(fp_col), i * bits_per_block).bitwiseAND(F.lit(mask)).alias("val"))
             for i in range(blocks)
         ])).alias("b"),
-    ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    ).select(id_col, fp_col, F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
     # The explicit repartition is a shared Exchange: both sides of the
     # self-join below canonicalize to the same subplan, so ReuseExchange
-    # computes the (expensive) signature subplan ONCE. Similar simhashes
+    # computes the (expensive) signature subplan ONCE. Similar hashes
     # cluster into hot blocks, so a streaming join beats bucket-local
     # pair expansion here (which would materialize m^2 structs per hot
     # bucket in one array).
     blocked = blocked.repartition(F.col("blk"), F.col("val"))
     a, b = blocked.alias("a"), blocked.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    hamming = F.bit_count(F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}")))
     # Hamming filter BEFORE the distinct: it's a per-row bit op on the
     # join output, and it shrinks the dedup shuffle by ~an order of
     # magnitude (candidates repeat up to ``blocks`` times).

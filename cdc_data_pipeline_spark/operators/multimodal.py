@@ -289,7 +289,11 @@ def audio_spectral_features(media: DataFrame, n_bins: int = 8) -> DataFrame:
             bits = 0
             for i in range(min(64, len(sub) - 1)):
                 bits = (bits << 1) | (1 if sub[i + 1] > sub[i] else 0)
-            fp = bits - (1 << 63) if bits >= (1 << 63) else bits  # long
+            # two's complement into a signed 64-bit long; subtracting
+            # 2**64 (not 2**63!) keeps the mapping a bijection — the
+            # wrong constant folds two distinct bit patterns onto one
+            # long and corrupts downstream Hamming distances
+            fp = bits - (1 << 64) if bits >= (1 << 63) else bits
             return (rate, centroid, dom, be, fp)
 
         for pdf in batches:
@@ -412,7 +416,8 @@ def extract_video_features(media: DataFrame, scene_threshold: float = 16.0,
             bits = 0
             for i in range(1, min(nf, 65)):
                 bits = (bits << 1) | (1 if means[i] > means[i - 1] else 0)
-            fp = bits - (1 << 63) if bits >= (1 << 63) else bits
+            # see audio_spectral_features: 2**64 keeps this a bijection
+            fp = bits - (1 << 64) if bits >= (1 << 63) else bits
             return (w, h, nf, num / den,
                     int(nf * 1000 * den // num), overall,
                     means[:max_lumas], scenes, fp)

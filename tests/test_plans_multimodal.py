@@ -544,3 +544,44 @@ def test_sample_video_frames_real_pixels(spark):
     assert [bytes(r["luma"]) for r in out] == [planes[0], planes[2],
                                                planes[4]]
     assert [r["mean_luma"] for r in out] == [0.0, 20.0, 40.0]
+
+
+def test_video_fingerprint_hamming_dedup(spark):
+    """The temporal fingerprint feeds the SAME pigeonhole Hamming join
+    text SimHash uses: exact-dup clips pair at distance 0, a one-frame
+    edit stays within the near-dup threshold, a reversed clip does
+    not. Also pins the two's-complement packing as a BIJECTION — an
+    alternating-luma clip's first transition is rising, so the top bit
+    is set and the fingerprint must come out as exactly
+    0xAAAA...AAAA reinterpreted signed (the old 2**63 conversion
+    folded two distinct bit patterns onto one long and corrupted
+    XOR distances)."""
+    import random
+
+    from cdc_data_pipeline_spark.operators.dedup import hamming_near_pairs
+    from cdc_data_pipeline_spark.operators.multimodal import (
+        extract_video_features)
+
+    rng = random.Random(7)
+    lumas = [rng.randrange(1, 200) for _ in range(66)]
+    near = list(lumas)
+    near[30] = 0                       # flips at most 2 transition bits
+    alternating = [10, 20] * 33        # 66 frames, transitions 1,0,1,0…
+    rows = [(1, _y4m_bytes(lumas)), (2, _y4m_bytes(lumas)),
+            (3, _y4m_bytes(near)), (4, _y4m_bytes(lumas[::-1])),
+            (5, _y4m_bytes(alternating))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats = extract_video_features(media).select("media_id", "fingerprint")
+
+    fps = {r["media_id"]: r["fingerprint"] for r in feats.collect()}
+    assert fps[5] == 0xAAAAAAAAAAAAAAAA - (1 << 64)   # signed bijection
+    assert fps[1] == fps[2]
+
+    pairs = hamming_near_pairs(feats, fp_col="fingerprint",
+                               id_col="media_id", bits=64,
+                               max_hamming=3, blocks=8)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got and 1 <= got[(1, 3)] <= 2
+    assert (2, 3) in got
+    assert not any(4 in p or 5 in p for p in got)
