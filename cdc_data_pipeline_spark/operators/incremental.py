@@ -190,8 +190,14 @@ def _overwrite_buckets_atomic(merged: DataFrame, target_path: str,
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
     for b in buckets:
         src = fs.path_join(tmp, f"{partition_col}={b}")
+        dst = fs.path_join(target_path, f"{partition_col}={b}")
         if fs.exists(spark, src):
-            _replace_dir(spark, fs.path_join(target_path, f"{partition_col}={b}"), src)
+            _replace_dir(spark, dst, src)
+        else:
+            # an affected bucket with no staged rows is now EMPTY —
+            # hard deletes can drain a whole bucket, and skipping the
+            # swap would resurrect its old rows
+            fs.delete(spark, dst)
     fs.delete(spark, tmp)
 
 
@@ -255,6 +261,8 @@ def upsert_bucketed(
     n_buckets: int | None = None,
     tiebreakers: Sequence[str] = (),
     evolve_schema: bool = False,
+    delete_col: str | None = None,
+    emit_changes: bool = False,
 ) -> None:
     """M2/M3 against a hash-bucketed parquet target, touching ONLY the
     buckets the batch's keys hash into.
@@ -268,6 +276,25 @@ def upsert_bucketed(
     of the naive sink does not scale past a few GB.
 
     Idempotent under replay: latest-record-wins within the bucket.
+
+    ``delete_col`` names a boolean column marking HARD DELETES (the
+    Debezium op='d' shape): the batch is collapsed to the latest op
+    per key by ``tracking_column`` first — so an upsert followed by a
+    later delete for the same key deletes, and vice versa — then
+    delete keys are dropped from their buckets and the column itself
+    never reaches the table.
+
+    ``emit_changes=True`` maintains a CHANGE DATA FEED under
+    ``<target>/_changes`` (invisible to table scans): each merge
+    commits one ``commit-<seq>-<digest>`` directory of row-level
+    changes (``_op`` in insert/update/delete — deletes carry the
+    preimage — plus ``_seq``), published via tmp+rename so consumers
+    never see a partial commit. The digest is content-derived from
+    the input batch, so a replayed micro-batch (foreachBatch redelivery)
+    is recognized and NOT re-committed — the feed stays exactly-once
+    while the merge itself stays idempotent. Downstream incrementals
+    consume deltas (``read_changes`` / ``stream_changes``) instead of
+    diffing snapshots.
 
     ``evolve_schema=True`` accepts drifted batches (see ``upsert``):
     the merge unions by name with missing columns as NULL, and the
@@ -292,7 +319,17 @@ def upsert_bucketed(
     meta = _read_table_meta(spark, target_path)
     n_resolved = _resolve_table_layout(meta, keys, tracking_column, n_buckets)
     stamped = batch.withColumn(BUCKET_COL, bucket_of(keys, n_resolved))
+    # latest op per key: delete/upsert ordering within the batch is
+    # settled HERE, by the tracking column — one op survives per key
     deduped = latest_per_key(stamped, keys, tracking_column, tiebreakers)
+    if delete_col is not None:
+        is_del = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        dels = deduped.filter(is_del)
+        ups = deduped.filter(~is_del).drop(delete_col)
+    else:
+        dels = None
+        ups = deduped
+    digest = _batch_digest(stamped) if emit_changes else None
     target = None
     if fsutil.exists(spark, target_path):
         try:
@@ -302,19 +339,175 @@ def upsert_bucketed(
         except Exception:
             target = None  # dir exists but holds no data files yet
     if target is None:
-        deduped.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
+        if emit_changes:
+            _commit_changes(
+                spark, target_path, digest,
+                ups.drop(BUCKET_COL).withColumn("_op", F.lit("insert")))
+        ups.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
         _publish_table_meta(spark, target_path, keys, tracking_column,
                             n_resolved)
         return
     buckets = [r[0] for r in stamped.select(BUCKET_COL).distinct().collect()]
     # partition filter prunes the scan to the affected buckets only
     affected = target.filter(F.col(BUCKET_COL).isin(buckets))
-    merged = upsert_dedup(affected, deduped, keys, tracking_column,
-                          tiebreakers, evolve_schema=evolve_schema)
+    batch_keys = deduped.select(*keys).distinct()
+    anti = affected.join(batch_keys, list(keys), "left_anti")
+    merged = anti.unionByName(ups, allowMissingColumns=evolve_schema)
+    if emit_changes:
+        # old rows being replaced or deleted: one pruned-scan semi join
+        old = affected.join(batch_keys, list(keys), "left_semi")
+        old_keys = old.select(*keys).distinct()
+        parts = [
+            ups.join(old_keys, list(keys), "left_anti")
+               .withColumn("_op", F.lit("insert")),
+            ups.join(old_keys, list(keys), "left_semi")
+               .withColumn("_op", F.lit("update")),
+        ]
+        if dels is not None:
+            # delete change rows carry the PREIMAGE (the row as it was)
+            parts.append(
+                old.join(dels.select(*keys).distinct(), list(keys),
+                         "left_semi").withColumn("_op", F.lit("delete")))
+        changes = parts[0]
+        for p in parts[1:]:
+            changes = changes.unionByName(p, allowMissingColumns=True)
+        # committed BEFORE the bucket swap: a crash in between replays
+        # with the same input digest, which is recognized and skipped,
+        # while recomputing AFTER the swap would misclassify replayed
+        # inserts as updates
+        _commit_changes(spark, target_path, digest,
+                        changes.drop(BUCKET_COL))
     _overwrite_buckets_atomic(merged, target_path, buckets)
     if meta is None:  # legacy pre-metadata table: backfill the layout
         _publish_table_meta(spark, target_path, keys, tracking_column,
                             n_resolved)
+
+
+CHANGES_DIR = "_changes"
+
+
+def _batch_digest(df: DataFrame) -> str:
+    """Order-independent content digest of a batch: per-row xxhash64
+    over the sorted column list, summed under two independent prime
+    moduli (keeps the running sums far from long overflow under ANSI
+    mode — raw 64-bit sums trip ARITHMETIC_OVERFLOW), plus the row
+    count. A replayed foreachBatch delivery carries identical content,
+    so its digest matches and the change-feed commit is skipped — the
+    at-least-once input becomes an exactly-once feed."""
+    cols = [F.col(c) for c in sorted(df.columns)]
+    h1 = F.pmod(F.xxhash64(*cols), F.lit(2147483647))
+    h2 = F.pmod(F.xxhash64(F.lit(0x9e3779b9), *cols), F.lit(2147483629))
+    r = df.agg(F.sum(h1).alias("s1"), F.sum(h2).alias("s2"),
+               F.count(F.lit(1)).alias("c")).first()
+    return f"{(r['s1'] or 0):x}.{(r['s2'] or 0):x}-{r['c']}"
+
+
+def _list_change_commits(spark: SparkSession, target_path: str) -> list[str]:
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    root = fsutil.path_join(target_path, CHANGES_DIR)
+    if not fsutil.exists(spark, root):
+        return []
+    return sorted(n for n in fsutil.list_names(spark, root)
+                  if n.startswith("commit-"))
+
+
+def _commit_changes(spark: SparkSession, target_path: str, digest: str,
+                    changes: DataFrame) -> bool:
+    """Publish one change-feed commit: ``commit-<seq10>-<digest>``,
+    written to a dot-prefixed temp dir (hidden from listings and from
+    the streaming file source) and renamed into place — consumers
+    never observe a partial commit. Returns False when a commit with
+    this input digest already exists (micro-batch replay)."""
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    commits = _list_change_commits(spark, target_path)
+    if any(c.split("-", 2)[2] == digest for c in commits):
+        return False
+    if changes.isEmpty():
+        # a batch that changed nothing (e.g. deletes of absent keys)
+        # commits nothing — replay skips via the same empty check, so
+        # no idempotency marker is needed (same hygiene as the
+        # index families' no-op deletes)
+        return False
+    seq = 1 + (int(commits[-1].split("-", 2)[1]) if commits else -1)
+    root = fsutil.path_join(target_path, CHANGES_DIR)
+    final = fsutil.path_join(root, f"commit-{seq:010d}-{digest}")
+    tmp = fsutil.path_join(root, f".staging-{digest}")
+    fsutil.delete(spark, tmp)
+    changes.withColumn("_seq", F.lit(seq).cast("long")) \
+        .write.mode("overwrite").parquet(tmp)
+    fsutil.rename(spark, tmp, final)
+    return True
+
+
+def read_changes(spark: SparkSession, target_path: str,
+                 since_seq: int = -1) -> DataFrame | None:
+    """Batch-consume the change feed: all commits with ``_seq`` >
+    ``since_seq`` (consumers persist their high-water ``_seq`` and
+    pass it back — the same watermark discipline as ``get_watermark``,
+    but over row-level deltas instead of snapshots). Commit pruning
+    happens on the directory LIST, not a data scan. None when nothing
+    is newer."""
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    root = fsutil.path_join(target_path, CHANGES_DIR)
+    dirs = [fsutil.path_join(root, c)
+            for c in _list_change_commits(spark, target_path)
+            if int(c.split("-", 2)[1]) > since_seq]
+    if not dirs:
+        return None
+    return spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+
+def stream_changes(spark: SparkSession, target_path: str,
+                   schema=None) -> DataFrame:
+    """Streaming-consume the change feed: a parquet file-stream source
+    over ``<target>/_changes`` — each published commit's files are
+    discovered as they appear (the dot-prefixed staging dir is
+    invisible, so partial commits never surface). ``schema`` defaults
+    to whatever the feed currently holds (file stream sources cannot
+    infer)."""
+    if schema is None:
+        got = read_changes(spark, target_path)
+        if got is None:
+            raise ValueError(
+                f"change feed at {target_path}/{CHANGES_DIR} is empty; "
+                "pass an explicit schema to stream from it")
+        schema = got.schema
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    return (spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "false")
+            .parquet(fsutil.path_join(target_path, CHANGES_DIR, "commit-*")))
+
+
+def delete_bucketed(spark: SparkSession, target_path: str,
+                    keys_df: DataFrame, emit_changes: bool = False) -> None:
+    """Hard-delete by key from a bucketed table: prunes to the buckets
+    the keys hash into, anti-joins them out, rewrites only those
+    buckets. With ``emit_changes`` the feed records the deleted
+    preimages (keys that matched nothing commit nothing)."""
+    meta = _read_table_meta(spark, target_path)
+    if meta is None:
+        raise ValueError("table has no persisted layout; run one "
+                         "upsert_bucketed first")
+    keys = meta["keys"]
+    stamped = keys_df.select(*keys).distinct() \
+        .withColumn(BUCKET_COL, bucket_of(keys, meta["n_buckets"]))
+    target = spark.read.option("mergeSchema", "true").parquet(target_path)
+    buckets = [r[0] for r in stamped.select(BUCKET_COL).distinct().collect()]
+    affected = target.filter(F.col(BUCKET_COL).isin(buckets))
+    victims = affected.join(stamped.drop(BUCKET_COL), list(keys),
+                            "left_semi")
+    if emit_changes:
+        digest = _batch_digest(stamped)
+        _commit_changes(spark, target_path, digest,
+                        victims.drop(BUCKET_COL)
+                        .withColumn("_op", F.lit("delete")))
+    merged = affected.join(stamped.drop(BUCKET_COL), list(keys),
+                           "left_anti")
+    _overwrite_buckets_atomic(merged, target_path, buckets)
 
 
 def _rewrite_table(spark: SparkSession, target_path: str, meta: dict,
@@ -343,7 +536,19 @@ def _rewrite_table(spark: SparkSession, target_path: str, meta: dict,
     import json
 
     fs.publish_text(spark, fs.path_join(tmp, TABLE_META), json.dumps(meta))
-    _replace_dir(spark, target_path, tmp)
+    # the _replace_dir swap, inlined so the change feed moves INSIDE
+    # the protected window: a rewrite is a layout operation, not a
+    # data change — no feed commit is added and none may be lost.
+    # Moving it before the target->old rename would maroon the feed in
+    # a staging dir a crashed run's rerun deletes wholesale.
+    old = target_path.rstrip("/") + ".__old__"
+    fs.delete(spark, old)
+    fs.rename(spark, target_path, old)
+    old_changes = fs.path_join(old, CHANGES_DIR)
+    if fs.exists(spark, old_changes):
+        fs.rename(spark, old_changes, fs.path_join(tmp, CHANGES_DIR))
+    fs.rename(spark, tmp, target_path)
+    fs.delete(spark, old)
 
 
 def _maybe_table_lock(spark: SparkSession, target_path: str, lock: bool,

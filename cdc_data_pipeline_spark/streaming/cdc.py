@@ -98,6 +98,8 @@ def stream_upsert_to_parquet(
     n_buckets: int | None = None,
     processing_time: str | None = None,
     evolve_schema: bool = False,
+    delete_col: str | None = None,
+    emit_changes: bool = False,
 ):
     """Run a streaming query that upsert-dedup-merges every micro-batch
     into a hash-bucketed parquet target. Exactly-once-ish: the merge is
@@ -111,6 +113,14 @@ def stream_upsert_to_parquet(
     ``incremental.upsert_bucketed``) — per-batch cost stays O(batch),
     not O(table), which is what makes this sink viable at 100 TB.
 
+    ``delete_col`` routes Debezium-style hard deletes into the merge
+    (latest op per key wins by the tracking column).
+
+    ``emit_changes=True`` maintains the table's change data feed; a
+    replayed micro-batch is recognized by its content digest and not
+    re-committed, so the feed is exactly-once even though foreachBatch
+    delivery is at-least-once (see ``incremental.upsert_bucketed``).
+
     ``evolve_schema=True`` tolerates mid-stream schema drift in the
     feed (see ``incremental.upsert`` — note the stream's own source
     schema is fixed at start; this matters when the sink path is
@@ -120,7 +130,8 @@ def stream_upsert_to_parquet(
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         upsert_bucketed(spark, target_path, batch, keys, tracking_column,
-                        n_buckets=n_buckets, evolve_schema=evolve_schema)
+                        n_buckets=n_buckets, evolve_schema=evolve_schema,
+                        delete_col=delete_col, emit_changes=emit_changes)
 
     writer = (
         stream.writeStream.foreachBatch(merge_batch)

@@ -1,0 +1,176 @@
+"""Change data feed + hard deletes on the bucketed CDC table.
+
+CDC *out*, not just in: every merge commits its row-level deltas
+(insert/update/delete with preimage) under ``<table>/_changes`` so
+downstream incrementals consume deltas instead of diffing snapshots.
+The feed must be exactly-once under foreachBatch redelivery (content
+digests), invisible to table scans (underscore prefix), atomic per
+commit (tmp+rename), and must survive layout rewrites.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cdc_data_pipeline_spark.operators.incremental import (
+    delete_bucketed, read_changes, rebucket, stream_changes,
+    upsert_bucketed)
+
+
+def _mk(spark, rows, schema="k long, v string, ts long, is_del boolean"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _feed(spark, tgt, since=-1):
+    got = read_changes(spark, tgt, since_seq=since)
+    if got is None:
+        return []
+    return sorted(
+        ((r["_seq"], r["_op"], r["k"], r["v"], r["ts"])
+         for r in got.collect()))
+
+
+def test_change_feed_ops_and_delete_preimage(spark, tmp_path):
+    tgt = str(tmp_path / "tbl")
+    base = _mk(spark, [(1, "a", 10, False), (2, "b", 10, False),
+                       (3, "c", 10, False)])
+    upsert_bucketed(spark, tgt, base, ["k"], "ts", n_buckets=4,
+                    delete_col="is_del", emit_changes=True)
+    assert _feed(spark, tgt) == [(0, "insert", 1, "a", 10),
+                                 (0, "insert", 2, "b", 10),
+                                 (0, "insert", 3, "c", 10)]
+    # delete_col never reaches the table
+    assert "is_del" not in spark.read.parquet(tgt).columns
+
+    batch = _mk(spark, [(2, "b2", 20, False),     # update
+                        (4, "d", 20, False),      # insert
+                        (3, None, 20, True)])     # hard delete
+    upsert_bucketed(spark, tgt, batch, ["k"], "ts",
+                    delete_col="is_del", emit_changes=True)
+
+    table = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert table == {1: "a", 2: "b2", 4: "d"}    # 3 hard-deleted
+    # the delete row carries the PREIMAGE (the row as it was)
+    assert _feed(spark, tgt, since=0) == [(1, "delete", 3, "c", 10),
+                                          (1, "insert", 4, "d", 20),
+                                          (1, "update", 2, "b2", 20)]
+    # the consumer watermark contract: nothing newer than seq 1
+    assert read_changes(spark, tgt, since_seq=1) is None
+
+
+def test_upsert_then_delete_same_key_in_one_batch(spark, tmp_path):
+    """Latest op per key wins by the tracking column — the ADVICE-r6
+    ordering bug shape, now on the TABLE sink: an upsert followed by a
+    later delete for one key must delete."""
+    tgt = str(tmp_path / "tbl")
+    upsert_bucketed(spark, tgt, _mk(spark, [(1, "a", 10, False)]),
+                    ["k"], "ts", n_buckets=4, delete_col="is_del")
+    batch = _mk(spark, [(1, "a2", 20, False), (1, None, 30, True),
+                        (2, "b", 20, True), (2, "b2", 30, False)])
+    upsert_bucketed(spark, tgt, batch, ["k"], "ts", delete_col="is_del")
+    table = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert table == {2: "b2"}          # 1 deleted last, 2 upserted last
+
+
+def test_replayed_batch_commits_once(spark, tmp_path):
+    """foreachBatch delivery is at-least-once; the feed must be
+    exactly-once. A byte-identical replayed batch is recognized by its
+    content digest and skipped — while the merge itself stays
+    idempotent."""
+    tgt = str(tmp_path / "tbl")
+    upsert_bucketed(spark, tgt, _mk(spark, [(1, "a", 10, False)]),
+                    ["k"], "ts", n_buckets=4, delete_col="is_del",
+                    emit_changes=True)
+    batch = _mk(spark, [(1, "a2", 20, False), (5, "e", 20, False)])
+    for _ in range(3):                 # deliver the same batch 3x
+        upsert_bucketed(spark, tgt, batch, ["k"], "ts",
+                        delete_col="is_del", emit_changes=True)
+    feed = _feed(spark, tgt)
+    assert len([x for x in feed if x[0] == 1]) == 2      # one commit
+    assert max(x[0] for x in feed) == 1                  # no seq 2/3
+    table = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert table == {1: "a2", 5: "e"}
+
+
+def test_delete_bucketed_and_noop_hygiene(spark, tmp_path):
+    tgt = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(10)], "k long, v string, ts long")
+    upsert_bucketed(spark, tgt, base, ["k"], "ts", n_buckets=4,
+                    emit_changes=True)
+    victims = spark.createDataFrame([(3,), (7,), (99,)], "k long")
+    delete_bucketed(spark, tgt, victims, emit_changes=True)
+    left = {r["k"] for r in spark.read.parquet(tgt).collect()}
+    assert left == set(range(10)) - {3, 7}
+    feed = _feed(spark, tgt, since=0)
+    assert feed == [(1, "delete", 3, "v3", 10), (1, "delete", 7, "v7", 10)]
+
+    # absent-only delete: no table change, NO commit accumulates
+    delete_bucketed(spark, tgt,
+                    spark.createDataFrame([(99,)], "k long"),
+                    emit_changes=True)
+    assert read_changes(spark, tgt, since_seq=1) is None
+
+
+def test_feed_survives_rebucket_and_scan_invisibility(spark, tmp_path):
+    tgt = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(20)], "k long, v string, ts long")
+    upsert_bucketed(spark, tgt, base, ["k"], "ts", n_buckets=2,
+                    emit_changes=True)
+    rebucket(spark, tgt, 8)
+    # the feed rode along: a layout rewrite adds and loses no commits
+    assert len(_feed(spark, tgt)) == 20
+    # and it never leaks into table scans
+    assert spark.read.parquet(tgt).count() == 20
+    # post-rebucket merges keep appending to the same feed
+    upsert_bucketed(spark, tgt,
+                    spark.createDataFrame([(1, "x", 20)],
+                                          "k long, v string, ts long"),
+                    ["k"], "ts", emit_changes=True)
+    assert _feed(spark, tgt, since=0) == [(1, "update", 1, "x", 20)]
+
+
+def test_stream_changes_consumes_feed(spark, tmp_path):
+    tgt = str(tmp_path / "tbl")
+    upsert_bucketed(spark, tgt,
+                    _mk(spark, [(1, "a", 10, False), (2, "b", 10, False)]),
+                    ["k"], "ts", n_buckets=4, delete_col="is_del",
+                    emit_changes=True)
+    upsert_bucketed(spark, tgt,
+                    _mk(spark, [(1, None, 20, True), (3, "c", 20, False)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True)
+
+    seen = []
+    q = (stream_changes(spark, tgt)
+         .writeStream.foreachBatch(
+             lambda df, _id: seen.extend(
+                 (r["_seq"], r["_op"], r["k"]) for r in df.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert sorted(seen) == [(0, "insert", 1), (0, "insert", 2),
+                            (1, "delete", 1), (1, "insert", 3)]
+
+
+def test_stream_upsert_with_deletes_and_feed(spark, tmp_path):
+    """End to end through the streaming sink: a file stream of CDC ops
+    (incl. a hard delete) lands in the bucketed table AND the change
+    feed, exactly once."""
+    from cdc_data_pipeline_spark.streaming.cdc import (
+        stream_upsert_to_parquet)
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tbl")
+    _mk(spark, [(1, "a", 10, False), (2, "b", 10, False),
+                (2, None, 20, True)]).write.parquet(src)
+    stream = spark.readStream.schema(
+        "k long, v string, ts long, is_del boolean").parquet(src)
+    q = stream_upsert_to_parquet(
+        stream, tgt, ["k"], "ts", str(tmp_path / "ck"), n_buckets=4,
+        delete_col="is_del", emit_changes=True)
+    q.awaitTermination(120)
+    table = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert table == {1: "a"}           # 2 upserted then hard-deleted
+    feed = _feed(spark, tgt)
+    assert feed == [(0, "insert", 1, "a", 10)]
