@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     "doc_embeddings",
     "bm25_topk",
     "hybrid_rrf_topk",
+    # r7: the bucketed table's change-data-feed lifecycle (build +
+    # mixed-op merge + feed read) — the engine's flagship CDC-out path
+    "table_change_feed",
 ]
 
 

@@ -446,7 +446,11 @@ QUERIES = {
     "dim_savings_plan": q_dim_savings_plan,
     "fact_savings_transaction": q_fact_savings_transaction,
     "incremental_watermark": q_incremental_watermark,
-    "upsert": q_upsert,
+# upsert (M2) rotated to the local-parity tier in round 7: its
+# anti-join+union machinery is a strict subset of upsert_dedup (M3)
+# and of the promoted table_change_feed lifecycle row (ext.py), which
+# runs the same merge through the bucketed sink WITH hard deletes and
+# the change data feed under a value-exact oracle.
     "upsert_dedup": q_upsert_dedup,
     "snapshot_load": q_snapshot_load,
     "scd2_check": q_scd2_check,
@@ -464,7 +468,6 @@ ORACLES = {
     "dim_savings_plan": SQL_DIM_SAVINGS_PLAN,
     "fact_savings_transaction": SQL_FACT_SAVINGS_TRANSACTION,
     "incremental_watermark": SQL_INCREMENTAL_WATERMARK,
-    "upsert": SQL_UPSERT,
     "upsert_dedup": SQL_UPSERT_DEDUP,
     "snapshot_load": SQL_SNAPSHOT_LOAD,
     "scd2_check": SQL_SCD2_CHECK,
@@ -483,11 +486,13 @@ ORACLES = {
 # oracle-verified by tests/test_oracle_parity.py on every run, just
 # not exported through __spark_entry__.queries().
 EXTRA_QUERIES = {
+    "upsert": q_upsert,
     "scd2_current": q_scd2_current,
     "duplicate_keys": q_duplicate_keys,
     "top_orders": q_top_orders,
 }
 EXTRA_ORACLES = {
+    "upsert": SQL_UPSERT,
     "scd2_current": SQL_SCD2_CURRENT,
     "duplicate_keys": SQL_DUPLICATE_KEYS,
     "top_orders": SQL_TOP_ORDERS,

@@ -773,6 +773,70 @@ WHERE bit_count(xor(a.v, b.v)) <= 3
 """
 
 
+def q_table_change_feed(spark, sf_dir):
+    """The bucketed CDC table's CHANGE DATA FEED through a full
+    lifecycle, pinned value-exact to SQL: build the table from
+    ``orders`` (feed seq 0 = one insert per row), then apply ONE batch
+    carrying all three op kinds — updates (+1.50 on every 7th-not-11th
+    order, tracking advanced a day), inserts (every 13th order re-keyed
+    +100M), hard deletes (every 11th order) — and return the seq-1
+    deltas. The oracle recomputes the expected delta set from
+    ``orders`` alone: update rows must carry the NEW values, delete
+    rows the PREIMAGE, inserts the new keys. Any misclassification
+    (insert-vs-update), lost delete, or leaked delete_col breaks the
+    hash. Throwaway table, removed after materialization."""
+    import shutil
+    import tempfile
+
+    from cdc_data_pipeline_spark.catalog.core import lifecycle_result
+    from cdc_data_pipeline_spark.operators.incremental import (
+        read_changes, upsert_bucketed)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate")
+    root = tempfile.mkdtemp(prefix="cdcspark_feed_")
+    path = root + "/t"
+    try:
+        upsert_bucketed(spark, path, base, ["o_orderkey"], "o_orderdate",
+                        n_buckets=8, emit_changes=True)
+        k = F.col("o_orderkey")
+        upd = base.filter((k % 7 == 0) & (k % 11 != 0)).select(
+            k.alias("o_orderkey"),
+            F.round(F.col("o_totalprice") + 1.5, 2).alias("o_totalprice"),
+            F.date_add("o_orderdate", 1).alias("o_orderdate"),
+            F.lit(False).alias("is_del"))
+        ins = base.filter(k % 13 == 0).select(
+            (k + 100_000_000).alias("o_orderkey"), "o_totalprice",
+            "o_orderdate", F.lit(False).alias("is_del"))
+        dels = base.filter(k % 11 == 0).select(
+            "o_orderkey", "o_totalprice",
+            F.date_add("o_orderdate", 1).alias("o_orderdate"),
+            F.lit(True).alias("is_del"))
+        batch = upd.unionByName(ins).unionByName(dels)
+        upsert_bucketed(spark, path, batch, ["o_orderkey"], "o_orderdate",
+                        delete_col="is_del", emit_changes=True)
+        feed = read_changes(spark, path, since_seq=0).select(
+            "_op", "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"))
+        return lifecycle_result(feed, root)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+SQL_TABLE_CHANGE_FEED = """
+SELECT 'update' AS _op, o_orderkey,
+       ROUND(o_totalprice + 1.5, 2) AS price
+FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+UNION ALL
+SELECT 'insert', o_orderkey + 100000000, ROUND(o_totalprice, 2)
+FROM orders WHERE o_orderkey % 13 = 0
+UNION ALL
+SELECT 'delete', o_orderkey, ROUND(o_totalprice, 2)
+FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+
 QUERIES = {
     "events_json_extract": q_events_json,
     "text_stats": q_text_stats,
@@ -1651,4 +1715,11 @@ EXTRA_QUERIES["video_features"] = q_video_features
 EXTRA_ORACLES["video_features"] = SQL_VIDEO_FEATURES
 EXTRA_QUERIES["video_dup_pairs"] = q_video_dup_pairs
 EXTRA_ORACLES["video_dup_pairs"] = SQL_VIDEO_DUP_PAIRS
+# driver tier (rotated in for core.py's `upsert` in round 7, whose
+# anti-join+union is a strict subset of both upsert_dedup and this
+# row's bucketed merge): the change data feed is flagship CDC-out
+# machinery — hard deletes, op classification, delete preimages, and
+# exactly-once commit publication all sit under the value-exact gate.
+QUERIES["table_change_feed"] = q_table_change_feed
+ORACLES["table_change_feed"] = SQL_TABLE_CHANGE_FEED
 EXTRA_ORACLES["ivf_topk"] = SQL_IVF_TOPK
