@@ -97,6 +97,16 @@ def main(argv=None) -> int:
     trp.add_argument("--lock", action="store_true",
                      help="serialize against other locked maintainers "
                           "via a sibling lock root")
+    tchp = sub.add_parser(
+        "table-changes", help="read a bucketed table's change data "
+                              "feed (row-level insert/update/delete "
+                              "deltas with _seq) newer than a "
+                              "consumer watermark")
+    tchp.add_argument("--path", required=True)
+    tchp.add_argument("--since-seq", type=int, default=-1,
+                      help="high-water _seq the consumer has already "
+                           "applied (default: everything)")
+    tchp.add_argument("--limit", type=int, default=20)
     ip = sub.add_parser(
         "index", help="build a persisted IVF similarity index from the "
                       "embeddings table (--pq adds PQ codes: the code "
@@ -202,6 +212,22 @@ def main(argv=None) -> int:
             removed = V.vacuum_versions(args.table_path, keep_last=args.keep)
             print(json.dumps({"removed": removed,
                               "versions": V.list_versions(args.table_path)}))
+        return 0
+
+    if args.cmd == "table-changes":
+        from cdc_data_pipeline_spark.operators.incremental import (
+            read_changes)
+        from cdc_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("cdc-table")
+        got = read_changes(spark, args.path, since_seq=args.since_seq)
+        if got is None:
+            print(json.dumps({"commits": 0, "rows": 0}))
+            return 0
+        got.orderBy("_seq").show(args.limit, truncate=False)
+        print(json.dumps({
+            "rows": got.count(),
+            "max_seq": got.agg({"_seq": "max"}).first()[0]}))
         return 0
 
     if args.cmd in ("table-stats", "table-compact", "table-rebucket"):
