@@ -82,6 +82,11 @@ def main(argv=None) -> int:
                               "into --files-per-bucket files")
     tcp.add_argument("--path", required=True)
     tcp.add_argument("--files-per-bucket", type=int, default=1)
+    tcp.add_argument("--sort-by", default=None,
+                     help="comma-separated columns to cluster rows by "
+                          "inside each bucket (row-group data "
+                          "skipping; the tracking column is the "
+                          "natural choice)")
     tcp.add_argument("--lock", action="store_true",
                      help="serialize against other locked maintainers "
                           "via a sibling lock root")
@@ -238,6 +243,8 @@ def main(argv=None) -> int:
         if args.cmd == "table-compact":
             inc.compact_table(spark, args.path,
                               files_per_bucket=args.files_per_bucket,
+                              sort_by=(args.sort_by.split(",")
+                                       if args.sort_by else ()),
                               lock=args.lock)
         elif args.cmd == "table-rebucket":
             inc.rebucket(spark, args.path, args.to,

@@ -511,12 +511,18 @@ def delete_bucketed(spark: SparkSession, target_path: str,
 
 
 def _rewrite_table(spark: SparkSession, target_path: str, meta: dict,
-                   files_per_bucket: int = 1) -> None:
+                   files_per_bucket: int = 1,
+                   sort_by: Sequence[str] = ()) -> None:
     """Full-table rewrite under the (possibly new) layout in ``meta``:
     re-stamp buckets, cluster each bucket into ``files_per_bucket``
     files, write to a staging sibling WITH its metadata, then swap —
     readers see the old table until the atomic rename, and a crash
-    mid-rewrite leaves the live table untouched."""
+    mid-rewrite leaves the live table untouched. ``sort_by`` sorts
+    rows within each task before the write so parquet row groups carry
+    tight min/max statistics on those columns — scans filtering on
+    them then skip whole row groups at the reader level (the
+    data-skipping half of Delta's OPTIMIZE ZORDER, for the common
+    single-column time-range case)."""
     from cdc_data_pipeline_spark.sources import fsutil as fs
 
     keys, n = meta["keys"], meta["n_buckets"]
@@ -530,6 +536,8 @@ def _rewrite_table(spark: SparkSession, target_path: str, meta: dict,
         data = data.repartition(n * f, F.col(BUCKET_COL), salt)
     else:
         data = data.repartition(n, F.col(BUCKET_COL))
+    if sort_by:
+        data = data.sortWithinPartitions(BUCKET_COL, *sort_by)
     tmp = target_path.rstrip("/") + ".__rewrite__"
     fs.delete(spark, tmp)
     data.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
@@ -571,8 +579,9 @@ def _maybe_table_lock(spark: SparkSession, target_path: str, lock: bool,
 def rebucket(spark: SparkSession, target_path: str, n_buckets: int,
              keys: Sequence[str] | None = None,
              tracking_column: str | None = None,
-             files_per_bucket: int = 1, lock: bool = False,
-             lock_ttl: float = 3600.0, lock_timeout: float = 60.0) -> None:
+             files_per_bucket: int = 1, sort_by: Sequence[str] = (),
+             lock: bool = False, lock_ttl: float = 3600.0,
+             lock_timeout: float = 60.0) -> None:
     """Change a bucketed table's layout — the grow operation. A bucket
     count fixed at table creation stops fitting as the table grows
     1000×: per-bucket merge cost in ``upsert_bucketed`` is O(bucket),
@@ -594,11 +603,12 @@ def rebucket(spark: SparkSession, target_path: str, n_buckets: int,
                     "tracking_column to rebucket a pre-metadata table")
             meta = {"keys": list(keys), "tracking_column": tracking_column}
         meta["n_buckets"] = int(n_buckets)
-        _rewrite_table(spark, target_path, meta, files_per_bucket)
+        _rewrite_table(spark, target_path, meta, files_per_bucket, sort_by)
 
 
 def compact_table(spark: SparkSession, target_path: str,
-                  files_per_bucket: int = 1, lock: bool = False,
+                  files_per_bucket: int = 1,
+                  sort_by: Sequence[str] = (), lock: bool = False,
                   lock_ttl: float = 3600.0,
                   lock_timeout: float = 60.0) -> None:
     """Maintenance rewrite under the CURRENT layout: clusters every
@@ -607,7 +617,11 @@ def compact_table(spark: SparkSession, target_path: str,
     every footer with the merged schema — after ``evolve_schema``
     upserts, untouched buckets keep their old physical schema until
     this runs, forcing readers through ``mergeSchema``. Post-compact,
-    a plain read sees the full schema."""
+    a plain read sees the full schema. ``sort_by`` additionally
+    clusters rows inside each bucket for row-group data skipping
+    (see ``_rewrite_table``) — for a CDC table the natural choice is
+    the tracking column, making time-range scans skip cold row
+    groups."""
     with _maybe_table_lock(spark, target_path, lock, lock_ttl,
                            lock_timeout):
         meta = _read_table_meta(spark, target_path)
@@ -616,7 +630,7 @@ def compact_table(spark: SparkSession, target_path: str,
                 "table has no persisted layout; run one upsert_bucketed "
                 "(which backfills it) or use rebucket(keys=..., "
                 "tracking_column=...)")
-        _rewrite_table(spark, target_path, meta, files_per_bucket)
+        _rewrite_table(spark, target_path, meta, files_per_bucket, sort_by)
 
 
 def table_stats(spark: SparkSession, target_path: str) -> dict:

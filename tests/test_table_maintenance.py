@@ -184,3 +184,31 @@ def test_locked_table_rewrites_serialize(spark, tmp_path):
     assert not fsutil.exists(
         spark, path_join(tgt + ".__maint__", lsm.MAINT_LOCK))
     assert _rows(spark, tgt) == {i: (f"v{i}", 10) for i in range(30)}
+
+
+def test_compact_sort_by_row_group_stats(spark, tmp_path):
+    """``sort_by`` clusters rows inside each bucket so parquet row
+    groups carry TIGHT min/max stats on the sort column — the
+    data-skipping property: verified physically (every file sorted by
+    ts, so multi-row-group files have non-overlapping ranges) and
+    logically (a time-range filter still returns exactly the right
+    rows)."""
+    import pyarrow.parquet as pq
+
+    tgt = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", (i * 7919) % 1000) for i in range(2000)],
+        "k long, v string, ts long")
+    upsert_bucketed(spark, tgt, base, ["k"], "ts", n_buckets=4)
+    compact_table(spark, tgt, sort_by=["ts"])
+
+    files = list((tmp_path / "tbl").glob("__kb=*/*.parquet"))
+    assert files
+    for f in files:
+        ts = pq.read_table(str(f), columns=["ts"])["ts"].to_pylist()
+        assert ts == sorted(ts)        # row groups get tight min/max
+
+    got = {r["k"] for r in spark.read.parquet(tgt)
+           .filter(F.col("ts") < 100).collect()}
+    want = {i for i in range(2000) if (i * 7919) % 1000 < 100}
+    assert got == want
