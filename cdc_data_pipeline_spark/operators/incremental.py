@@ -263,9 +263,18 @@ def upsert_bucketed(
     evolve_schema: bool = False,
     delete_col: str | None = None,
     emit_changes: bool = False,
+    update_preimages: bool = False,
 ) -> None:
     """M2/M3 against a hash-bucketed parquet target, touching ONLY the
     buckets the batch's keys hash into.
+
+    ``update_preimages=True`` switches the feed to Delta-CDF-style
+    update rows: each update commits an ``update_preimage`` (the row
+    as it was) AND an ``update_postimage`` — the pair incremental view
+    maintenance needs to subtract the old contribution and add the
+    new one (``agg_deltas_from_feed``). Default keeps the single
+    ``update`` row (postimage only), which replication
+    (``apply_changes``) is happy with.
 
     This is the design that survives 100 TB: the target is partitioned
     by ``pmod(xxhash64(keys), n_buckets)``; a micro-batch (a) computes
@@ -361,8 +370,16 @@ def upsert_bucketed(
             ups.join(old_keys, list(keys), "left_anti")
                .withColumn("_op", F.lit("insert")),
             ups.join(old_keys, list(keys), "left_semi")
-               .withColumn("_op", F.lit("update")),
+               .withColumn("_op", F.lit(
+                   "update_postimage" if update_preimages else "update")),
         ]
+        if update_preimages:
+            # the replaced row as it WAS — what incremental view
+            # maintenance subtracts (Delta CDF's update_preimage)
+            ups_keys = ups.select(*keys).distinct()
+            parts.append(
+                old.join(ups_keys, list(keys), "left_semi")
+                   .withColumn("_op", F.lit("update_preimage")))
         if dels is not None:
             # delete change rows carry the PREIMAGE (the row as it was)
             parts.append(
@@ -480,6 +497,69 @@ def stream_changes(spark: SparkSession, target_path: str,
     return (spark.readStream.schema(schema)
             .option("recursiveFileLookup", "false")
             .parquet(fsutil.path_join(target_path, CHANGES_DIR, "commit-*")))
+
+
+def apply_changes(spark: SparkSession, feed: DataFrame,
+                  replica_path: str, keys: Sequence[str],
+                  n_buckets: int | None = None) -> None:
+    """Maintain a REPLICA table from a change feed: collapse the feed
+    to the final op per key (latest ``_seq`` wins; preimage rows never
+    carry final state and are dropped), then apply it as ONE bucketed
+    merge — deletes and upserts together. Cost is O(changed keys), not
+    O(feed length) and not O(replica), however many commits are being
+    caught up at once; applying commits one at a time gives the same
+    end state (the collapse is associative). Idempotent: re-applying
+    an already-applied feed slice is a no-op merge."""
+    data_cols = [c for c in feed.columns if c not in ("_op", "_seq")]
+    final = latest_per_key(
+        feed.filter(~F.col("_op").isin("update_preimage")),
+        keys, "_seq")
+    batch = final.select(
+        *data_cols, (F.col("_op") == "delete").alias("__is_del"),
+        F.col("_seq").alias("__feed_seq"))
+    upsert_bucketed(spark, replica_path, batch, keys, "__feed_seq",
+                    n_buckets=n_buckets, delete_col="__is_del")
+    # __feed_seq rides along as the replica's tracking column — it IS
+    # the replication watermark (MAX(__feed_seq) = last applied commit)
+
+
+def agg_deltas_from_feed(feed: DataFrame, group_cols: Sequence[str],
+                         sum_cols: Sequence[str]) -> DataFrame:
+    """Incremental view maintenance deltas from a change feed built
+    with ``update_preimages=True``: each group's net change to
+    ``SUM(col)`` and ``COUNT(*)`` — postimages and inserts add,
+    preimages and deletes subtract. Merging these into a materialized
+    aggregate (add deltas, drop zero-count groups) keeps it equal to a
+    full recompute WITHOUT rescanning the table: per-refresh cost is
+    O(feed slice), the whole point of maintaining marts from a feed at
+    100 TB. Requires preimages: with postimage-only updates the old
+    contribution is unknown."""
+    sign = F.when(F.col("_op").isin("insert", "update_postimage",
+                                    "update"), F.lit(1)) \
+        .otherwise(F.lit(-1))
+    aggs = [F.sum(sign * F.col(c)).alias(f"delta_{c}") for c in sum_cols]
+    aggs.append(F.sum(sign).alias("delta_count"))
+    return feed.groupBy(*group_cols).agg(*aggs)
+
+
+def merge_agg_deltas(mart: DataFrame | None, deltas: DataFrame,
+                     group_cols: Sequence[str]) -> DataFrame:
+    """Fold IVM deltas into a materialized aggregate: full outer join
+    on the group, add component-wise, drop groups whose count reaches
+    zero. ``mart`` None bootstraps from the deltas alone."""
+    if mart is None:
+        return deltas.filter(F.col("delta_count") != 0)
+    val_cols = [c for c in deltas.columns if c not in group_cols]
+    m = mart
+    for c in val_cols:
+        m = m.withColumnRenamed(c, f"__m_{c}")
+    joined = m.join(deltas, list(group_cols), "full_outer")
+    out = joined.select(
+        *group_cols,
+        *[(F.coalesce(F.col(f"__m_{c}"), F.lit(0))
+           + F.coalesce(F.col(c), F.lit(0))).alias(c)
+          for c in val_cols])
+    return out.filter(F.col("delta_count") != 0)
 
 
 def delete_bucketed(spark: SparkSession, target_path: str,
