@@ -112,6 +112,10 @@ def main(argv=None) -> int:
                       help="high-water _seq the consumer has already "
                            "applied (default: everything)")
     tchp.add_argument("--limit", type=int, default=20)
+    tchp.add_argument("--vacuum-before", type=int, default=None,
+                      metavar="SEQ",
+                      help="first prune commits with _seq <= SEQ "
+                           "(run once every consumer is past it)")
     ip = sub.add_parser(
         "index", help="build a persisted IVF similarity index from the "
                       "embeddings table (--pq adds PQ codes: the code "
@@ -225,6 +229,12 @@ def main(argv=None) -> int:
         from cdc_data_pipeline_spark.session import get_spark
 
         spark = get_spark("cdc-table")
+        if args.vacuum_before is not None:
+            from cdc_data_pipeline_spark.operators.incremental import (
+                vacuum_changes)
+
+            print(json.dumps({"vacuumed": vacuum_changes(
+                spark, args.path, args.vacuum_before)}))
         got = read_changes(spark, args.path, since_seq=args.since_seq)
         if got is None:
             print(json.dumps({"commits": 0, "rows": 0}))

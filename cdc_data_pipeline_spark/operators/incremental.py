@@ -499,6 +499,28 @@ def stream_changes(spark: SparkSession, target_path: str,
             .parquet(fsutil.path_join(target_path, CHANGES_DIR, "commit-*")))
 
 
+def vacuum_changes(spark: SparkSession, target_path: str,
+                   before_seq: int) -> int:
+    """Prune change-feed commits with ``_seq`` <= ``before_seq`` —
+    run once every consumer's watermark has advanced past it. The
+    feed otherwise grows one directory per merge forever, and
+    ``_commit_changes`` lists the commit directory on every merge, so
+    an unvacuumed 24/7 stream pays O(total commits) listing per batch
+    on top of unbounded storage. Returns the number of commits
+    removed. The newest commit is always kept: its digest is the
+    replay-detection state for the next at-least-once delivery."""
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    commits = _list_change_commits(spark, target_path)
+    removed = 0
+    for c in commits[:-1] if commits else []:   # never the newest
+        if int(c.split("-", 2)[1]) <= before_seq:
+            fsutil.delete(spark, fsutil.path_join(
+                target_path, CHANGES_DIR, c))
+            removed += 1
+    return removed
+
+
 def apply_changes(spark: SparkSession, feed: DataFrame,
                   replica_path: str, keys: Sequence[str],
                   n_buckets: int | None = None) -> None:

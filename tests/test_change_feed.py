@@ -257,3 +257,54 @@ def test_agg_deltas_ivm_equals_recompute(spark, tmp_path):
             .collect()}
     assert got == want                  # and 'c' is in neither
     assert not any(g == "c" for g, _s, _c in got)
+
+
+def test_vacuum_changes_keeps_newest_and_replay_state(spark, tmp_path):
+    """Feed hygiene: commits at or below every consumer's watermark
+    prune away, the NEWEST commit always survives (its digest is the
+    replay-detection state for the next at-least-once delivery), and
+    a replay of the newest batch is still recognized post-vacuum."""
+    from cdc_data_pipeline_spark.operators.incremental import (
+        vacuum_changes)
+
+    tgt = str(tmp_path / "tbl")
+    upsert_bucketed(spark, tgt, _mk(spark, [(1, "a", 10, False)]),
+                    ["k"], "ts", n_buckets=4, delete_col="is_del",
+                    emit_changes=True)
+    b1 = _mk(spark, [(2, "b", 20, False)])
+    b2 = _mk(spark, [(3, "c", 30, False)])
+    upsert_bucketed(spark, tgt, b1, ["k"], "ts", delete_col="is_del",
+                    emit_changes=True)
+    upsert_bucketed(spark, tgt, b2, ["k"], "ts", delete_col="is_del",
+                    emit_changes=True)
+
+    assert vacuum_changes(spark, tgt, before_seq=99) == 2  # keeps newest
+    assert [x[0] for x in _feed(spark, tgt)] == [2]
+    # replay of the newest batch: still recognized, no new commit
+    upsert_bucketed(spark, tgt, b2, ["k"], "ts", delete_col="is_del",
+                    emit_changes=True)
+    assert [x[0] for x in _feed(spark, tgt)] == [2]
+    # new work continues the sequence past the vacuumed range
+    upsert_bucketed(spark, tgt, _mk(spark, [(4, "d", 40, False)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True)
+    assert [x[0] for x in _feed(spark, tgt)] == [2, 3]
+
+
+def test_feed_with_schema_evolution(spark, tmp_path):
+    """An evolved batch's feed commit carries the new column; earlier
+    commits surface NULL for it under the merged read."""
+    tgt = str(tmp_path / "tbl")
+    upsert_bucketed(spark, tgt,
+                    spark.createDataFrame([(1, "a", 10)],
+                                          "k long, v string, ts long"),
+                    ["k"], "ts", n_buckets=4, emit_changes=True)
+    widened = spark.createDataFrame(
+        [(1, "a2", 20, "n1"), (2, "b", 20, "n2")],
+        "k long, v string, ts long, note string")
+    upsert_bucketed(spark, tgt, widened, ["k"], "ts",
+                    evolve_schema=True, emit_changes=True)
+    feed = {(r["_seq"], r["_op"], r["k"]): r["note"]
+            for r in read_changes(spark, tgt).collect()}
+    assert feed[(1, "update", 1)] == "n1"
+    assert feed[(1, "insert", 2)] == "n2"
+    assert feed[(0, "insert", 1)] is None
