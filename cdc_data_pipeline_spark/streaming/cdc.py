@@ -100,6 +100,7 @@ def stream_upsert_to_parquet(
     evolve_schema: bool = False,
     delete_col: str | None = None,
     emit_changes: bool = False,
+    update_preimages: bool = False,
 ):
     """Run a streaming query that upsert-dedup-merges every micro-batch
     into a hash-bucketed parquet target. Exactly-once-ish: the merge is
@@ -131,7 +132,8 @@ def stream_upsert_to_parquet(
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         upsert_bucketed(spark, target_path, batch, keys, tracking_column,
                         n_buckets=n_buckets, evolve_schema=evolve_schema,
-                        delete_col=delete_col, emit_changes=emit_changes)
+                        delete_col=delete_col, emit_changes=emit_changes,
+                        update_preimages=update_preimages)
 
     writer = (
         stream.writeStream.foreachBatch(merge_batch)
