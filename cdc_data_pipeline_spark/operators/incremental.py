@@ -441,6 +441,10 @@ def _commit_changes(spark: SparkSession, target_path: str, digest: str,
     commits = _list_change_commits(spark, target_path)
     if any(c.split("-", 2)[2] == digest for c in commits):
         return False
+    # materialize once: isEmpty and the write below are separate
+    # ACTIONS, so without this the three change-classification joins
+    # run twice (ReusedExchange only dedupes within one plan)
+    changes = changes.localCheckpoint(eager=True)
     if changes.isEmpty():
         # a batch that changed nothing (e.g. deletes of absent keys)
         # commits nothing — replay skips via the same empty check, so
