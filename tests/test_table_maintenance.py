@@ -212,3 +212,44 @@ def test_compact_sort_by_row_group_stats(spark, tmp_path):
            .filter(F.col("ts") < 100).collect()}
     want = {i for i in range(2000) if (i * 7919) % 1000 < 100}
     assert got == want
+
+
+def test_table_and_feed_roundtrip_under_scheme(spark, tmp_path):
+    """The whole bucketed-table lifecycle — create, mixed-op merge
+    with feed, read_changes, rebucket (feed carried across the swap),
+    compact with sort_by, stats — under bare, ``file://`` and (when
+    compiled) ``mockfs://`` roots: every new fsutil call the table
+    family added must resolve through the Hadoop FileSystem, not
+    assume a local path."""
+    import pytest as _pytest
+
+    from tests.conftest import MOCKFS_CLASSPATH
+    from cdc_data_pipeline_spark.operators.incremental import (
+        read_changes)
+
+    schemes = ["", "file://"]
+    if MOCKFS_CLASSPATH is not None:
+        schemes.append("mockfs://")
+    for scheme in schemes:
+        tgt = scheme + str(tmp_path / f"tbl_{scheme.rstrip(':/') or 'bare'}")
+        base = spark.createDataFrame(
+            [(i, f"v{i}", 10, False) for i in range(12)],
+            "k long, v string, ts long, is_del boolean")
+        upsert_bucketed(spark, tgt, base, ["k"], "ts", n_buckets=2,
+                        delete_col="is_del", emit_changes=True)
+        batch = spark.createDataFrame(
+            [(1, "x", 20, False), (2, None, 20, True)],
+            "k long, v string, ts long, is_del boolean")
+        upsert_bucketed(spark, tgt, batch, ["k"], "ts",
+                        delete_col="is_del", emit_changes=True)
+        rebucket(spark, tgt, 4)
+        compact_table(spark, tgt, sort_by=["ts"])
+        got = {r["k"]: r["v"]
+               for r in spark.read.parquet(tgt).select("k", "v").collect()}
+        assert got == {**{i: f"v{i}" for i in range(12) if i != 2},
+                       1: "x"}, scheme
+        feed = read_changes(spark, tgt, since_seq=0)
+        ops = sorted((r["_op"], r["k"]) for r in feed.collect())
+        assert ops == [("delete", 2), ("update", 1)], scheme
+        st = table_stats(spark, tgt)
+        assert st["n_rows"] == 11 and st["meta"]["n_buckets"] == 4, scheme
