@@ -308,3 +308,58 @@ def test_feed_with_schema_evolution(spark, tmp_path):
     assert feed[(1, "update", 1)] == "n1"
     assert feed[(1, "insert", 2)] == "n2"
     assert feed[(0, "insert", 1)] is None
+
+
+def test_debezium_envelopes_to_table_and_feed(spark, tmp_path):
+    """The reference-shaped path END TO END: raw Debezium envelopes on
+    a stream -> parse (images, op normalization) -> bucketed table
+    sink with hard deletes -> change data feed out. One key receives
+    create+update in-stream (latest wins), one is created then
+    hard-deleted (op='d' with before-image only), one survives."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from cdc_data_pipeline_spark.streaming.cdc import (
+        stream_upsert_to_parquet)
+    from cdc_data_pipeline_spark.streaming.debezium import parse_debezium
+
+    payload = T.StructType([T.StructField("k", T.LongType()),
+                            T.StructField("v", T.StringType())])
+
+    def env(op, before=None, after=None, ts=0):
+        return _json.dumps({"before": before, "after": after, "op": op,
+                            "ts_ms": 1700000000000 + ts})
+
+    rows = [
+        env("c", after={"k": 1, "v": "a"}, ts=0),
+        env("u", before={"k": 1, "v": "a"}, after={"k": 1, "v": "a2"},
+            ts=1000),
+        env("c", after={"k": 2, "v": "b"}, ts=0),
+        env("d", before={"k": 2, "v": "b"}, ts=2000),
+        env("r", after={"k": 3, "v": "c"}, ts=0),      # snapshot read
+    ]
+    src = str(tmp_path / "kafka")
+    spark.createDataFrame([(v,) for v in rows], "value string") \
+        .write.parquet(src)
+
+    raw = spark.readStream.schema("value string").parquet(src)
+    # fold the envelope's _op into the delete flag, then DROP it —
+    # otherwise it lands in the table as stale per-row lineage
+    changes = parse_debezium(raw, payload) \
+        .withColumn("__is_del", F.col("_op") == "delete").drop("_op")
+    tgt = str(tmp_path / "tbl")
+    q = stream_upsert_to_parquet(
+        changes, tgt, ["k"], "_change_ts", str(tmp_path / "ck"),
+        n_buckets=4, delete_col="__is_del", emit_changes=True)
+    q.awaitTermination(120)
+
+    table = {r["k"]: r["v"] for r in spark.read.parquet(tgt)
+             .select("k", "v").collect()}
+    assert table == {1: "a2", 3: "c"}
+    feed = {(r["_op"], r["k"]): r["v"]
+            for r in read_changes(spark, tgt).collect()}
+    assert feed == {("insert", 1): "a2", ("insert", 3): "c"}
+    # one micro-batch: key 1's create+update collapsed to its FINAL
+    # image before the merge, key 2's create+delete to nothing visible
+    assert ("insert", 2) not in feed
