@@ -585,3 +585,39 @@ def test_video_fingerprint_hamming_dedup(spark):
     assert (1, 3) in got and 1 <= got[(1, 3)] <= 2
     assert (2, 3) in got
     assert not any(4 in p or 5 in p for p in got)
+
+
+def test_audio_fingerprint_hamming_dedup(spark):
+    """Audio rounds out the cross-modal story: gain-scaled copies of a
+    recording share their Haitsma-Kalker fingerprint exactly (energy
+    RATIOS survive amplitude scaling), so the SAME hamming_near_pairs
+    join that dedups text and video pairs them at distance 0, while a
+    different recording stays out."""
+    import math
+    import random
+
+    from cdc_data_pipeline_spark.operators.dedup import hamming_near_pairs
+    from cdc_data_pipeline_spark.operators.multimodal import (
+        audio_spectral_features)
+
+    rng = random.Random(11)
+    def noisy(freq, gain):
+        return [int(gain * (math.sin(2 * math.pi * freq * i / 8000) * 900
+                            + rng.uniform(-80, 80)))
+                for i in range(4000)]
+    rng2 = random.Random(11)
+    base = [int(math.sin(2 * math.pi * 1009 * i / 8000) * 900
+                + rng2.uniform(-80, 80)) for i in range(4000)]
+    scaled = [s * 3 for s in base]                 # same shape, 3x gain
+    other = noisy(2999, 1.0)
+    rows = [(1, _wav_bytes(base)), (2, _wav_bytes(scaled)),
+            (3, _wav_bytes(other))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    fps = audio_spectral_features(media).select(
+        "media_id", "fingerprint")
+    pairs = hamming_near_pairs(fps, fp_col="fingerprint",
+                               id_col="media_id", bits=64,
+                               max_hamming=3, blocks=8)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 0                    # gain-invariant dup
+    assert not any(3 in p for p in got)
