@@ -618,7 +618,8 @@ def delete_bucketed(spark: SparkSession, target_path: str,
 
 def _rewrite_table(spark: SparkSession, target_path: str, meta: dict,
                    files_per_bucket: int = 1,
-                   sort_by: Sequence[str] = ()) -> None:
+                   sort_by: Sequence[str] = (),
+                   old_n_buckets: int | None = None) -> str:
     """Full-table rewrite under the (possibly new) layout in ``meta``:
     re-stamp buckets, cluster each bucket into ``files_per_bucket``
     files, write to a staging sibling WITH its metadata, then swap —
@@ -628,22 +629,42 @@ def _rewrite_table(spark: SparkSession, target_path: str, meta: dict,
     tight min/max statistics on those columns — scans filtering on
     them then skip whole row groups at the reader level (the
     data-skipping half of Delta's OPTIMIZE ZORDER, for the common
-    single-column time-range case)."""
+    single-column time-range case).
+
+    Returns the strategy used: ``"split"`` or ``"shuffle"``. When the
+    new bucket count is a MULTIPLE of the old (the natural way to grow
+    — double it), the rewrite needs NO exchange: ``pmod(h, m*n)`` is
+    congruent to ``pmod(h, n)`` mod ``n``, so every row of old bucket
+    ``b`` lands in one of exactly ``m`` children ``{b, b+n, …,
+    b+(m-1)n}`` — each scan task splits its own bucket's rows locally.
+    At 100 TB that is the difference between a map-only pass and a
+    full shuffle of the table; at any scale it also preserves
+    within-file ordering (sort_by survives splitting for free)."""
     from cdc_data_pipeline_spark.sources import fsutil as fs
 
     keys, n = meta["keys"], meta["n_buckets"]
     df = spark.read.option("mergeSchema", "true").parquet(target_path)
     data = df.drop(BUCKET_COL).withColumn(BUCKET_COL, bucket_of(keys, n))
     f = max(int(files_per_bucket), 1)
-    if f > 1:
-        # salt WITHIN each bucket so one oversized bucket still splits
-        salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.lit(1)),
-                      F.lit(f))
-        data = data.repartition(n * f, F.col(BUCKET_COL), salt)
+    splittable = (old_n_buckets is not None and old_n_buckets > 0
+                  and n % old_n_buckets == 0 and f == 1)
+    if splittable:
+        strategy = "split"          # map-only: no exchange added
+        if sort_by:
+            # rows arrive grouped per parent file; a task-local sort
+            # restores row-group clustering without a shuffle
+            data = data.sortWithinPartitions(BUCKET_COL, *sort_by)
     else:
-        data = data.repartition(n, F.col(BUCKET_COL))
-    if sort_by:
-        data = data.sortWithinPartitions(BUCKET_COL, *sort_by)
+        strategy = "shuffle"
+        if f > 1:
+            # salt WITHIN each bucket so one oversized bucket still splits
+            salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.lit(1)),
+                          F.lit(f))
+            data = data.repartition(n * f, F.col(BUCKET_COL), salt)
+        else:
+            data = data.repartition(n, F.col(BUCKET_COL))
+        if sort_by:
+            data = data.sortWithinPartitions(BUCKET_COL, *sort_by)
     tmp = target_path.rstrip("/") + ".__rewrite__"
     fs.delete(spark, tmp)
     data.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
@@ -663,6 +684,7 @@ def _rewrite_table(spark: SparkSession, target_path: str, meta: dict,
         fs.rename(spark, old_changes, fs.path_join(tmp, CHANGES_DIR))
     fs.rename(spark, tmp, target_path)
     fs.delete(spark, old)
+    return strategy
 
 
 def _maybe_table_lock(spark: SparkSession, target_path: str, lock: bool,
@@ -687,15 +709,17 @@ def rebucket(spark: SparkSession, target_path: str, n_buckets: int,
              tracking_column: str | None = None,
              files_per_bucket: int = 1, sort_by: Sequence[str] = (),
              lock: bool = False, lock_ttl: float = 3600.0,
-             lock_timeout: float = 60.0) -> None:
+             lock_timeout: float = 60.0) -> str:
     """Change a bucketed table's layout — the grow operation. A bucket
     count fixed at table creation stops fitting as the table grows
     1000×: per-bucket merge cost in ``upsert_bucketed`` is O(bucket),
     so buckets must stay executor-sized. Rebucketing is ONE planned
     full rewrite (shuffle on the new bucket id) after which every
     incremental batch is cheap again — versus every batch paying for
-    oversized buckets forever. Layout args come from the persisted
-    metadata; ``keys``/``tracking_column`` are only for pre-metadata
+    oversized buckets forever. Growing to a MULTIPLE of the current
+    count (double it) is a map-only SPLIT — no shuffle at all (see
+    ``_rewrite_table``); returns the strategy used. Layout args come
+    from the persisted metadata; ``keys``/``tracking_column`` are only for pre-metadata
     tables. The swap is atomic; concurrent upserts remain unsafe
     during a rewrite (single-maintenance-writer contract, same as the
     index families — use ``lsm.maintenance_lock`` for hard exclusion)."""
@@ -708,15 +732,17 @@ def rebucket(spark: SparkSession, target_path: str, n_buckets: int,
                     "table has no persisted layout; pass keys and "
                     "tracking_column to rebucket a pre-metadata table")
             meta = {"keys": list(keys), "tracking_column": tracking_column}
+        old_n = meta.get("n_buckets")
         meta["n_buckets"] = int(n_buckets)
-        _rewrite_table(spark, target_path, meta, files_per_bucket, sort_by)
+        return _rewrite_table(spark, target_path, meta, files_per_bucket,
+                              sort_by, old_n_buckets=old_n)
 
 
 def compact_table(spark: SparkSession, target_path: str,
                   files_per_bucket: int = 1,
                   sort_by: Sequence[str] = (), lock: bool = False,
                   lock_ttl: float = 3600.0,
-                  lock_timeout: float = 60.0) -> None:
+                  lock_timeout: float = 60.0) -> str:
     """Maintenance rewrite under the CURRENT layout: clusters every
     bucket into ``files_per_bucket`` files (a shuffle-partition-spread
     write can leave ~shuffle.partitions files per bucket) and rewrites
@@ -736,7 +762,8 @@ def compact_table(spark: SparkSession, target_path: str,
                 "table has no persisted layout; run one upsert_bucketed "
                 "(which backfills it) or use rebucket(keys=..., "
                 "tracking_column=...)")
-        _rewrite_table(spark, target_path, meta, files_per_bucket, sort_by)
+        return _rewrite_table(spark, target_path, meta, files_per_bucket,
+                              sort_by)
 
 
 def table_stats(spark: SparkSession, target_path: str) -> dict:

@@ -253,3 +253,41 @@ def test_table_and_feed_roundtrip_under_scheme(spark, tmp_path):
         assert ops == [("delete", 2), ("update", 1)], scheme
         st = table_stats(spark, tgt)
         assert st["n_rows"] == 11 and st["meta"]["n_buckets"] == 4, scheme
+
+
+def test_rebucket_multiple_is_shuffle_free_split(spark, tmp_path):
+    """Growing to a MULTIPLE of the current bucket count is a map-only
+    SPLIT — pmod(h, m*n) ≡ pmod(h, n) (mod n), so each parent bucket's
+    rows land in exactly its m children with no exchange. Pinned: the
+    strategy reports 'split', every child's rows actually belong there
+    (a later upsert with the new layout replaces, never duplicates),
+    sort_by survives splitting, and a non-multiple falls back to
+    'shuffle'."""
+    import pyarrow.parquet as pq
+
+    tgt = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", (i * 31) % 50) for i in range(200)],
+        "k long, v string, ts long")
+    upsert_bucketed(spark, tgt, base, ["k"], "ts", n_buckets=4)
+
+    assert rebucket(spark, tgt, 8, sort_by=["ts"]) == "split"
+    assert table_stats(spark, tgt)["meta"]["n_buckets"] == 8
+    assert {r["k"] for r in spark.read.parquet(tgt).collect()} \
+        == set(range(200))
+    # sort_by survived the map-only split
+    for f in (tmp_path / "tbl").glob("__kb=*/*.parquet"):
+        ts = pq.read_table(str(f), columns=["ts"])["ts"].to_pylist()
+        assert ts == sorted(ts)
+    # rows really live in their new-layout bucket: an upsert under the
+    # new layout must REPLACE (prune to the right bucket), not add
+    upsert_bucketed(spark, tgt,
+                    spark.createDataFrame([(7, "x", 99)],
+                                          "k long, v string, ts long"),
+                    ["k"], "ts")
+    got = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert len(got) == 200 and got[7] == "x"
+
+    assert rebucket(spark, tgt, 12, sort_by=["ts"]) == "shuffle"  # 12 % 8 != 0
+    assert {r["k"] for r in spark.read.parquet(tgt).collect()} \
+        == set(range(200))
