@@ -503,6 +503,34 @@ def stream_changes(spark: SparkSession, target_path: str,
             .parquet(fsutil.path_join(target_path, CHANGES_DIR, "commit-*")))
 
 
+def table_at(spark: SparkSession, target_path: str, seq: int) -> DataFrame:
+    """TIME TRAVEL from the change feed: the table AS OF commit
+    ``seq``, reconstructed by collapsing commits 0..seq to the final
+    op per key (deletes drop out) — no snapshot copies were ever
+    stored; the feed IS the version history. Requires a complete feed
+    (``vacuum_changes`` prunes history, trading time-travel depth for
+    storage — same contract as Delta VACUUM) and costs O(feed prefix),
+    so it is the audit/debug path, not a serving path; for frequent
+    as-of reads, materialize with ``apply_changes``. Raises when the
+    feed no longer reaches back to commit 0."""
+    commits = _list_change_commits(spark, target_path)
+    if not commits:
+        raise ValueError(f"{target_path} has no change feed")
+    if int(commits[0].split("-", 2)[1]) != 0:
+        raise ValueError(
+            "change feed has been vacuumed below commit 0 — "
+            "reconstruction would be partial")
+    meta = _read_table_meta(spark, target_path)
+    keys = meta["keys"] if meta else None
+    if not keys:
+        raise ValueError("table has no persisted layout")
+    feed = read_changes(spark, target_path)
+    upto = feed.filter((F.col("_seq") <= seq)
+                       & (F.col("_op") != "update_preimage"))
+    final = latest_per_key(upto, keys, "_seq")
+    return final.filter(F.col("_op") != "delete").drop("_op", "_seq")
+
+
 def vacuum_changes(spark: SparkSession, target_path: str,
                    before_seq: int) -> int:
     """Prune change-feed commits with ``_seq`` <= ``before_seq`` —

@@ -363,3 +363,39 @@ def test_debezium_envelopes_to_table_and_feed(spark, tmp_path):
     # one micro-batch: key 1's create+update collapsed to its FINAL
     # image before the merge, key 2's create+delete to nothing visible
     assert ("insert", 2) not in feed
+
+
+def test_table_at_time_travel(spark, tmp_path):
+    """The feed IS the version history: table_at(seq) reconstructs
+    every past state exactly — including a key that was inserted,
+    updated, and finally deleted — and the latest reconstruction
+    equals the live table. A vacuumed feed refuses to time-travel
+    rather than silently returning a partial state."""
+    from cdc_data_pipeline_spark.operators.incremental import (
+        table_at, vacuum_changes)
+
+    tgt = str(tmp_path / "tbl")
+    upsert_bucketed(spark, tgt,
+                    _mk(spark, [(1, "a", 10, False), (2, "b", 10, False)]),
+                    ["k"], "ts", n_buckets=4, delete_col="is_del",
+                    emit_changes=True)
+    upsert_bucketed(spark, tgt, _mk(spark, [(1, "a2", 20, False),
+                                            (3, "c", 20, False)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True)
+    upsert_bucketed(spark, tgt, _mk(spark, [(1, None, 30, True)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True)
+
+    def state(seq):
+        return {(r["k"], r["v"]) for r in
+                table_at(spark, tgt, seq).select("k", "v").collect()}
+
+    assert state(0) == {(1, "a"), (2, "b")}
+    assert state(1) == {(1, "a2"), (2, "b"), (3, "c")}
+    assert state(2) == {(2, "b"), (3, "c")}
+    live = {(r["k"], r["v"]) for r in spark.read.parquet(tgt)
+            .select("k", "v").collect()}
+    assert state(2) == live
+
+    vacuum_changes(spark, tgt, before_seq=0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        table_at(spark, tgt, 2)
