@@ -184,8 +184,15 @@ def _overwrite_buckets_atomic(merged: DataFrame, target_path: str,
     """
     from cdc_data_pipeline_spark.sources import fsutil as fs
 
+    import uuid
+
     spark = merged.sparkSession
-    tmp = target_path.rstrip("/") + ".__staging__"
+    # nonce-suffixed staging (the LSM staging lesson): two writers
+    # racing the same table can never write into one staging dir and
+    # destroy each other's in-flight data. Racing the SWAP itself
+    # stays a documented single-writer contract — detected, for feed
+    # tables, by the duplicate-seq check in _list_change_commits.
+    tmp = target_path.rstrip("/") + f".__staging__-{uuid.uuid4().hex[:12]}"
     fs.delete(spark, tmp)
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
     for b in buckets:
@@ -420,13 +427,27 @@ def _batch_digest(df: DataFrame) -> str:
 
 
 def _list_change_commits(spark: SparkSession, target_path: str) -> list[str]:
+    """Sorted commit directory names. Raises when two commits carry
+    the same sequence number — the signature of two writers racing one
+    table (the merge protocol is single-writer; foreachBatch provides
+    that within a stream). Surfacing the violation beats silently
+    feeding duplicate ``_seq`` rows to every downstream collapse."""
     from cdc_data_pipeline_spark.sources import fsutil
 
     root = fsutil.path_join(target_path, CHANGES_DIR)
     if not fsutil.exists(spark, root):
         return []
-    return sorted(n for n in fsutil.list_names(spark, root)
-                  if n.startswith("commit-"))
+    commits = sorted(n for n in fsutil.list_names(spark, root)
+                     if n.startswith("commit-"))
+    seqs = [int(c.split("-", 2)[1]) for c in commits]
+    if len(set(seqs)) != len(seqs):
+        dupes = sorted({x for x in seqs if seqs.count(x) > 1})
+        raise RuntimeError(
+            f"{root}: duplicate change-feed sequence(s) {dupes} — two "
+            "writers raced this table (the merge protocol is "
+            "single-writer per table); reconcile the duplicate "
+            "commits before consuming the feed")
+    return commits
 
 
 def _commit_changes(spark: SparkSession, target_path: str, digest: str,

@@ -399,3 +399,23 @@ def test_table_at_time_travel(spark, tmp_path):
     vacuum_changes(spark, tgt, before_seq=0)
     with pytest.raises(ValueError, match="vacuumed"):
         table_at(spark, tgt, 2)
+
+
+def test_duplicate_seq_detected_as_writer_race(spark, tmp_path):
+    """Two writers racing one table both claim the next sequence
+    number (different digests, so both renames succeed) — the
+    single-writer violation must surface loudly at feed read, not
+    silently feed duplicate _seq rows to every downstream collapse."""
+    import shutil
+
+    tgt = str(tmp_path / "tbl")
+    upsert_bucketed(spark, tgt, _mk(spark, [(1, "a", 10, False)]),
+                    ["k"], "ts", n_buckets=2, delete_col="is_del",
+                    emit_changes=True)
+    commits = list((tmp_path / "tbl" / "_changes").iterdir())
+    assert len(commits) == 1
+    # simulate the loser's rename landing beside the winner's
+    shutil.copytree(str(commits[0]),
+                    str(commits[0].parent / "commit-0000000000-feedbeef-1"))
+    with pytest.raises(RuntimeError, match="duplicate change-feed"):
+        read_changes(spark, tgt)
