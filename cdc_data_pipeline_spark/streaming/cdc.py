@@ -189,6 +189,57 @@ def stream_scd2_to_parquet(
     return apply_trigger(writer, trigger_available_now, processing_time).start()
 
 
+def stream_ivm_to_parquet(
+    spark,
+    table_path: str,
+    mart_path: str,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Continuously-maintained materialized aggregate: stream a
+    table's CHANGE DATA FEED (``incremental.stream_changes``) and fold
+    each micro-batch's IVM deltas into a persisted mart — the
+    bronze-table -> gold-mart path with NO rescans of the table, ever.
+    Per-refresh cost is O(feed slice) + O(mart); the mart is
+    group-cardinality-sized (not table-sized), so the full atomic
+    rewrite per batch is the cheap part. Requires the feed to carry
+    update preimages (``update_preimages=True`` on the table's sink) —
+    postimage-only updates cannot be subtracted. Replay-safe: the
+    file-stream source's checkpoint guarantees each committed feed
+    file is delivered to exactly one successful batch, and the mart
+    swap is atomic, so a crashed batch replays against the pre-swap
+    mart."""
+    from cdc_data_pipeline_spark.operators.incremental import (
+        agg_deltas_from_feed, merge_agg_deltas, stream_changes,
+        write_merged)
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    feed = stream_changes(spark, table_path)
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        deltas = agg_deltas_from_feed(batch, group_cols, sum_cols)
+        mart = None
+        if fsutil.exists(spark, mart_path):
+            try:
+                mart = spark.read.parquet(mart_path)
+            except Exception:
+                mart = None
+        merged = merge_agg_deltas(mart, deltas, group_cols)
+        write_merged(merged, mart_path)
+
+    writer = (
+        feed.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    return apply_trigger(writer, trigger_available_now, processing_time).start()
+
+
 def stream_rollup_to_parquet(
     stream: DataFrame,
     target_path: str,

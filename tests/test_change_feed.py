@@ -419,3 +419,56 @@ def test_duplicate_seq_detected_as_writer_race(spark, tmp_path):
                     str(commits[0].parent / "commit-0000000000-feedbeef-1"))
     with pytest.raises(RuntimeError, match="duplicate change-feed"):
         read_changes(spark, tgt)
+
+
+def test_stream_ivm_maintains_mart(spark, tmp_path):
+    """Bronze table -> gold mart with no table rescans: the IVM sink
+    streams the change feed and folds each micro-batch's deltas into a
+    persisted aggregate. After inserts, updates, and a
+    group-emptying delete, the mart equals a full recompute — and a
+    second run over the same checkpoint re-reads nothing."""
+    from cdc_data_pipeline_spark.streaming.cdc import stream_ivm_to_parquet
+
+    tbl = str(tmp_path / "tbl")
+    mart = str(tmp_path / "mart")
+    ck = str(tmp_path / "ck")
+    schema = "k long, grp string, amt double, ts long, is_del boolean"
+    upsert_bucketed(spark, tbl, spark.createDataFrame(
+        [(1, "a", 10.0, 10, False), (2, "a", 20.0, 10, False),
+         (3, "b", 5.0, 10, False)], schema),
+        ["k"], "ts", n_buckets=4, delete_col="is_del",
+        emit_changes=True, update_preimages=True)
+    upsert_bucketed(spark, tbl, spark.createDataFrame(
+        [(1, "a", 25.0, 20, False), (3, None, None, 20, True),
+         (4, "c", 7.0, 20, False)], schema),
+        ["k"], "ts", delete_col="is_del", emit_changes=True,
+        update_preimages=True)
+
+    q = stream_ivm_to_parquet(spark, tbl, mart, ["grp"], ["amt"], ck)
+    q.awaitTermination(180)
+
+    got = {(r["grp"], round(r["delta_amt"], 2), r["delta_count"])
+           for r in spark.read.parquet(mart).collect()}
+    want = {(r["grp"], round(r["s"], 2), r["c"]) for r in
+            spark.read.parquet(tbl).groupBy("grp")
+            .agg(F.sum("amt").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()}
+    assert got == want and ("b",) not in {(g,) for g, _s, _c in got}
+
+    # restart on the same checkpoint: nothing new -> mart unchanged
+    q2 = stream_ivm_to_parquet(spark, tbl, mart, ["grp"], ["amt"], ck)
+    q2.awaitTermination(180)
+    got2 = {(r["grp"], round(r["delta_amt"], 2), r["delta_count"])
+            for r in spark.read.parquet(mart).collect()}
+    assert got2 == got
+
+    # one more source commit streams through incrementally
+    upsert_bucketed(spark, tbl, spark.createDataFrame(
+        [(5, "c", 3.0, 30, False)], schema),
+        ["k"], "ts", delete_col="is_del", emit_changes=True,
+        update_preimages=True)
+    q3 = stream_ivm_to_parquet(spark, tbl, mart, ["grp"], ["amt"], ck)
+    q3.awaitTermination(180)
+    got3 = {(r["grp"], round(r["delta_amt"], 2), r["delta_count"])
+            for r in spark.read.parquet(mart).collect()}
+    assert ("c", 10.0, 2) in got3
