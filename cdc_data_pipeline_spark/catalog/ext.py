@@ -824,6 +824,75 @@ def q_table_change_feed(spark, sf_dir):
         raise
 
 
+def q_ivm_mart(spark, sf_dir):
+    """Incremental view maintenance pinned value-exact to SQL: the
+    same orders lifecycle as ``table_change_feed`` but with Delta-CDF
+    preimage/postimage update pairs, folded commit-by-commit into a
+    mart (``agg_deltas_from_feed`` + ``merge_agg_deltas``) that never
+    rescans the table. The oracle recomputes SUM/COUNT per priority
+    over the expected FINAL state from ``orders`` arithmetic alone —
+    so a wrong preimage, a missed delete subtraction, or a double-
+    counted replayed commit all break the hash."""
+    import shutil
+    import tempfile
+
+    from cdc_data_pipeline_spark.catalog.core import lifecycle_result
+    from cdc_data_pipeline_spark.operators.incremental import (
+        agg_deltas_from_feed, merge_agg_deltas, read_changes,
+        upsert_bucketed)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+    root = tempfile.mkdtemp(prefix="cdcspark_ivm_")
+    path = root + "/t"
+    try:
+        upsert_bucketed(spark, path, base, ["o_orderkey"], "o_orderdate",
+                        n_buckets=8, emit_changes=True,
+                        update_preimages=True)
+        k = F.col("o_orderkey")
+        upd = base.filter((k % 7 == 0) & (k % 11 != 0)).select(
+            "o_orderkey", "o_orderpriority",
+            F.round(F.col("o_totalprice") + 1.5, 2).alias("o_totalprice"),
+            F.date_add("o_orderdate", 1).alias("o_orderdate"),
+            F.lit(False).alias("is_del"))
+        dels = base.filter(k % 11 == 0).select(
+            "o_orderkey", "o_orderpriority", "o_totalprice",
+            F.date_add("o_orderdate", 1).alias("o_orderdate"),
+            F.lit(True).alias("is_del"))
+        upsert_bucketed(spark, path, upd.unionByName(dels),
+                        ["o_orderkey"], "o_orderdate",
+                        delete_col="is_del", emit_changes=True,
+                        update_preimages=True)
+        mart = None
+        for seq in (0, 1):             # fold one commit at a time
+            feed = read_changes(spark, path, since_seq=seq - 1) \
+                .filter(F.col("_seq") == seq)
+            deltas = agg_deltas_from_feed(feed, ["o_orderpriority"],
+                                          ["o_totalprice"])
+            mart = merge_agg_deltas(mart, deltas, ["o_orderpriority"])
+        out = mart.select(
+            "o_orderpriority",
+            F.round("delta_o_totalprice", 2).alias("total_price"),
+            F.col("delta_count").cast("long").alias("n_orders"))
+        return lifecycle_result(out, root)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+SQL_IVM_MART = """
+WITH final AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+              THEN ROUND(o_totalprice + 1.5, 2)
+              ELSE ROUND(o_totalprice, 2) END AS price
+  FROM orders WHERE o_orderkey % 11 <> 0)
+SELECT o_orderpriority, ROUND(SUM(price), 2) AS total_price,
+       COUNT(*) AS n_orders
+FROM final GROUP BY o_orderpriority
+"""
+
+
 SQL_TABLE_CHANGE_FEED = """
 SELECT 'update' AS _op, o_orderkey,
        ROUND(o_totalprice + 1.5, 2) AS price
@@ -1722,4 +1791,6 @@ EXTRA_ORACLES["video_dup_pairs"] = SQL_VIDEO_DUP_PAIRS
 # exactly-once commit publication all sit under the value-exact gate.
 QUERIES["table_change_feed"] = q_table_change_feed
 ORACLES["table_change_feed"] = SQL_TABLE_CHANGE_FEED
+EXTRA_QUERIES["ivm_mart"] = q_ivm_mart
+EXTRA_ORACLES["ivm_mart"] = SQL_IVM_MART
 EXTRA_ORACLES["ivf_topk"] = SQL_IVF_TOPK
