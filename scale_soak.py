@@ -189,8 +189,24 @@ def run_table_cdc_suite(spark, li_path, scaled_buckets=64):
         out["tbl_upsert_scaled_layout"] = timed(
             lambda: inc.upsert_bucketed(spark, scaled, fixed_batch,
                                         keys, "l_shipdate"))
+        # change-feed overhead: same fixed batch with emit_changes —
+        # the delta (vs tbl_upsert_scaled_layout) is the feed's cost,
+        # which must also stay flat (classification joins are
+        # batch-sized, commit listing is O(commits))
+        feed_batch = fixed_batch.withColumn(
+            "l_shipdate", F.col("l_shipdate") + F.expr("INTERVAL 1 DAY"))
+        out["tbl_upsert_with_feed"] = timed(
+            lambda: inc.upsert_bucketed(spark, scaled, feed_batch,
+                                        keys, "l_shipdate",
+                                        emit_changes=True))
+        # growing to a MULTIPLE is the map-only split (no exchange);
+        # expected ~N like any full pass, but with no shuffle constant
+        out["tbl_rebucket_split"] = timed(lambda: inc.rebucket(
+            spark, frozen, 2 * 64))
+        # odd target: never a multiple of 128, so this measures the
+        # SHUFFLE rewrite at every scale
         out["tbl_rebucket"] = timed(lambda: inc.rebucket(
-            spark, frozen, 2 * scaled_buckets))
+            spark, frozen, 2 * scaled_buckets + 1))
     finally:
         shutil.rmtree(frozen_root, ignore_errors=True)
         shutil.rmtree(scaled_root, ignore_errors=True)
