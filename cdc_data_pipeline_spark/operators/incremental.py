@@ -271,9 +271,20 @@ def upsert_bucketed(
     delete_col: str | None = None,
     emit_changes: bool = False,
     update_preimages: bool = False,
+    stale_protection: bool = False,
 ) -> None:
     """M2/M3 against a hash-bucketed parquet target, touching ONLY the
     buckets the batch's keys hash into.
+
+    ``stale_protection=True`` (Hudi preCombine / ClickHouse
+    ReplacingMergeTree semantics) applies a batch op only when its
+    tracking value is >= the target's current row — a backfill or
+    out-of-order redelivery of an OLDER version becomes a no-op
+    instead of silently regressing the row (and, with
+    ``emit_changes``, emits nothing). Default stays batch-wins: the
+    reference's delete+insert contract, and the right call when the
+    feed is per-key ordered (Kafka keeps key order within a
+    partition).
 
     ``update_preimages=True`` switches the feed to Delta-CDF-style
     update rows: each update commits an ``update_preimage`` (the row
@@ -366,6 +377,36 @@ def upsert_bucketed(
     buckets = [r[0] for r in stamped.select(BUCKET_COL).distinct().collect()]
     # partition filter prunes the scan to the affected buckets only
     affected = target.filter(F.col(BUCKET_COL).isin(buckets))
+    if stale_protection:
+        # Hudi-preCombine semantics: a batch op applies only when its
+        # (tracking, tiebreakers) is >= the target's current row —
+        # ties go to the batch (replaying an applied batch stays
+        # idempotent). The probe is a column-PRUNED scan of the
+        # affected buckets (keys + ordering columns only) joined to
+        # the batch — O(batch + affected-bucket keys), no full-row
+        # shuffle. Without this, a backfill or out-of-order delivery
+        # of an older version silently regresses rows.
+        order_cols = [tracking_column, *tiebreakers]
+        cur = affected.select(
+            *keys, *[F.col(c).alias(f"__cur_{c}") for c in order_cols])
+        newer = (F.struct(*[F.col(c) for c in order_cols])
+                 >= F.struct(*[F.col(f"__cur_{c}") for c in order_cols]))
+        deduped = (deduped.join(cur, list(keys), "left")
+                   .filter(F.col(f"__cur_{order_cols[0]}").isNull()
+                           | newer)
+                   .drop(*[f"__cur_{c}" for c in order_cols]))
+        if deduped.isEmpty():
+            return                      # fully-stale batch: no-op
+        if delete_col is not None:
+            is_del = F.coalesce(F.col(delete_col).cast("boolean"),
+                                F.lit(False))
+            dels = deduped.filter(is_del)
+            ups = deduped.filter(~is_del).drop(delete_col)
+        else:
+            ups = deduped
+        buckets = [r[0] for r in
+                   deduped.select(BUCKET_COL).distinct().collect()]
+        affected = target.filter(F.col(BUCKET_COL).isin(buckets))
     batch_keys = deduped.select(*keys).distinct()
     anti = affected.join(batch_keys, list(keys), "left_anti")
     merged = anti.unionByName(ups, allowMissingColumns=evolve_schema)

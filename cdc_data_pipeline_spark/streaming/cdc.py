@@ -101,6 +101,7 @@ def stream_upsert_to_parquet(
     delete_col: str | None = None,
     emit_changes: bool = False,
     update_preimages: bool = False,
+    stale_protection: bool = False,
 ):
     """Run a streaming query that upsert-dedup-merges every micro-batch
     into a hash-bucketed parquet target. Exactly-once-ish: the merge is
@@ -133,7 +134,8 @@ def stream_upsert_to_parquet(
         upsert_bucketed(spark, target_path, batch, keys, tracking_column,
                         n_buckets=n_buckets, evolve_schema=evolve_schema,
                         delete_col=delete_col, emit_changes=emit_changes,
-                        update_preimages=update_preimages)
+                        update_preimages=update_preimages,
+                        stale_protection=stale_protection)
 
     writer = (
         stream.writeStream.foreachBatch(merge_batch)

@@ -472,3 +472,48 @@ def test_stream_ivm_maintains_mart(spark, tmp_path):
     got3 = {(r["grp"], round(r["delta_amt"], 2), r["delta_count"])
             for r in spark.read.parquet(mart).collect()}
     assert ("c", 10.0, 2) in got3
+
+
+def test_stale_protection_precombine(spark, tmp_path):
+    """Hudi-preCombine semantics, opt-in: an out-of-order redelivery
+    of an OLDER version (update or delete) is a no-op — the row never
+    regresses and the feed emits nothing — while equal-ts redelivery
+    stays idempotent (batch wins ties) and genuinely newer ops apply.
+    The default path keeps batch-wins (the reference's contract)."""
+    from cdc_data_pipeline_spark.operators.incremental import table_at
+
+    tgt = str(tmp_path / "tbl")
+    upsert_bucketed(spark, tgt,
+                    _mk(spark, [(1, "new", 30, False),
+                                (2, "b", 30, False)]),
+                    ["k"], "ts", n_buckets=4, delete_col="is_del",
+                    emit_changes=True)
+
+    # stale update + stale delete: both no-ops under protection
+    stale = _mk(spark, [(1, "old", 10, False), (2, None, 10, True),
+                        (3, "c", 10, False)])          # 3 is genuinely new
+    upsert_bucketed(spark, tgt, stale, ["k"], "ts", delete_col="is_del",
+                    emit_changes=True, stale_protection=True)
+    table = {r["k"]: (r["v"], r["ts"])
+             for r in spark.read.parquet(tgt).collect()}
+    assert table == {1: ("new", 30), 2: ("b", 30), 3: ("c", 10)}
+    assert _feed(spark, tgt, since=0) == [(1, "insert", 3, "c", 10)]
+
+    # equal-ts redelivery: tie goes to the batch (idempotent replay)
+    upsert_bucketed(spark, tgt, _mk(spark, [(1, "new2", 30, False)]),
+                    ["k"], "ts", delete_col="is_del",
+                    stale_protection=True)
+    assert {r["v"] for r in spark.read.parquet(tgt)
+            .filter(F.col("k") == 1).collect()} == {"new2"}
+
+    # a FULLY stale batch is a complete no-op: no commit, no rewrite
+    upsert_bucketed(spark, tgt, _mk(spark, [(1, "ancient", 5, False)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True,
+                    stale_protection=True)
+    assert read_changes(spark, tgt, since_seq=1) is None
+
+    # default path: batch wins unconditionally (regression documented)
+    upsert_bucketed(spark, tgt, _mk(spark, [(1, "old", 10, False)]),
+                    ["k"], "ts", delete_col="is_del")
+    assert {r["v"] for r in spark.read.parquet(tgt)
+            .filter(F.col("k") == 1).collect()} == {"old"}
