@@ -116,6 +116,18 @@ def main(argv=None) -> int:
                       metavar="SEQ",
                       help="first prune commits with _seq <= SEQ "
                            "(run once every consumer is past it)")
+    pp = sub.add_parser(
+        "pipeline", help="run the whole CDC story end to end: orders "
+                         "-> bronze bucketed table with a change data "
+                         "feed (churn ticks with updates/inserts/hard "
+                         "deletes, stale-protected) -> replica caught "
+                         "up from the feed -> streaming IVM mart; "
+                         "prints a JSON report with built-in "
+                         "equivalence checks")
+    pp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pp.add_argument("--base-path", required=True)
+    pp.add_argument("--ticks", type=int, default=2,
+                    help="number of churn batches after the initial load")
     ip = sub.add_parser(
         "index", help="build a persisted IVF similarity index from the "
                       "embeddings table (--pq adds PQ codes: the code "
@@ -222,6 +234,76 @@ def main(argv=None) -> int:
             print(json.dumps({"removed": removed,
                               "versions": V.list_versions(args.table_path)}))
         return 0
+
+    if args.cmd == "pipeline":
+        from pyspark.sql import functions as F
+
+        from cdc_data_pipeline_spark.operators.incremental import (
+            apply_changes, read_changes, table_stats, upsert_bucketed)
+        from cdc_data_pipeline_spark.session import get_spark
+        from cdc_data_pipeline_spark.sources.readers import read_table
+        from cdc_data_pipeline_spark.sources.simulate import churn_batch
+        from cdc_data_pipeline_spark.streaming.cdc import (
+            stream_ivm_to_parquet)
+
+        spark = get_spark("cdc-pipeline")
+        cols = ["o_orderkey", "o_orderpriority", "o_totalprice",
+                "o_orderdate"]
+        base = read_table(spark, args.sf_dir, "orders").select(*cols)
+        bronze = args.base_path.rstrip("/") + "/bronze_orders"
+        replica = args.base_path.rstrip("/") + "/replica_orders"
+        mart = args.base_path.rstrip("/") + "/mart_by_priority"
+        ck = args.base_path.rstrip("/") + "/_ck_ivm"
+
+        upsert_bucketed(spark, bronze, base, ["o_orderkey"],
+                        "o_orderdate", n_buckets=8, emit_changes=True,
+                        update_preimages=True)
+        for tick in range(1, args.ticks + 1):
+            churn = churn_batch(base, ["o_orderkey"], "o_orderdate",
+                                tick, value_col="o_totalprice") \
+                .withColumn("is_del", F.lit(False))
+            dels = (base.withColumn(
+                        "__h", F.xxhash64(F.col("o_orderkey"),
+                                          F.lit(tick * 31)))
+                    .orderBy("__h").limit(5).drop("__h")
+                    .withColumn("o_orderdate",
+                                F.col("o_orderdate")
+                                + F.expr(f"INTERVAL {tick} DAY"))
+                    .withColumn("is_del", F.lit(True)))
+            upsert_bucketed(spark, bronze, churn.unionByName(dels),
+                            ["o_orderkey"], "o_orderdate",
+                            delete_col="is_del", emit_changes=True,
+                            update_preimages=True, stale_protection=True)
+
+        apply_changes(spark, read_changes(spark, bronze), replica,
+                      ["o_orderkey"], n_buckets=8)
+        q = stream_ivm_to_parquet(spark, bronze, mart,
+                                  ["o_orderpriority"], ["o_totalprice"],
+                                  ck)
+        q.awaitTermination(600)
+
+        b = spark.read.parquet(bronze).select(*cols)
+        r = spark.read.parquet(replica).select(*cols)
+        replica_ok = (b.exceptAll(r).isEmpty()
+                      and r.exceptAll(b).isEmpty())
+        want = b.groupBy("o_orderpriority").agg(
+            F.round(F.sum("o_totalprice"), 2).alias("s"),
+            F.count(F.lit(1)).alias("c"))
+        got = spark.read.parquet(mart).select(
+            "o_orderpriority",
+            F.round("delta_o_totalprice", 2).alias("s"),
+            F.col("delta_count").cast("long").alias("c"))
+        mart_ok = (want.exceptAll(got).isEmpty()
+                   and got.exceptAll(want).isEmpty())
+        st = table_stats(spark, bronze)
+        print(json.dumps({
+            "bronze_rows": st["n_rows"],
+            "feed_commits": args.ticks + 1,
+            "replica_matches_bronze": replica_ok,
+            "mart_matches_recompute": mart_ok,
+            "bucket_skew": st["bucket_skew"],
+        }))
+        return 0 if (replica_ok and mart_ok) else 1
 
     if args.cmd == "table-changes":
         from cdc_data_pipeline_spark.operators.incremental import (

@@ -517,3 +517,21 @@ def test_stale_protection_precombine(spark, tmp_path):
                     ["k"], "ts", delete_col="is_del")
     assert {r["v"] for r in spark.read.parquet(tgt)
             .filter(F.col("k") == 1).collect()} == {"old"}
+
+
+def test_pipeline_cli_end_to_end(spark, tmp_path):
+    """The one-command CDC story (the reference's full pipeline pass):
+    bronze with feed -> churn ticks (updates/inserts/hard deletes,
+    stale-protected) -> replica from the feed -> streaming IVM mart.
+    The command verifies its own equivalences and exits 0 only when
+    replica == bronze and mart == recompute."""
+    import json
+
+    from cdc_data_pipeline_spark.__main__ import main
+
+    out = str(tmp_path / "pipe")
+    rc = main(["pipeline", "--base-path", out, "--ticks", "2",
+               "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    feed_dir = tmp_path / "pipe" / "bronze_orders" / "_changes"
+    assert len(list(feed_dir.iterdir())) == 3
