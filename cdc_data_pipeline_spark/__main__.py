@@ -111,6 +111,13 @@ def main(argv=None) -> int:
     tchp.add_argument("--since-seq", type=int, default=-1,
                       help="high-water _seq the consumer has already "
                            "applied (default: everything)")
+    tap = sub.add_parser(
+        "table-at", help="time travel: reconstruct a bucketed table "
+                         "AS OF a change-feed commit (the feed is the "
+                         "version history; refuses a vacuumed feed)")
+    tap.add_argument("--path", required=True)
+    tap.add_argument("--seq", type=int, required=True)
+    tap.add_argument("--limit", type=int, default=20)
     tchp.add_argument("--limit", type=int, default=20)
     tchp.add_argument("--vacuum-before", type=int, default=None,
                       metavar="SEQ",
@@ -304,6 +311,16 @@ def main(argv=None) -> int:
             "bucket_skew": st["bucket_skew"],
         }))
         return 0 if (replica_ok and mart_ok) else 1
+
+    if args.cmd == "table-at":
+        from cdc_data_pipeline_spark.operators.incremental import table_at
+        from cdc_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("cdc-table")
+        snap = table_at(spark, args.path, args.seq)
+        snap.show(args.limit, truncate=False)
+        print(json.dumps({"seq": args.seq, "rows": snap.count()}))
+        return 0
 
     if args.cmd == "table-changes":
         from cdc_data_pipeline_spark.operators.incremental import (
