@@ -491,17 +491,66 @@ def _list_change_commits(spark: SparkSession, target_path: str) -> list[str]:
     return commits
 
 
+LATEST_PTR = "_latest"
+
+
+def _read_latest_ptr(spark: SparkSession, target_path: str) -> dict | None:
+    """The feed's ``_latest`` pointer: ``{"seq": N, "digest": "..."}``
+    for the newest commit. None for pre-pointer (legacy) feeds."""
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    txt = fsutil.read_text(spark, fsutil.path_join(
+        target_path, CHANGES_DIR, LATEST_PTR))
+    if txt is None:
+        return None
+    import json
+
+    return json.loads(txt)
+
+
+def _publish_latest_ptr(spark: SparkSession, target_path: str, seq: int,
+                        digest: str) -> None:
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    import json
+
+    fsutil.publish_text(
+        spark, fsutil.path_join(target_path, CHANGES_DIR, LATEST_PTR),
+        json.dumps({"seq": seq, "digest": digest}))
+
+
 def _commit_changes(spark: SparkSession, target_path: str, digest: str,
                     changes: DataFrame) -> bool:
     """Publish one change-feed commit: ``commit-<seq10>-<digest>``,
     written to a dot-prefixed temp dir (hidden from listings and from
     the streaming file source) and renamed into place — consumers
-    never observe a partial commit. Returns False when a commit with
-    this input digest already exists (micro-batch replay)."""
+    never observe a partial commit. Returns False when the NEWEST
+    commit already carries this input digest (micro-batch replay).
+
+    Replay detection is against the newest commit ONLY — foreachBatch
+    redelivers only the last uncommitted batch, so a digest seen
+    deeper in the history is a batch whose content legitimately
+    recurred (delete K, re-insert K, delete K again — the second
+    delete's digest equals the first's but it is a NEW change) and
+    must commit. Matching against the whole history would silently
+    drop it from the feed while the merge still applied it, diverging
+    every replica/mart/time-travel consumer.
+
+    Hot-path cost is O(1) per merge regardless of table age: the
+    newest (seq, digest) lives in an atomically-published ``_latest``
+    pointer consulted first; the commit-directory listing is only the
+    repair/bootstrap path (legacy pre-pointer feed or a deleted
+    pointer)."""
     from cdc_data_pipeline_spark.sources import fsutil
 
-    commits = _list_change_commits(spark, target_path)
-    if any(c.split("-", 2)[2] == digest for c in commits):
+    ptr = _read_latest_ptr(spark, target_path)
+    if ptr is None:
+        commits = _list_change_commits(spark, target_path)
+        last_seq = int(commits[-1].split("-", 2)[1]) if commits else -1
+        last_digest = commits[-1].split("-", 2)[2] if commits else None
+    else:
+        last_seq, last_digest = int(ptr["seq"]), ptr["digest"]
+    if digest == last_digest:
         return False
     # materialize once: isEmpty and the write below are separate
     # ACTIONS, so without this the three change-classification joins
@@ -513,14 +562,23 @@ def _commit_changes(spark: SparkSession, target_path: str, digest: str,
         # no idempotency marker is needed (same hygiene as the
         # index families' no-op deletes)
         return False
-    seq = 1 + (int(commits[-1].split("-", 2)[1]) if commits else -1)
+    seq = last_seq + 1
     root = fsutil.path_join(target_path, CHANGES_DIR)
     final = fsutil.path_join(root, f"commit-{seq:010d}-{digest}")
+    if fsutil.exists(spark, final):
+        # crash window: the commit rename landed but the pointer
+        # publish did not. The replayed batch has the same content
+        # digest and deterministic seq, so the final path is
+        # IDENTICAL — the commit is already in the feed; repair the
+        # pointer and skip.
+        _publish_latest_ptr(spark, target_path, seq, digest)
+        return False
     tmp = fsutil.path_join(root, f".staging-{digest}")
     fsutil.delete(spark, tmp)
     changes.withColumn("_seq", F.lit(seq).cast("long")) \
         .write.mode("overwrite").parquet(tmp)
     fsutil.rename(spark, tmp, final)
+    _publish_latest_ptr(spark, target_path, seq, digest)
     return True
 
 
@@ -597,12 +655,12 @@ def vacuum_changes(spark: SparkSession, target_path: str,
                    before_seq: int) -> int:
     """Prune change-feed commits with ``_seq`` <= ``before_seq`` —
     run once every consumer's watermark has advanced past it. The
-    feed otherwise grows one directory per merge forever, and
-    ``_commit_changes`` lists the commit directory on every merge, so
-    an unvacuumed 24/7 stream pays O(total commits) listing per batch
-    on top of unbounded storage. Returns the number of commits
-    removed. The newest commit is always kept: its digest is the
-    replay-detection state for the next at-least-once delivery."""
+    feed otherwise grows one directory per merge forever (the MERGE
+    hot path itself is O(1) per batch — replay state lives in the
+    ``_latest`` pointer — but batch readers still pay the listing and
+    storage grows unbounded). Returns the number of commits removed.
+    The newest commit is always kept: it is the pointer's
+    repair/bootstrap source if ``_latest`` is ever lost."""
     from cdc_data_pipeline_spark.sources import fsutil
 
     commits = _list_change_commits(spark, target_path)

@@ -412,7 +412,8 @@ def test_duplicate_seq_detected_as_writer_race(spark, tmp_path):
     upsert_bucketed(spark, tgt, _mk(spark, [(1, "a", 10, False)]),
                     ["k"], "ts", n_buckets=2, delete_col="is_del",
                     emit_changes=True)
-    commits = list((tmp_path / "tbl" / "_changes").iterdir())
+    commits = [p for p in (tmp_path / "tbl" / "_changes").iterdir()
+               if p.name.startswith("commit-")]
     assert len(commits) == 1
     # simulate the loser's rename landing beside the winner's
     shutil.copytree(str(commits[0]),
@@ -534,4 +535,122 @@ def test_pipeline_cli_end_to_end(spark, tmp_path):
                "--sf-dir", "/root/testdata/sf0.001"])
     assert rc == 0
     feed_dir = tmp_path / "pipe" / "bronze_orders" / "_changes"
-    assert len(list(feed_dir.iterdir())) == 3
+    assert len([p for p in feed_dir.iterdir()
+                if p.name.startswith("commit-")]) == 3
+
+
+def test_repeated_content_is_a_new_commit(spark, tmp_path):
+    """ADVICE-r7 high: a batch whose content legitimately RECURS
+    (delete K, re-insert K, delete K again) must land in the feed as a
+    new commit — replay detection compares against the NEWEST commit
+    only, because foreachBatch redelivers only the last batch. If the
+    digest were matched against the whole history, the table would
+    apply the second delete while the feed silently dropped it, and
+    every replica / mart / time-travel read would diverge forever."""
+    from cdc_data_pipeline_spark.operators.incremental import (
+        apply_changes)
+
+    src, rep = str(tmp_path / "src"), str(tmp_path / "rep")
+    upsert_bucketed(spark, src,
+                    _mk(spark, [(1, "a", 10, False), (2, "b", 10, False)]),
+                    ["k"], "ts", n_buckets=4, delete_col="is_del",
+                    emit_changes=True)
+    victims = spark.createDataFrame([(1,)], "k long")
+    delete_bucketed(spark, src, victims, emit_changes=True)   # digest D
+    upsert_bucketed(spark, src, _mk(spark, [(1, "a", 10, False)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True)
+    delete_bucketed(spark, src, victims, emit_changes=True)   # digest D again
+
+    feed = _feed(spark, tgt=src)
+    deletes = [x for x in feed if x[1] == "delete"]
+    assert [d[0] for d in deletes] == [1, 3]      # BOTH deletes committed
+    # and a replica built purely from the feed equals the table
+    apply_changes(spark, read_changes(spark, src), rep, ["k"], n_buckets=4)
+    assert ({(r["k"], r["v"]) for r in
+             spark.read.parquet(rep).select("k", "v").collect()}
+            == {(r["k"], r["v"]) for r in
+                spark.read.parquet(src).select("k", "v").collect()})
+
+
+def test_merge_hot_path_never_lists_commits(spark, tmp_path, monkeypatch):
+    """Per-merge feed overhead must not grow with table AGE: once the
+    ``_latest`` pointer exists, a merge consults it (one small read)
+    and never lists the commit directory — O(1) replay detection
+    however many commits have accumulated (VERDICT-r7 #2). Deleting
+    the pointer falls back to one bootstrap listing and republishes
+    it."""
+    from cdc_data_pipeline_spark.operators import incremental
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    tgt = str(tmp_path / "tbl")
+    upsert_bucketed(spark, tgt, _mk(spark, [(1, "a", 10, False)]),
+                    ["k"], "ts", n_buckets=4, delete_col="is_del",
+                    emit_changes=True)
+    for i in range(4):                       # age the feed a little
+        upsert_bucketed(spark, tgt,
+                        _mk(spark, [(1, f"v{i}", 20 + i, False)]),
+                        ["k"], "ts", delete_col="is_del",
+                        emit_changes=True)
+
+    listed = []
+    real = fsutil.list_names
+
+    def spy(sp, path):
+        listed.append(path)
+        return real(sp, path)
+
+    monkeypatch.setattr(fsutil, "list_names", spy)
+    upsert_bucketed(spark, tgt, _mk(spark, [(2, "b", 99, False)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True)
+    assert not [p for p in listed if p.endswith("_changes")]
+    assert _feed(spark, tgt, since=4) == [(5, "insert", 2, "b", 99)]
+
+    # lost pointer: exactly one repair listing, then O(1) again
+    listed.clear()
+    (tmp_path / "tbl" / "_changes" / "_latest").unlink()
+    upsert_bucketed(spark, tgt, _mk(spark, [(3, "c", 99, False)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True)
+    assert len([p for p in listed if p.endswith("_changes")]) == 1
+    listed.clear()
+    upsert_bucketed(spark, tgt, _mk(spark, [(4, "d", 99, False)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True)
+    assert not [p for p in listed if p.endswith("_changes")]
+    assert incremental._read_latest_ptr(spark, tgt)["seq"] == 7
+
+
+def test_crash_between_commit_and_pointer_repairs(spark, tmp_path):
+    """Crash window: the commit rename landed but the pointer publish
+    did not. The replayed batch derives the SAME deterministic
+    commit name (same seq from the stale pointer, same content
+    digest), recognizes it on disk, repairs the pointer and commits
+    nothing — the feed stays exactly-once."""
+    import json
+
+    from cdc_data_pipeline_spark.operators.incremental import (
+        _read_latest_ptr)
+
+    tgt = str(tmp_path / "tbl")
+    upsert_bucketed(spark, tgt, _mk(spark, [(1, "a", 10, False)]),
+                    ["k"], "ts", n_buckets=4, delete_col="is_del",
+                    emit_changes=True)
+    batch = _mk(spark, [(1, "a2", 20, False), (2, "b", 20, False)])
+    upsert_bucketed(spark, tgt, batch, ["k"], "ts", delete_col="is_del",
+                    emit_changes=True)                       # seq 1
+    ptr_path = tmp_path / "tbl" / "_changes" / "_latest"
+    assert json.loads(ptr_path.read_text())["seq"] == 1
+
+    # rewind the pointer to seq 0 (as if the crash ate the publish)
+    commit0 = next(p.name for p in ptr_path.parent.iterdir()
+                   if p.name.startswith("commit-0000000000-"))
+    ptr_path.write_text(json.dumps(
+        {"seq": 0, "digest": commit0.split("-", 2)[2]}))
+
+    # foreachBatch redelivers the same batch
+    upsert_bucketed(spark, tgt, batch, ["k"], "ts", delete_col="is_del",
+                    emit_changes=True)
+    commits = sorted(p.name for p in ptr_path.parent.iterdir()
+                     if p.name.startswith("commit-"))
+    assert len(commits) == 2                  # no duplicate commit
+    assert _read_latest_ptr(spark, tgt)["seq"] == 1   # pointer repaired
+    table = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert table == {1: "a2", 2: "b"}         # merge stayed idempotent
