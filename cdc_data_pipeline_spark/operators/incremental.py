@@ -152,9 +152,13 @@ def _replace_dir(spark: SparkSession, dst: str, src: str) -> None:
 
     The previous ``dst`` is renamed aside before the new data moves in,
     so the fully-written result is durable on disk before anything is
-    deleted — no window where a lost cache partition could recompute
-    from half-deleted input (the persist+count hazard). A crash between
-    the two renames leaves ``<dst>.__old__`` intact for recovery.
+    deleted — no data is ever lost. The swap is NOT atomic though:
+    between rename(dst -> .__old__) and rename(src -> dst) the
+    destination does not exist, and a crash in that window leaves the
+    previous state stranded at ``<dst>.__old__`` with nothing live.
+    ``recover_swap`` (called here before each swap, and exposed via
+    ``recover_table`` for use before reads on restart) restores the
+    stranded copy instead of deleting it.
 
     All FS metadata ops go through the Hadoop FileSystem API
     (``sources/fsutil``), so the same protocol runs on ``file://``,
@@ -163,11 +167,51 @@ def _replace_dir(spark: SparkSession, dst: str, src: str) -> None:
     from cdc_data_pipeline_spark.sources import fsutil as fs
 
     old = dst.rstrip("/") + ".__old__"
+    recover_swap(spark, dst)
     fs.delete(spark, old)
     if fs.exists(spark, dst):
         fs.rename(spark, dst, old)
     fs.rename(spark, src, dst)
     fs.delete(spark, old)
+
+
+def recover_swap(spark: SparkSession, dst: str) -> bool:
+    """Heal one crashed swap: when ``dst`` is missing but
+    ``<dst>.__old__`` exists (a crash hit the window between
+    ``_replace_dir``'s two renames), rename the stranded previous
+    state back into place. Returns True when a restore happened.
+    When ``dst`` exists, a leftover ``.__old__`` is garbage from a
+    crash AFTER the swap completed and is left for the next swap to
+    delete."""
+    from cdc_data_pipeline_spark.sources import fsutil as fs
+
+    old = dst.rstrip("/") + ".__old__"
+    if fs.exists(spark, old) and not fs.exists(spark, dst):
+        fs.rename(spark, old, dst)
+        return True
+    return False
+
+
+def recover_table(spark: SparkSession, target_path: str) -> list[str]:
+    """Crash-recovery entry point for a bucketed table — run it on
+    restart before reading a table whose writer may have died
+    mid-swap. Restores (a) the whole table if a ``_rewrite_table``
+    crash left it stranded at ``<table>.__old__``, and (b) any bucket
+    partition stranded at ``<table>/__kb=N.__old__`` by a crashed
+    ``_overwrite_buckets_atomic`` swap. Returns the restored paths
+    (empty = nothing to heal). Cost is one directory listing — a
+    maintenance call, not a hot-path one."""
+    from cdc_data_pipeline_spark.sources import fsutil as fs
+
+    restored: list[str] = []
+    if _recover_rewrite(spark, target_path):
+        restored.append(target_path)
+    for name in fs.list_names(spark, target_path):
+        if name.endswith(".__old__"):
+            victim = fs.path_join(target_path, name[:-len(".__old__")])
+            if recover_swap(spark, victim):
+                restored.append(victim)
+    return restored
 
 
 def _overwrite_buckets_atomic(merged: DataFrame, target_path: str,
@@ -272,9 +316,20 @@ def upsert_bucketed(
     emit_changes: bool = False,
     update_preimages: bool = False,
     stale_protection: bool = False,
+    lock: bool = False,
+    lock_ttl: float = 3600.0,
+    lock_timeout: float = 60.0,
 ) -> None:
     """M2/M3 against a hash-bucketed parquet target, touching ONLY the
     buckets the batch's keys hash into.
+
+    ``lock=True`` takes the table's maintenance lock
+    (``<table>.__maint__``, same contract as ``compact_table``'s) for
+    the duration of the merge — hard exclusion for CONCURRENT batch
+    upserters outside a single foreachBatch stream (which already
+    serializes its own batches). Default stays lock-free: the
+    single-writer contract is otherwise detect-only (duplicate-seq
+    raise at feed read).
 
     ``stale_protection=True`` (Hudi preCombine / ClickHouse
     ReplacingMergeTree semantics) applies a batch op only when its
@@ -337,12 +392,38 @@ def upsert_bucketed(
     table's value, an explicit mismatch raises (see
     ``_resolve_table_layout``), and a pre-metadata table is backfilled
     from the caller's values, which its data already embodies."""
-    from cdc_data_pipeline_spark.sources import fsutil
-
     if batch.isEmpty():
         # 0-row guard (reference: base_loader.py:308-310) — also keeps an
         # empty first micro-batch from creating a file-less target dir
         return
+    with _maybe_table_lock(spark, target_path, lock, lock_ttl,
+                           lock_timeout):
+        _upsert_bucketed_locked(
+            spark, target_path, batch, keys, tracking_column, n_buckets,
+            tiebreakers, evolve_schema, delete_col, emit_changes,
+            update_preimages, stale_protection)
+
+
+def _upsert_bucketed_locked(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    keys: Sequence[str],
+    tracking_column: str,
+    n_buckets: int | None,
+    tiebreakers: Sequence[str],
+    evolve_schema: bool,
+    delete_col: str | None,
+    emit_changes: bool,
+    update_preimages: bool,
+    stale_protection: bool,
+) -> None:
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    # heal a crashed-rewrite remnant BEFORE the existence probe: a
+    # stranded table would otherwise read as "new" and be re-created
+    # from this batch alone (two exists RPCs when healthy)
+    _recover_rewrite(spark, target_path)
     meta = _read_table_meta(spark, target_path)
     n_resolved = _resolve_table_layout(meta, keys, tracking_column, n_buckets)
     stamped = batch.withColumn(BUCKET_COL, bucket_of(keys, n_resolved))
@@ -623,30 +704,109 @@ def stream_changes(spark: SparkSession, target_path: str,
             .parquet(fsutil.path_join(target_path, CHANGES_DIR, "commit-*")))
 
 
+ANCHOR_PREFIX = "anchor-"
+
+
+def _list_anchor_seqs(spark: SparkSession, target_path: str) -> list[int]:
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    root = fsutil.path_join(target_path, CHANGES_DIR)
+    if not fsutil.exists(spark, root):
+        return []
+    return sorted(int(n.split("-", 1)[1])
+                  for n in fsutil.list_names(spark, root)
+                  if n.startswith(ANCHOR_PREFIX))
+
+
+def create_anchor(spark: SparkSession, target_path: str) -> int:
+    """SNAPSHOT ANCHOR for the change feed — the Delta-checkpoint
+    analogue. Materializes the table's CURRENT state (which IS the
+    state as of the newest commit, between merges) under
+    ``_changes/anchor-<seq>``, published via tmp+rename. ``table_at``
+    then reconstructs from the newest anchor at or below the
+    requested seq — O(commits since anchor), not O(feed prefix) — and
+    ``vacuum_changes`` may prune commits at or below an anchor
+    without losing as-of reads above it: anchors make vacuum and time
+    travel compose instead of being mutually exclusive. Run between
+    merges under the table's single-writer discipline (or with
+    ``upsert_bucketed``'s ``lock=True`` writers, while holding the
+    same lock). Idempotent: an anchor that already exists for the
+    newest seq is left in place. Returns the anchored seq."""
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    ptr = _read_latest_ptr(spark, target_path)
+    if ptr is not None:
+        seq = int(ptr["seq"])
+    else:
+        commits = _list_change_commits(spark, target_path)
+        if not commits:
+            raise ValueError(f"{target_path} has no change feed to anchor")
+        seq = int(commits[-1].split("-", 2)[1])
+    root = fsutil.path_join(target_path, CHANGES_DIR)
+    final = fsutil.path_join(root, f"{ANCHOR_PREFIX}{seq:010d}")
+    if fsutil.exists(spark, final):
+        return seq
+    df = spark.read.option("mergeSchema", "true").parquet(target_path) \
+        .drop(BUCKET_COL)
+    tmp = fsutil.path_join(root, f".anchor-staging-{seq:010d}")
+    fsutil.delete(spark, tmp)
+    df.write.mode("overwrite").parquet(tmp)
+    fsutil.rename(spark, tmp, final)
+    return seq
+
+
 def table_at(spark: SparkSession, target_path: str, seq: int) -> DataFrame:
     """TIME TRAVEL from the change feed: the table AS OF commit
-    ``seq``, reconstructed by collapsing commits 0..seq to the final
-    op per key (deletes drop out) — no snapshot copies were ever
-    stored; the feed IS the version history. Requires a complete feed
-    (``vacuum_changes`` prunes history, trading time-travel depth for
-    storage — same contract as Delta VACUUM) and costs O(feed prefix),
-    so it is the audit/debug path, not a serving path; for frequent
-    as-of reads, materialize with ``apply_changes``. Raises when the
-    feed no longer reaches back to commit 0."""
-    commits = _list_change_commits(spark, target_path)
-    if not commits:
-        raise ValueError(f"{target_path} has no change feed")
-    if int(commits[0].split("-", 2)[1]) != 0:
-        raise ValueError(
-            "change feed has been vacuumed below commit 0 — "
-            "reconstruction would be partial")
+    ``seq`` — no snapshot copies per version were ever stored; the
+    feed IS the version history. Reconstruction starts from the
+    newest SNAPSHOT ANCHOR at or below ``seq`` when one exists
+    (``create_anchor`` — cost O(commits since anchor)) and otherwise
+    from commit 0 (cost O(feed prefix)); the base is then collapsed
+    with the needed feed slice to the final op per key (deletes drop
+    out). Sequence numbers are dense, so a vacuumed-away commit
+    inside the needed range is detected and raised — as-of reads
+    survive vacuum exactly up to the newest covering anchor. For
+    frequent as-of serving, materialize with ``apply_changes``."""
     meta = _read_table_meta(spark, target_path)
     keys = meta["keys"] if meta else None
     if not keys:
         raise ValueError("table has no persisted layout")
-    feed = read_changes(spark, target_path)
-    upto = feed.filter((F.col("_seq") <= seq)
-                       & (F.col("_op") != "update_preimage"))
+    commits = _list_change_commits(spark, target_path)
+    seqs = [int(c.split("-", 2)[1]) for c in commits]
+    base_seq = max((a for a in _list_anchor_seqs(spark, target_path)
+                    if a <= seq), default=-1)
+    if base_seq < 0:
+        if not commits:
+            raise ValueError(f"{target_path} has no change feed")
+        if seqs[0] != 0:
+            raise ValueError(
+                "change feed has been vacuumed below commit 0 and no "
+                f"snapshot anchor covers seq {seq} — reconstruction "
+                "would be partial (create_anchor before vacuuming to "
+                "keep time travel)")
+    newest = seqs[-1] if seqs else base_seq
+    missing = sorted(set(range(base_seq + 1, min(seq, newest) + 1))
+                     - set(seqs))
+    if missing:
+        raise ValueError(
+            f"change feed commits {missing} needed for seq {seq} have "
+            f"been vacuumed past the newest covering anchor "
+            f"({base_seq}) — reconstruction would be partial")
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    parts = []
+    if base_seq >= 0:
+        anchor = spark.read.parquet(fsutil.path_join(
+            target_path, CHANGES_DIR, f"{ANCHOR_PREFIX}{base_seq:010d}"))
+        parts.append(anchor.withColumn("_op", F.lit("insert"))
+                     .withColumn("_seq", F.lit(base_seq).cast("long")))
+    feed = read_changes(spark, target_path, since_seq=base_seq)
+    if feed is not None:
+        parts.append(feed.filter((F.col("_seq") <= seq)
+                                 & (F.col("_op") != "update_preimage")))
+    upto = parts[0]
+    for p in parts[1:]:
+        upto = upto.unionByName(p, allowMissingColumns=True)
     final = latest_per_key(upto, keys, "_seq")
     return final.filter(F.col("_op") != "delete").drop("_op", "_seq")
 
@@ -736,12 +896,65 @@ def merge_agg_deltas(mart: DataFrame | None, deltas: DataFrame,
     return out.filter(F.col("delta_count") != 0)
 
 
+MART_WATERMARK = "_ivm_applied.json"
+
+
+def read_mart_seq(spark: SparkSession, mart_path: str) -> int:
+    """Highest feed ``_seq`` already folded into an IVM mart; -1 when
+    the mart has never recorded one (bootstrap, or a mart maintained
+    by pre-watermark code)."""
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    txt = fsutil.read_text(spark, fsutil.path_join(mart_path,
+                                                   MART_WATERMARK))
+    if txt is None:
+        return -1
+    import json
+
+    return int(json.loads(txt)["seq"])
+
+
+def write_mart_merged(df: DataFrame, mart_path: str,
+                      applied_seq: int) -> None:
+    """``write_merged`` plus the IVM replay watermark, atomically:
+    the watermark sidecar (``_``-prefixed — invisible to parquet
+    scans) is written INTO the staging directory before the swap, so
+    mart content and watermark always move together. A crash leaves
+    either the old pair or the new pair on disk — never a new mart
+    without its watermark, which is exactly the window where a
+    redelivered micro-batch would fold its (non-idempotent) deltas in
+    a second time and double-count every sum."""
+    from cdc_data_pipeline_spark.sources import fsutil as fs
+
+    import json
+
+    spark = df.sparkSession
+    tmp = mart_path.rstrip("/") + ".__staging__"
+    fs.delete(spark, tmp)
+    df.write.mode("overwrite").parquet(tmp)
+    fs.publish_text(spark, fs.path_join(tmp, MART_WATERMARK),
+                    json.dumps({"seq": int(applied_seq)}))
+    _replace_dir(spark, mart_path, tmp)
+
+
 def delete_bucketed(spark: SparkSession, target_path: str,
-                    keys_df: DataFrame, emit_changes: bool = False) -> None:
+                    keys_df: DataFrame, emit_changes: bool = False,
+                    lock: bool = False, lock_ttl: float = 3600.0,
+                    lock_timeout: float = 60.0) -> None:
     """Hard-delete by key from a bucketed table: prunes to the buckets
     the keys hash into, anti-joins them out, rewrites only those
     buckets. With ``emit_changes`` the feed records the deleted
-    preimages (keys that matched nothing commit nothing)."""
+    preimages (keys that matched nothing commit nothing). ``lock=True``
+    serializes against other locked writers (see ``upsert_bucketed``)."""
+    with _maybe_table_lock(spark, target_path, lock, lock_ttl,
+                           lock_timeout):
+        _delete_bucketed_locked(spark, target_path, keys_df, emit_changes)
+
+
+def _delete_bucketed_locked(spark: SparkSession, target_path: str,
+                            keys_df: DataFrame,
+                            emit_changes: bool) -> None:
+    _recover_rewrite(spark, target_path)
     meta = _read_table_meta(spark, target_path)
     if meta is None:
         raise ValueError("table has no persisted layout; run one "
@@ -764,6 +977,24 @@ def delete_bucketed(spark: SparkSession, target_path: str,
     _overwrite_buckets_atomic(merged, target_path, buckets)
 
 
+def _recover_rewrite(spark: SparkSession, target_path: str) -> bool:
+    """Heal a crashed ``_rewrite_table`` swap: when the table is
+    missing but ``<table>.__old__`` exists, restore it — and if the
+    crash hit after the change feed had already moved into the
+    ``.__rewrite__`` staging dir, pull the feed back too. Returns True
+    when a restore happened."""
+    from cdc_data_pipeline_spark.sources import fsutil as fs
+
+    if not recover_swap(spark, target_path):
+        return False
+    tmp = target_path.rstrip("/") + ".__rewrite__"
+    t_changes = fs.path_join(target_path, CHANGES_DIR)
+    tmp_changes = fs.path_join(tmp, CHANGES_DIR)
+    if not fs.exists(spark, t_changes) and fs.exists(spark, tmp_changes):
+        fs.rename(spark, tmp_changes, t_changes)
+    return True
+
+
 def _rewrite_table(spark: SparkSession, target_path: str, meta: dict,
                    files_per_bucket: int = 1,
                    sort_by: Sequence[str] = (),
@@ -771,8 +1002,15 @@ def _rewrite_table(spark: SparkSession, target_path: str, meta: dict,
     """Full-table rewrite under the (possibly new) layout in ``meta``:
     re-stamp buckets, cluster each bucket into ``files_per_bucket``
     files, write to a staging sibling WITH its metadata, then swap —
-    readers see the old table until the atomic rename, and a crash
-    mid-rewrite leaves the live table untouched. ``sort_by`` sorts
+    readers see the old table until the swap begins. The swap itself
+    is NOT atomic: it is two renames (table -> ``.__old__``, staging
+    -> table) with the feed moved between them, and a crash inside
+    that window leaves no live table — the previous state is stranded
+    in ``.__old__``, never deleted. Every rewrite (and
+    ``recover_table``) first heals such a remnant via
+    ``_recover_rewrite``, so a rerun after the crash restores the
+    pre-rewrite table (feed included) and redoes the rewrite from
+    scratch. ``sort_by`` sorts
     rows within each task before the write so parquet row groups carry
     tight min/max statistics on those columns — scans filtering on
     them then skip whole row groups at the reader level (the
@@ -790,6 +1028,7 @@ def _rewrite_table(spark: SparkSession, target_path: str, meta: dict,
     within-file ordering (sort_by survives splitting for free)."""
     from cdc_data_pipeline_spark.sources import fsutil as fs
 
+    _recover_rewrite(spark, target_path)
     keys, n = meta["keys"], meta["n_buckets"]
     df = spark.read.option("mergeSchema", "true").parquet(target_path)
     data = df.drop(BUCKET_COL).withColumn(BUCKET_COL, bucket_of(keys, n))
@@ -873,6 +1112,7 @@ def rebucket(spark: SparkSession, target_path: str, n_buckets: int,
     index families — use ``lsm.maintenance_lock`` for hard exclusion)."""
     with _maybe_table_lock(spark, target_path, lock, lock_ttl,
                            lock_timeout):
+        _recover_rewrite(spark, target_path)
         meta = _read_table_meta(spark, target_path)
         if meta is None:
             if keys is None or tracking_column is None:
@@ -904,6 +1144,7 @@ def compact_table(spark: SparkSession, target_path: str,
     groups."""
     with _maybe_table_lock(spark, target_path, lock, lock_ttl,
                            lock_timeout):
+        _recover_rewrite(spark, target_path)
         meta = _read_table_meta(spark, target_path)
         if meta is None:
             raise ValueError(

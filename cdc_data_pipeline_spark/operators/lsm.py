@@ -188,17 +188,24 @@ class maintenance_lock:
                 st = fs.getFileStatus(p)
                 age = time.time() - st.getModificationTime() / 1000.0
             except Exception:
-                continue  # released between attempts: retry now
-            if age > self._ttl:
+                # marker released between attempts — or the status
+                # probe itself is failing (permissions, a transient FS
+                # fault). Either way fall through to the deadline
+                # check and the paced retry: a persistent probe fault
+                # must end in MaintenanceLockHeld, never a busy-spin.
+                age = None
+            if age is not None and age > self._ttl:
                 # crashed holder: expire the marker and retry the
                 # create-exclusive (racing expirers then race the
                 # create, which only one can win)
                 fsutil.delete(spark, self._lock_path)
-                continue
             if time.monotonic() >= deadline:
-                raise MaintenanceLockHeld(
-                    f"{self._lock_path}: held by another maintenance "
-                    f"writer (age {age:.1f}s <= ttl {self._ttl}s)")
+                state = (f"held by another maintenance writer "
+                         f"(marker age {age:.1f}s, ttl {self._ttl}s)"
+                         if age is not None else
+                         "marker status unavailable (released mid-probe "
+                         "or a persistent filesystem fault)")
+                raise MaintenanceLockHeld(f"{self._lock_path}: {state}")
             time.sleep(self._poll)
         return self
 

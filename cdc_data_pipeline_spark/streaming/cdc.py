@@ -209,14 +209,19 @@ def stream_ivm_to_parquet(
     group-cardinality-sized (not table-sized), so the full atomic
     rewrite per batch is the cheap part. Requires the feed to carry
     update preimages (``update_preimages=True`` on the table's sink) —
-    postimage-only updates cannot be subtracted. Replay-safe: the
-    file-stream source's checkpoint guarantees each committed feed
-    file is delivered to exactly one successful batch, and the mart
-    swap is atomic, so a crashed batch replays against the pre-swap
-    mart."""
+    postimage-only updates cannot be subtracted.
+
+    Replay-safe against REDELIVERY, not just restart: delta addition
+    is non-idempotent, so a batch redelivered after a crash between
+    the mart swap and the streaming checkpoint commit must not fold
+    twice. The mart carries the highest applied feed ``_seq`` in a
+    sidecar swapped atomically WITH it (``incremental.read_mart_seq``
+    / ``write_mart_merged``); each batch first drops rows at or below
+    that watermark, so an already-folded slice contributes nothing on
+    redelivery — whatever the checkpoint believed."""
     from cdc_data_pipeline_spark.operators.incremental import (
-        agg_deltas_from_feed, merge_agg_deltas, stream_changes,
-        write_merged)
+        agg_deltas_from_feed, merge_agg_deltas, read_mart_seq,
+        stream_changes, write_mart_merged)
     from cdc_data_pipeline_spark.sources import fsutil
 
     feed = stream_changes(spark, table_path)
@@ -224,7 +229,12 @@ def stream_ivm_to_parquet(
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        deltas = agg_deltas_from_feed(batch, group_cols, sum_cols)
+        applied = read_mart_seq(spark, mart_path)
+        fresh = batch.filter(F.col("_seq") > applied)
+        if fresh.isEmpty():
+            return                     # redelivered, already folded
+        new_max = fresh.agg(F.max("_seq").alias("m")).first()["m"]
+        deltas = agg_deltas_from_feed(fresh, group_cols, sum_cols)
         mart = None
         if fsutil.exists(spark, mart_path):
             try:
@@ -232,7 +242,7 @@ def stream_ivm_to_parquet(
             except Exception:
                 mart = None
         merged = merge_agg_deltas(mart, deltas, group_cols)
-        write_merged(merged, mart_path)
+        write_mart_merged(merged, mart_path, max(applied, int(new_max)))
 
     writer = (
         feed.writeStream.foreachBatch(fold_batch)

@@ -654,3 +654,117 @@ def test_crash_between_commit_and_pointer_repairs(spark, tmp_path):
     assert _read_latest_ptr(spark, tgt)["seq"] == 1   # pointer repaired
     table = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
     assert table == {1: "a2", 2: "b"}         # merge stayed idempotent
+
+
+def test_stream_ivm_replay_does_not_double_count(spark, tmp_path):
+    """ADVICE-r7 medium: a crash after the mart swap but before the
+    streaming checkpoint commit redelivers the batch — and delta
+    addition is non-idempotent, so without a watermark the redelivered
+    slice would double every sum. The mart carries the highest applied
+    feed _seq in a sidecar swapped atomically with it; simulate the
+    WORST case (lose the entire checkpoint, every feed file
+    redelivered) and the mart must not move — then a genuinely new
+    commit must still fold in."""
+    import shutil
+
+    from cdc_data_pipeline_spark.operators.incremental import (
+        read_mart_seq)
+    from cdc_data_pipeline_spark.streaming.cdc import (
+        stream_ivm_to_parquet)
+
+    tbl = str(tmp_path / "tbl")
+    mart = str(tmp_path / "mart")
+    ck = str(tmp_path / "ck")
+    schema = "k long, grp string, amt double, ts long, is_del boolean"
+    upsert_bucketed(spark, tbl, spark.createDataFrame(
+        [(1, "a", 10.0, 10, False), (2, "b", 5.0, 10, False)], schema),
+        ["k"], "ts", n_buckets=4, delete_col="is_del",
+        emit_changes=True, update_preimages=True)
+    upsert_bucketed(spark, tbl, spark.createDataFrame(
+        [(1, "a", 25.0, 20, False)], schema),
+        ["k"], "ts", delete_col="is_del", emit_changes=True,
+        update_preimages=True)
+
+    q = stream_ivm_to_parquet(spark, tbl, mart, ["grp"], ["amt"], ck)
+    q.awaitTermination(180)
+
+    def snap():
+        return {(r["grp"], round(r["delta_amt"], 2), r["delta_count"])
+                for r in spark.read.parquet(mart).collect()}
+
+    base = snap()
+    assert base == {("a", 25.0, 1), ("b", 5.0, 1)}
+    assert read_mart_seq(spark, mart) == 1
+
+    # total checkpoint loss: the file source redelivers EVERY commit
+    shutil.rmtree(ck)
+    q2 = stream_ivm_to_parquet(spark, tbl, mart, ["grp"], ["amt"], ck)
+    q2.awaitTermination(180)
+    assert snap() == base               # nothing double-counted
+    assert read_mart_seq(spark, mart) == 1
+
+    # new commits still fold after a replay
+    upsert_bucketed(spark, tbl, spark.createDataFrame(
+        [(3, "b", 2.0, 30, False)], schema),
+        ["k"], "ts", delete_col="is_del", emit_changes=True,
+        update_preimages=True)
+    q3 = stream_ivm_to_parquet(spark, tbl, mart, ["grp"], ["amt"], ck)
+    q3.awaitTermination(180)
+    assert snap() == {("a", 25.0, 1), ("b", 7.0, 2)}
+    assert read_mart_seq(spark, mart) == 2
+
+
+def test_snapshot_anchor_time_travel_survives_vacuum(spark, tmp_path):
+    """VERDICT-r7 #3: snapshot anchors (the Delta-checkpoint analogue)
+    make vacuum and time travel compose. Anchored reconstruction
+    equals the full-prefix reconstruction computed before the anchor
+    existed; vacuuming commits at/below the anchor keeps every as-of
+    read above it working, while reads below it refuse loudly."""
+    from cdc_data_pipeline_spark.operators.incremental import (
+        create_anchor, table_at, vacuum_changes)
+
+    tgt = str(tmp_path / "tbl")
+    upsert_bucketed(spark, tgt,                                  # seq 0
+                    _mk(spark, [(1, "a", 10, False), (2, "b", 10, False),
+                                (3, "c", 10, False), (4, "d", 10, False)]),
+                    ["k"], "ts", n_buckets=4, delete_col="is_del",
+                    emit_changes=True)
+    upsert_bucketed(spark, tgt,                                  # seq 1
+                    _mk(spark, [(1, "a2", 20, False), (5, "e", 20, False)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True)
+    upsert_bucketed(spark, tgt,                                  # seq 2
+                    _mk(spark, [(2, None, 30, True), (3, "c2", 30, False)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True)
+
+    def state(seq):
+        return {(r["k"], r["v"]) for r in
+                table_at(spark, tgt, seq).select("k", "v").collect()}
+
+    full_s1 = state(1)                      # full-prefix reconstructions
+    full_s2 = state(2)
+    assert full_s2 == {(1, "a2"), (3, "c2"), (4, "d"), (5, "e")}
+
+    assert create_anchor(spark, tgt) == 2
+    assert create_anchor(spark, tgt) == 2   # idempotent
+    assert state(1) == full_s1              # below the anchor: prefix path
+
+    upsert_bucketed(spark, tgt,                                  # seq 3
+                    _mk(spark, [(6, "f", 40, False)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True)
+
+    # anchored path equals the pre-anchor full-prefix reconstruction
+    assert state(2) == full_s2
+    live = {(r["k"], r["v"]) for r in spark.read.parquet(tgt)
+            .select("k", "v").collect()}
+    assert state(3) == live
+
+    # prune everything at/below the anchor: as-of reads ABOVE it live on
+    vacuum_changes(spark, tgt, before_seq=2)
+    assert state(2) == full_s2
+    assert state(3) == live
+    with pytest.raises(ValueError, match="vacuumed"):
+        table_at(spark, tgt, 1)             # below the anchor: refuse
+
+    # anchors are invisible to feed consumers and table scans
+    assert read_changes(spark, tgt, since_seq=2).count() == 1
+    assert spark.read.parquet(tgt).count() == 5

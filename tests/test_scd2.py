@@ -107,3 +107,75 @@ def test_temporal_join_point_in_time(spark):
     out = {r["fact_id"]: r["state"]
            for r in temporal_join(facts, snap, ["user_id"], "event_ts").collect()}
     assert out == {100: "v1", 101: "v2", 102: "v2", 103: None, 104: None}
+
+
+def _snap_rows(spark, path):
+    return {(r["dbt_scd_id"], r["k"], r["v"],
+             str(r["dbt_valid_from"]), str(r["dbt_valid_to"]))
+            for r in spark.read.parquet(path)
+            .select("dbt_scd_id", "k", "v", "dbt_valid_from",
+                    "dbt_valid_to").collect()}
+
+
+def test_scd2_change_feed_replicates_snapshot(spark, tmp_path):
+    """VERDICT-r7 #4: the SCD2 dim family emits the same exactly-once
+    change feed as the fact table — version transitions keyed by
+    dbt_scd_id (open = insert, close = update with the final
+    valid_to; never a delete). Replaying the reference's README CDC
+    check (README.md:69-88: insert -> update closes v1 and opens v2)
+    through the feed with apply_changes equals the snapshot itself,
+    a foreachBatch redelivery commits nothing, and an identical batch
+    under a NEW run_ts is a no-transition merge that also commits
+    nothing."""
+    from cdc_data_pipeline_spark.operators.incremental import (
+        apply_changes, read_changes)
+    from cdc_data_pipeline_spark.operators.scd2 import scd2_bucketed
+
+    snap = str(tmp_path / "snap")
+    rep = str(tmp_path / "rep")
+    b1 = spark.createDataFrame([(1, "alice"), (2, "bob")],
+                               "k long, v string")
+    scd2_bucketed(spark, snap, b1, ["k"], ["v"], "2024-01-01 00:00:00",
+                  n_buckets=4, emit_changes=True)
+    feed = read_changes(spark, snap)
+    assert {r["_op"] for r in feed.collect()} == {"insert"}
+    assert feed.count() == 2
+
+    # the README CDC shape: one key changes, one brand-new key arrives
+    b2 = spark.createDataFrame([(1, "alicia"), (2, "bob"), (3, "carol")],
+                               "k long, v string")
+    scd2_bucketed(spark, snap, b2, ["k"], ["v"], "2024-01-02 00:00:00",
+                  emit_changes=True)
+    ops = sorted((r["_op"], r["k"], r["v"],
+                  r["dbt_valid_to"] is not None)
+                 for r in read_changes(spark, snap, since_seq=0).collect())
+    assert ops == [("insert", 1, "alicia", False),   # v2 of key 1 opens
+                   ("insert", 3, "carol", False),    # brand-new key
+                   ("update", 1, "alice", True)]     # v1 closes
+
+    # foreachBatch redelivery: same batch, same run_ts -> no commit
+    scd2_bucketed(spark, snap, b2, ["k"], ["v"], "2024-01-02 00:00:00",
+                  emit_changes=True)
+    assert read_changes(spark, snap, since_seq=1) is None
+    # unchanged content under a NEW run_ts: a real merge, no
+    # transitions -> still no commit accumulates
+    scd2_bucketed(spark, snap, b2, ["k"], ["v"], "2024-01-03 00:00:00",
+                  emit_changes=True)
+    assert read_changes(spark, snap, since_seq=1) is None
+
+    # a replica maintained from the feed ALONE equals the snapshot
+    apply_changes(spark, read_changes(spark, snap), rep,
+                  ["dbt_scd_id"], n_buckets=4)
+    assert _snap_rows(spark, rep) == _snap_rows(spark, snap)
+
+    # preimage mode: the closing version's still-open row rides along
+    b3 = spark.createDataFrame([(3, "caroline")], "k long, v string")
+    scd2_bucketed(spark, snap, b3, ["k"], ["v"], "2024-01-04 00:00:00",
+                  emit_changes=True, update_preimages=True)
+    got = sorted((r["_op"], r["dbt_valid_to"] is not None)
+                 for r in read_changes(spark, snap, since_seq=1).collect())
+    assert got == [("insert", False), ("update_postimage", True),
+                   ("update_preimage", False)]
+    apply_changes(spark, read_changes(spark, snap, since_seq=1), rep,
+                  ["dbt_scd_id"])
+    assert _snap_rows(spark, rep) == _snap_rows(spark, snap)

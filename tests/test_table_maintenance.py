@@ -291,3 +291,148 @@ def test_rebucket_multiple_is_shuffle_free_split(spark, tmp_path):
     assert rebucket(spark, tgt, 12, sort_by=["ts"]) == "shuffle"  # 12 % 8 != 0
     assert {r["k"] for r in spark.read.parquet(tgt).collect()} \
         == set(range(200))
+
+
+def test_recover_table_heals_crashed_rewrite(spark, tmp_path):
+    """ADVICE-r7 low: _rewrite_table's swap is two renames; a crash
+    between them leaves NO live table and the previous state stranded
+    in .__old__. recover_table (also run at the top of every rewrite)
+    must restore it — including the change feed when the crash hit
+    after the feed had already moved into the .__rewrite__ staging
+    dir — instead of a rerun failing at the initial read."""
+    import shutil
+
+    from cdc_data_pipeline_spark.operators.incremental import (
+        read_changes, recover_table)
+
+    tgt = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(12)], "k long, v string, ts long")
+    upsert_bucketed(spark, tgt, base, ["k"], "ts", n_buckets=2,
+                    emit_changes=True)
+    want = _rows(spark, tgt)
+
+    # crash window A: table renamed aside, feed still inside it
+    shutil.move(tgt, tgt + ".__old__")
+    assert recover_table(spark, tgt) == [tgt]
+    assert _rows(spark, tgt) == want
+    assert read_changes(spark, tgt).count() == 12
+
+    # crash window B: feed had already moved into the staging dir
+    shutil.move(tgt, tgt + ".__old__")
+    (tmp_path / "tbl.__rewrite__").mkdir()
+    shutil.move(tgt + ".__old__/_changes", str(tmp_path / "tbl.__rewrite__" / "_changes"))
+    assert recover_table(spark, tgt) == [tgt]
+    assert _rows(spark, tgt) == want
+    assert read_changes(spark, tgt).count() == 12     # feed pulled back
+
+    # and a rerun of the rewrite heals the remnant by itself
+    shutil.move(tgt, tgt + ".__old__")
+    rebucket(spark, tgt, 4)
+    assert _rows(spark, tgt) == want
+    assert read_changes(spark, tgt).count() == 12
+
+    # crash window C: one BUCKET stranded mid _replace_dir swap
+    shutil.move(tgt + "/__kb=1", tgt + "/__kb=1.__old__")
+    assert recover_table(spark, tgt) == [tgt + "/__kb=1"]
+    assert _rows(spark, tgt) == want
+    # idempotent when healthy
+    assert recover_table(spark, tgt) == []
+
+
+def test_maintenance_lock_probe_fault_times_out(spark, tmp_path,
+                                                monkeypatch):
+    """ADVICE-r7 low: a persistent getFileStatus fault (permissions,
+    transient FS error) while the lock is held must end in
+    MaintenanceLockHeld at the acquire deadline — not a busy-spin that
+    never raises."""
+    import time
+
+    from cdc_data_pipeline_spark.operators import lsm
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    root = str(tmp_path / "idx")
+    holder = lsm.maintenance_lock(spark, root, timeout_sec=5)
+    holder.__enter__()
+    try:
+        real = fsutil._fs
+
+        class BrokenFS:
+            def __init__(self, fs):
+                self._fs = fs
+
+            def getFileStatus(self, p):
+                raise RuntimeError("synthetic persistent probe fault")
+
+            def __getattr__(self, name):
+                return getattr(self._fs, name)
+
+        def patched(sp, path):
+            fs, p = real(sp, path)
+            return BrokenFS(fs), p
+
+        monkeypatch.setattr(fsutil, "_fs", patched)
+        t0 = time.monotonic()
+        with pytest.raises(lsm.MaintenanceLockHeld,
+                           match="status unavailable"):
+            with lsm.maintenance_lock(spark, root, timeout_sec=0.8,
+                                      poll_sec=0.05):
+                pass
+        elapsed = time.monotonic() - t0
+        assert 0.7 <= elapsed < 10          # deadline honored, paced
+        monkeypatch.undo()
+    finally:
+        holder.__exit__(None, None, None)
+
+
+def test_locked_upserts_serialize(spark, tmp_path):
+    """VERDICT-r7 #5: two concurrent upsert_bucketed(emit_changes)
+    writers racing one table from OUTSIDE a stream serialize under
+    ``lock=True`` — both merges land, the feed gets two commits with
+    DISTINCT sequence numbers (the duplicate-seq race the detect-only
+    contract would have surfaced at read), and the lock marker is gone
+    after both release."""
+    import threading
+
+    from cdc_data_pipeline_spark.operators import lsm
+    from cdc_data_pipeline_spark.operators.incremental import (
+        read_changes)
+    from cdc_data_pipeline_spark.sources import fsutil
+    from cdc_data_pipeline_spark.sources.fsutil import path_join
+
+    tgt = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(16)], "k long, v string, ts long")
+    upsert_bucketed(spark, tgt, base, ["k"], "ts", n_buckets=4,
+                    emit_changes=True)
+
+    errors = []
+    barrier = threading.Barrier(2)
+
+    def run(lo):
+        batch = spark.createDataFrame(
+            [(k, f"n{k}", 20) for k in range(lo, lo + 4)],
+            "k long, v string, ts long")
+        barrier.wait()
+        try:
+            upsert_bucketed(spark, tgt, batch, ["k"], "ts",
+                            emit_changes=True, lock=True,
+                            lock_timeout=600)
+        except Exception as ex:  # noqa: BLE001 - assert below
+            errors.append(ex)
+
+    threads = [threading.Thread(target=run, args=(lo,)) for lo in (0, 8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(600)
+    assert errors == []
+    feed = read_changes(spark, tgt, since_seq=0)     # raises on dup seq
+    assert {r["_seq"] for r in feed.collect()} == {1, 2}
+    got = _rows(spark, tgt)
+    want = {i: (f"n{i}" if i in (*range(0, 4), *range(8, 12)) else f"v{i}",
+                20 if i in (*range(0, 4), *range(8, 12)) else 10)
+            for i in range(16)}
+    assert got == want
+    assert not fsutil.exists(
+        spark, path_join(tgt + ".__maint__", lsm.MAINT_LOCK))
