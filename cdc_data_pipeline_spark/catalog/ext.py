@@ -746,6 +746,158 @@ def q_video_dup_pairs(spark, sf_dir):
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def _docs_as_ppm(docs):
+    """documents -> real P6 PPM images, 4 pixels wide, one row per code
+    point; pixel (y, x) is the flat gray (c_y + 37*x) % 256 in all
+    three channels — x-varying so the 8x8 aHash carries entropy in
+    both axes (shared by the image feature + dedup entries)."""
+    import pandas as pd
+
+    def to_ppm(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                h = len(text)
+                body = bytearray()
+                for ch in text:
+                    c = ord(ch) % 256
+                    for x in range(4):
+                        body += bytes([(c + 37 * x) % 256]) * 3
+                payloads.append(b"P6\n4 %d\n255\n" % h + bytes(body))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.mapInPandas(to_ppm, "media_id long, payload binary")
+
+
+def q_image_features(spark, sf_dir):
+    """REAL image decode pinned cross-engine — stdlib only, so the
+    decode executes in every sandbox (the Y4M/wave trick applied to
+    images): each document becomes a real P6 PPM (header + raw RGB)
+    and ``multimodal.extract_image_features`` parses it back; the
+    oracle recomputes dimensions, mean gray, and the first/last
+    horizontal-band means from the same code-point arithmetic without
+    ever seeing a PPM byte. Pixel grays are integer-valued, so sums
+    are exact in doubles on both engines."""
+    from cdc_data_pipeline_spark.operators.multimodal import (
+        extract_image_features)
+
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 1)
+    feats = extract_image_features(_docs_as_ppm(docs), n_bands=4)
+    return feats.select(
+        "media_id", "width", "height", "n_pixels",
+        F.round("mean_gray", 6).alias("mean_gray"),
+        F.round(F.element_at("band_means", 1), 6).alias("band0"),
+        F.round(F.element_at("band_means", 4), 6).alias("band3"))
+
+
+SQL_IMAGE_FEATURES = """
+WITH chars AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> ord(substr(text, i, 1)) % 256) AS f
+  FROM documents WHERE length(text) >= 1),
+rows_ AS (
+  SELECT doc_id, f, len(f) AS h,
+         list_transform(f, c -> c + (c + 37) % 256 + (c + 74) % 256
+                              + (c + 111) % 256) AS rowsum
+  FROM chars),
+bands AS (
+  SELECT doc_id, f, h, rowsum,
+         list_filter(range(1, h + 1), i -> (i - 1) * 4 // h = 0) AS b0,
+         list_filter(range(1, h + 1),
+                     i -> least((i - 1) * 4 // h, 3) = 3) AS b3
+  FROM rows_)
+SELECT doc_id AS media_id,
+       4::INTEGER AS width, h::INTEGER AS height,
+       (h * 4)::BIGINT AS n_pixels,
+       ROUND(list_sum(list_transform(rowsum, s -> s::DOUBLE))
+             / (h * 4), 6) AS mean_gray,
+       ROUND(list_sum(list_transform(b0, i -> rowsum[i]::DOUBLE))
+             / (len(b0) * 4), 6) AS band0,
+       ROUND(list_sum(list_transform(b3, i -> rowsum[i]::DOUBLE))
+             / (len(b3) * 4), 6) AS band3
+FROM bands
+"""
+
+
+def q_image_dup_pairs(spark, sf_dir):
+    """Image near-dup, end to end REAL and cross-engine: PPM payloads
+    decode through ``extract_image_features``, whose 64-bit aHash is a
+    REAL bilinear 8x8 resample thresholded at its mean, and the
+    fingerprints feed the SAME pigeonhole-blocked Hamming join text
+    SimHash and the audio/video fingerprints use. max_hamming=3 <
+    blocks=8 guarantees full recall, so the banded join must equal the
+    oracle's brute-force O(n^2) scan — pinning the decode, the
+    bilinear kernel (the SQL mirrors ``_bilinear_gray``'s two-stage
+    lerp operation-for-operation, so IEEE doubles agree bit-for-bit),
+    the threshold, and the signed bit pack in one row. Docs shorter
+    than 16 code points are excluded (too few rows for the hash to
+    carry signal — same rationale as the video entry)."""
+    from cdc_data_pipeline_spark.operators.dedup import hamming_near_pairs
+    from cdc_data_pipeline_spark.operators.multimodal import (
+        extract_image_features)
+
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 16)
+    fps = extract_image_features(_docs_as_ppm(docs)) \
+        .select("media_id", "ahash")
+    return hamming_near_pairs(fps, fp_col="ahash", id_col="media_id",
+                              bits=64, max_hamming=3, blocks=8) \
+        .select("id_a", "id_b",
+                F.col("hamming").cast("int").alias("hamming"))
+
+
+SQL_IMAGE_DUP_PAIRS = """
+WITH chars AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> ord(substr(text, i, 1)) % 256) AS f,
+         length(text)::BIGINT AS h
+  FROM documents WHERE length(text) >= 16),
+pos AS (SELECT p, p // 8 AS ty, p % 8 AS tx FROM range(64) t(p)),
+geo AS (
+  SELECT doc_id, f, h, p,
+         greatest(0.0, (ty + 0.5) * h / 8.0 - 0.5) AS sy,
+         greatest(0.0, (tx + 0.5) * 4.0 / 8.0 - 0.5) AS sx
+  FROM chars CROSS JOIN pos),
+geo2 AS (
+  SELECT doc_id, f, h, p, sy, sx,
+         least(floor(sy)::BIGINT, h - 1) AS y0,
+         least(floor(sx)::BIGINT, 3) AS x0
+  FROM geo),
+geo3 AS (
+  SELECT doc_id, f, p, y0, x0,
+         sy - y0 AS fy, sx - x0 AS fx,
+         least(y0 + 1, h - 1) AS y1, least(x0 + 1, 3) AS x1
+  FROM geo2),
+pxv AS (
+  SELECT doc_id, p,
+         ((((f[y0 + 1] + 37 * x0) % 256)::DOUBLE * (1 - fx)
+           + ((f[y0 + 1] + 37 * x1) % 256)::DOUBLE * fx) * (1 - fy)
+          + (((f[y1 + 1] + 37 * x0) % 256)::DOUBLE * (1 - fx)
+             + ((f[y1 + 1] + 37 * x1) % 256)::DOUBLE * fx) * fy) AS v
+  FROM geo3),
+m AS (
+  SELECT doc_id, list_sum(list(v ORDER BY p)) / 64.0 AS mean
+  FROM pxv GROUP BY doc_id),
+bits AS (
+  SELECT pxv.doc_id,
+         sum(CASE WHEN v > mean THEN 1::HUGEINT << (63 - p)
+                  ELSE 0::HUGEINT END) AS s
+  FROM pxv JOIN m USING (doc_id) GROUP BY pxv.doc_id),
+fp AS (
+  SELECT doc_id,
+         (CASE WHEN s >= 9223372036854775808::HUGEINT
+               THEN s - 18446744073709551616::HUGEINT
+               ELSE s END)::BIGINT AS v
+  FROM bits)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.v, b.v))::INTEGER AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.v, b.v)) <= 3
+"""
+
+
 SQL_VIDEO_DUP_PAIRS = """
 WITH chars AS (
   SELECT doc_id,
@@ -1784,6 +1936,10 @@ EXTRA_QUERIES["video_features"] = q_video_features
 EXTRA_ORACLES["video_features"] = SQL_VIDEO_FEATURES
 EXTRA_QUERIES["video_dup_pairs"] = q_video_dup_pairs
 EXTRA_ORACLES["video_dup_pairs"] = SQL_VIDEO_DUP_PAIRS
+EXTRA_QUERIES["image_features"] = q_image_features
+EXTRA_ORACLES["image_features"] = SQL_IMAGE_FEATURES
+EXTRA_QUERIES["image_dup_pairs"] = q_image_dup_pairs
+EXTRA_ORACLES["image_dup_pairs"] = SQL_IMAGE_DUP_PAIRS
 # driver tier (rotated in for core.py's `upsert` in round 7, whose
 # anti-join+union is a strict subset of both upsert_dedup and this
 # row's bucketed merge): the change data feed is flagship CDC-out

@@ -495,6 +495,241 @@ def sample_video_frames(media: DataFrame, stride: int = 2,
     return media.mapInPandas(sample, schema=VIDEO_FRAME_SCHEMA)
 
 
+def _decode_ppm(b: bytes):
+    """Parse a binary P6 PPM (netpbm RGB) with stdlib-only byte math:
+    returns (width, height, flat top-down RGB bytes). The header is
+    ASCII tokens (``P6 <w> <h> <maxval>``) with ``#`` comments and any
+    whitespace; only 8-bit maxval is supported (the overwhelmingly
+    common case — ffmpeg/ImageMagick default). Raises on anything
+    else; callers quarantine."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) image")
+    toks, pos = [], 2
+    while len(toks) < 3:
+        while pos < len(b) and b[pos:pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos:pos + 1] == b"#":
+            nl = b.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("unterminated PPM comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos:pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        toks.append(b[start:pos])
+    pos += 1                       # single whitespace after maxval
+    w, h, maxval = (int(t) for t in toks)
+    if w <= 0 or h <= 0:
+        raise ValueError("invalid PPM dimensions")
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    need = w * h * 3
+    if len(b) - pos < need:
+        raise ValueError("truncated PPM pixel data")
+    return w, h, b[pos:pos + need]
+
+
+def _encode_ppm(w: int, h: int, rgb: bytes) -> bytes:
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb
+
+
+def _decode_bmp(b: bytes):
+    """Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB)
+    with stdlib-only byte math: returns (width, height, flat top-down
+    RGB bytes). BMP stores BGR rows padded to 4 bytes, bottom-up when
+    height is positive. Raises on other depths/compressions; callers
+    quarantine."""
+    import struct
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP image")
+    pix_off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    if w <= 0 or h == 0:
+        raise ValueError("invalid BMP dimensions")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    if len(b) - pix_off < stride * h:
+        raise ValueError("truncated BMP pixel data")
+    out = bytearray(w * h * 3)
+    for row in range(h):
+        src = pix_off + (h - 1 - row if bottom_up else row) * stride
+        dst = row * w * 3
+        line = b[src:src + w * 3]
+        out[dst:dst + w * 3:3] = line[2::3]      # B G R -> R
+        out[dst + 1:dst + w * 3:3] = line[1::3]  # G
+        out[dst + 2:dst + w * 3:3] = line[0::3]  # B
+    return w, h, bytes(out)
+
+
+def _decode_image_stdlib(b: bytes):
+    """PPM-or-BMP dispatch: the stdlib-decodable image formats (the
+    same role Y4M plays for video and ``wave`` for audio — a real,
+    dependency-free decode path that executes everywhere). Compressed
+    formats (PNG/JPEG) remain the Pillow-gated seam."""
+    if b.startswith(b"P6"):
+        return _decode_ppm(b)
+    if b.startswith(b"BM"):
+        return _decode_bmp(b)
+    raise ValueError("not a stdlib-decodable image (PPM P6 / 24-bit BMP)")
+
+
+def _bilinear_gray(gray, w: int, h: int, tw: int, th: int):
+    """REAL bilinear resample of a row-major grayscale plane (list of
+    doubles) to (tw, th), half-pixel-centered with edge clamping.
+    The two-stage lerp below is EXACTLY mirrored by the DuckDB oracle
+    SQL (catalog/ext.py image entries) — identical operation order, so
+    IEEE doubles agree bit-for-bit across engines."""
+    out = []
+    for ty in range(th):
+        sy = max(0.0, (ty + 0.5) * h / th - 0.5)
+        y0 = min(int(sy), h - 1)
+        y1 = min(y0 + 1, h - 1)
+        fy = sy - y0
+        for tx in range(tw):
+            sx = max(0.0, (tx + 0.5) * w / tw - 0.5)
+            x0 = min(int(sx), w - 1)
+            x1 = min(x0 + 1, w - 1)
+            fx = sx - x0
+            top = gray[y0 * w + x0] * (1 - fx) + gray[y0 * w + x1] * fx
+            bot = gray[y1 * w + x0] * (1 - fx) + gray[y1 * w + x1] * fx
+            out.append(top * (1 - fy) + bot * fy)
+    return out
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_pixels", T.LongType(), True),
+    T.StructField("mean_gray", T.DoubleType(), True),
+    T.StructField("band_means", T.ArrayType(T.DoubleType()), True),
+    T.StructField("ahash", T.LongType(), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+
+def extract_image_features(media: DataFrame, n_bands: int = 4) -> DataFrame:
+    """REAL image decode on the media seam — stdlib only, so this path
+    runs and is tested everywhere (the Y4M/wave trick applied to
+    images; closes the one decode that had only ever executed its
+    Pillow gate). P6 PPM and uncompressed 24-bit BMP payloads are
+    parsed byte-exactly inside the same Arrow-batched ``mapInPandas``
+    shape as the other modalities. Emits dimensions, overall mean
+    grayscale, ``n_bands`` horizontal-band gray means (the same band
+    math as the Pillow path in ``extract_features``), and a 64-bit
+    aHash perceptual fingerprint: REAL bilinear resize to 8x8
+    (``_bilinear_gray``), threshold at the resized mean, MSB-first
+    bit pack (two's-complement signed, like the audio/video
+    fingerprints) — so image near-dup detection feeds the SAME
+    pigeonhole-blocked Hamming join (``dedup.hamming_near_pairs``)
+    text SimHash, audio and video use. Corrupt or compressed payloads
+    quarantine with ``decode_error`` instead of failing the stage."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode(b: bytes):
+            w, h, rgb = _decode_image_stdlib(b)
+            gray = [(rgb[i] + rgb[i + 1] + rgb[i + 2]) / 3.0
+                    for i in range(0, len(rgb), 3)]
+            mean = sum(gray) / len(gray)
+            bands = [0.0] * n_bands
+            counts = [0] * n_bands
+            for row in range(h):
+                band = min(row * n_bands // h, n_bands - 1)
+                seg = gray[row * w:(row + 1) * w]
+                bands[band] += sum(seg)
+                counts[band] += len(seg)
+            band_means = [bands[i] / counts[i] if counts[i] else 0.0
+                          for i in range(n_bands)]
+            small = _bilinear_gray(gray, w, h, 8, 8)
+            thresh = sum(small) / 64.0
+            bits = 0
+            for v in small:
+                bits = (bits << 1) | (1 if v > thresh else 0)
+            # signed 64-bit pack: subtract 2**64 (bijection), same as
+            # the audio/video fingerprints
+            ahash = bits - (1 << 64) if bits >= (1 << 63) else bits
+            return (w, h, w * h, mean, band_means, ahash)
+
+        for pdf in batches:
+            cols = {k: [] for k in ("width", "height", "n_pixels",
+                                    "mean_gray", "band_means", "ahash",
+                                    "decode_error")}
+            for raw in pdf["payload"]:
+                try:
+                    vals = decode(bytes(raw) if raw is not None else b"") \
+                        + (None,)
+                except Exception as ex:  # quarantine, don't kill
+                    vals = (None,) * 6 + (f"{type(ex).__name__}: {ex}",)
+                for k, v in zip(cols, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
+
+    return media.mapInPandas(featurize, schema=IMAGE_FEATURE_SCHEMA)
+
+
+RESIZED_IMAGE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize, stdlib only: PPM/BMP payloads decode, each
+    RGB channel bilinear-resamples to (width, height)
+    (``_bilinear_gray`` on the channel plane — half-pixel-centered,
+    edge-clamped), and the result re-encodes as a P6 PPM (itself
+    decodable by ``extract_image_features``, so resize -> featurize
+    composes). Values round half-up and clamp to [0, 255].
+    Undecodable payloads quarantine with ``decode_error`` and a null
+    payload. Compressed formats stay on the Pillow-gated ``resize``."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: bytes):
+            w, h, rgb = _decode_image_stdlib(b)
+            planes = []
+            for c in range(3):
+                plane = [float(v) for v in rgb[c::3]]
+                planes.append(_bilinear_gray(plane, w, h, width, height))
+            out = bytearray(width * height * 3)
+            for c in range(3):
+                vals = planes[c]
+                for i, v in enumerate(vals):
+                    out[i * 3 + c] = min(255, max(0, int(v + 0.5)))
+            return _encode_ppm(width, height, bytes(out))
+
+        for pdf in batches:
+            payloads, errs = [], []
+            for raw in pdf["payload"]:
+                try:
+                    payloads.append(one(bytes(raw) if raw is not None
+                                        else b""))
+                    errs.append(None)
+                except Exception as ex:
+                    payloads.append(None)
+                    errs.append(f"{type(ex).__name__}: {ex}")
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": payloads,
+                "width": width,
+                "height": height,
+                "decode_error": errs,
+            })
+
+    return media.mapInPandas(do_resize, schema=RESIZED_IMAGE_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("payload", T.BinaryType(), True),
