@@ -1082,7 +1082,12 @@ QUERIES = {
 # index's full CDC protocol — putting all three persisted index
 # families (text, LSH, ANN) under the driver gate.
     "ann_lsh_topk": q_ann_lsh_topk,
-    "media_features": q_media_features,
+# media_features rotated to the local-parity tier in round 8 (r7
+# verdict #8): its stub byte-features are strictly weaker evidence
+# than the REAL decoders now driver-pinned — video_dup_pairs
+# (registered below) runs Y4M decode, fingerprint packing and the
+# blocked Hamming join in one row; the stub plumbing keeps identical
+# oracle coverage locally.
 }
 
 ORACLES = {
@@ -1095,7 +1100,6 @@ ORACLES = {
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "topk_cosine": SQL_TOPK_COSINE,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
-    "media_features": SQL_MEDIA_FEATURES,
 }
 
 
@@ -1934,8 +1938,14 @@ EXTRA_QUERIES["audio_features"] = q_audio_features
 EXTRA_ORACLES["audio_features"] = SQL_AUDIO_FEATURES
 EXTRA_QUERIES["video_features"] = q_video_features
 EXTRA_ORACLES["video_features"] = SQL_VIDEO_FEATURES
-EXTRA_QUERIES["video_dup_pairs"] = q_video_dup_pairs
-EXTRA_ORACLES["video_dup_pairs"] = SQL_VIDEO_DUP_PAIRS
+# driver tier (rotated in for media_features in round 8, r7 verdict
+# #8): REAL Y4M decode -> temporal fingerprint -> pigeonhole-blocked
+# Hamming join, equal to the oracle's brute-force O(n^2) scan — the
+# cross-modal dedup spine under the value-exact gate.
+QUERIES["video_dup_pairs"] = q_video_dup_pairs
+ORACLES["video_dup_pairs"] = SQL_VIDEO_DUP_PAIRS
+EXTRA_QUERIES["media_features"] = q_media_features
+EXTRA_ORACLES["media_features"] = SQL_MEDIA_FEATURES
 EXTRA_QUERIES["image_features"] = q_image_features
 EXTRA_ORACLES["image_features"] = SQL_IMAGE_FEATURES
 EXTRA_QUERIES["image_dup_pairs"] = q_image_dup_pairs
@@ -1947,6 +1957,12 @@ EXTRA_ORACLES["image_dup_pairs"] = SQL_IMAGE_DUP_PAIRS
 # exactly-once commit publication all sit under the value-exact gate.
 QUERIES["table_change_feed"] = q_table_change_feed
 ORACLES["table_change_feed"] = SQL_TABLE_CHANGE_FEED
-EXTRA_QUERIES["ivm_mart"] = q_ivm_mart
-EXTRA_ORACLES["ivm_mart"] = SQL_IVM_MART
+# driver tier (rotated in for ingest.py's merge_mixed in round 8, r7
+# verdict #6): the feed's preimage/postimage IVM machinery —
+# agg_deltas_from_feed + merge_agg_deltas over a real change feed —
+# under the value-exact gate; merge_mixed keeps identical coverage in
+# the local tier (its MERGE classification is a strict subset of the
+# bucketed lifecycle above).
+QUERIES["ivm_mart"] = q_ivm_mart
+ORACLES["ivm_mart"] = SQL_IVM_MART
 EXTRA_ORACLES["ivf_topk"] = SQL_IVF_TOPK

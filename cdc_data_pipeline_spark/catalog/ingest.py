@@ -304,8 +304,13 @@ SELECT s.*, 'insert' FROM src s
 WHERE op <> 'D' AND plan_id NOT IN (SELECT plan_id FROM target)
 """
 
-QUERIES["merge_mixed"] = q_merge_mixed
-ORACLES["merge_mixed"] = SQL_MERGE_MIXED
+# merge_mixed rotated to the local-parity tier in round 8 (r7 verdict
+# #6): its single-join MERGE classification is a strict subset of the
+# bucketed table lifecycle already driver-pinned via table_change_feed;
+# the freed slot promotes ivm_mart (catalog/ext.py) — the feed's
+# preimage/postimage incremental view maintenance machinery.
+EXTRA_QUERIES["merge_mixed"] = q_merge_mixed
+EXTRA_ORACLES["merge_mixed"] = SQL_MERGE_MIXED
 # merge_cdf demoted to the local-parity tier in round 3: its MERGE
 # machinery (operators/merge.py) stays driver-pinned via merge_mixed,
 # freeing an exported slot for a higher-value family (r2 verdict #6).
