@@ -113,11 +113,27 @@ def main(argv=None) -> int:
                            "applied (default: everything)")
     tap = sub.add_parser(
         "table-at", help="time travel: reconstruct a bucketed table "
-                         "AS OF a change-feed commit (the feed is the "
-                         "version history; refuses a vacuumed feed)")
+                         "AS OF a change-feed commit (starts from the "
+                         "newest snapshot anchor at or below the seq "
+                         "when one exists; refuses a feed vacuumed "
+                         "past the reachable base)")
     tap.add_argument("--path", required=True)
     tap.add_argument("--seq", type=int, required=True)
     tap.add_argument("--limit", type=int, default=20)
+    tanp = sub.add_parser(
+        "table-anchor", help="publish a snapshot anchor at the feed's "
+                             "newest commit (the Delta-checkpoint "
+                             "analogue): table-at then reconstructs "
+                             "from the anchor instead of commit 0, and "
+                             "vacuum may prune at/below it without "
+                             "losing as-of reads above it")
+    tanp.add_argument("--path", required=True)
+    trcp = sub.add_parser(
+        "table-recover", help="heal a crashed swap: restore a table "
+                              "or bucket partition stranded in a "
+                              ".__old__ sibling by a writer that died "
+                              "between the swap's two renames")
+    trcp.add_argument("--path", required=True)
     tchp.add_argument("--limit", type=int, default=20)
     tchp.add_argument("--vacuum-before", type=int, default=None,
                       metavar="SEQ",
@@ -320,6 +336,24 @@ def main(argv=None) -> int:
         snap = table_at(spark, args.path, args.seq)
         snap.show(args.limit, truncate=False)
         print(json.dumps({"seq": args.seq, "rows": snap.count()}))
+        return 0
+
+    if args.cmd == "table-anchor":
+        from cdc_data_pipeline_spark.operators.incremental import (
+            create_anchor)
+        from cdc_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("cdc-table")
+        print(json.dumps({"anchored_seq": create_anchor(spark, args.path)}))
+        return 0
+
+    if args.cmd == "table-recover":
+        from cdc_data_pipeline_spark.operators.incremental import (
+            recover_table)
+        from cdc_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("cdc-table")
+        print(json.dumps({"restored": recover_table(spark, args.path)}))
         return 0
 
     if args.cmd == "table-changes":
