@@ -128,6 +128,12 @@ def main(argv=None) -> int:
                              "vacuum may prune at/below it without "
                              "losing as-of reads above it")
     tanp.add_argument("--path", required=True)
+    tanp.add_argument("--vacuum-keep", type=int, default=None,
+                      metavar="K",
+                      help="after anchoring, prune old anchors keeping "
+                           "the newest K (each anchor is a full table "
+                           "copy — pair a periodic anchor cadence with "
+                           "this)")
     trcp = sub.add_parser(
         "table-recover", help="heal a crashed swap: restore a table "
                               "or bucket partition stranded in a "
@@ -318,15 +324,29 @@ def main(argv=None) -> int:
             F.col("delta_count").cast("long").alias("c"))
         mart_ok = (want.exceptAll(got).isEmpty()
                    and got.exceptAll(want).isEmpty())
+        # anchor + vacuum + time travel: publish a snapshot anchor at
+        # the newest commit, prune every commit below it, and the
+        # as-of read at that seq must still equal bronze — the full
+        # vacuum-and-time-travel-compose contract, self-verified
+        from cdc_data_pipeline_spark.operators.incremental import (
+            create_anchor, table_at, vacuum_changes)
+
+        aseq = create_anchor(spark, bronze)
+        vacuum_changes(spark, bronze, before_seq=aseq - 1)
+        t = table_at(spark, bronze, aseq).select(*cols)
+        travel_ok = (b.exceptAll(t).isEmpty()
+                     and t.exceptAll(b).isEmpty())
         st = table_stats(spark, bronze)
         print(json.dumps({
             "bronze_rows": st["n_rows"],
             "feed_commits": args.ticks + 1,
             "replica_matches_bronze": replica_ok,
             "mart_matches_recompute": mart_ok,
+            "anchored_seq": aseq,
+            "time_travel_matches_bronze": travel_ok,
             "bucket_skew": st["bucket_skew"],
         }))
-        return 0 if (replica_ok and mart_ok) else 1
+        return 0 if (replica_ok and mart_ok and travel_ok) else 1
 
     if args.cmd == "table-at":
         from cdc_data_pipeline_spark.operators.incremental import table_at
@@ -344,7 +364,14 @@ def main(argv=None) -> int:
         from cdc_data_pipeline_spark.session import get_spark
 
         spark = get_spark("cdc-table")
-        print(json.dumps({"anchored_seq": create_anchor(spark, args.path)}))
+        out = {"anchored_seq": create_anchor(spark, args.path)}
+        if args.vacuum_keep is not None:
+            from cdc_data_pipeline_spark.operators.incremental import (
+                vacuum_anchors)
+
+            out["anchors_vacuumed"] = vacuum_anchors(
+                spark, args.path, keep=args.vacuum_keep)
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "table-recover":

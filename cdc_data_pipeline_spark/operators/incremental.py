@@ -755,6 +755,27 @@ def create_anchor(spark: SparkSession, target_path: str) -> int:
     return seq
 
 
+def vacuum_anchors(spark: SparkSession, target_path: str,
+                   keep: int = 2) -> int:
+    """Prune old snapshot anchors, keeping the newest ``keep``. An
+    anchor is a FULL materialized table state (the Delta-checkpoint
+    cost model — O(table) storage apiece), so a periodic
+    create-anchor cadence must be paired with this or storage grows
+    by one table copy per anchor. Keeping >= 1 anchor preserves
+    time travel above it; pruning an anchor only loses as-of reads in
+    ranges whose commits were already vacuumed below the NEXT anchor.
+    Returns the number of anchors removed."""
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    seqs = _list_anchor_seqs(spark, target_path)
+    removed = 0
+    for a in seqs[:-keep] if keep > 0 else seqs:
+        fsutil.delete(spark, fsutil.path_join(
+            target_path, CHANGES_DIR, f"{ANCHOR_PREFIX}{a:010d}"))
+        removed += 1
+    return removed
+
+
 def table_at(spark: SparkSession, target_path: str, seq: int) -> DataFrame:
     """TIME TRAVEL from the change feed: the table AS OF commit
     ``seq`` — no snapshot copies per version were ever stored; the

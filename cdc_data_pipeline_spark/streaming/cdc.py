@@ -155,11 +155,19 @@ def stream_scd2_to_parquet(
     trigger_available_now: bool = True,
     n_buckets: int | None = None,
     processing_time: str | None = None,
+    emit_changes: bool = False,
+    update_preimages: bool = False,
 ):
     """Maintain an SCD2 snapshot from a change stream: each micro-batch
     is merged with the `check` strategy (reference: the users snapshot,
     dbt_project/dbt/snapshots/users_snapshot.sql:1-18, fed hourly by
     cron — here the feed is a real stream).
+
+    ``emit_changes=True`` maintains the snapshot's change data feed
+    (version transitions keyed by dbt_scd_id, exactly-once under
+    redelivery because the commit digest folds in the deterministic
+    per-batch run_ts — see ``scd2.scd2_bucketed``); dim-history
+    consumers then read deltas instead of diffing snapshots.
 
     ``ts_of_batch(batch_id) -> str`` supplies the version timestamp per
     micro-batch. The default derives it monotonically from the full
@@ -181,7 +189,8 @@ def stream_scd2_to_parquet(
             return
         run_ts = ts_of_batch(batch_id) if ts_of_batch else default_batch_ts(batch_id)
         scd2_bucketed(spark, target_path, batch, keys, check_cols, run_ts,
-                      n_buckets=n_buckets)
+                      n_buckets=n_buckets, emit_changes=emit_changes,
+                      update_preimages=update_preimages)
 
     writer = (
         stream.writeStream.foreachBatch(merge_batch)

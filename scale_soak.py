@@ -192,7 +192,8 @@ def run_table_cdc_suite(spark, li_path, scaled_buckets=64):
         # change-feed overhead: same fixed batch with emit_changes —
         # the delta (vs tbl_upsert_scaled_layout) is the feed's cost,
         # which must also stay flat (classification joins are
-        # batch-sized, commit listing is O(commits))
+        # batch-sized; replay detection is O(1) via the _latest
+        # pointer — see run_feed_age_suite for the commit-count axis)
         feed_batch = fixed_batch.withColumn(
             "l_shipdate", F.col("l_shipdate") + F.expr("INTERVAL 1 DAY"))
         out["tbl_upsert_with_feed"] = timed(
@@ -211,6 +212,64 @@ def run_table_cdc_suite(spark, li_path, scaled_buckets=64):
         shutil.rmtree(frozen_root, ignore_errors=True)
         shutil.rmtree(scaled_root, ignore_errors=True)
     return out
+
+
+def run_feed_age_suite(spark, li_path, grow: int = 100):
+    """Per-merge feed overhead vs table AGE — the r7 watch item:
+    ``_commit_changes`` used to list the whole ``_changes`` directory
+    per merge (O(total commits) between vacuums). The ``_latest``
+    pointer makes replay detection O(1), so a warm fixed-batch merge
+    must cost the SAME just after table creation and after ``grow``
+    more commits have accumulated, without any vacuum. Returns the
+    young/old per-merge averages and their ratio (flat ~1.0)."""
+    li = spark.read.parquet(li_path).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    keys = ["l_orderkey", "l_linenumber"]
+    seed = li.filter((F.col("l_orderkey") < SHIFT)
+                     & (F.col("l_orderkey") % 30011 == 0)) \
+        .localCheckpoint()
+
+    def batch(i):
+        # content varies per merge (ts + value), so every commit is a
+        # genuinely new batch, never a digest-detected replay
+        return seed.withColumn(
+            "l_shipdate",
+            F.col("l_shipdate") + F.expr(f"INTERVAL {i} DAY")) \
+            .withColumn("l_quantity", F.col("l_quantity") + i)
+
+    root = tempfile.mkdtemp(prefix="soak_feedage_")
+    try:
+        path = root + "/t"
+        inc.upsert_bucketed(spark, path, li.limit(50_000), keys,
+                            "l_shipdate", n_buckets=64,
+                            emit_changes=True)
+        i = 1
+        for _ in range(3):                       # warm the merge path
+            inc.upsert_bucketed(spark, path, batch(i), keys,
+                                "l_shipdate", emit_changes=True)
+            i += 1
+        t0 = time.time()
+        for _ in range(5):
+            inc.upsert_bucketed(spark, path, batch(i), keys,
+                                "l_shipdate", emit_changes=True)
+            i += 1
+        young = (time.time() - t0) / 5
+        for _ in range(grow):                    # age the feed
+            inc.upsert_bucketed(spark, path, batch(i), keys,
+                                "l_shipdate", emit_changes=True)
+            i += 1
+        t0 = time.time()
+        for _ in range(5):
+            inc.upsert_bucketed(spark, path, batch(i), keys,
+                                "l_shipdate", emit_changes=True)
+            i += 1
+        old = (time.time() - t0) / 5
+        return {"feed_merge_young_sec": round(young, 3),
+                "feed_merge_old_sec": round(old, 3),
+                "commits_grown": grow,
+                "feed_age_ratio": round(old / max(young, 0.05), 2)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def run_ann_cdc_suite(spark, emb_path):
@@ -369,8 +428,13 @@ def main():
         big.update(run_ann_cdc_suite(spark, emb_n))
         big.update(run_table_cdc_suite(spark, li_n, scaled_buckets=64 * n))
         ratios = {k: round(big[k] / max(base[k], 0.05), 1) for k in base}
+        # a different axis from corpus scale: per-merge feed overhead
+        # vs COMMIT COUNT (table age) — must be flat (the _latest
+        # pointer makes replay detection O(1) per merge)
+        feed_age = run_feed_age_suite(spark, li_1)
         print(json.dumps({"metric": "scale_soak", "n": n, "x1_sec": base,
-                          "xN_sec": big, "ratio": ratios}))
+                          "xN_sec": big, "ratio": ratios,
+                          "feed_age": feed_age}))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

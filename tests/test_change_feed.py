@@ -534,9 +534,14 @@ def test_pipeline_cli_end_to_end(spark, tmp_path):
     rc = main(["pipeline", "--base-path", out, "--ticks", "2",
                "--sf-dir", "/root/testdata/sf0.001"])
     assert rc == 0
+    # the pipeline ends by anchoring at the newest commit and vacuuming
+    # everything below it — only the newest commit plus the anchor
+    # remain, and the time-travel equivalence already passed (rc 0)
     feed_dir = tmp_path / "pipe" / "bronze_orders" / "_changes"
-    assert len([p for p in feed_dir.iterdir()
-                if p.name.startswith("commit-")]) == 3
+    names = [p.name for p in feed_dir.iterdir()]
+    assert len([n for n in names if n.startswith("commit-")]) == 1
+    assert [n for n in names if n.startswith("anchor-")] == \
+        ["anchor-0000000002"]
 
 
 def test_repeated_content_is_a_new_commit(spark, tmp_path):
@@ -768,3 +773,35 @@ def test_snapshot_anchor_time_travel_survives_vacuum(spark, tmp_path):
     # anchors are invisible to feed consumers and table scans
     assert read_changes(spark, tgt, since_seq=2).count() == 1
     assert spark.read.parquet(tgt).count() == 5
+
+
+def test_vacuum_anchors_keeps_newest(spark, tmp_path):
+    """An anchor is a full table copy (the Delta-checkpoint cost
+    model), so anchors need their own vacuum: keep the newest K, and
+    time travel above the surviving anchors keeps working."""
+    from cdc_data_pipeline_spark.operators.incremental import (
+        _list_anchor_seqs, create_anchor, table_at, vacuum_anchors,
+        vacuum_changes)
+
+    tgt = str(tmp_path / "tbl")
+    for i in range(4):                                  # seqs 0..3
+        upsert_bucketed(spark, tgt,
+                        _mk(spark, [(1, f"v{i}", 10 + i, False),
+                                    (i + 2, f"n{i}", 10 + i, False)]),
+                        ["k"], "ts", n_buckets=4, delete_col="is_del",
+                        emit_changes=True)
+        create_anchor(spark, tgt)
+    assert _list_anchor_seqs(spark, tgt) == [0, 1, 2, 3]
+    assert vacuum_anchors(spark, tgt, keep=2) == 2
+    assert _list_anchor_seqs(spark, tgt) == [2, 3]
+    vacuum_changes(spark, tgt, before_seq=2)
+    live = {(r["k"], r["v"]) for r in spark.read.parquet(tgt)
+            .select("k", "v").collect()}
+    got3 = {(r["k"], r["v"]) for r in table_at(spark, tgt, 3)
+            .select("k", "v").collect()}
+    got2 = {(r["k"], r["v"]) for r in table_at(spark, tgt, 2)
+            .select("k", "v").collect()}
+    assert got3 == live
+    assert got2 == live - {(1, "v3"), (5, "n3")} | {(1, "v2")}
+    with pytest.raises(ValueError, match="vacuumed"):
+        table_at(spark, tgt, 1)        # its anchor and commits are gone

@@ -179,3 +179,29 @@ def test_scd2_change_feed_replicates_snapshot(spark, tmp_path):
     apply_changes(spark, read_changes(spark, snap, since_seq=1), rep,
                   ["dbt_scd_id"])
     assert _snap_rows(spark, rep) == _snap_rows(spark, snap)
+
+
+def test_stream_scd2_emits_change_feed(spark, tmp_path):
+    """The streaming SCD2 sink threads emit_changes: version
+    transitions land in the snapshot's feed exactly once, and a
+    replica applied from the feed equals the snapshot."""
+    from cdc_data_pipeline_spark.operators.incremental import (
+        apply_changes, read_changes)
+    from cdc_data_pipeline_spark.streaming.cdc import (
+        stream_scd2_to_parquet)
+
+    src = str(tmp_path / "src")
+    snap = str(tmp_path / "snap")
+    rep = str(tmp_path / "rep")
+    spark.createDataFrame([(1, "alice"), (2, "bob")],
+                          "k long, v string").write.parquet(src)
+    stream = spark.readStream.schema("k long, v string").parquet(src)
+    q = stream_scd2_to_parquet(stream, snap, ["k"], ["v"],
+                               str(tmp_path / "ck"), n_buckets=4,
+                               emit_changes=True)
+    q.awaitTermination(120)
+    feed = read_changes(spark, snap)
+    assert feed.count() == 2
+    assert {r["_op"] for r in feed.collect()} == {"insert"}
+    apply_changes(spark, feed, rep, ["dbt_scd_id"], n_buckets=4)
+    assert _snap_rows(spark, rep) == _snap_rows(spark, snap)
