@@ -192,7 +192,14 @@ def _report_deltas(timings: dict[str, float], sf: float) -> None:
     if prev.get("sf") != sf or not prev.get("queries"):
         return
     label = os.path.basename(runs[-1])
-    print(f"-- delta vs {label} (sf={sf}) --", file=sys.stderr)
+    note = ""
+    prev_probe = prev.get("cpu_probe_sec")
+    if prev_probe:
+        # host-phase normalization: this run's probe over the recorded
+        # run's probe — divide raw deltas by this before judging them
+        ratio = _cpu_probe(rounds=1) / prev_probe
+        note = f", host probe ratio {ratio:.2f}x (divide deltas by it)"
+    print(f"-- delta vs {label} (sf={sf}{note}) --", file=sys.stderr)
     for name, t in timings.items():
         p = prev["queries"].get(name)
         if p:

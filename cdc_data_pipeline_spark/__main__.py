@@ -111,6 +111,9 @@ def main(argv=None) -> int:
     tchp.add_argument("--since-seq", type=int, default=-1,
                       help="high-water _seq the consumer has already "
                            "applied (default: everything)")
+    tchp.add_argument("--upto-seq", type=int, default=None,
+                      help="inclusive upper bound (as-of slices); "
+                           "commits outside the range are never opened")
     tap = sub.add_parser(
         "table-at", help="time travel: reconstruct a bucketed table "
                          "AS OF a change-feed commit (starts from the "
@@ -395,7 +398,8 @@ def main(argv=None) -> int:
 
             print(json.dumps({"vacuumed": vacuum_changes(
                 spark, args.path, args.vacuum_before)}))
-        got = read_changes(spark, args.path, since_seq=args.since_seq)
+        got = read_changes(spark, args.path, since_seq=args.since_seq,
+                           upto_seq=args.upto_seq)
         if got is None:
             print(json.dumps({"commits": 0, "rows": 0}))
             return 0

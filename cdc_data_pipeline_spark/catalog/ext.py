@@ -1016,9 +1016,9 @@ def q_ivm_mart(spark, sf_dir):
                         delete_col="is_del", emit_changes=True,
                         update_preimages=True)
         mart = None
+        full = read_changes(spark, path).localCheckpoint()  # one read
         for seq in (0, 1):             # fold one commit at a time
-            feed = read_changes(spark, path, since_seq=seq - 1) \
-                .filter(F.col("_seq") == seq)
+            feed = full.filter(F.col("_seq") == seq)
             deltas = agg_deltas_from_feed(feed, ["o_orderpriority"],
                                           ["o_totalprice"])
             mart = merge_agg_deltas(mart, deltas, ["o_orderpriority"])

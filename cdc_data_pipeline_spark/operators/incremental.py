@@ -664,19 +664,22 @@ def _commit_changes(spark: SparkSession, target_path: str, digest: str,
 
 
 def read_changes(spark: SparkSession, target_path: str,
-                 since_seq: int = -1) -> DataFrame | None:
+                 since_seq: int = -1,
+                 upto_seq: int | None = None) -> DataFrame | None:
     """Batch-consume the change feed: all commits with ``_seq`` >
     ``since_seq`` (consumers persist their high-water ``_seq`` and
     pass it back — the same watermark discipline as ``get_watermark``,
-    but over row-level deltas instead of snapshots). Commit pruning
-    happens on the directory LIST, not a data scan. None when nothing
-    is newer."""
+    but over row-level deltas instead of snapshots), optionally capped
+    at ``upto_seq`` inclusive (as-of reads). Commit pruning happens on
+    the directory LIST, not a data scan — commits outside the range
+    are never opened. None when nothing is in range."""
     from cdc_data_pipeline_spark.sources import fsutil
 
     root = fsutil.path_join(target_path, CHANGES_DIR)
     dirs = [fsutil.path_join(root, c)
             for c in _list_change_commits(spark, target_path)
-            if int(c.split("-", 2)[1]) > since_seq]
+            if int(c.split("-", 2)[1]) > since_seq
+            and (upto_seq is None or int(c.split("-", 2)[1]) <= upto_seq)]
     if not dirs:
         return None
     return spark.read.option("mergeSchema", "true").parquet(*dirs)
@@ -821,10 +824,13 @@ def table_at(spark: SparkSession, target_path: str, seq: int) -> DataFrame:
             target_path, CHANGES_DIR, f"{ANCHOR_PREFIX}{base_seq:010d}"))
         parts.append(anchor.withColumn("_op", F.lit("insert"))
                      .withColumn("_seq", F.lit(base_seq).cast("long")))
-    feed = read_changes(spark, target_path, since_seq=base_seq)
+    # bounded both ways on the directory list: commits past ``seq``
+    # are never opened, so an as-of read near an anchor costs
+    # O(commits in (anchor, seq]) however long the feed has grown
+    feed = read_changes(spark, target_path, since_seq=base_seq,
+                        upto_seq=seq)
     if feed is not None:
-        parts.append(feed.filter((F.col("_seq") <= seq)
-                                 & (F.col("_op") != "update_preimage")))
+        parts.append(feed.filter(F.col("_op") != "update_preimage"))
     upto = parts[0]
     for p in parts[1:]:
         upto = upto.unionByName(p, allowMissingColumns=True)

@@ -425,3 +425,91 @@ def test_pack_sequences_tiling_invariants(spark, counts, seq_len):
             assert n == (seq_len if sid < n_seq - 1 else total - seq_len * (n_seq - 1))
     else:
         assert not by_seq
+
+
+BATCHES = st.lists(
+    st.lists(st.tuples(st.integers(0, 3),        # key
+                       st.integers(0, 3),        # value
+                       st.booleans()),           # hard delete?
+             min_size=1, max_size=5),
+    min_size=1, max_size=3)
+
+
+@given(batches=BATCHES)
+@settings(**SETTINGS | {"max_examples": 5})
+def test_feed_family_invariants_any_op_sequence(spark, batches):
+    """The bucketed feed family's algebraic contract on ANY op
+    sequence (random upsert/delete mixes, repeated keys, deletes of
+    absent keys, whole batches that change nothing): the final table
+    equals a dict-model replay; a replica applied from the feed ALONE
+    equals the table; time travel at the newest commit equals the
+    table; and a mart folded from the feed's preimage/postimage
+    deltas equals a full recompute. One test, four consumers of the
+    same feed — any missed preimage, dropped commit, or misclassified
+    op breaks at least one equality."""
+    import shutil
+    import tempfile
+
+    from cdc_data_pipeline_spark.operators.incremental import (
+        agg_deltas_from_feed, apply_changes, merge_agg_deltas,
+        read_changes, table_at, upsert_bucketed)
+
+    root = tempfile.mkdtemp(prefix="cdc_prop_")
+    try:
+        path, rep = root + "/t", root + "/r"
+        state: dict = {}
+        ts_base = 0
+        for batch in batches:
+            rows = [(k, v, ts_base + i, d)
+                    for i, (k, v, d) in enumerate(batch)]
+            ts_base += len(batch)
+            per: dict = {}
+            for k, v, ts, d in rows:        # latest op per key wins
+                if k not in per or ts > per[k][1]:
+                    per[k] = (v, ts, d)
+            for k, (v, ts, d) in per.items():
+                if d:
+                    state.pop(k, None)
+                else:
+                    state[k] = (v, ts)
+            df = spark.createDataFrame(
+                rows, "k long, v long, ts long, is_del boolean")
+            upsert_bucketed(spark, path, df, ["k"], "ts", n_buckets=4,
+                            delete_col="is_del", emit_changes=True,
+                            update_preimages=True)
+
+        def rows_of(p):
+            try:
+                return {(r["k"], r["v"], r["ts"]) for r in
+                        spark.read.parquet(p)
+                        .select("k", "v", "ts").collect()}
+            except Exception:
+                return set()            # drained table: no data files
+
+        want = {(k, v, ts) for k, (v, ts) in state.items()}
+        assert rows_of(path) == want
+
+        feed = read_changes(spark, path)
+        if feed is None:                 # nothing ever changed
+            assert want == set()
+            return
+        apply_changes(spark, feed, rep, ["k"], n_buckets=4)
+        assert rows_of(rep) == want
+
+        got_t = {(r["k"], r["v"], r["ts"]) for r in
+                 table_at(spark, path, 10**9)
+                 .select("k", "v", "ts").collect()}
+        assert got_t == want
+
+        deltas = agg_deltas_from_feed(
+            feed.withColumn("g", F.col("k") % 2), ["g"], ["v"])
+        mart = {(r["g"], r["delta_v"], r["delta_count"]) for r in
+                merge_agg_deltas(None, deltas, ["g"]).collect()}
+        from collections import defaultdict
+        sums: dict = defaultdict(lambda: [0, 0])
+        for k, (v, _ts) in state.items():
+            sums[k % 2][0] += v
+            sums[k % 2][1] += 1
+        assert mart == {(g, s, c) for g, (s, c) in sums.items()}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
