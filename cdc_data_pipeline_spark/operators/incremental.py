@@ -870,7 +870,12 @@ def apply_changes(spark: SparkSession, feed: DataFrame,
     O(feed length) and not O(replica), however many commits are being
     caught up at once; applying commits one at a time gives the same
     end state (the collapse is associative). Idempotent: re-applying
-    an already-applied feed slice is a no-op merge."""
+    an already-applied feed slice is a no-op merge.
+
+    A NEW replica must see the feed from commit 0 — applying a
+    vacuumed feed to an empty target silently misses every row whose
+    last change was pruned; use ``bootstrap_replica`` (anchor seed +
+    surviving tail) in that case."""
     data_cols = [c for c in feed.columns if c not in ("_op", "_seq")]
     final = latest_per_key(
         feed.filter(~F.col("_op").isin("update_preimage")),
@@ -882,6 +887,56 @@ def apply_changes(spark: SparkSession, feed: DataFrame,
                     n_buckets=n_buckets, delete_col="__is_del")
     # __feed_seq rides along as the replica's tracking column — it IS
     # the replication watermark (MAX(__feed_seq) = last applied commit)
+
+
+def bootstrap_replica(spark: SparkSession, table_path: str,
+                      replica_path: str,
+                      n_buckets: int | None = None) -> int:
+    """Create (or fast-forward) a replica when the feed may no longer
+    reach back to commit 0. ``apply_changes`` over a VACUUMED feed
+    silently builds a partial replica — the rows whose last change was
+    pruned never arrive. This bootstrap seeds from the newest snapshot
+    anchor (stamped at the anchor's seq so later feed slices win per
+    key) and then applies the surviving feed above it — the same
+    recovery a Delta reader gets from checkpoint + tail. With no
+    anchor it requires a feed complete from commit 0 and raises
+    otherwise, instead of converging on the wrong state. Returns the
+    replica's watermark (the last applied ``_seq``) for the caller's
+    incremental ``apply_changes`` cadence."""
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    meta = _read_table_meta(spark, table_path)
+    if meta is None:
+        raise ValueError(f"{table_path} has no persisted layout")
+    keys = meta["keys"]
+    seqs = [int(c.split("-", 2)[1])
+            for c in _list_change_commits(spark, table_path)]
+    anchors = _list_anchor_seqs(spark, table_path)
+    base = max(anchors) if anchors else -1
+    if base < 0 and (not seqs or seqs[0] != 0):
+        raise ValueError(
+            f"{table_path}: feed is vacuumed below commit 0 and no "
+            "snapshot anchor exists — a replica bootstrapped from the "
+            "surviving commits would silently miss rows; create_anchor "
+            "on the source first")
+    newest = seqs[-1] if seqs else base
+    missing = sorted(set(range(base + 1, newest + 1)) - set(seqs))
+    if missing:
+        raise ValueError(
+            f"{table_path}: commits {missing} above the newest anchor "
+            f"({base}) have been vacuumed — bootstrap would be partial")
+    if base >= 0:
+        anchor = spark.read.parquet(fsutil.path_join(
+            table_path, CHANGES_DIR, f"{ANCHOR_PREFIX}{base:010d}"))
+        seed = anchor.withColumn("__is_del", F.lit(False)) \
+            .withColumn("__feed_seq", F.lit(base).cast("long"))
+        upsert_bucketed(spark, replica_path, seed, keys, "__feed_seq",
+                        n_buckets=n_buckets, delete_col="__is_del")
+    feed = read_changes(spark, table_path, since_seq=base)
+    if feed is not None:
+        apply_changes(spark, feed, replica_path, keys,
+                      n_buckets=n_buckets)
+    return newest
 
 
 def agg_deltas_from_feed(feed: DataFrame, group_cols: Sequence[str],

@@ -805,3 +805,59 @@ def test_vacuum_anchors_keeps_newest(spark, tmp_path):
     assert got2 == live - {(1, "v3"), (5, "n3")} | {(1, "v2")}
     with pytest.raises(ValueError, match="vacuumed"):
         table_at(spark, tgt, 1)        # its anchor and commits are gone
+
+
+def test_bootstrap_replica_from_anchor_after_vacuum(spark, tmp_path):
+    """apply_changes over a VACUUMED feed silently builds a partial
+    replica (the trap); bootstrap_replica seeds from the newest anchor
+    and applies the surviving tail — the fresh replica equals the
+    source, and the returned watermark drives the normal incremental
+    cadence afterwards. With neither an anchor nor a complete feed it
+    refuses loudly."""
+    from cdc_data_pipeline_spark.operators.incremental import (
+        apply_changes, bootstrap_replica, create_anchor, read_changes,
+        vacuum_changes)
+
+    src = str(tmp_path / "src")
+    rep = str(tmp_path / "rep")
+    upsert_bucketed(spark, src,                                   # seq 0
+                    _mk(spark, [(i, f"v{i}", 10, False)
+                                for i in range(8)]),
+                    ["k"], "ts", n_buckets=4, delete_col="is_del",
+                    emit_changes=True)
+    upsert_bucketed(spark, src,                                   # seq 1
+                    _mk(spark, [(1, "x1", 20, False),
+                                (3, None, 20, True)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True)
+    create_anchor(spark, src)                                     # @1
+    upsert_bucketed(spark, src,                                   # seq 2
+                    _mk(spark, [(9, "v9", 30, False)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True)
+    vacuum_changes(spark, src, before_seq=1)     # commits 0,1 pruned
+
+    def rows(p):
+        return {(r["k"], r["v"]) for r in
+                spark.read.parquet(p).select("k", "v").collect()}
+
+    wm = bootstrap_replica(spark, src, rep, n_buckets=4)
+    assert wm == 2
+    assert rows(rep) == rows(src)                # complete, not partial
+
+    # normal incremental cadence continues from the watermark
+    upsert_bucketed(spark, src, _mk(spark, [(2, "x2", 40, False)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True)
+    apply_changes(spark, read_changes(spark, src, since_seq=wm), rep,
+                  ["k"])
+    assert rows(rep) == rows(src)
+
+    # no anchor + vacuumed feed: refuse rather than converge wrong
+    src2 = str(tmp_path / "src2")
+    upsert_bucketed(spark, src2, _mk(spark, [(1, "a", 10, False),
+                                             (2, "b", 10, False)]),
+                    ["k"], "ts", n_buckets=4, delete_col="is_del",
+                    emit_changes=True)
+    upsert_bucketed(spark, src2, _mk(spark, [(1, "a2", 20, False)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True)
+    vacuum_changes(spark, src2, before_seq=0)
+    with pytest.raises(ValueError, match="anchor"):
+        bootstrap_replica(spark, src2, str(tmp_path / "rep2"))
