@@ -147,18 +147,31 @@ def bucket_of(keys: Sequence[str], n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
 
 
+def _old_sibling(dst: str) -> str:
+    """Hidden strand name for a swap's previous state: dot-PREFIXED so
+    Spark's file index never discovers it. A visible
+    ``<table>/__kb=5.__old__`` would parse as a partition directory
+    (``__kb`` value ``"5.__old__"``) and feed every scan duplicate
+    rows until the next swap of that bucket; ``.__kb=5.__old__`` is
+    invisible to readers and unambiguous to recovery."""
+    d = dst.rstrip("/")
+    head, _, base = d.rpartition("/")
+    return (head + "/" if head else "") + "." + base + ".__old__"
+
+
 def _replace_dir(spark: SparkSession, dst: str, src: str) -> None:
     """Swap ``src`` into place at ``dst`` via sibling renames.
 
-    The previous ``dst`` is renamed aside before the new data moves in,
-    so the fully-written result is durable on disk before anything is
+    The previous ``dst`` is renamed aside (to the hidden
+    ``_old_sibling`` name) before the new data moves in, so the
+    fully-written result is durable on disk before anything is
     deleted — no data is ever lost. The swap is NOT atomic though:
-    between rename(dst -> .__old__) and rename(src -> dst) the
-    destination does not exist, and a crash in that window leaves the
-    previous state stranded at ``<dst>.__old__`` with nothing live.
-    ``recover_swap`` (called here before each swap, and exposed via
-    ``recover_table`` for use before reads on restart) restores the
-    stranded copy instead of deleting it.
+    between rename(dst -> old) and rename(src -> dst) the destination
+    does not exist, and a crash in that window leaves the previous
+    state stranded with nothing live. ``recover_swap`` (called here
+    before each swap, by the IVM fold before each read, and via
+    ``recover_table`` by every table merge) restores the stranded
+    copy instead of deleting it.
 
     All FS metadata ops go through the Hadoop FileSystem API
     (``sources/fsutil``), so the same protocol runs on ``file://``,
@@ -166,7 +179,7 @@ def _replace_dir(spark: SparkSession, dst: str, src: str) -> None:
     """
     from cdc_data_pipeline_spark.sources import fsutil as fs
 
-    old = dst.rstrip("/") + ".__old__"
+    old = _old_sibling(dst)
     recover_swap(spark, dst)
     fs.delete(spark, old)
     if fs.exists(spark, dst):
@@ -176,39 +189,46 @@ def _replace_dir(spark: SparkSession, dst: str, src: str) -> None:
 
 
 def recover_swap(spark: SparkSession, dst: str) -> bool:
-    """Heal one crashed swap: when ``dst`` is missing but
-    ``<dst>.__old__`` exists (a crash hit the window between
+    """Heal one crashed swap: when ``dst`` is missing but its
+    ``_old_sibling`` strand exists (a crash hit the window between
     ``_replace_dir``'s two renames), rename the stranded previous
     state back into place. Returns True when a restore happened.
-    When ``dst`` exists, a leftover ``.__old__`` is garbage from a
-    crash AFTER the swap completed and is left for the next swap to
-    delete."""
+    When ``dst`` exists, a leftover strand is garbage from a crash
+    AFTER the swap completed — it is deleted here (leaving it would
+    let a LATER legitimate drain of ``dst`` make the stale copy look
+    like a crashed swap and resurrect deleted rows)."""
     from cdc_data_pipeline_spark.sources import fsutil as fs
 
-    old = dst.rstrip("/") + ".__old__"
-    if fs.exists(spark, old) and not fs.exists(spark, dst):
-        fs.rename(spark, old, dst)
-        return True
-    return False
+    old = _old_sibling(dst)
+    if not fs.exists(spark, old):
+        return False
+    if fs.exists(spark, dst):
+        fs.delete(spark, old)          # completed-swap leftover
+        return False
+    fs.rename(spark, old, dst)
+    return True
 
 
 def recover_table(spark: SparkSession, target_path: str) -> list[str]:
-    """Crash-recovery entry point for a bucketed table — run it on
-    restart before reading a table whose writer may have died
-    mid-swap. Restores (a) the whole table if a ``_rewrite_table``
-    crash left it stranded at ``<table>.__old__``, and (b) any bucket
-    partition stranded at ``<table>/__kb=N.__old__`` by a crashed
-    ``_overwrite_buckets_atomic`` swap. Returns the restored paths
-    (empty = nothing to heal). Cost is one directory listing — a
-    maintenance call, not a hot-path one."""
+    """Crash-recovery entry point for a bucketed table — run
+    automatically by every merge/rewrite before reading, and callable
+    on restart. Restores (a) the whole table if a ``_rewrite_table``
+    crash left it stranded at ``<table>.__old__`` (feed included),
+    and (b) any bucket partition stranded at the hidden
+    ``<table>/.__kb=N.__old__`` name by a crashed
+    ``_overwrite_buckets_atomic`` swap; completed-swap leftovers are
+    swept. Returns the restored paths (empty = nothing to heal).
+    Cost is one directory listing — O(n_buckets) entries, bounded by
+    the table LAYOUT, never by its age or commit count."""
     from cdc_data_pipeline_spark.sources import fsutil as fs
 
     restored: list[str] = []
     if _recover_rewrite(spark, target_path):
         restored.append(target_path)
     for name in fs.list_names(spark, target_path):
-        if name.endswith(".__old__"):
-            victim = fs.path_join(target_path, name[:-len(".__old__")])
+        if name.startswith(".") and name.endswith(".__old__"):
+            victim = fs.path_join(target_path,
+                                  name[1:-len(".__old__")])
             if recover_swap(spark, victim):
                 restored.append(victim)
     return restored
@@ -239,6 +259,7 @@ def _overwrite_buckets_atomic(merged: DataFrame, target_path: str,
     tmp = target_path.rstrip("/") + f".__staging__-{uuid.uuid4().hex[:12]}"
     fs.delete(spark, tmp)
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    fs.mkdirs(spark, target_path)     # first write: renames need a parent
     for b in buckets:
         src = fs.path_join(tmp, f"{partition_col}={b}")
         dst = fs.path_join(target_path, f"{partition_col}={b}")
@@ -247,8 +268,12 @@ def _overwrite_buckets_atomic(merged: DataFrame, target_path: str,
         else:
             # an affected bucket with no staged rows is now EMPTY —
             # hard deletes can drain a whole bucket, and skipping the
-            # swap would resurrect its old rows
+            # swap would resurrect its old rows. The strand sibling
+            # goes too: a stale completed-swap copy left beside a
+            # drained bucket would read as a crashed swap later and
+            # resurrect the deleted rows via recover_swap.
             fs.delete(spark, dst)
+            fs.delete(spark, _old_sibling(dst))
     fs.delete(spark, tmp)
 
 
@@ -420,10 +445,12 @@ def _upsert_bucketed_locked(
 ) -> None:
     from cdc_data_pipeline_spark.sources import fsutil
 
-    # heal a crashed-rewrite remnant BEFORE the existence probe: a
-    # stranded table would otherwise read as "new" and be re-created
-    # from this batch alone (two exists RPCs when healthy)
-    _recover_rewrite(spark, target_path)
+    # heal crash remnants BEFORE the existence probe and the read: a
+    # stranded table would read as "new" and be re-created from this
+    # batch alone, and a stranded BUCKET would be invisible to the
+    # merge — its unmatched rows silently dropped when the swap then
+    # destroys the strand (one bounded listing when healthy)
+    recover_table(spark, target_path)
     meta = _read_table_meta(spark, target_path)
     n_resolved = _resolve_table_layout(meta, keys, tracking_column, n_buckets)
     stamped = batch.withColumn(BUCKET_COL, bucket_of(keys, n_resolved))
@@ -451,7 +478,14 @@ def _upsert_bucketed_locked(
             _commit_changes(
                 spark, target_path, digest,
                 ups.drop(BUCKET_COL).withColumn("_op", F.lit("insert")))
-        ups.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
+        # staged per-bucket moves, NOT mode("overwrite") on the target:
+        # a static-partitionOverwriteMode session would truncate the
+        # whole directory — including the _changes commit and pointer
+        # just published above. Correctness must not depend on the
+        # caller's session config (same rationale as the merge path).
+        buckets = [r[0] for r in
+                   ups.select(BUCKET_COL).distinct().collect()]
+        _overwrite_buckets_atomic(ups, target_path, buckets)
         _publish_table_meta(spark, target_path, keys, tracking_column,
                             n_resolved)
         return
@@ -619,9 +653,12 @@ def _commit_changes(spark: SparkSession, target_path: str, digest: str,
 
     Hot-path cost is O(1) per merge regardless of table age: the
     newest (seq, digest) lives in an atomically-published ``_latest``
-    pointer consulted first; the commit-directory listing is only the
-    repair/bootstrap path (legacy pre-pointer feed or a deleted
-    pointer)."""
+    pointer consulted first, plus one seq-prefixed glob probe that
+    detects a stale pointer (crash between commit rename and pointer
+    publish) before a duplicate sequence could be minted; the full
+    commit-directory listing is only the repair/bootstrap path
+    (legacy pre-pointer feed, deleted pointer, or stale pointer with
+    a different next batch)."""
     from cdc_data_pipeline_spark.sources import fsutil
 
     ptr = _read_latest_ptr(spark, target_path)
@@ -645,15 +682,28 @@ def _commit_changes(spark: SparkSession, target_path: str, digest: str,
         return False
     seq = last_seq + 1
     root = fsutil.path_join(target_path, CHANGES_DIR)
+    taken = fsutil.glob_names(spark, root, f"commit-{seq:010d}-*")
+    if taken:
+        # the pointer is STALE: a crash landed commit `seq` but died
+        # before the pointer publish. Two sub-cases:
+        if taken[0].split("-", 2)[2] == digest:
+            # the foreachBatch replay — same content, same
+            # deterministic name: already committed; repair the
+            # pointer and skip.
+            _publish_latest_ptr(spark, target_path, seq, digest)
+            return False
+        # a DIFFERENT next batch (batch-mode caller that moved on):
+        # blindly writing seq would mint a duplicate sequence and
+        # brick every feed read. Recover the true tail with one
+        # listing (the repair path), then re-run the replay check.
+        commits = _list_change_commits(spark, target_path)
+        last_seq = int(commits[-1].split("-", 2)[1])
+        last_digest = commits[-1].split("-", 2)[2]
+        _publish_latest_ptr(spark, target_path, last_seq, last_digest)
+        if digest == last_digest:
+            return False
+        seq = last_seq + 1
     final = fsutil.path_join(root, f"commit-{seq:010d}-{digest}")
-    if fsutil.exists(spark, final):
-        # crash window: the commit rename landed but the pointer
-        # publish did not. The replayed batch has the same content
-        # digest and deterministic seq, so the final path is
-        # IDENTICAL — the commit is already in the feed; repair the
-        # pointer and skip.
-        _publish_latest_ptr(spark, target_path, seq, digest)
-        return False
     tmp = fsutil.path_join(root, f".staging-{digest}")
     fsutil.delete(spark, tmp)
     changes.withColumn("_seq", F.lit(seq).cast("long")) \
@@ -791,6 +841,8 @@ def table_at(spark: SparkSession, target_path: str, seq: int) -> DataFrame:
     inside the needed range is detected and raised — as-of reads
     survive vacuum exactly up to the newest covering anchor. For
     frequent as-of serving, materialize with ``apply_changes``."""
+    if seq < 0:
+        raise ValueError(f"table_at seq must be >= 0, got {seq}")
     meta = _read_table_meta(spark, target_path)
     keys = meta["keys"] if meta else None
     if not keys:
@@ -1036,7 +1088,7 @@ def delete_bucketed(spark: SparkSession, target_path: str,
 def _delete_bucketed_locked(spark: SparkSession, target_path: str,
                             keys_df: DataFrame,
                             emit_changes: bool) -> None:
-    _recover_rewrite(spark, target_path)
+    recover_table(spark, target_path)
     meta = _read_table_meta(spark, target_path)
     if meta is None:
         raise ValueError("table has no persisted layout; run one "
@@ -1063,12 +1115,17 @@ def _recover_rewrite(spark: SparkSession, target_path: str) -> bool:
     """Heal a crashed ``_rewrite_table`` swap: when the table is
     missing but ``<table>.__old__`` exists, restore it — and if the
     crash hit after the change feed had already moved into the
-    ``.__rewrite__`` staging dir, pull the feed back too. Returns True
-    when a restore happened."""
+    ``.__rewrite__`` staging dir, pull the feed back too. The strand
+    name here is ``_rewrite_table``'s own ``<table>.__old__`` (a
+    visible SIBLING of the table — it is never inside a scanned
+    directory, unlike bucket strands). Returns True when a restore
+    happened."""
     from cdc_data_pipeline_spark.sources import fsutil as fs
 
-    if not recover_swap(spark, target_path):
+    old = target_path.rstrip("/") + ".__old__"
+    if not fs.exists(spark, old) or fs.exists(spark, target_path):
         return False
+    fs.rename(spark, old, target_path)
     tmp = target_path.rstrip("/") + ".__rewrite__"
     t_changes = fs.path_join(target_path, CHANGES_DIR)
     tmp_changes = fs.path_join(tmp, CHANGES_DIR)
@@ -1194,7 +1251,7 @@ def rebucket(spark: SparkSession, target_path: str, n_buckets: int,
     index families — use ``lsm.maintenance_lock`` for hard exclusion)."""
     with _maybe_table_lock(spark, target_path, lock, lock_ttl,
                            lock_timeout):
-        _recover_rewrite(spark, target_path)
+        recover_table(spark, target_path)
         meta = _read_table_meta(spark, target_path)
         if meta is None:
             if keys is None or tracking_column is None:
@@ -1226,7 +1283,7 @@ def compact_table(spark: SparkSession, target_path: str,
     groups."""
     with _maybe_table_lock(spark, target_path, lock, lock_ttl,
                            lock_timeout):
-        _recover_rewrite(spark, target_path)
+        recover_table(spark, target_path)
         meta = _read_table_meta(spark, target_path)
         if meta is None:
             raise ValueError(

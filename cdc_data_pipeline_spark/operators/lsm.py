@@ -181,6 +181,7 @@ class maintenance_lock:
 
         spark = self._spark
         deadline = time.monotonic() + self._timeout
+        expired_once = False
         while not _try_create_exclusive(spark, self._lock_path,
                                         self._token):
             fs, p = fsutil._fs(spark, self._lock_path)
@@ -197,8 +198,17 @@ class maintenance_lock:
             if age is not None and age > self._ttl:
                 # crashed holder: expire the marker and retry the
                 # create-exclusive (racing expirers then race the
-                # create, which only one can win)
+                # create, which only one can win). The first expiry
+                # retries IMMEDIATELY — a lock this writer just freed
+                # must be acquirable even at an elapsed deadline, not
+                # raise a 'held by another writer' that contradicts
+                # the expiry it just performed. Only the first: a
+                # delete that silently fails (permissions) must not
+                # turn this branch into a deadline-free spin.
                 fsutil.delete(spark, self._lock_path)
+                if not expired_once:
+                    expired_once = True
+                    continue
             if time.monotonic() >= deadline:
                 state = (f"held by another maintenance writer "
                          f"(marker age {age:.1f}s, ttl {self._ttl}s)"

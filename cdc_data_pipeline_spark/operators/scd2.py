@@ -116,6 +116,16 @@ def _scd2_parts(
             "closed_pre": closed_pre, "missing": missing, "opened": opened}
 
 
+def _scd2_union(parts: dict) -> DataFrame:
+    """The new snapshot state from ``_scd2_parts`` — ONE place, so the
+    plain and bucketed merge paths can never drift apart."""
+    out = parts["history"].unionByName(parts["unchanged"]) \
+        .unionByName(parts["closed"]).unionByName(parts["opened"])
+    if parts["missing"] is not None:
+        out = out.unionByName(parts["missing"])
+    return out
+
+
 def scd2_merge(
     snapshot: DataFrame | None,
     batch: DataFrame,
@@ -131,15 +141,8 @@ def scd2_merge(
     """
     if snapshot is None:
         return scd2_init(batch, keys, run_ts)
-    p = _scd2_parts(snapshot, batch, keys, check_cols, run_ts,
-                    close_deleted)
-    parts = [p["history"], p["unchanged"], p["closed"], p["opened"]]
-    if p["missing"] is not None:
-        parts.append(p["missing"])
-    out = parts[0]
-    for part in parts[1:]:
-        out = out.unionByName(part)
-    return out
+    return _scd2_union(_scd2_parts(snapshot, batch, keys, check_cols,
+                                   run_ts, close_deleted))
 
 
 def scd2_current(snapshot: DataFrame) -> DataFrame:
@@ -228,11 +231,11 @@ def _scd2_bucketed_locked(
     from cdc_data_pipeline_spark.operators.incremental import (
         BUCKET_COL, _batch_digest, _commit_changes,
         _overwrite_buckets_atomic, _publish_table_meta,
-        _read_table_meta, _recover_rewrite, _resolve_table_layout,
-        bucket_of)
+        _read_table_meta, _resolve_table_layout, bucket_of,
+        recover_table)
     from cdc_data_pipeline_spark.sources import fsutil
 
-    _recover_rewrite(spark, target_path)
+    recover_table(spark, target_path)
     meta = _read_table_meta(spark, target_path)
     n_buckets = _resolve_table_layout(meta, keys, None, n_buckets)
     digest = None
@@ -254,8 +257,13 @@ def _scd2_bucketed_locked(
         if emit_changes:
             _commit_changes(spark, target_path, digest,
                             merged.withColumn("_op", F.lit("insert")))
-        merged.withColumn(BUCKET_COL, bucket_of(keys, n_buckets)) \
-            .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
+        # staged per-bucket moves, not mode("overwrite") on the target:
+        # a static-partitionOverwriteMode session would truncate the
+        # whole directory including the feed commit just published
+        stamped = merged.withColumn(BUCKET_COL, bucket_of(keys, n_buckets))
+        buckets = [r[0] for r in
+                   stamped.select(BUCKET_COL).distinct().collect()]
+        _overwrite_buckets_atomic(stamped, target_path, buckets)
         _publish_table_meta(spark, target_path, keys, None, n_buckets)
         return
     if close_deleted:
@@ -280,10 +288,7 @@ def _scd2_bucketed_locked(
                 p["closed_pre"].withColumn("_op",
                                            F.lit("update_preimage")))
         _commit_changes(spark, target_path, digest, changes)
-    merged = p["history"].unionByName(p["unchanged"]) \
-        .unionByName(p["closed"]).unionByName(p["opened"])
-    if p["missing"] is not None:
-        merged = merged.unionByName(p["missing"])
+    merged = _scd2_union(p)
     stamped = merged.withColumn(BUCKET_COL, bucket_of(keys, n_buckets))
     _overwrite_buckets_atomic(stamped, target_path, buckets)
     if meta is None:  # legacy pre-metadata table: backfill the layout

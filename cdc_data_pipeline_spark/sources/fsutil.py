@@ -67,6 +67,18 @@ def list_names(spark: SparkSession, path: str) -> list[str]:
     return [st.getPath().getName() for st in fs.listStatus(p)]
 
 
+def glob_names(spark: SparkSession, path: str, pattern: str) -> list[str]:
+    """Child names of ``path`` matching a glob ``pattern``. One
+    globStatus RPC — server-side filtered on HDFS, a prefix LIST on
+    object stores when the pattern starts with a literal prefix, so a
+    seq-prefixed probe stays cheap however many siblings exist."""
+    fs, p = _fs(spark, path_join(path, pattern))
+    statuses = fs.globStatus(p)
+    if statuses is None:
+        return []
+    return [st.getPath().getName() for st in statuses]
+
+
 def mkdirs(spark: SparkSession, path: str) -> None:
     fs, p = _fs(spark, path)
     fs.mkdirs(p)

@@ -230,7 +230,7 @@ def stream_ivm_to_parquet(
     redelivery — whatever the checkpoint believed."""
     from cdc_data_pipeline_spark.operators.incremental import (
         agg_deltas_from_feed, merge_agg_deltas, read_mart_seq,
-        stream_changes, write_mart_merged)
+        recover_swap, stream_changes, write_mart_merged)
     from cdc_data_pipeline_spark.sources import fsutil
 
     feed = stream_changes(spark, table_path)
@@ -238,6 +238,11 @@ def stream_ivm_to_parquet(
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        # heal a crashed mart swap BEFORE reading: a strand left
+        # between _replace_dir's two renames would otherwise read as
+        # "no mart" (and watermark -1), silently resetting every
+        # accumulated group sum to this batch's deltas alone
+        recover_swap(spark, mart_path)
         applied = read_mart_seq(spark, mart_path)
         fresh = batch.filter(F.col("_seq") > applied)
         if fresh.isEmpty():

@@ -861,3 +861,114 @@ def test_bootstrap_replica_from_anchor_after_vacuum(spark, tmp_path):
     vacuum_changes(spark, src2, before_seq=0)
     with pytest.raises(ValueError, match="anchor"):
         bootstrap_replica(spark, src2, str(tmp_path / "rep2"))
+
+
+def test_stale_pointer_with_different_next_batch_no_duplicate_seq(
+        spark, tmp_path):
+    """Review-r8: crash between the commit rename and the pointer
+    publish, then a DIFFERENT next batch (a batch-mode caller that
+    moved on, outside the foreachBatch redelivery contract). Blindly
+    trusting the stale pointer would mint a duplicate sequence and
+    brick every feed read; the seq-prefixed glob probe detects the
+    collision and recovers the true tail instead."""
+    import json
+
+    tgt = str(tmp_path / "tbl")
+    upsert_bucketed(spark, tgt, _mk(spark, [(1, "a", 10, False)]),
+                    ["k"], "ts", n_buckets=4, delete_col="is_del",
+                    emit_changes=True)
+    upsert_bucketed(spark, tgt, _mk(spark, [(2, "b", 20, False)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True)
+    ptr = tmp_path / "tbl" / "_changes" / "_latest"
+    commit0 = next(p.name for p in ptr.parent.iterdir()
+                   if p.name.startswith("commit-0000000000-"))
+    ptr.write_text(json.dumps(                      # rewind to seq 0
+        {"seq": 0, "digest": commit0.split("-", 2)[2]}))
+
+    upsert_bucketed(spark, tgt, _mk(spark, [(3, "c", 30, False)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True)
+    # no duplicate seq: the feed reads cleanly and is complete
+    assert _feed(spark, tgt) == [(0, "insert", 1, "a", 10),
+                                 (1, "insert", 2, "b", 20),
+                                 (2, "insert", 3, "c", 30)]
+    assert json.loads(ptr.read_text())["seq"] == 2
+
+
+def test_creation_feed_survives_static_overwrite_sessions(spark, tmp_path):
+    """Review-r8: the first write of a new table must not rely on the
+    session's partitionOverwriteMode — under the Spark default
+    ('static') a mode('overwrite') on the target would truncate the
+    whole directory, deleting the feed commit and pointer published
+    moments before. Both creation paths stage per-bucket moves
+    instead."""
+    from cdc_data_pipeline_spark.operators.scd2 import scd2_bucketed
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        tgt = str(tmp_path / "tbl")
+        upsert_bucketed(spark, tgt, _mk(spark, [(1, "a", 10, False)]),
+                        ["k"], "ts", n_buckets=4, delete_col="is_del",
+                        emit_changes=True)
+        assert _feed(spark, tgt) == [(0, "insert", 1, "a", 10)]
+        assert (tmp_path / "tbl" / "_changes" / "_latest").exists()
+
+        snap = str(tmp_path / "snap")
+        scd2_bucketed(spark, snap,
+                      spark.createDataFrame([(1, "x")], "k long, v string"),
+                      ["k"], ["v"], "2024-01-01 00:00:00", n_buckets=4,
+                      emit_changes=True)
+        got = read_changes(spark, snap)
+        assert got is not None and got.count() == 1
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_table_at_negative_seq_raises_cleanly(spark, tmp_path):
+    from cdc_data_pipeline_spark.operators.incremental import table_at
+
+    tgt = str(tmp_path / "tbl")
+    upsert_bucketed(spark, tgt, _mk(spark, [(1, "a", 10, False)]),
+                    ["k"], "ts", n_buckets=4, delete_col="is_del",
+                    emit_changes=True)
+    with pytest.raises(ValueError, match=">= 0"):
+        table_at(spark, tgt, -1)
+
+
+def test_stream_ivm_heals_crashed_mart_swap(spark, tmp_path):
+    """Review-r8: a crash between the mart swap's two renames strands
+    the mart (and its watermark). The next fold must restore it before
+    reading — otherwise it sees 'no mart', resets every accumulated
+    sum to the new batch's deltas, and stamps a watermark that blocks
+    repair forever."""
+    import shutil
+
+    from cdc_data_pipeline_spark.operators.incremental import (
+        read_mart_seq)
+    from cdc_data_pipeline_spark.streaming.cdc import (
+        stream_ivm_to_parquet)
+
+    tbl = str(tmp_path / "tbl")
+    mart = str(tmp_path / "mart")
+    ck = str(tmp_path / "ck")
+    schema = "k long, grp string, amt double, ts long, is_del boolean"
+    upsert_bucketed(spark, tbl, spark.createDataFrame(
+        [(1, "a", 10.0, 10, False), (2, "b", 5.0, 10, False)], schema),
+        ["k"], "ts", n_buckets=4, delete_col="is_del",
+        emit_changes=True, update_preimages=True)
+    q = stream_ivm_to_parquet(spark, tbl, mart, ["grp"], ["amt"], ck)
+    q.awaitTermination(180)
+
+    # strand the mart the way a crashed _replace_dir would
+    shutil.move(mart, str(tmp_path / ".mart.__old__"))
+
+    upsert_bucketed(spark, tbl, spark.createDataFrame(
+        [(3, "a", 7.0, 20, False)], schema),
+        ["k"], "ts", delete_col="is_del", emit_changes=True,
+        update_preimages=True)
+    q2 = stream_ivm_to_parquet(spark, tbl, mart, ["grp"], ["amt"], ck)
+    q2.awaitTermination(180)
+    got = {(r["grp"], round(r["delta_amt"], 2), r["delta_count"])
+           for r in spark.read.parquet(mart).collect()}
+    assert got == {("a", 17.0, 2), ("b", 5.0, 1)}   # not reset
+    assert read_mart_seq(spark, mart) == 1

@@ -264,3 +264,24 @@ def test_lock_remote_scheme_branch_under_mockfs(spark, tmp_path):
     # reacquirable after release
     with lsm.maintenance_lock(spark, path, timeout_sec=5):
         pass
+
+
+def test_stale_lock_acquirable_at_elapsed_deadline(spark, tmp_path):
+    """Review-r8: expiring a stale marker must lead to an immediate
+    acquire attempt — raising MaintenanceLockHeld for a lock this
+    writer just freed (with a message claiming it is held) is a
+    contradiction. A zero timeout with a stale marker still acquires."""
+    import os
+    import time
+
+    root = str(tmp_path / "idx")
+    holder = lsm.maintenance_lock(spark, root)
+    holder.__enter__()
+    marker = tmp_path / "idx" / lsm.MAINT_LOCK
+    old = time.time() - 7200
+    os.utime(marker, (old, old))                 # crashed 2h ago
+    with lsm.maintenance_lock(spark, root, ttl_sec=3600.0,
+                              timeout_sec=0.0):
+        pass                                     # acquired immediately
+    # the stale holder's release must not delete the new owner's marker
+    holder.__exit__(None, None, None)

@@ -332,8 +332,9 @@ def test_recover_table_heals_crashed_rewrite(spark, tmp_path):
     assert _rows(spark, tgt) == want
     assert read_changes(spark, tgt).count() == 12
 
-    # crash window C: one BUCKET stranded mid _replace_dir swap
-    shutil.move(tgt + "/__kb=1", tgt + "/__kb=1.__old__")
+    # crash window C: one BUCKET stranded mid _replace_dir swap (the
+    # strand name is dot-prefixed so Spark scans never discover it)
+    shutil.move(tgt + "/__kb=1", tgt + "/.__kb=1.__old__")
     assert recover_table(spark, tgt) == [tgt + "/__kb=1"]
     assert _rows(spark, tgt) == want
     # idempotent when healthy
@@ -436,3 +437,57 @@ def test_locked_upserts_serialize(spark, tmp_path):
     assert got == want
     assert not fsutil.exists(
         spark, path_join(tgt + ".__maint__", lsm.MAINT_LOCK))
+
+
+def test_merge_heals_stranded_bucket_no_row_loss(spark, tmp_path):
+    """Review-r8: a crash between _replace_dir's two renames strands
+    one BUCKET (dst missing, hidden .__kb=N.__old__ present). The next
+    merge must heal it BEFORE reading — otherwise the stranded rows
+    are invisible to the anti-join and permanently lost when the swap
+    then discards the strand."""
+    import shutil
+
+    tgt = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(40)], "k long, v string, ts long")
+    upsert_bucketed(spark, tgt, base, ["k"], "ts", n_buckets=4,
+                    emit_changes=True)
+    want = _rows(spark, tgt)
+    # strand a non-empty bucket the way a crashed swap would
+    victim = next(p for p in (tmp_path / "tbl").iterdir()
+                  if p.name.startswith("__kb="))
+    shutil.move(str(victim), str(victim.parent / f".{victim.name}.__old__"))
+    # a merge touching EVERY bucket (worst case: the strand is in the
+    # affected set and would be destroyed unhealed)
+    batch = spark.createDataFrame(
+        [(i, f"n{i}", 20) for i in range(40)], "k long, v string, ts long")
+    upsert_bucketed(spark, tgt, batch, ["k"], "ts", emit_changes=True)
+    got = _rows(spark, tgt)
+    assert got == {i: (f"n{i}", 20) for i in range(40)}
+    assert len(got) == len(want)                 # nothing lost
+
+
+def test_completed_swap_leftover_is_invisible_and_swept(spark, tmp_path):
+    """A crash AFTER a bucket swap completed (strand sibling never
+    deleted) must not pollute scans — the dot-prefixed strand name is
+    invisible to Spark's file index — and recover_table sweeps it so a
+    later legitimate bucket drain can never mistake the stale copy for
+    a crashed swap and resurrect deleted rows."""
+    import shutil
+
+    from cdc_data_pipeline_spark.operators.incremental import (
+        recover_table)
+
+    tgt = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(20)], "k long, v string, ts long")
+    upsert_bucketed(spark, tgt, base, ["k"], "ts", n_buckets=4)
+    bucket = next(p for p in (tmp_path / "tbl").iterdir()
+                  if p.name.startswith("__kb="))
+    shutil.copytree(str(bucket),
+                    str(bucket.parent / f".{bucket.name}.__old__"))
+    # invisible: no duplicate rows, no string-typed partition column
+    assert spark.read.parquet(tgt).count() == 20
+    # swept (dst exists -> garbage), nothing "restored"
+    assert recover_table(spark, tgt) == []
+    assert not (bucket.parent / f".{bucket.name}.__old__").exists()
