@@ -235,11 +235,14 @@ def recover_table(spark: SparkSession, target_path: str) -> list[str]:
 
 
 def _overwrite_buckets_atomic(merged: DataFrame, target_path: str,
-                              buckets: Sequence,
+                              buckets: Sequence | None,
                               partition_col: str = BUCKET_COL) -> None:
     """Write ``merged`` (carrying ``partition_col``) to a staging
     sibling, then swap ONLY the affected partition directories into
-    the target.
+    the target. ``buckets=None`` (the CREATION path) swaps whatever
+    partitions the staging write produced — discovered from one
+    staging listing, no extra Spark job — which is exact when no
+    bucket can be drained (nothing exists yet to drain).
 
     The merge plan reads the target's files; staging breaks the
     read-then-overwrite self-dependency WITHOUT relying on cache
@@ -260,6 +263,10 @@ def _overwrite_buckets_atomic(merged: DataFrame, target_path: str,
     fs.delete(spark, tmp)
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
     fs.mkdirs(spark, target_path)     # first write: renames need a parent
+    if buckets is None:
+        buckets = [n.split("=", 1)[1]
+                   for n in fs.list_names(spark, tmp)
+                   if n.startswith(partition_col + "=")]
     for b in buckets:
         src = fs.path_join(tmp, f"{partition_col}={b}")
         dst = fs.path_join(target_path, f"{partition_col}={b}")
@@ -483,9 +490,7 @@ def _upsert_bucketed_locked(
         # whole directory — including the _changes commit and pointer
         # just published above. Correctness must not depend on the
         # caller's session config (same rationale as the merge path).
-        buckets = [r[0] for r in
-                   ups.select(BUCKET_COL).distinct().collect()]
-        _overwrite_buckets_atomic(ups, target_path, buckets)
+        _overwrite_buckets_atomic(ups, target_path, None)
         _publish_table_meta(spark, target_path, keys, tracking_column,
                             n_resolved)
         return

@@ -261,9 +261,7 @@ def _scd2_bucketed_locked(
         # a static-partitionOverwriteMode session would truncate the
         # whole directory including the feed commit just published
         stamped = merged.withColumn(BUCKET_COL, bucket_of(keys, n_buckets))
-        buckets = [r[0] for r in
-                   stamped.select(BUCKET_COL).distinct().collect()]
-        _overwrite_buckets_atomic(stamped, target_path, buckets)
+        _overwrite_buckets_atomic(stamped, target_path, None)
         _publish_table_meta(spark, target_path, keys, None, n_buckets)
         return
     if close_deleted:
