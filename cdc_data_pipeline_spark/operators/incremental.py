@@ -225,11 +225,32 @@ def recover_table(spark: SparkSession, target_path: str) -> list[str]:
     restored: list[str] = []
     if _recover_rewrite(spark, target_path):
         restored.append(target_path)
+    elif fs.exists(spark, target_path):
+        # completed-rewrite leftovers (crash after the final rename but
+        # before cleanup): a full old-table copy and/or a finished
+        # staging dir sitting beside the live table — whole-table-sized
+        # garbage nothing else would ever collect
+        fs.delete(spark, target_path.rstrip("/") + ".__old__")
+        fs.delete(spark, target_path.rstrip("/") + ".__rewrite__")
     for name in fs.list_names(spark, target_path):
-        if name.startswith(".") and name.endswith(".__old__"):
+        if not name.endswith(".__old__"):
+            continue
+        if name.startswith("."):
             victim = fs.path_join(target_path,
                                   name[1:-len(".__old__")])
             if recover_swap(spark, victim):
+                restored.append(victim)
+        else:
+            # legacy VISIBLE strand naming (pre dot-prefix): it parses
+            # as a partition directory and corrupts every scan — heal
+            # it the same way, or sweep it when its bucket is live
+            strand = fs.path_join(target_path, name)
+            victim = fs.path_join(target_path,
+                                  name[:-len(".__old__")])
+            if fs.exists(spark, victim):
+                fs.delete(spark, strand)
+            else:
+                fs.rename(spark, strand, victim)
                 restored.append(victim)
     return restored
 
@@ -788,10 +809,18 @@ def create_anchor(spark: SparkSession, target_path: str) -> int:
     travel compose instead of being mutually exclusive. Run between
     merges under the table's single-writer discipline (or with
     ``upsert_bucketed``'s ``lock=True`` writers, while holding the
-    same lock). Idempotent: an anchor that already exists for the
-    newest seq is left in place. Returns the anchored seq."""
+    same lock) — in particular, after a WRITER CRASH let the stream
+    replay its last batch before anchoring: a crash between the feed
+    commit and the bucket swap leaves the pointer one ahead of the
+    table, and an anchor cut in that window would label the old state
+    with the new seq (the anchor's idempotency then pins the mislabel).
+    Idempotent: an anchor that already exists for the newest seq is
+    left in place. Returns the anchored seq."""
     from cdc_data_pipeline_spark.sources import fsutil
 
+    # heal crash strands first: an anchor cut while a bucket is
+    # stranded would silently omit that bucket's rows forever
+    recover_table(spark, target_path)
     ptr = _read_latest_ptr(spark, target_path)
     if ptr is not None:
         seq = int(ptr["seq"])
@@ -801,6 +830,11 @@ def create_anchor(spark: SparkSession, target_path: str) -> int:
             raise ValueError(f"{target_path} has no change feed to anchor")
         seq = int(commits[-1].split("-", 2)[1])
     root = fsutil.path_join(target_path, CHANGES_DIR)
+    # sweep staging left by a crashed prior anchor attempt (a full
+    # table copy nothing else collects — vacuum_anchors only matches
+    # published anchors)
+    for stale in fsutil.glob_names(spark, root, ".anchor-staging-*"):
+        fsutil.delete(spark, fsutil.path_join(root, stale))
     final = fsutil.path_join(root, f"{ANCHOR_PREFIX}{seq:010d}")
     if fsutil.exists(spark, final):
         return seq
@@ -834,6 +868,52 @@ def vacuum_anchors(spark: SparkSession, target_path: str,
     return removed
 
 
+def _feed_collapse_keys(meta: dict) -> list[str]:
+    """The feed's CHANGE-UNIT key, for collapsing feed slices to final
+    state. Fact tables change per business key; an SCD2 snapshot
+    (persisted ``tracking_column`` None) changes per VERSION — its
+    feed is keyed by ``dbt_scd_id`` (open = insert, close = update),
+    and collapsing it by business key would tie-break arbitrarily
+    between the closing and opening version rows of one commit."""
+    if meta.get("tracking_column") is None:
+        return ["dbt_scd_id"]
+    return list(meta["keys"])
+
+
+def _resolve_feed_base(spark: SparkSession, target_path: str,
+                       upto_seq: int) -> tuple[int, int]:
+    """(base_seq, newest_seq) for a feed reconstruction up to
+    ``upto_seq``: the newest anchor at or below it (-1 = start from
+    commit 0), validated so every commit in (base, min(upto, newest)]
+    is present — sequence numbers are dense, so a vacuumed-away commit
+    inside the needed range is detectable. Raises when reconstruction
+    would be partial. ONE place for the vacuum-safety invariant,
+    shared by ``table_at`` and ``bootstrap_replica``."""
+    seqs = [int(c.split("-", 2)[1])
+            for c in _list_change_commits(spark, target_path)]
+    base = max((a for a in _list_anchor_seqs(spark, target_path)
+                if a <= upto_seq), default=-1)
+    if base < 0:
+        if not seqs:
+            raise ValueError(f"{target_path} has no change feed")
+        if seqs[0] != 0:
+            raise ValueError(
+                "change feed has been vacuumed below commit 0 and no "
+                f"snapshot anchor covers seq {upto_seq} — "
+                "reconstruction would be partial (create_anchor "
+                "before vacuuming to keep time travel and replica "
+                "bootstrap)")
+    newest = seqs[-1] if seqs else base
+    missing = sorted(set(range(base + 1, min(upto_seq, newest) + 1))
+                     - set(seqs))
+    if missing:
+        raise ValueError(
+            f"change feed commits {missing} needed up to seq "
+            f"{upto_seq} have been vacuumed past the newest covering "
+            f"anchor ({base}) — reconstruction would be partial")
+    return base, newest
+
+
 def table_at(spark: SparkSession, target_path: str, seq: int) -> DataFrame:
     """TIME TRAVEL from the change feed: the table AS OF commit
     ``seq`` — no snapshot copies per version were ever stored; the
@@ -841,38 +921,20 @@ def table_at(spark: SparkSession, target_path: str, seq: int) -> DataFrame:
     newest SNAPSHOT ANCHOR at or below ``seq`` when one exists
     (``create_anchor`` — cost O(commits since anchor)) and otherwise
     from commit 0 (cost O(feed prefix)); the base is then collapsed
-    with the needed feed slice to the final op per key (deletes drop
-    out). Sequence numbers are dense, so a vacuumed-away commit
+    with the needed feed slice to the final op per change-unit key
+    (deletes drop out; on an SCD2 snapshot the unit is the VERSION,
+    ``dbt_scd_id``, so the result is the full snapshot as of that
+    commit). Sequence numbers are dense, so a vacuumed-away commit
     inside the needed range is detected and raised — as-of reads
     survive vacuum exactly up to the newest covering anchor. For
     frequent as-of serving, materialize with ``apply_changes``."""
     if seq < 0:
         raise ValueError(f"table_at seq must be >= 0, got {seq}")
     meta = _read_table_meta(spark, target_path)
-    keys = meta["keys"] if meta else None
-    if not keys:
+    if not meta or not meta.get("keys"):
         raise ValueError("table has no persisted layout")
-    commits = _list_change_commits(spark, target_path)
-    seqs = [int(c.split("-", 2)[1]) for c in commits]
-    base_seq = max((a for a in _list_anchor_seqs(spark, target_path)
-                    if a <= seq), default=-1)
-    if base_seq < 0:
-        if not commits:
-            raise ValueError(f"{target_path} has no change feed")
-        if seqs[0] != 0:
-            raise ValueError(
-                "change feed has been vacuumed below commit 0 and no "
-                f"snapshot anchor covers seq {seq} — reconstruction "
-                "would be partial (create_anchor before vacuuming to "
-                "keep time travel)")
-    newest = seqs[-1] if seqs else base_seq
-    missing = sorted(set(range(base_seq + 1, min(seq, newest) + 1))
-                     - set(seqs))
-    if missing:
-        raise ValueError(
-            f"change feed commits {missing} needed for seq {seq} have "
-            f"been vacuumed past the newest covering anchor "
-            f"({base_seq}) — reconstruction would be partial")
+    keys = _feed_collapse_keys(meta)
+    base_seq, _newest = _resolve_feed_base(spark, target_path, seq)
     from cdc_data_pipeline_spark.sources import fsutil
 
     parts = []
@@ -965,23 +1027,8 @@ def bootstrap_replica(spark: SparkSession, table_path: str,
     meta = _read_table_meta(spark, table_path)
     if meta is None:
         raise ValueError(f"{table_path} has no persisted layout")
-    keys = meta["keys"]
-    seqs = [int(c.split("-", 2)[1])
-            for c in _list_change_commits(spark, table_path)]
-    anchors = _list_anchor_seqs(spark, table_path)
-    base = max(anchors) if anchors else -1
-    if base < 0 and (not seqs or seqs[0] != 0):
-        raise ValueError(
-            f"{table_path}: feed is vacuumed below commit 0 and no "
-            "snapshot anchor exists — a replica bootstrapped from the "
-            "surviving commits would silently miss rows; create_anchor "
-            "on the source first")
-    newest = seqs[-1] if seqs else base
-    missing = sorted(set(range(base + 1, newest + 1)) - set(seqs))
-    if missing:
-        raise ValueError(
-            f"{table_path}: commits {missing} above the newest anchor "
-            f"({base}) have been vacuumed — bootstrap would be partial")
+    keys = _feed_collapse_keys(meta)
+    base, newest = _resolve_feed_base(spark, table_path, 2**62)
     if base >= 0:
         anchor = spark.read.parquet(fsutil.path_join(
             table_path, CHANGES_DIR, f"{ANCHOR_PREFIX}{base:010d}"))

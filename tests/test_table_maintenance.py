@@ -491,3 +491,83 @@ def test_completed_swap_leftover_is_invisible_and_swept(spark, tmp_path):
     # swept (dst exists -> garbage), nothing "restored"
     assert recover_table(spark, tgt) == []
     assert not (bucket.parent / f".{bucket.name}.__old__").exists()
+
+
+def test_recover_table_legacy_strand_and_rewrite_leftover_gc(spark,
+                                                             tmp_path):
+    """Review-r8 follow-ups: (a) a legacy VISIBLE '__kb=N.__old__'
+    strand (pre dot-prefix naming) parses as a partition and corrupts
+    scans — recover_table heals it when its bucket is missing and
+    sweeps it when the bucket is live; (b) completed-rewrite leftovers
+    (<table>.__old__ / <table>.__rewrite__ beside a LIVE table) are
+    whole-table-sized garbage that recover_table now collects."""
+    import shutil
+
+    from cdc_data_pipeline_spark.operators.incremental import (
+        recover_table)
+
+    tgt = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(20)], "k long, v string, ts long")
+    upsert_bucketed(spark, tgt, base, ["k"], "ts", n_buckets=4)
+    want = _rows(spark, tgt)
+
+    bucket = next(p for p in (tmp_path / "tbl").iterdir()
+                  if p.name.startswith("__kb="))
+    # legacy strand with the bucket MISSING: heal
+    shutil.move(str(bucket), str(bucket) + ".__old__")
+    assert recover_table(spark, tgt) == [str(bucket)]
+    assert _rows(spark, tgt) == want
+    # legacy strand with the bucket LIVE: sweep (it would otherwise
+    # feed duplicate rows and flip __kb inference to string)
+    shutil.copytree(str(bucket), str(bucket) + ".__old__")
+    assert recover_table(spark, tgt) == []
+    assert not (tmp_path / "tbl" / (bucket.name + ".__old__")).exists()
+    assert _rows(spark, tgt) == want
+
+    # completed-rewrite leftovers beside a live table: collected
+    shutil.copytree(tgt, tgt + ".__old__")
+    shutil.copytree(tgt, tgt + ".__rewrite__")
+    assert recover_table(spark, tgt) == []
+    assert not (tmp_path / "tbl.__old__").exists()
+    assert not (tmp_path / "tbl.__rewrite__").exists()
+
+
+def test_rollup_and_compact_heal_crashed_swaps(spark, tmp_path):
+    """Review-r8: the OTHER two _replace_dir callers get the same
+    healing — a rollup time-partition stranded mid-swap folds back in
+    instead of being destroyed, and compact_parquet self-heals instead
+    of failing at the initial read."""
+    import shutil
+
+    from cdc_data_pipeline_spark.operators.maintenance import (
+        compact_parquet)
+    from cdc_data_pipeline_spark.operators.rollup import (
+        incremental_rollup)
+
+    # rollup: two time buckets, strand one, fold a new batch in
+    roll = str(tmp_path / "roll")
+    b1 = spark.createDataFrame(
+        [("2024-01-01 00:05:00", 1.0), ("2024-01-01 01:05:00", 2.0)],
+        "ts string, amt double").selectExpr("CAST(ts AS timestamp) ts",
+                                            "amt")
+    specs = [("sum", "amt", "amt_sum"), ("count", None, "n")]
+    incremental_rollup(spark, roll, b1, "ts", "1 hour", [], specs)
+    victim = next(p for p in (tmp_path / "roll").iterdir()
+                  if p.name.startswith("__pb="))
+    shutil.move(str(victim), str(victim.parent / f".{victim.name}.__old__"))
+    b2 = spark.createDataFrame(
+        [("2024-01-01 00:10:00", 10.0), ("2024-01-01 01:10:00", 10.0)],
+        "ts string, amt double").selectExpr("CAST(ts AS timestamp) ts",
+                                            "amt")
+    incremental_rollup(spark, roll, b2, "ts", "1 hour", [], specs)
+    got = {round(r["amt_sum"], 1) for r in
+           spark.read.parquet(roll).collect()}
+    assert got == {11.0, 12.0}                   # nothing lost
+
+    # compact_parquet: strand the whole table mid-swap, rerun heals
+    flat = str(tmp_path / "flat")
+    spark.range(100).selectExpr("id", "id * 2 AS v").write.parquet(flat)
+    shutil.move(flat, str(tmp_path / ".flat.__old__"))
+    compact_parquet(spark, flat, target_bytes=1 << 20)
+    assert spark.read.parquet(flat).count() == 100
