@@ -105,6 +105,25 @@ def _cpu_probe(rounds: int = 3) -> float:
     return round(best, 4)
 
 
+def _spark_probe(spark, rounds: int = 2) -> float:
+    """Fixed PARALLEL calibration probe: one all-core Spark job
+    (sum of id*id over a fixed range), min of ``rounds``. The r8
+    closing runs showed a host phase where every 32-core query drifted
+    +10-30% together while the single-core SHA probe stayed flat —
+    contention/throttle that only shows under parallel load. This
+    probe moves WITH that phase, so cross-round deltas can be
+    normalized against the probe that matches the workload shape."""
+    best = None
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        spark.range(200_000_000) \
+            .selectExpr("sum(pmod(xxhash64(id), 1000000)) AS s") \
+            .write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -128,6 +147,7 @@ def main() -> None:
     # benchmark compares. Disclosed via runs/agg fields.
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     probe_before = _cpu_probe()
+    spark_probe = _spark_probe(spark)
     timings: dict[str, float] = {}
     t_wall0 = time.time()
     for name in BENCH_QUERIES:
@@ -171,6 +191,10 @@ def main() -> None:
         # ratio to separate host phase noise from real plan movement
         "cpu_probe_sec": probe_before,
         "cpu_probe_sec_after": probe_after,
+        # all-core Spark job (min-of-2): the parallel-phase probe —
+        # divide cross-round totals by ITS ratio when the single-core
+        # probe is flat but everything drifted together
+        "spark_probe_sec": spark_probe,
     }), flush=True)
 
 
