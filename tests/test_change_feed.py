@@ -972,3 +972,37 @@ def test_stream_ivm_heals_crashed_mart_swap(spark, tmp_path):
            for r in spark.read.parquet(mart).collect()}
     assert got == {("a", 17.0, 2), ("b", 5.0, 1)}   # not reset
     assert read_mart_seq(spark, mart) == 1
+
+
+def test_table_at_never_opens_commits_outside_range(spark, tmp_path):
+    """Structural pin for the bounded as-of read: commits BELOW the
+    covering anchor and ABOVE the requested seq are pruned on the
+    directory list, never opened. Proven by corrupting both — if
+    table_at touched either, the parquet read would fail."""
+    from cdc_data_pipeline_spark.operators.incremental import (
+        create_anchor, table_at)
+
+    tgt = str(tmp_path / "tbl")
+    upsert_bucketed(spark, tgt,                                  # seq 0
+                    _mk(spark, [(1, "a", 10, False), (2, "b", 10, False)]),
+                    ["k"], "ts", n_buckets=4, delete_col="is_del",
+                    emit_changes=True)
+    upsert_bucketed(spark, tgt, _mk(spark, [(1, "a2", 20, False)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True)
+    create_anchor(spark, tgt)                                    # @1
+    upsert_bucketed(spark, tgt, _mk(spark, [(3, "c", 30, False)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True)
+    upsert_bucketed(spark, tgt, _mk(spark, [(4, "d", 40, False)]),
+                    ["k"], "ts", delete_col="is_del", emit_changes=True)
+
+    feed_dir = tmp_path / "tbl" / "_changes"
+    for seqname in ("commit-0000000000-", "commit-0000000003-"):
+        cdir = next(p for p in feed_dir.iterdir()
+                    if p.name.startswith(seqname))
+        for f in cdir.iterdir():
+            if f.name.endswith(".parquet"):
+                f.write_bytes(b"not parquet at all")
+
+    got = {(r["k"], r["v"]) for r in table_at(spark, tgt, 2)
+           .select("k", "v").collect()}
+    assert got == {(1, "a2"), (2, "b"), (3, "c")}
