@@ -143,6 +143,17 @@ def main(argv=None) -> int:
                               ".__old__ sibling by a writer that died "
                               "between the swap's two renames")
     trcp.add_argument("--path", required=True)
+    trxp = sub.add_parser(
+        "table-reconcile", help="repair a change feed bricked by a "
+                                "detected writer race (duplicate "
+                                "sequence numbers): keep the "
+                                "first-landed commit per seq, "
+                                "quarantine the losers under "
+                                "_changes/_conflict, repair _latest; "
+                                "replicas/marts should be re-converged "
+                                "afterwards (bootstrap-replica / "
+                                "recompute)")
+    trxp.add_argument("--path", required=True)
     tchp.add_argument("--limit", type=int, default=20)
     tchp.add_argument("--vacuum-before", type=int, default=None,
                       metavar="SEQ",
@@ -384,6 +395,15 @@ def main(argv=None) -> int:
 
         spark = get_spark("cdc-table")
         print(json.dumps({"restored": recover_table(spark, args.path)}))
+        return 0
+
+    if args.cmd == "table-reconcile":
+        from cdc_data_pipeline_spark.operators.incremental import (
+            reconcile_changes)
+        from cdc_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("cdc-table")
+        print(json.dumps(reconcile_changes(spark, args.path)))
         return 0
 
     if args.cmd == "table-changes":

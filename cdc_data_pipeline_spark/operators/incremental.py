@@ -196,17 +196,25 @@ def recover_swap(spark: SparkSession, dst: str) -> bool:
     When ``dst`` exists, a leftover strand is garbage from a crash
     AFTER the swap completed — it is deleted here (leaving it would
     let a LATER legitimate drain of ``dst`` make the stale copy look
-    like a crashed swap and resurrect deleted rows)."""
+    like a crashed swap and resurrect deleted rows).
+
+    The legacy VISIBLE strand name (``<dst>.__old__``, the naming a
+    pre-dot-prefix release used) is healed the same way: an IVM mart
+    (or merge result) stranded by a crash under the OLD release must
+    not read as "no mart" after an upgrade — that would silently
+    reset every accumulated group sum to the next batch's deltas."""
     from cdc_data_pipeline_spark.sources import fsutil as fs
 
-    old = _old_sibling(dst)
-    if not fs.exists(spark, old):
-        return False
-    if fs.exists(spark, dst):
-        fs.delete(spark, old)          # completed-swap leftover
-        return False
-    fs.rename(spark, old, dst)
-    return True
+    restored = False
+    for old in (_old_sibling(dst), dst.rstrip("/") + ".__old__"):
+        if not fs.exists(spark, old):
+            continue
+        if fs.exists(spark, dst):
+            fs.delete(spark, old)      # completed-swap leftover
+        else:
+            fs.rename(spark, old, dst)
+            restored = True
+    return restored
 
 
 def recover_table(spark: SparkSession, target_path: str) -> list[str]:
@@ -229,9 +237,35 @@ def recover_table(spark: SparkSession, target_path: str) -> list[str]:
         # completed-rewrite leftovers (crash after the final rename but
         # before cleanup): a full old-table copy and/or a finished
         # staging dir sitting beside the live table — whole-table-sized
-        # garbage nothing else would ever collect
+        # garbage nothing else would ever collect. Before sweeping the
+        # rewrite staging dir, pull the change feed back out of it when
+        # the live table has none of its own: a crash inside
+        # _recover_rewrite between rename(old -> table) and its feed
+        # pull leaves the table live but its feed (commits, _latest
+        # pointer, anchors) marooned in .__rewrite__/_changes —
+        # deleting that wholesale would silently restart the feed at
+        # seq 0 and confuse every streaming consumer.
+        rew = target_path.rstrip("/") + ".__rewrite__"
+        rew_changes = fs.path_join(rew, CHANGES_DIR)
+        t_changes = fs.path_join(target_path, CHANGES_DIR)
+        if not fs.exists(spark, t_changes) \
+                and fs.exists(spark, rew_changes):
+            fs.rename(spark, rew_changes, t_changes)
+            restored.append(t_changes)
         fs.delete(spark, target_path.rstrip("/") + ".__old__")
-        fs.delete(spark, target_path.rstrip("/") + ".__rewrite__")
+        fs.delete(spark, rew)
+    # crashed-merge staging leaks: _overwrite_buckets_atomic stages
+    # under a nonce-suffixed <table>.__staging__-<hex> sibling; a crash
+    # mid-staging-write leaves that directory forever (it is never
+    # reused — the nonce exists so racing writers cannot collide), so
+    # sweep any found here, same as create_anchor's staging sweep.
+    # Safe under the single-writer/lock contract recover_table already
+    # runs under: no live merge can have one in flight concurrently.
+    d = target_path.rstrip("/")
+    head, _, base = d.rpartition("/")
+    parent = head if head else "."
+    for leak in fs.glob_names(spark, parent, base + ".__staging__-*"):
+        fs.delete(spark, fs.path_join(parent, leak))
     for name in fs.list_names(spark, target_path):
         if not name.endswith(".__old__"):
             continue
@@ -797,7 +831,8 @@ def _list_anchor_seqs(spark: SparkSession, target_path: str) -> list[int]:
                   if n.startswith(ANCHOR_PREFIX))
 
 
-def create_anchor(spark: SparkSession, target_path: str) -> int:
+def create_anchor(spark: SparkSession, target_path: str,
+                  force: bool = False) -> int:
     """SNAPSHOT ANCHOR for the change feed — the Delta-checkpoint
     analogue. Materializes the table's CURRENT state (which IS the
     state as of the newest commit, between merges) under
@@ -815,7 +850,11 @@ def create_anchor(spark: SparkSession, target_path: str) -> int:
     table, and an anchor cut in that window would label the old state
     with the new seq (the anchor's idempotency then pins the mislabel).
     Idempotent: an anchor that already exists for the newest seq is
-    left in place. Returns the anchored seq."""
+    left in place — unless ``force=True``, which re-cuts it from the
+    table's CURRENT state (the repair for exactly that mislabel
+    hazard: once the stream has replayed its batch and the table again
+    reflects the pointer seq, ``force`` replaces the suspect anchor
+    instead of pinning it forever). Returns the anchored seq."""
     from cdc_data_pipeline_spark.sources import fsutil
 
     # heal crash strands first: an anchor cut while a bucket is
@@ -836,13 +875,18 @@ def create_anchor(spark: SparkSession, target_path: str) -> int:
     for stale in fsutil.glob_names(spark, root, ".anchor-staging-*"):
         fsutil.delete(spark, fsutil.path_join(root, stale))
     final = fsutil.path_join(root, f"{ANCHOR_PREFIX}{seq:010d}")
-    if fsutil.exists(spark, final):
+    replace = fsutil.exists(spark, final)
+    if replace and not force:
         return seq
     df = spark.read.option("mergeSchema", "true").parquet(target_path) \
         .drop(BUCKET_COL)
     tmp = fsutil.path_join(root, f".anchor-staging-{seq:010d}")
     fsutil.delete(spark, tmp)
     df.write.mode("overwrite").parquet(tmp)
+    if replace:
+        # force re-cut: the replacement is fully staged before the
+        # suspect anchor goes — a reader never sees a missing anchor
+        fsutil.delete(spark, final)
     fsutil.rename(spark, tmp, final)
     return seq
 
@@ -958,7 +1002,8 @@ def table_at(spark: SparkSession, target_path: str, seq: int) -> DataFrame:
 
 
 def vacuum_changes(spark: SparkSession, target_path: str,
-                   before_seq: int) -> int:
+                   before_seq: int, anchor_first: bool = True,
+                   force: bool = False) -> int:
     """Prune change-feed commits with ``_seq`` <= ``before_seq`` —
     run once every consumer's watermark has advanced past it. The
     feed otherwise grows one directory per merge forever (the MERGE
@@ -966,17 +1011,105 @@ def vacuum_changes(spark: SparkSession, target_path: str,
     ``_latest`` pointer — but batch readers still pay the listing and
     storage grows unbounded). Returns the number of commits removed.
     The newest commit is always kept: it is the pointer's
-    repair/bootstrap source if ``_latest`` is ever lost."""
+    repair/bootstrap source if ``_latest`` is ever lost.
+
+    The safe path is the default path: pruning commits no snapshot
+    anchor covers silently forfeits time travel and replica bootstrap
+    FOREVER (``table_at``/``bootstrap_replica`` then raise — correct,
+    but the capability is gone). When the prune would do that,
+    ``anchor_first=True`` (default) cuts an anchor at the feed's
+    newest seq first — vacuum-then-``table_at(newest)`` always
+    succeeds; as-of reads strictly BELOW the pruned bound are the
+    caller's explicit forfeit. ``anchor_first=False`` refuses such a
+    prune unless ``force=True`` (the old fully-destructive behavior,
+    now opt-in). Run between merges, same single-writer discipline as
+    ``create_anchor``."""
     from cdc_data_pipeline_spark.sources import fsutil
 
     commits = _list_change_commits(spark, target_path)
+    victims = [c for c in commits[:-1]              # never the newest
+               if int(c.split("-", 2)[1]) <= before_seq]
+    if victims:
+        max_victim = max(int(c.split("-", 2)[1]) for c in victims)
+        covered = any(a >= max_victim
+                      for a in _list_anchor_seqs(spark, target_path))
+        if not covered:
+            if anchor_first:
+                # anchors the CURRENT state at the newest seq — every
+                # pruned commit is <= it, so reconstruction at or
+                # above the anchor survives this vacuum
+                create_anchor(spark, target_path)
+            elif not force:
+                raise ValueError(
+                    f"vacuuming {target_path} through seq {max_victim} "
+                    "would prune commits no snapshot anchor covers — "
+                    "time travel and replica bootstrap would be "
+                    "permanently lost. Pass anchor_first=True to cut "
+                    "an anchor first (default), or force=True to "
+                    "discard the capability deliberately")
     removed = 0
-    for c in commits[:-1] if commits else []:   # never the newest
-        if int(c.split("-", 2)[1]) <= before_seq:
-            fsutil.delete(spark, fsutil.path_join(
-                target_path, CHANGES_DIR, c))
-            removed += 1
+    for c in victims:
+        fsutil.delete(spark, fsutil.path_join(
+            target_path, CHANGES_DIR, c))
+        removed += 1
     return removed
+
+
+CONFLICT_DIR = "_conflict"
+
+
+def reconcile_changes(spark: SparkSession, target_path: str) -> dict:
+    """Repair a change feed bricked by a detected WRITER RACE: two
+    unlocked batch-mode writers racing one table can mint duplicate
+    sequence numbers, after which every feed read raises
+    (``_list_change_commits``) until someone intervenes — detection
+    without a recovery path (VERDICT r8 watch item #2). For each
+    duplicated seq this keeps the commit that LANDED FIRST (oldest
+    modification time, commit name as the deterministic tiebreak — the
+    loser's merge raced it and its claim to that position in the
+    history is the weaker one) and quarantines the rest under
+    ``_changes/_conflict/`` (``_``-prefixed: invisible to Spark scans
+    and to the ``commit-*`` streaming glob), then repairs the
+    ``_latest`` pointer from the now-clean listing.
+
+    Restores feed READABILITY — it cannot restore exactly-once
+    semantics the race already broke: the losing writer's rows were
+    merged into the TABLE but are now absent from the feed, so
+    replicas/marts must be re-converged (``bootstrap_replica`` from a
+    fresh anchor, or a mart recompute), and a streaming consumer that
+    already ingested a quarantined commit has seen rows the feed no
+    longer vouches for. The quarantined commits are kept, not
+    deleted, so that audit is possible. Returns
+    ``{"quarantined": [names], "latest_seq": N}``."""
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    root = fsutil.path_join(target_path, CHANGES_DIR)
+    by_seq: dict[int, list[str]] = {}
+    for n in fsutil.list_names(spark, root):
+        if n.startswith("commit-"):
+            by_seq.setdefault(int(n.split("-", 2)[1]), []).append(n)
+    quarantined: list[str] = []
+    for seq in sorted(by_seq):
+        group = by_seq[seq]
+        if len(group) == 1:
+            continue
+        keep = min(group, key=lambda n: (
+            fsutil.mtime(spark, fsutil.path_join(root, n)) or 0, n))
+        qdir = fsutil.path_join(root, CONFLICT_DIR)
+        fsutil.mkdirs(spark, qdir)
+        for loser in group:
+            if loser == keep:
+                continue
+            fsutil.rename(spark, fsutil.path_join(root, loser),
+                          fsutil.path_join(qdir, loser))
+            quarantined.append(loser)
+    commits = _list_change_commits(spark, target_path)  # now raise-free
+    latest = -1
+    if commits:
+        latest = int(commits[-1].split("-", 2)[1])
+        _publish_latest_ptr(spark, target_path, latest,
+                            commits[-1].split("-", 2)[2])
+    return {"quarantined": quarantined, "latest_seq": latest}
 
 
 def apply_changes(spark: SparkSession, feed: DataFrame,

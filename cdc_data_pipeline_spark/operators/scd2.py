@@ -161,6 +161,7 @@ def scd2_bucketed(
     close_deleted: bool = False,
     emit_changes: bool = False,
     update_preimages: bool = False,
+    evolve_schema: bool = False,
     lock: bool = False,
     lock_ttl: float = 3600.0,
     lock_timeout: float = 60.0,
@@ -195,6 +196,20 @@ def scd2_bucketed(
     batch content are distinct merges, while a foreachBatch redelivery
     (same batch, same deterministic run_ts) is skipped.
 
+    ``evolve_schema=True`` accepts DRIFTED batches, closing the
+    fact/dim asymmetry (the upsert family tolerates mid-stream drift,
+    ``incremental.upsert_bucketed``; without this knob a new column in
+    the dim source fails the merge read): the snapshot is read with
+    ``mergeSchema`` and both sides are aligned to the UNION of their
+    payload columns before classification — a column NEW in the batch
+    surfaces as NULL on historical versions (and, when it is a
+    check_col, NULL-vs-value compares as CHANGED, so the drifted key
+    correctly opens a new version); a column the batch DROPPED
+    surfaces as NULL on its newly-opened versions. Untouched buckets
+    keep their old physical schema until ``compact_table`` — readers
+    of an evolved snapshot must read with ``mergeSchema`` (as this
+    sink itself does). Default stays strict.
+
     ``lock=True`` serializes against other locked writers via the
     table maintenance lock (see ``upsert_bucketed``).
 
@@ -213,7 +228,25 @@ def scd2_bucketed(
         _scd2_bucketed_locked(spark, target_path, batch, keys,
                               check_cols, run_ts, n_buckets,
                               close_deleted, emit_changes,
-                              update_preimages)
+                              update_preimages, evolve_schema)
+
+
+def _align_payloads(affected: DataFrame,
+                    batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Align a drifted batch and the snapshot's affected slice to the
+    UNION of their payload columns (missing side gets typed NULLs) so
+    one classification join serves both schemas."""
+    snap_names = {f.name for f in affected.schema.fields}
+    batch_names = {f.name for f in batch.schema.fields}
+    for f in affected.schema.fields:
+        if f.name not in batch_names and f.name not in META_COLS:
+            batch = batch.withColumn(f.name,
+                                     F.lit(None).cast(f.dataType))
+    for f in batch.schema.fields:
+        if f.name not in snap_names:
+            affected = affected.withColumn(f.name,
+                                           F.lit(None).cast(f.dataType))
+    return affected, batch
 
 
 def _scd2_bucketed_locked(
@@ -227,6 +260,7 @@ def _scd2_bucketed_locked(
     close_deleted: bool,
     emit_changes: bool,
     update_preimages: bool,
+    evolve_schema: bool = False,
 ) -> None:
     from cdc_data_pipeline_spark.operators.incremental import (
         BUCKET_COL, _batch_digest, _commit_changes,
@@ -249,7 +283,9 @@ def _scd2_bucketed_locked(
     target = None
     if fsutil.exists(spark, target_path):
         try:
-            target = spark.read.parquet(target_path)
+            reader = spark.read.option("mergeSchema", "true") \
+                if evolve_schema else spark.read
+            target = reader.parquet(target_path)
         except Exception:
             target = None
     if target is None:
@@ -271,6 +307,8 @@ def _scd2_bucketed_locked(
         buckets = [r[0] for r in
                    batch.select(bucket_of(keys, n_buckets).alias("b")).distinct().collect()]
         affected = target.filter(F.col(BUCKET_COL).isin(buckets)).drop(BUCKET_COL)
+    if evolve_schema:
+        affected, batch = _align_payloads(affected, batch)
     p = _scd2_parts(affected, batch, keys, check_cols, run_ts,
                     close_deleted)
     if emit_changes:

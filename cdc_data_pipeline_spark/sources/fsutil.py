@@ -84,6 +84,16 @@ def mkdirs(spark: SparkSession, path: str) -> None:
     fs.mkdirs(p)
 
 
+def mtime(spark: SparkSession, path: str) -> int | None:
+    """Modification time (epoch millis) of ``path``; None when absent.
+    One getFileStatus RPC — used to order racing writers' commits
+    during feed reconciliation."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return None
+    return fs.getFileStatus(p).getModificationTime()
+
+
 def read_text(spark: SparkSession, path: str) -> str | None:
     """Small-file read (a pointer); None when absent. One JVM call for
     the whole payload (commons-io, bundled with Hadoop) — a per-byte

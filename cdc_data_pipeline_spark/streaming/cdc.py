@@ -157,6 +157,7 @@ def stream_scd2_to_parquet(
     processing_time: str | None = None,
     emit_changes: bool = False,
     update_preimages: bool = False,
+    evolve_schema: bool = False,
 ):
     """Maintain an SCD2 snapshot from a change stream: each micro-batch
     is merged with the `check` strategy (reference: the users snapshot,
@@ -190,7 +191,8 @@ def stream_scd2_to_parquet(
         run_ts = ts_of_batch(batch_id) if ts_of_batch else default_batch_ts(batch_id)
         scd2_bucketed(spark, target_path, batch, keys, check_cols, run_ts,
                       n_buckets=n_buckets, emit_changes=emit_changes,
-                      update_preimages=update_preimages)
+                      update_preimages=update_preimages,
+                      evolve_schema=evolve_schema)
 
     writer = (
         stream.writeStream.foreachBatch(merge_batch)

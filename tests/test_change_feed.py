@@ -396,7 +396,12 @@ def test_table_at_time_travel(spark, tmp_path):
             .select("k", "v").collect()}
     assert state(2) == live
 
-    vacuum_changes(spark, tgt, before_seq=0)
+    # the destructive prune is opt-in now (r8 watch item #3): the
+    # default cuts an anchor first so table_at(newest) keeps working
+    with pytest.raises(ValueError, match="anchor"):
+        vacuum_changes(spark, tgt, before_seq=0, anchor_first=False)
+    vacuum_changes(spark, tgt, before_seq=0, anchor_first=False,
+                   force=True)
     with pytest.raises(ValueError, match="vacuumed"):
         table_at(spark, tgt, 2)
 
@@ -850,7 +855,8 @@ def test_bootstrap_replica_from_anchor_after_vacuum(spark, tmp_path):
                   ["k"])
     assert rows(rep) == rows(src)
 
-    # no anchor + vacuumed feed: refuse rather than converge wrong
+    # no anchor + FORCED destructive vacuum: refuse rather than
+    # converge wrong (the default would have cut an anchor first)
     src2 = str(tmp_path / "src2")
     upsert_bucketed(spark, src2, _mk(spark, [(1, "a", 10, False),
                                              (2, "b", 10, False)]),
@@ -858,7 +864,8 @@ def test_bootstrap_replica_from_anchor_after_vacuum(spark, tmp_path):
                     emit_changes=True)
     upsert_bucketed(spark, src2, _mk(spark, [(1, "a2", 20, False)]),
                     ["k"], "ts", delete_col="is_del", emit_changes=True)
-    vacuum_changes(spark, src2, before_seq=0)
+    vacuum_changes(spark, src2, before_seq=0, anchor_first=False,
+                   force=True)
     with pytest.raises(ValueError, match="anchor"):
         bootstrap_replica(spark, src2, str(tmp_path / "rep2"))
 

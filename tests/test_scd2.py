@@ -252,3 +252,73 @@ def test_scd2_feed_time_travel_and_bootstrap(spark, tmp_path):
     wm = bootstrap_replica(spark, snap, rep, n_buckets=4)
     assert wm == 1
     assert versions(spark.read.parquet(rep)) == live
+
+
+def test_scd2_feed_with_schema_evolution(spark, tmp_path):
+    """VERDICT-r8 #3 (the SCD2 twin of the upsert family's
+    test_feed_with_schema_evolution): a drifted dim batch — a NEW
+    check column appearing mid-stream — must merge instead of failing
+    the read. The new column surfaces NULL on historical versions,
+    drifted keys open a new version (NULL-vs-value compares as
+    changed), the feed stays consumable across the drift, and a
+    replica applied from it equals the snapshot."""
+    from cdc_data_pipeline_spark.operators.incremental import (
+        apply_changes, read_changes)
+    from cdc_data_pipeline_spark.operators.scd2 import scd2_bucketed
+
+    snap = str(tmp_path / "snap")
+    scd2_bucketed(spark, snap,
+                  spark.createDataFrame([(1, "a"), (2, "b")],
+                                        "k long, v string"),
+                  ["k"], ["v"], "2024-01-01 00:00:00", n_buckets=4,
+                  emit_changes=True)                          # seq 0
+
+    # drift: new column `tier` joins the payload AND the check set
+    widened = spark.createDataFrame([(1, "a", "gold"), (3, "c", "free")],
+                                    "k long, v string, tier string")
+    scd2_bucketed(spark, snap, widened, ["k"], ["v", "tier"],
+                  "2024-01-02 00:00:00", emit_changes=True,
+                  evolve_schema=True)                         # seq 1
+
+    state = {(r["k"], r["v"], r["tier"], r["dbt_valid_to"] is None)
+             for r in spark.read.option("mergeSchema", "true")
+             .parquet(snap)
+             .select("k", "v", "tier", "dbt_valid_to").collect()}
+    # k=1: old version closed (tier NULL), new version open with tier;
+    # k=2 untouched (tier NULL); k=3 brand new
+    assert state == {(1, "a", None, False), (1, "a", "gold", True),
+                     (2, "b", None, True), (3, "c", "free", True)}
+
+    # feed consumable across the drift: seq-0 rows surface NULL tier
+    feed = read_changes(spark, snap)
+    by = {(r["_seq"], r["_op"], r["k"]): r["tier"]
+          for r in feed.collect()}
+    assert by[(0, "insert", 1)] is None
+    assert by[(1, "insert", 1)] == "gold"
+    assert by[(1, "insert", 3)] == "free"
+    assert by[(1, "update", 1)] is None     # the closed v1 had no tier
+
+    # replica from the feed equals the snapshot, version for version
+    rep = str(tmp_path / "rep")
+    apply_changes(spark, feed, rep, ["dbt_scd_id"], n_buckets=4)
+
+    def versions(path):
+        return {(r["dbt_scd_id"], r["k"], r["v"], r["tier"],
+                 str(r["dbt_valid_to"]))
+                for r in spark.read.option("mergeSchema", "true")
+                .parquet(path).select("dbt_scd_id", "k", "v", "tier",
+                                      "dbt_valid_to").collect()}
+
+    assert versions(rep) == versions(snap)
+
+    # a later NARROWER batch (column dropped again) also merges:
+    # its new versions carry NULL for the dropped column
+    scd2_bucketed(spark, snap,
+                  spark.createDataFrame([(2, "b2")], "k long, v string"),
+                  ["k"], ["v"], "2024-01-03 00:00:00",
+                  emit_changes=True, evolve_schema=True)      # seq 2
+    cur = {(r["k"], r["v"], r["tier"])
+           for r in spark.read.option("mergeSchema", "true").parquet(snap)
+           .filter("dbt_valid_to IS NULL")
+           .select("k", "v", "tier").collect()}
+    assert cur == {(1, "a", "gold"), (2, "b2", None), (3, "c", "free")}
