@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "ivm_mart",
     "video_dup_pairs",
     "image_dup_pairs",
+    # r9: the SCD2 version-transition feed replayed into a
+    # dbt_scd_id-keyed replica (promoted driver row, r8 verdict #6)
+    "scd2_feed_replica",
 ]
 
 
@@ -170,7 +173,7 @@ def main() -> None:
     # the final thing this process writes (BENCH_r04 lost its parsed
     # block to the table landing after the JSON in the merged stream).
     try:
-        _report_deltas(timings, sf)
+        _report_deltas(timings, sf, spark_probe)
     except Exception as exc:  # pragma: no cover - defensive
         print(f"(delta report skipped: {exc})", file=sys.stderr)
     sys.stderr.flush()
@@ -198,9 +201,19 @@ def main() -> None:
     }), flush=True)
 
 
-def _report_deltas(timings: dict[str, float], sf: float) -> None:
+def _report_deltas(timings: dict[str, float], sf: float,
+                   spark_probe: float | None = None) -> None:
     """Per-query delta vs the most recent recorded round (BENCH_r*.json)
-    on stderr — the stdout contract stays ONE JSON line."""
+    on stderr — the stdout contract stays ONE JSON line.
+
+    PROBE-NORMALIZED adjudication (r8 verdict #2): raw deltas on this
+    host carry a documented 1.5-2x phase noise where every 32-core
+    query drifts together. Both calibration probes bracket it — the
+    single-core SHA probe (allocation/turbo phase) and the all-core
+    Spark probe (parallel contention phase, the one that matches the
+    workload shape). Each query's time is DIVIDED by the parallel
+    probe ratio before judging, and only normalized regressions are
+    flagged; the raw delta is still printed alongside."""
     import glob
     import re
 
@@ -216,23 +229,42 @@ def _report_deltas(timings: dict[str, float], sf: float) -> None:
     if prev.get("sf") != sf or not prev.get("queries"):
         return
     label = os.path.basename(runs[-1])
+    # host-phase normalization: this run's probes over the recorded
+    # run's probes. The parallel (Spark) probe is the divisor for
+    # per-query judgments; the serial probe is printed for the cases
+    # where the two diverge (pure-driver or single-partition queries).
+    cpu_ratio = None
+    if prev.get("cpu_probe_sec"):
+        cpu_ratio = _cpu_probe(rounds=1) / prev["cpu_probe_sec"]
+    par_ratio = None
+    if spark_probe and prev.get("spark_probe_sec"):
+        par_ratio = spark_probe / prev["spark_probe_sec"]
+    norm = par_ratio if par_ratio else (cpu_ratio or 1.0)
     note = ""
-    prev_probe = prev.get("cpu_probe_sec")
-    if prev_probe:
-        # host-phase normalization: this run's probe over the recorded
-        # run's probe — divide raw deltas by this before judging them
-        ratio = _cpu_probe(rounds=1) / prev_probe
-        note = f", host probe ratio {ratio:.2f}x (divide deltas by it)"
+    if cpu_ratio:
+        note += f", serial probe ratio {cpu_ratio:.2f}x"
+    if par_ratio:
+        note += f", parallel probe ratio {par_ratio:.2f}x (normalizing by it)"
     print(f"-- delta vs {label} (sf={sf}{note}) --", file=sys.stderr)
+    flagged = []
     for name, t in timings.items():
         p = prev["queries"].get(name)
         if p:
             pct = 100.0 * (t - p) / p
-            flag = "  <-- regression" if pct > 25 and t - p > 0.5 else ""
-            print(f"{name:28s} {p:7.2f}s -> {t:7.2f}s  {pct:+6.1f}%{flag}",
-                  file=sys.stderr)
+            tn = t / norm
+            pct_n = 100.0 * (tn - p) / p
+            flag = ""
+            if pct_n > 25 and tn - p > 0.5:
+                flag = "  <-- NORMALIZED regression"
+                flagged.append(name)
+            print(f"{name:28s} {p:7.2f}s -> {t:7.2f}s  raw {pct:+6.1f}%"
+                  f"  norm {pct_n:+6.1f}%{flag}", file=sys.stderr)
         else:
             print(f"{name:28s}    new -> {t:7.2f}s", file=sys.stderr)
+    if flagged:
+        print(f"normalized regressions: {flagged}", file=sys.stderr)
+    else:
+        print("no normalized regressions", file=sys.stderr)
 
 
 if __name__ == "__main__":

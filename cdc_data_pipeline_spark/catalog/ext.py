@@ -1032,6 +1032,56 @@ def q_ivm_mart(spark, sf_dir):
         raise
 
 
+def q_scd2_feed_replica(spark, sf_dir):
+    """The SCD2 snapshot's CHANGE DATA FEED through a full replica
+    lifecycle, pinned value-exact to SQL (VERDICT r8 #6): build a
+    bucketed SCD2 snapshot (``scd2_bucketed`` + ``emit_changes``) over
+    the same two deterministic batches as ``scd2_check`` (all
+    customers at 2024-01-01; 2024-02-01 re-send where c_custkey%7=0
+    changes segment), then REPLAY the version-transition feed into a
+    fresh replica keyed by ``dbt_scd_id``
+    (``incremental.apply_changes``) and return the REPLICA. The oracle
+    is the expected snapshot recomputed from ``customer`` arithmetic
+    alone — so a missed close transition, a wrong final valid_to on
+    the update postimage, a feed delete that should never exist (SCD2
+    forgets nothing), or a collapse keyed by business key instead of
+    version all break the hash. Throwaway table+replica, removed
+    after materialization."""
+    import shutil
+    import tempfile
+
+    from cdc_data_pipeline_spark.catalog.core import lifecycle_result
+    from cdc_data_pipeline_spark.operators.incremental import (
+        apply_changes, read_changes)
+    from cdc_data_pipeline_spark.operators.scd2 import scd2_bucketed
+
+    cust = _t(spark, sf_dir, "customer")
+    b1 = cust.select(F.col("c_custkey").alias("user_id"),
+                     F.col("c_name").alias("user_name"),
+                     F.col("c_mktsegment").alias("occupation"))
+    b2 = b1.withColumn(
+        "occupation",
+        F.when(F.col("user_id") % 7 == 0,
+               F.lit("SEGMENT_CHANGED")).otherwise(F.col("occupation")))
+    root = tempfile.mkdtemp(prefix="cdcspark_scd2feed_")
+    snap, rep = root + "/snap", root + "/rep"
+    try:
+        scd2_bucketed(spark, snap, b1, ["user_id"], ["occupation"],
+                      "2024-01-01 00:00:00", n_buckets=8,
+                      emit_changes=True)
+        scd2_bucketed(spark, snap, b2, ["user_id"], ["occupation"],
+                      "2024-02-01 00:00:00", emit_changes=True)
+        apply_changes(spark, read_changes(spark, snap), rep,
+                      ["dbt_scd_id"], n_buckets=8)
+        out = spark.read.parquet(rep).select(
+            "user_id", "user_name", "occupation", "dbt_valid_from",
+            "dbt_valid_to", "dbt_scd_id", "dbt_updated_at")
+        return lifecycle_result(out, root)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
 SQL_IVM_MART = """
 WITH final AS (
   SELECT o_orderpriority,
@@ -1966,3 +2016,18 @@ ORACLES["table_change_feed"] = SQL_TABLE_CHANGE_FEED
 QUERIES["ivm_mart"] = q_ivm_mart
 ORACLES["ivm_mart"] = SQL_IVM_MART
 EXTRA_ORACLES["ivf_topk"] = SQL_IVF_TOPK
+# driver tier (rotated in for simhash_pairs in round 9, r8 verdict
+# #6): the SCD2 family's version-transition feed + dbt_scd_id-keyed
+# replica equality — round 8's genuinely new machinery — under the
+# value-exact gate. simhash_pairs keeps identical coverage in the
+# local tier: its 64-bit fingerprint + blocked Hamming machinery
+# stays driver-pinned through video_dup_pairs (same shared join) and
+# lsh_index_pairs (same banding discipline). The oracle is
+# core.SQL_SCD2_CHECK — the replica must equal the expected snapshot.
+from cdc_data_pipeline_spark.catalog.core import (  # noqa: E402
+    SQL_SCD2_CHECK as _SQL_SCD2_SNAPSHOT)
+
+QUERIES["scd2_feed_replica"] = q_scd2_feed_replica
+ORACLES["scd2_feed_replica"] = _SQL_SCD2_SNAPSHOT
+EXTRA_QUERIES["simhash_pairs"] = QUERIES.pop("simhash_pairs")
+EXTRA_ORACLES["simhash_pairs"] = ORACLES.pop("simhash_pairs")

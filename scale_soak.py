@@ -272,6 +272,66 @@ def run_feed_age_suite(spark, li_path, grow: int = 100):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_scd2_feed_age_suite(spark, li_path, grow: int = 100):
+    """SCD2 twin of ``run_feed_age_suite`` (r8 verdict #7): the SCD2
+    feed shares ``_commit_changes`` but its digest folds in an md5 of
+    run_ts and its merge path differs (full-outer classification join,
+    version open/close), so the O(1)-replay claim is pinned separately.
+    A fixed-size batch of version transitions must cost the SAME just
+    after snapshot creation and after ``grow`` more commits, no
+    vacuum. (The snapshot itself accretes ~2x|batch| history rows per
+    merge — inherent to SCD2, and a few % of the base here.)"""
+    from cdc_data_pipeline_spark.operators.scd2 import scd2_bucketed
+
+    li = spark.read.parquet(li_path).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+        F.col("l_quantity").cast("string").alias("v")) \
+        .filter(F.col("k") < SHIFT).limit(50_000)
+    fixed = li.filter(F.col("k") % 3001 == 0).localCheckpoint()
+
+    def batch(i):
+        # v changes per merge -> every key closes + reopens; run_ts
+        # advances so no digest ever repeats
+        return fixed.withColumn(
+            "v", F.concat(F.lit(f"b{i}-"), F.col("v")))
+
+    def ts(i):
+        return f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00"
+
+    def merge(i):
+        scd2_bucketed(spark, path, batch(i), ["k"], ["v"], ts(i),
+                      emit_changes=True)
+
+    root = tempfile.mkdtemp(prefix="soak_scd2age_")
+    try:
+        path = root + "/t"
+        scd2_bucketed(spark, path, li, ["k"], ["v"], ts(0),
+                      n_buckets=64, emit_changes=True)
+        i = 1
+        for _ in range(3):                       # warm the merge path
+            merge(i)
+            i += 1
+        t0 = time.time()
+        for _ in range(5):
+            merge(i)
+            i += 1
+        young = (time.time() - t0) / 5
+        for _ in range(grow):                    # age the feed
+            merge(i)
+            i += 1
+        t0 = time.time()
+        for _ in range(5):
+            merge(i)
+            i += 1
+        old = (time.time() - t0) / 5
+        return {"scd2_merge_young_sec": round(young, 3),
+                "scd2_merge_old_sec": round(old, 3),
+                "commits_grown": grow,
+                "scd2_feed_age_ratio": round(old / max(young, 0.05), 2)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_ann_cdc_suite(spark, emb_path):
     """Same O(batch) claim for the persisted IVF ANN index: fixed-size
     vector-batch maintenance must stay ~flat as the indexed corpus
@@ -432,9 +492,11 @@ def main():
         # vs COMMIT COUNT (table age) — must be flat (the _latest
         # pointer makes replay detection O(1) per merge)
         feed_age = run_feed_age_suite(spark, li_1)
+        scd2_age = run_scd2_feed_age_suite(spark, li_1)
         print(json.dumps({"metric": "scale_soak", "n": n, "x1_sec": base,
                           "xN_sec": big, "ratio": ratios,
-                          "feed_age": feed_age}))
+                          "feed_age": feed_age,
+                          "scd2_feed_age": scd2_age}))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
