@@ -7,8 +7,12 @@ kill-point tests — but the windows compose: a crash between the feed
 commit and a bucket swap DURING a rewrite's rename, a crash in
 create_anchor mid-publish inside an auto-anchoring vacuum, and so on.
 This sweep makes the claim total: every protocol FS mutation
-(``fsutil.rename`` and ``fsutil.publish_text`` — the commit points;
-deletes are idempotent garbage collection) is a kill site. For EVERY
+(``fsutil.rename``, ``fsutil.publish_text`` and ``fsutil.write_text``
+— the commit points; deletes are idempotent garbage collection) is a
+kill site, over BOTH persisted protocols: the bucketed-table
+swap/commit/pointer/anchor machinery and the LSM index families'
+generation/pointer/marker machinery (``lsm.py``, shared by the LSH,
+text, IVF and IVF-PQ indexes — swept through the LSH family). For EVERY
 K in 1..N the lifecycle is killed at its K-th mutation, then the
 crashed step is REPLAYED (the foreachBatch redelivery contract — the
 at-least-once caller re-runs the same batch) and the remaining steps
@@ -71,6 +75,7 @@ def injector(monkeypatch):
     inj = _Injector()
     real_rename = fsutil.rename
     real_publish = fsutil.publish_text
+    real_write = fsutil.write_text
 
     def rename(spark, src, dst):
         inj.tick()
@@ -80,8 +85,15 @@ def injector(monkeypatch):
         inj.tick()
         real_publish(spark, path, text)
 
+    def write_text(spark, path, text):
+        # the LSM families' _COMMIT markers; publish_text on local
+        # roots goes through os.replace, so no double count there
+        inj.tick()
+        real_write(spark, path, text)
+
     monkeypatch.setattr(fsutil, "rename", rename)
     monkeypatch.setattr(fsutil, "publish_text", publish_text)
+    monkeypatch.setattr(fsutil, "write_text", write_text)
     return inj
 
 
@@ -278,3 +290,115 @@ def test_crash_sweep_every_protocol_mutation(spark, tmp_path, injector):
     assert not failures, (
         f"{len(failures)}/{n_mutations} crash points failed to "
         f"converge: {failures[:5]}")
+
+
+# ---------------------------------------------------------- LSM sweep
+
+def _lsh_docs(spark, tag: str, ids):
+    rows = [(i, f"{tag} the quick brown fox jumps over the lazy dog "
+                f"document number {i} with shared trailing shingles "
+                "for banding")
+            for i in ids]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _lsh_steps(spark, idx: str):
+    """Maintenance lifecycle over the persisted MinHash-LSH index —
+    the shared ``lsm.py`` generation/pointer/marker protocol that all
+    four persisted families (LSH, text, IVF, IVF-PQ) ride: full build
+    (base generation + pointer publish), delta append (_COMMIT marker
+    last), mutation upsert (root-addressed tombstones), delete,
+    compaction (staged generation, pointer swap, GC), post-compact
+    append. Each op is documented replay-safe (structural idempotency
+    / orphan sweep) — this sweep proves the windows COMPOSE."""
+    from cdc_data_pipeline_spark.operators import dedup_index as di
+    from cdc_data_pipeline_spark.operators import lsm
+
+    base = _lsh_docs(spark, "base", range(20))
+    incoming = _lsh_docs(spark, "base", [100, 101])   # near-dups of base
+    edited = _lsh_docs(spark, "edited", [3, 5])       # move bands
+    dels = spark.createDataFrame([(7,), (101,)], "doc_id long")
+    more = _lsh_docs(spark, "more", [200, 201])
+
+    return [
+        ("build", lambda: di.build_lsh_index(spark, base, idx)),
+        ("append", lambda: di.append_lsh_index(spark, idx, incoming)),
+        ("upsert", lambda: di.upsert_lsh_index(spark, idx, edited)),
+        ("delete", lambda: di.delete_from_lsh_index(spark, idx, dels)),
+        ("compact", lambda: lsm.compact_index(spark, idx)),
+        ("append2", lambda: di.append_lsh_index(spark, idx, more)),
+    ]
+
+
+def _lsh_state(spark, idx: str) -> dict:
+    """What the index PROMISES consumers (physical generation names
+    carry random nonces, so layout is not compared): the visible doc
+    set and the near-dup pairs a fixed probe batch finds."""
+    from cdc_data_pipeline_spark.operators import dedup_index as di
+
+    probes = _lsh_docs(spark, "base", [3, 7, 9, 200])
+    pairs = sorted(tuple(r) for r in di.query_lsh_index(
+        spark, idx, probes).select("id_new", "id_existing").collect())
+    docs = sorted(r["doc_id"] for r in
+                  di.read_index_docs(spark, idx).select("doc_id")
+                  .collect())
+    return {"pairs": pairs, "docs": docs}
+
+
+def test_crash_sweep_lsm_index_protocol(spark, tmp_path, injector):
+    """Kill the LSH-index maintenance lifecycle at every protocol FS
+    mutation (pointer publishes, _COMMIT markers, renames), replay the
+    crashed op, finish — the served state (visible docs + near-dup
+    pairs for a fixed probe set) equals the fault-free golden run.
+    One family suffices for the PROTOCOL: text/IVF/IVF-PQ share
+    lsm.py's generation/pointer/marker machinery."""
+    golden_idx = str(tmp_path / "golden_idx")
+    ckpt = tmp_path / "ckpt"
+
+    steps = _lsh_steps(spark, golden_idx)
+    boundaries = [0]
+    Path(golden_idx).mkdir()
+    shutil.copytree(golden_idx, str(ckpt / "s0"))
+    for i, (_name, run) in enumerate(steps):
+        run()
+        boundaries.append(injector.n)
+        shutil.copytree(golden_idx, str(ckpt / f"s{i + 1}"))
+    n_mutations = injector.n
+    golden = _lsh_state(spark, golden_idx)
+    assert golden["pairs"], "probe found no pairs — fixture too weak"
+    assert 7 not in golden["docs"] and 101 not in golden["docs"]
+    assert n_mutations >= 8, "index lifecycle unexpectedly thin"
+
+    def step_of(k: int) -> int:
+        for i in range(len(steps)):
+            if boundaries[i] < k <= boundaries[i + 1]:
+                return i
+        raise AssertionError(k)
+
+    idx = str(tmp_path / "run_idx")
+    failures = []
+    for k in range(1, n_mutations + 1):
+        s = step_of(k)
+        shutil.rmtree(idx, ignore_errors=True)
+        shutil.copytree(str(ckpt / f"s{s}"), idx)
+        run_steps = _lsh_steps(spark, idx)
+        injector.n = boundaries[s]
+        injector.fail_at = k
+        try:
+            with pytest.raises(InjectedCrash):
+                run_steps[s][1]()
+        except BaseException as exc:
+            failures.append((k, run_steps[s][0], f"arm: {exc}"))
+            injector.fail_at = None
+            continue
+        injector.fail_at = None
+        try:
+            for _name, run in run_steps[s:]:
+                run()
+            got = _lsh_state(spark, idx)
+            assert got == golden, f"K={k} ({run_steps[s][0]})"
+        except BaseException as exc:
+            failures.append((k, run_steps[s][0], str(exc)[:200]))
+    assert not failures, (
+        f"{len(failures)}/{n_mutations} index crash points failed: "
+        f"{failures[:5]}")
