@@ -661,8 +661,10 @@ def _list_change_commits(spark: SparkSession, target_path: str) -> list[str]:
         raise RuntimeError(
             f"{root}: duplicate change-feed sequence(s) {dupes} — two "
             "writers raced this table (the merge protocol is "
-            "single-writer per table); reconcile the duplicate "
-            "commits before consuming the feed")
+            "single-writer per table); run reconcile_changes() or "
+            "`table-reconcile --path <table>` to keep the "
+            "first-landed commit per seq and quarantine the rest, "
+            "then re-converge replicas")
     return commits
 
 

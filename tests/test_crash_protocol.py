@@ -42,9 +42,10 @@ from pyspark.sql import functions as F
 
 from cdc_data_pipeline_spark.operators.incremental import (
     _list_anchor_seqs, _list_change_commits, agg_deltas_from_feed,
-    bootstrap_replica, create_anchor, merge_agg_deltas, read_changes,
-    read_mart_seq, rebucket, recover_swap, table_at, upsert_bucketed,
-    vacuum_changes, write_mart_merged)
+    bootstrap_replica, create_anchor, delete_bucketed,
+    merge_agg_deltas, read_changes, read_mart_seq, rebucket,
+    recover_swap, table_at, upsert_bucketed, vacuum_changes,
+    write_mart_merged)
 from cdc_data_pipeline_spark.operators.scd2 import scd2_bucketed
 from cdc_data_pipeline_spark.sources import fsutil
 
@@ -170,9 +171,13 @@ def _steps(spark, root: str):
         ("rebucket", lambda: rebucket(spark, tbl, 4)),      # feed moves
         ("up_newlayout", up(b3)),                           # tbl seq 2
         ("ivm_create", ivm),                                # mart @2
-        ("up_more", up(b4)),                                # tbl seq 3
-        ("ivm_incr", ivm),                                  # mart @3
-        # victims 0..2 outrun anchor@1 -> auto-anchor @3, then prune
+        # delete_bucketed has its own commit+swap path        tbl seq 3
+        ("del_keys", lambda: delete_bucketed(
+            spark, tbl, spark.createDataFrame([(6,)], "k long"),
+            emit_changes=True)),
+        ("up_more", up(b4)),                                # tbl seq 4
+        ("ivm_incr", ivm),                                  # mart @4
+        # victims 0..2 outrun anchor@1 -> auto-anchor, then prune
         ("vacuum", lambda: vacuum_changes(spark, tbl, before_seq=2)),
     ]
 
@@ -198,7 +203,7 @@ def _state(spark, root: str) -> dict:
     mart_rows = sorted(tuple(r) for r in spark.read.parquet(mart)
                        .select("grp", "delta_amt", "delta_count")
                        .collect())
-    asof = sorted(tuple(r) for r in table_at(spark, tbl, 3)
+    asof = sorted(tuple(r) for r in table_at(spark, tbl, 4)
                   .select("k", "grp", "amt", "ts").collect())
     return {
         "table": table,

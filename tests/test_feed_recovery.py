@@ -252,3 +252,70 @@ def test_reconcile_changes_repairs_writer_race(spark, tmp_path):
     assert _rows(spark, rep) == _rows(spark, tgt)
     # idempotent when healthy
     assert reconcile_changes(spark, tgt)["quarantined"] == []
+
+
+def test_reconcile_changes_survives_crash_at_every_rename(
+        spark, tmp_path, monkeypatch):
+    """The repair tool itself must be crash-safe: kill
+    reconcile_changes at each of its FS renames (quarantine moves),
+    re-run it, and the feed must still end green with the same
+    surviving commit — a half-finished reconciliation must never need
+    a second, different repair procedure."""
+    import shutil as sh
+
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    def build(root):
+        tgt = str(root / "tbl")
+        _seed(spark, tgt, n=4)                                    # seq 0
+        upsert_bucketed(spark, tgt, _mk(spark, [(1, "x1", 20, False)]),
+                        ["k"], "ts", delete_col="is_del",
+                        emit_changes=True)                        # seq 1
+        changes = root / "tbl" / "_changes"
+        for p in changes.iterdir():
+            if p.name.startswith("commit-0000000001-"):
+                # two losers -> two quarantine renames to kill at
+                sh.copytree(str(p), str(changes
+                                        / "commit-0000000001-zzz1-1"))
+                sh.copytree(str(p), str(changes
+                                        / "commit-0000000001-zzz2-1"))
+        return tgt
+
+    class Boom(Exception):
+        pass
+
+    state = {"n": 0, "fail_at": None}
+    real_rename = fsutil.rename
+
+    def rename(s, src, dst):
+        state["n"] += 1
+        if state["fail_at"] is not None and state["n"] == state["fail_at"]:
+            raise Boom()
+        real_rename(s, src, dst)
+
+    monkeypatch.setattr(fsutil, "rename", rename)
+
+    # golden: count reconcile's OWN renames (build's don't count)
+    tgt = build(tmp_path / "g")
+    state["n"] = 0
+    gold = reconcile_changes(spark, tgt)
+    n_renames = state["n"]
+    assert n_renames >= 2 and len(gold["quarantined"]) == 2
+
+    for k in range(1, n_renames + 1):
+        root = tmp_path / f"k{k}"
+        root.mkdir()
+        state["n"], state["fail_at"] = 0, None
+        tgt = build(root)
+        state["n"], state["fail_at"] = 0, k
+        with pytest.raises(Boom):
+            reconcile_changes(spark, tgt)
+        state["fail_at"] = None
+        out = reconcile_changes(spark, tgt)             # replay repairs
+        feed = read_changes(spark, tgt)
+        assert feed.filter("_seq = 1").count() == 1, f"K={k}"
+        # across crash + replay, both losers ended quarantined
+        qdir = root / "tbl" / "_changes" / "_conflict"
+        assert sorted(p.name for p in qdir.iterdir()) == [
+            "commit-0000000001-zzz1-1", "commit-0000000001-zzz2-1"], \
+            f"K={k}: {out}"
