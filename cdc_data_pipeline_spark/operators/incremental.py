@@ -1057,6 +1057,33 @@ def vacuum_changes(spark: SparkSession, target_path: str,
     return removed
 
 
+def maybe_vacuum_changes(spark: SparkSession, target_path: str,
+                         keep_commits: int, keep_anchors: int = 2) -> int:
+    """Bound a 24/7 stream's feed growth: when more than
+    ``keep_commits`` commits exist, prune the oldest so exactly the
+    newest ``keep_commits`` survive — cutting a snapshot anchor first
+    when none covers the prune (``vacuum_changes`` default), then
+    bounding the anchors themselves to ``keep_anchors``
+    (``vacuum_anchors`` — each anchor is a full table copy). The feed
+    analogue of ``lsm.maybe_compact_index``: without it a long-running
+    stream grows one commit directory per merge forever.
+
+    Choose ``keep_commits`` >= the slowest batch consumer's lag (in
+    commits): a consumer whose watermark falls behind the prune must
+    re-converge via ``bootstrap_replica`` (anchor seed + surviving
+    tail) instead of ``read_changes``. Returns commits removed. Run it
+    from the writer's own cadence (e.g. inside foreachBatch via the
+    streaming sinks' ``vacuum_keep_commits``) so it serializes with
+    merges under the single-writer contract."""
+    commits = _list_change_commits(spark, target_path)
+    if len(commits) <= keep_commits:
+        return 0
+    before = int(commits[-(keep_commits + 1)].split("-", 2)[1])
+    removed = vacuum_changes(spark, target_path, before)
+    vacuum_anchors(spark, target_path, keep=keep_anchors)
+    return removed
+
+
 CONFLICT_DIR = "_conflict"
 
 

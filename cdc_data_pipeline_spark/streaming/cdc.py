@@ -102,6 +102,7 @@ def stream_upsert_to_parquet(
     emit_changes: bool = False,
     update_preimages: bool = False,
     stale_protection: bool = False,
+    vacuum_keep_commits: int | None = None,
 ):
     """Run a streaming query that upsert-dedup-merges every micro-batch
     into a hash-bucketed parquet target. Exactly-once-ish: the merge is
@@ -127,7 +128,18 @@ def stream_upsert_to_parquet(
     feed (see ``incremental.upsert`` — note the stream's own source
     schema is fixed at start; this matters when the sink path is
     shared with batch writers or the stream is restarted with a wider
-    schema)."""
+    schema).
+
+    ``vacuum_keep_commits=N`` bounds the feed for a 24/7 stream: after
+    each merge, prune so the newest N commits survive, auto-anchoring
+    first (``incremental.maybe_vacuum_changes``) — inside foreachBatch
+    the vacuum serializes with the merges, so the single-writer
+    contract holds by construction (the same reasoning as
+    ``compact_over`` on the index sinks). Choose N >= the slowest
+    consumer's lag in commits."""
+    from cdc_data_pipeline_spark.operators.incremental import (
+        maybe_vacuum_changes)
+
     spark = stream.sparkSession
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
@@ -136,6 +148,8 @@ def stream_upsert_to_parquet(
                         delete_col=delete_col, emit_changes=emit_changes,
                         update_preimages=update_preimages,
                         stale_protection=stale_protection)
+        if vacuum_keep_commits is not None and emit_changes:
+            maybe_vacuum_changes(spark, target_path, vacuum_keep_commits)
 
     writer = (
         stream.writeStream.foreachBatch(merge_batch)
@@ -158,6 +172,7 @@ def stream_scd2_to_parquet(
     emit_changes: bool = False,
     update_preimages: bool = False,
     evolve_schema: bool = False,
+    vacuum_keep_commits: int | None = None,
 ):
     """Maintain an SCD2 snapshot from a change stream: each micro-batch
     is merged with the `check` strategy (reference: the users snapshot,
@@ -179,8 +194,11 @@ def stream_scd2_to_parquet(
     The snapshot is partitioned by key-hash bucket and each micro-batch
     rewrites only the buckets its keys fall in (scd2.scd2_bucketed) —
     per-batch cost stays O(batch), not O(table), same design as the
-    upsert sink above.
+    upsert sink above. ``vacuum_keep_commits`` bounds the feed like
+    the upsert sink's knob (auto-anchored, serialized in-batch).
     """
+    from cdc_data_pipeline_spark.operators.incremental import (
+        maybe_vacuum_changes)
     from cdc_data_pipeline_spark.operators.scd2 import scd2_bucketed
 
     spark = stream.sparkSession
@@ -193,6 +211,8 @@ def stream_scd2_to_parquet(
                       n_buckets=n_buckets, emit_changes=emit_changes,
                       update_preimages=update_preimages,
                       evolve_schema=evolve_schema)
+        if vacuum_keep_commits is not None and emit_changes:
+            maybe_vacuum_changes(spark, target_path, vacuum_keep_commits)
 
     writer = (
         stream.writeStream.foreachBatch(merge_batch)

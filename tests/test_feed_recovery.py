@@ -319,3 +319,46 @@ def test_reconcile_changes_survives_crash_at_every_rename(
         assert sorted(p.name for p in qdir.iterdir()) == [
             "commit-0000000001-zzz1-1", "commit-0000000001-zzz2-1"], \
             f"K={k}: {out}"
+
+
+def test_streaming_sink_bounds_feed_with_auto_anchor(spark, tmp_path):
+    """maybe_vacuum_changes via the streaming sink's
+    vacuum_keep_commits: a long-running stream's feed stays bounded
+    (newest N commits + bounded anchors) while table_at(newest) and a
+    from-scratch bootstrap_replica keep working — the 24/7 ops story
+    (merge O(1) replay + bounded listing + auto-anchor) in one knob."""
+    from cdc_data_pipeline_spark.operators.incremental import (
+        _list_change_commits, bootstrap_replica)
+    from cdc_data_pipeline_spark.streaming.cdc import (
+        stream_upsert_to_parquet)
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    # 6 single-row files -> 6 micro-batches with maxFilesPerTrigger=1
+    for i in range(6):
+        spark.createDataFrame([(i % 3, f"v{i}", i)],
+                              "k long, v string, ts long") \
+            .coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("k long, v string, ts long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream_upsert_to_parquet(
+        stream, tbl, ["k"], "ts", str(tmp_path / "ck"), n_buckets=2,
+        emit_changes=True, vacuum_keep_commits=2)
+    q.awaitTermination(180)
+
+    commits = _list_change_commits(spark, tbl)
+    assert len(commits) == 2                      # bounded, newest kept
+    anchors = _list_anchor_seqs(spark, tbl)
+    assert 1 <= len(anchors) <= 2                 # anchors bounded too
+    newest = int(commits[-1].split("-", 2)[1])
+    # time travel at the newest seq survives every auto-vacuum
+    live = {(r["k"], r["v"]) for r in spark.read.parquet(tbl)
+            .select("k", "v").collect()}
+    got = {(r["k"], r["v"]) for r in table_at(spark, tbl, newest)
+           .select("k", "v").collect()}
+    assert got == live == {(0, "v3"), (1, "v4"), (2, "v5")}
+    # a NEW replica bootstraps from the anchor + surviving tail
+    rep = str(tmp_path / "rep")
+    bootstrap_replica(spark, tbl, rep, n_buckets=2)
+    assert {(r["k"], r["v"]) for r in spark.read.parquet(rep)
+            .select("k", "v").collect()} == live
