@@ -821,6 +821,73 @@ FROM bands
 """
 
 
+def _docs_as_compressed(docs, fmt: str):
+    """documents -> real COMPRESSED images carrying the exact pixel
+    grid of ``_docs_as_ppm`` (pixel (y, x) = (c_y + 37*x) % 256, 4
+    wide, one row per code point). ``fmt='png'`` encodes with the
+    stdlib zlib PNG encoder, cycling the scanline filter type per row
+    (0..4) so every unfilter branch executes under the oracle gate;
+    ``fmt='gif'`` LZW-encodes over a 256-gray palette, interlaced on
+    odd doc_ids so both raster orders execute."""
+    import pandas as pd
+
+    from cdc_data_pipeline_spark.operators.multimodal import (
+        _encode_gif, _encode_png)
+
+    gray_pal = b"".join(bytes([i, i, i]) for i in range(256))
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = len(text)
+                vals = [(ord(ch) % 256 + 37 * x) % 256
+                        for ch in text for x in range(4)]
+                if fmt == "png":
+                    rgb = b"".join(bytes([v, v, v]) for v in vals)
+                    payloads.append(_encode_png(
+                        4, h, rgb, row_filter=lambda r: r % 5))
+                else:
+                    payloads.append(_encode_gif(
+                        4, h, bytes(vals), gray_pal,
+                        interlace=bool(doc_id % 2)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.mapInPandas(encode, "media_id long, payload binary")
+
+
+def _q_compressed_features(spark, sf_dir, fmt):
+    from cdc_data_pipeline_spark.operators.multimodal import (
+        extract_image_features)
+
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 1)
+    feats = extract_image_features(_docs_as_compressed(docs, fmt),
+                                   n_bands=4)
+    return feats.select(
+        "media_id", "width", "height", "n_pixels",
+        F.round("mean_gray", 6).alias("mean_gray"),
+        F.round(F.element_at("band_means", 1), 6).alias("band0"),
+        F.round(F.element_at("band_means", 4), 6).alias("band3"))
+
+
+def q_png_features(spark, sf_dir):
+    """REAL compressed-image decode pinned cross-engine: each document
+    becomes a real zlib-deflated PNG (scanline filters 0..4 cycling
+    per row) and ``multimodal._decode_png`` must reproduce the exact
+    pixels the oracle recomputes from code-point arithmetic without
+    ever seeing a PNG byte. Same oracle as ``image_features`` because
+    the pixel grid is identical — only the container differs."""
+    return _q_compressed_features(spark, sf_dir, "png")
+
+
+def q_gif_features(spark, sf_dir):
+    """REAL GIF decode pinned cross-engine: pure-Python LZW over a
+    256-gray palette (interlaced on odd doc_ids), same pixel grid and
+    oracle as ``image_features``/``png_features``."""
+    return _q_compressed_features(spark, sf_dir, "gif")
+
+
 def q_image_dup_pairs(spark, sf_dir):
     """Image near-dup, end to end REAL and cross-engine: PPM payloads
     decode through ``extract_image_features``, whose 64-bit aHash is a
@@ -2000,6 +2067,16 @@ EXTRA_QUERIES["image_features"] = q_image_features
 EXTRA_ORACLES["image_features"] = SQL_IMAGE_FEATURES
 EXTRA_QUERIES["image_dup_pairs"] = q_image_dup_pairs
 EXTRA_ORACLES["image_dup_pairs"] = SQL_IMAGE_DUP_PAIRS
+# round 9: the SAME pixel formula through the stdlib COMPRESSED
+# codecs — PNG (zlib inflate + unfilter, every filter type cycling
+# per row) and GIF (pure-Python LZW, interlaced on odd doc_ids) —
+# against the SAME oracle SQL that never sees an image byte: any
+# decode error that perturbs a pixel value fails the value-exact
+# gate. Closes the "compressed formats are Pillow-gated" seam.
+EXTRA_QUERIES["png_features"] = q_png_features
+EXTRA_ORACLES["png_features"] = SQL_IMAGE_FEATURES
+EXTRA_QUERIES["gif_features"] = q_gif_features
+EXTRA_ORACLES["gif_features"] = SQL_IMAGE_FEATURES
 # driver tier (rotated in for core.py's `upsert` in round 7, whose
 # anti-join+union is a strict subset of both upsert_dedup and this
 # row's bucketed merge): the change data feed is flagship CDC-out

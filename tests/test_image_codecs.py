@@ -1,0 +1,340 @@
+"""Stdlib compressed-image codecs: PNG (zlib inflate + unfilter +
+Adam7) and GIF (pure-Python LZW), closing the last decode gate that
+previously ran only behind Pillow.
+
+Pinning strategy, strongest first:
+1. Cross-format invariance on Spark: the SAME pixels delivered as PPM,
+   PNG (every filter type), and GIF (plain + interlaced) must produce
+   byte-identical feature rows from ``extract_image_features`` — and
+   the PPM path is already pinned cross-engine by the DuckDB oracle
+   (``image_features`` / ``image_dup_pairs``), so the new codecs
+   inherit that pin transitively.
+2. Spec-pinned unit vectors: Paeth predictor examples computed by hand
+   from the published algorithm (ITU/W3C PNG spec §9.4), hand-built
+   PNGs for each color type / Adam7, hand-built GIFs (incl. the KwKwK
+   LZW case) — independent of the encoder, so conjugate
+   encoder/decoder bugs cannot cancel.
+3. Encoder round-trips across sizes, filters, palettes, dictionary
+   growth, and the 4096-entry LZW re-clear.
+
+Reference parity: the reference pipeline has no media decode at all
+(its payloads stay opaque through Mongo->ClickHouse,
+clickhouse_load_tool/base_loader.py); this surface is part of the
+LLM-training-data extension mandate.
+"""
+
+import random
+import struct
+import zlib
+
+import pytest
+
+from cdc_data_pipeline_spark.operators.multimodal import (
+    _ADAM7,
+    _PNG_SIG,
+    _decode_gif,
+    _decode_image_stdlib,
+    _decode_png,
+    _encode_gif,
+    _encode_png,
+    _gif_lzw_decode,
+    _gif_lzw_encode,
+    _paeth,
+)
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+_PNG_CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _make_png(w, h, ctype, raw_px, plte=None, interlace=0):
+    """Hand-built PNG, independent of ``_encode_png`` (any color type,
+    optional Adam7), all rows filter 0."""
+    ch = _PNG_CH[ctype]
+    lines = bytearray()
+    if interlace == 0:
+        for r in range(h):
+            lines.append(0)
+            lines += raw_px[r * w * ch:(r + 1) * w * ch]
+    else:
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            for ry in range(ph):
+                lines.append(0)
+                for rx in range(pw):
+                    src = ((y0 + ry * ys) * w + (x0 + rx * xs)) * ch
+                    lines += raw_px[src:src + ch]
+    out = _PNG_SIG + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace))
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    out += _chunk(b"IDAT", zlib.compress(bytes(lines)))
+    return out + _chunk(b"IEND", b"")
+
+
+class TestPaeth:
+    def test_spec_examples(self):
+        # hand-computed from the published predictor: p = a + b - c,
+        # pick the of a/b/c nearest p, ties broken a, b, c
+        assert _paeth(0, 0, 0) == 0
+        # p=75: |75-100|=25, |75-50|=25, |75-75|=0 -> c
+        assert _paeth(100, 50, 75) == 75
+        # p=30: |30-10|=20, |30-20|=10, |30-0|=30 -> b
+        assert _paeth(10, 20, 0) == 20
+        # tie pa==pb==pc -> a
+        assert _paeth(5, 5, 5) == 5
+        # p=12: pa=|12-8|=4, pb=|12-4|=8, pc=|12-0|=12 -> a
+        assert _paeth(8, 4, 0) == 8
+
+
+class TestPngRoundTrip:
+    @pytest.mark.parametrize("dims", [(1, 1), (4, 9), (7, 3), (16, 16),
+                                      (5, 1), (1, 6)])
+    def test_every_filter_type(self, dims):
+        w, h = dims
+        rng = random.Random(w * 100 + h)
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        for ft in range(5):
+            enc = _encode_png(w, h, rgb, row_filter=lambda r, ft=ft: ft)
+            assert _decode_png(enc) == (w, h, rgb), f"filter {ft}"
+        enc = _encode_png(w, h, rgb, row_filter=lambda r: r % 5)
+        assert _decode_png(enc) == (w, h, rgb)
+
+    def test_dispatch_signature(self):
+        rgb = bytes(range(48))
+        assert _decode_image_stdlib(_encode_png(4, 4, rgb)) == (4, 4, rgb)
+
+
+class TestPngColorTypes:
+    """Hand-built PNGs (not via _encode_png) so decoder bugs cannot be
+    masked by a matching encoder bug."""
+
+    def setup_method(self):
+        self.rng = random.Random(3)
+
+    def test_grayscale(self):
+        w, h = 5, 7
+        g = bytes(self.rng.randrange(256) for _ in range(w * h))
+        want = b"".join(bytes([v, v, v]) for v in g)
+        assert _decode_png(_make_png(w, h, 0, g)) == (w, h, want)
+
+    def test_palette(self):
+        w, h = 5, 7
+        plte = bytes(self.rng.randrange(256) for _ in range(768))
+        idx = bytes(self.rng.randrange(256) for _ in range(w * h))
+        want = b"".join(plte[v * 3:v * 3 + 3] for v in idx)
+        assert _decode_png(_make_png(w, h, 3, idx, plte=plte)) == (w, h, want)
+
+    def test_gray_alpha_drops_alpha(self):
+        w, h = 5, 7
+        ga = bytes(self.rng.randrange(256) for _ in range(w * h * 2))
+        want = b"".join(bytes([v, v, v]) for v in ga[0::2])
+        assert _decode_png(_make_png(w, h, 4, ga)) == (w, h, want)
+
+    def test_rgba_drops_alpha(self):
+        w, h = 5, 7
+        rgba = bytes(self.rng.randrange(256) for _ in range(w * h * 4))
+        want = b"".join(rgba[i * 4:i * 4 + 3] for i in range(w * h))
+        assert _decode_png(_make_png(w, h, 6, rgba)) == (w, h, want)
+
+    @pytest.mark.parametrize("dims", [(1, 1), (2, 2), (3, 1), (1, 5),
+                                      (5, 7), (8, 8), (9, 10), (16, 17)])
+    def test_adam7_interlace(self, dims):
+        w, h = dims
+        px = bytes(self.rng.randrange(256) for _ in range(w * h * 3))
+        assert _decode_png(_make_png(w, h, 2, px, interlace=1)) == (w, h, px)
+
+
+class TestPngQuarantine:
+    def test_corrupt_variants_raise_value_error(self):
+        good = _encode_png(4, 4, bytes(48))
+        bad_crc = bytearray(good)
+        bad_crc[-5] ^= 0xFF
+        cases = [
+            bytes(bad_crc),              # CRC mismatch
+            good[:30],                   # truncated chunk
+            b"\x89PNG\r\n\x1a\nXXXX",    # signature only
+            b"nope",                     # not a PNG at all
+        ]
+        for payload in cases:
+            with pytest.raises(ValueError):
+                _decode_png(payload)
+
+    def test_unsupported_depth_and_interlace_raise(self):
+        ihdr16 = _PNG_SIG + _chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        with pytest.raises(ValueError, match="bit depth"):
+            _decode_png(ihdr16)
+        bad_inter = _PNG_SIG + _chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 9))
+        with pytest.raises(ValueError, match="interlace"):
+            _decode_png(bad_inter)
+
+    def test_truncated_pixels_raise(self):
+        short = _PNG_SIG + _chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        short += _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        short += _chunk(b"IEND", b"")
+        with pytest.raises(ValueError):
+            _decode_png(short)
+
+
+_GRAY_PAL = b"".join(bytes([i, i, i]) for i in range(256))
+
+
+class TestGifLzw:
+    def test_kwkwk_hand_vector(self):
+        # the classic KwKwK case: 'aaaa' with min_code_size=2.
+        # Codes: CLEAR(4), 0 ('a'), 4+2=6 -> not yet in table at decode
+        # time -> prev + prev[0] = 'aa', EOI(5).
+        encoded = _gif_lzw_encode(b"\x00\x00\x00\x00", 2)
+        assert _gif_lzw_decode(encoded, 2, 4) == b"\x00\x00\x00\x00"
+
+    def test_round_trip_dict_growth(self):
+        data = bytes((i * i + 3 * i) % 256 for i in range(10_000))
+        assert _gif_lzw_decode(_gif_lzw_encode(data, 8), 8,
+                               len(data)) == data
+
+    def test_round_trip_reclear_at_4096(self):
+        # incompressible noise forces one new dict entry per step ->
+        # crosses the 4096 re-clear
+        rng = random.Random(17)
+        data = bytes(rng.randrange(256) for _ in range(9_000))
+        assert _gif_lzw_decode(_gif_lzw_encode(data, 8), 8,
+                               len(data)) == data
+
+    def test_truncated_stream_raises(self):
+        enc = _gif_lzw_encode(bytes(range(100)), 8)
+        with pytest.raises(ValueError):
+            _gif_lzw_decode(enc[:3], 8, 100)
+
+
+class TestGifRoundTrip:
+    @pytest.mark.parametrize("dims", [(1, 1), (4, 9), (7, 3), (16, 16),
+                                      (13, 5)])
+    @pytest.mark.parametrize("interlace", [False, True])
+    def test_gray_palette(self, dims, interlace):
+        w, h = dims
+        rng = random.Random(w * 31 + h)
+        idx = bytes(rng.randrange(256) for _ in range(w * h))
+        g = _encode_gif(w, h, idx, _GRAY_PAL, interlace=interlace)
+        want = b"".join(bytes([v, v, v]) for v in idx)
+        assert _decode_gif(g) == (w, h, want)
+        assert _decode_image_stdlib(g) == (w, h, want)
+
+    def test_small_palette_small_code_size(self):
+        pal4 = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+        idx = bytes([0, 1, 2, 3] * 8)
+        g = _encode_gif(8, 4, idx, pal4, min_code_size=2)
+        want = b"".join(pal4[v * 3:v * 3 + 3] for v in idx)
+        assert _decode_gif(g) == (8, 4, want)
+
+    def test_extension_blocks_skipped(self):
+        """A graphic-control extension between the header and the image
+        descriptor must be skipped, not decoded."""
+        idx = bytes([7, 9, 11, 13])
+        g = _encode_gif(2, 2, idx, _GRAY_PAL)
+        # splice a GCE right after header + GCT (6 + 7 + 768 bytes)
+        cut = 13 + 768
+        gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        spliced = g[:cut] + gce + g[cut:]
+        want = b"".join(bytes([v, v, v]) for v in idx)
+        assert _decode_gif(spliced) == (2, 2, want)
+
+    def test_corrupt_variants_raise(self):
+        g = _encode_gif(2, 2, bytes(4), _GRAY_PAL)
+        for payload in (b"GIF89a", g[:20], b"nope", g[:6] + g[8:]):
+            with pytest.raises(ValueError):
+                _decode_gif(payload)
+
+
+class TestCrossFormatInvariance:
+    """The load-bearing pin: identical pixels through every container
+    must featurize identically on the Spark seam. The PPM leg is
+    oracle-pinned cross-engine (catalog ``image_features`` /
+    ``image_dup_pairs``), so PNG and GIF inherit that pin."""
+
+    def _pixels(self, doc_id: int, h: int):
+        # the catalog's (c + 37x) % 256 gray formula, c = row seed
+        rows = []
+        for y in range(h):
+            c = (doc_id * 13 + y * 7) % 256
+            rows.append([(c + 37 * x) % 256 for x in range(4)])
+        return rows
+
+    def _payloads(self, doc_id: int, h: int):
+        rows = self._pixels(doc_id, h)
+        rgb = b"".join(bytes([v, v, v]) for row in rows for v in row)
+        idx = bytes(v for row in rows for v in row)
+        return {
+            "ppm": b"P6\n4 %d\n255\n" % h + rgb,
+            "png": _encode_png(4, h, rgb, row_filter=lambda r: r % 5),
+            "png_adam7": _make_png(4, h, 2, rgb, interlace=1),
+            "gif": _encode_gif(4, h, idx, _GRAY_PAL),
+            "gif_interlaced": _encode_gif(4, h, idx, _GRAY_PAL,
+                                          interlace=True),
+        }
+
+    def test_features_identical_across_formats(self, spark):
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            extract_image_features)
+
+        rows = []
+        for doc_id in range(1, 9):
+            h = 16 + doc_id * 3
+            for fi, (fmt, payload) in enumerate(
+                    sorted(self._payloads(doc_id, h).items())):
+                rows.append((doc_id * 10 + fi, fmt, payload))
+        media = spark.createDataFrame(
+            rows, "media_id long, fmt string, payload binary")
+        feats = extract_image_features(media).collect()
+        assert all(r.decode_error is None for r in feats)
+        by_doc = {}
+        for r in feats:
+            key = (r.width, r.height, r.n_pixels, r.mean_gray,
+                   tuple(r.band_means), r.ahash)
+            by_doc.setdefault(r.media_id // 10, set()).add(key)
+        # every format of a doc collapses to ONE feature tuple
+        assert all(len(v) == 1 for v in by_doc.values()), by_doc
+        # and docs differ from each other (the features carry signal)
+        assert len({next(iter(v)) for v in by_doc.values()}) == len(by_doc)
+
+    def test_mixed_batch_quarantines_only_bad_rows(self, spark):
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            extract_image_features)
+
+        payloads = self._payloads(1, 20)
+        rows = [(1, payloads["png"]), (2, b"\x89PNG\r\n\x1a\ngarbage"),
+                (3, payloads["gif"]), (4, None)]
+        media = spark.createDataFrame(rows, "media_id long, payload binary")
+        out = {r.media_id: r for r in
+               extract_image_features(media).collect()}
+        assert out[1].decode_error is None
+        assert out[3].decode_error is None
+        assert out[2].decode_error is not None
+        assert out[4].decode_error is not None
+
+    def test_resize_composes_from_compressed_inputs(self, spark):
+        """PNG/GIF payloads flow through resize_images (decode ->
+        bilinear -> PPM re-encode) and the output re-featurizes —
+        equal across input formats."""
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            extract_image_features, resize_images)
+
+        payloads = self._payloads(5, 24)
+        rows = [(i, p) for i, (_, p) in
+                enumerate(sorted(payloads.items()))]
+        media = spark.createDataFrame(rows, "media_id long, payload binary")
+        small = resize_images(media, 6, 6)
+        feats = extract_image_features(
+            small.select("media_id", "payload")).collect()
+        assert all(r.decode_error is None for r in feats)
+        keys = {(r.mean_gray, tuple(r.band_means), r.ahash) for r in feats}
+        assert len(keys) == 1
