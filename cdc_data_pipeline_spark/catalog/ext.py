@@ -888,6 +888,62 @@ def q_gif_features(spark, sf_dir):
     return _q_compressed_features(spark, sf_dir, "gif")
 
 
+def q_jpeg_roundtrip(spark, sf_dir):
+    """Baseline JPEG — the lossy codec — pinned as strongly as lossy
+    permits: each document's pixel grid (the shared (c + 37x) % 256
+    formula) encodes to a REAL quality-100 JFIF JPEG (pure-Python
+    Huffman + forward DCT) and decodes back through
+    ``jpegcodec.decode_jpeg``; the entry emits exact dimensions plus a
+    ``within_tol`` flag for max |decoded - true| <= 4, which is
+    STRUCTURALLY guaranteed (not tuned): at quality 100 every quant
+    step is 1, coefficient rounding error is <= 0.5, and the worst-case
+    spatial magnification max_i sum_k |basis_k(i)| = 6.98 bounds the
+    pixel error by 0.5 * 6.98 + 0.5 < 4. (Empirically the error is 0
+    on the whole fixture — integer gray content survives q100 exactly —
+    which ``tests/test_jpeg_codec.py`` pins; the oracle claims only the
+    provable bound.) Oracle recomputes dims from text length and
+    expects the flag TRUE, never seeing a JPEG byte."""
+    import pandas as pd
+
+    from cdc_data_pipeline_spark.operators.jpegcodec import (
+        decode_jpeg, encode_jpeg)
+
+    def roundtrip(batches):
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "n_pixels": [], "within_tol": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = len(text)
+                vals = [(ord(ch) % 256 + 37 * x) % 256
+                        for ch in text for x in range(4)]
+                rgb = b"".join(bytes([v, v, v]) for v in vals)
+                w2, h2, dec = decode_jpeg(
+                    encode_jpeg(4, h, rgb, quality=100))
+                err = max(abs(a - b) for a, b in zip(dec, rgb))
+                out["media_id"].append(doc_id)
+                out["width"].append(w2)
+                out["height"].append(h2)
+                out["n_pixels"].append(w2 * h2)
+                out["within_tol"].append(err <= 4)
+            yield pd.DataFrame(out)
+
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 1)
+    return docs.mapInPandas(
+        roundtrip,
+        "media_id long, width int, height int, n_pixels long, "
+        "within_tol boolean")
+
+
+SQL_JPEG_ROUNDTRIP = """
+SELECT doc_id AS media_id,
+       4::INTEGER AS width,
+       length(text)::INTEGER AS height,
+       (length(text) * 4)::BIGINT AS n_pixels,
+       TRUE AS within_tol
+FROM documents WHERE length(text) >= 1
+"""
+
+
 def q_image_dup_pairs(spark, sf_dir):
     """Image near-dup, end to end REAL and cross-engine: PPM payloads
     decode through ``extract_image_features``, whose 64-bit aHash is a
@@ -2077,6 +2133,8 @@ EXTRA_QUERIES["png_features"] = q_png_features
 EXTRA_ORACLES["png_features"] = SQL_IMAGE_FEATURES
 EXTRA_QUERIES["gif_features"] = q_gif_features
 EXTRA_ORACLES["gif_features"] = SQL_IMAGE_FEATURES
+EXTRA_QUERIES["jpeg_roundtrip"] = q_jpeg_roundtrip
+EXTRA_ORACLES["jpeg_roundtrip"] = SQL_JPEG_ROUNDTRIP
 # driver tier (rotated in for core.py's `upsert` in round 7, whose
 # anti-join+union is a strict subset of both upsert_dedup and this
 # row's bucketed merge): the change data feed is flagship CDC-out

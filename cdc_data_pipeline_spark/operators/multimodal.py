@@ -1022,8 +1022,10 @@ def _decode_image_stdlib(b: bytes):
     role Y4M plays for video and ``wave`` for audio: real,
     dependency-free decode paths that execute everywhere. PPM P6 and
     24-bit BMP are raw byte math; PNG rides stdlib ``zlib`` (inflate +
-    unfilter + de-interlace); GIF is pure-Python LZW. JPEG remains the
-    Pillow-gated seam."""
+    unfilter + de-interlace); GIF is pure-Python LZW; baseline JPEG is
+    a pure-Python Huffman + IDCT pipeline (``operators.jpegcodec``;
+    progressive JPEG raises and quarantines). Nothing image-shaped is
+    Pillow-gated anymore."""
     if b.startswith(b"P6"):
         return _decode_ppm(b)
     if b.startswith(b"BM"):
@@ -1032,8 +1034,13 @@ def _decode_image_stdlib(b: bytes):
         return _decode_png(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(b)
+    if b.startswith(b"\xFF\xD8"):
+        from cdc_data_pipeline_spark.operators.jpegcodec import decode_jpeg
+
+        return decode_jpeg(b)
     raise ValueError(
-        "not a stdlib-decodable image (PPM P6 / 24-bit BMP / PNG / GIF)")
+        "not a stdlib-decodable image (PPM P6 / 24-bit BMP / PNG / GIF "
+        "/ baseline JPEG)")
 
 
 def _bilinear_gray(gray, w: int, h: int, tw: int, th: int):
