@@ -6,17 +6,17 @@ as Arrow-batched Pandas iterators via ``mapInPandas``. The default
 ``decode_stub=True`` computes deterministic fake features from the raw
 bytes (no decode libraries needed — the Spark-side plumbing: schema,
 batch shape, partitioning, UDF signature, is real and tested
-everywhere). ``decode_stub=False`` switches to REAL image decode via
-Pillow, import-gated: it raises ``NotImplementedError`` where Pillow
-is absent and is exercised by import-skipped tests where it exists.
+everywhere). ``decode_stub=False`` switches to REAL image decode.
 
-The dedicated ``extract_image_features`` / ``resize_images`` path
-needs NO external library at all: P6 PPM and 24-bit BMP decode by raw
-byte math, PNG by stdlib ``zlib`` (chunk CRCs, inflate, all five
-scanline filters, Adam7 de-interlacing, all five 8-bit color types)
-and GIF by pure-Python LZW (87a/89a, interlace, local/global
-palettes) — so real compressed-image decode runs and is tested in
-every sandbox. Only JPEG remains behind the Pillow gate.
+No image decode needs an external library: P6 PPM and 24-bit BMP
+decode by raw byte math, PNG by stdlib ``zlib`` (chunk CRCs, inflate,
+all five scanline filters, Adam7 de-interlacing, all five 8-bit color
+types), GIF by pure-Python LZW (87a/89a, interlace, local/global
+palettes), and baseline JPEG by a pure-Python Huffman + IDCT pipeline
+(``operators.jpegcodec``) — so real compressed-image decode runs and
+is tested in every sandbox. Pillow, where installed, serves only as
+an optional fallback for exotic formats (WebP/TIFF/progressive JPEG)
+and as a cross-validation axis in the test suite.
 
 Scale notes: binary payloads dominate row size — repartition by a
 content-size bucket before mapInPandas so Arrow batches stay bounded;
@@ -69,20 +69,24 @@ def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def _require_pil():
-    """Import gate for the real decode paths: raises the same
-    NotImplementedError the stub contract documents when Pillow is
-    absent, so callers fail fast on the driver instead of inside a
-    task retry loop."""
+def _decode_image_any(b: bytes):
+    """Real image decode with no required dependency: the stdlib
+    dispatch (PPM/BMP/PNG/GIF/baseline JPEG) first; for formats it
+    cannot parse, Pillow is tried as an OPTIONAL fallback (WebP, TIFF,
+    progressive JPEG, ...). Raises the stdlib ``ValueError`` when
+    neither path decodes. Returns (width, height, flat RGB bytes)."""
     try:
-        from PIL import Image  # noqa: F401
+        return _decode_image_stdlib(b)
+    except ValueError:
+        try:
+            import io
 
-        return Image
-    except ImportError as exc:
-        raise NotImplementedError(
-            "real media decode requires Pillow, which is not installed "
-            "in this environment; run with decode_stub=True"
-        ) from exc
+            from PIL import Image
+        except ImportError:
+            raise
+        img = Image.open(io.BytesIO(b)).convert("RGB")
+        w, h = img.size
+        return w, h, bytes(v for px in img.getdata() for v in px)
 
 
 def extract_features(media: DataFrame, decode_stub: bool = True, feature_dim: int = 4) -> DataFrame:
@@ -91,26 +95,20 @@ def extract_features(media: DataFrame, decode_stub: bool = True, feature_dim: in
     With ``decode_stub=True`` the "decoder" computes deterministic fake
     features from the raw bytes (length, first byte, additive checksum,
     and a fixed-dim folded-byte histogram). With ``decode_stub=False``
-    the payload is decoded as an IMAGE with Pillow (import-gated:
-    raises ``NotImplementedError`` where Pillow is absent) and the
+    the payload is decoded as an IMAGE — stdlib codecs
+    (PPM/BMP/PNG/GIF/baseline JPEG) with Pillow as an optional
+    fallback for exotic formats, see ``_decode_image_any`` — and the
     feature is the mean grayscale intensity of ``feature_dim``
     horizontal bands — a real, deterministic pixel-space signature.
     Either way the signature, schema, and Arrow batch shape are
     identical; audio/video decoders slot into the same seam.
     """
-    if not decode_stub:
-        _require_pil()
-
     # no forced repartition here: shuffling binary payloads costs more
     # than the stub featurization saves. With a REAL decoder (10-100ms
     # per item) callers should `df.repartition(n)` first — the shuffle
     # amortizes instantly at that per-row cost.
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-
-        if not decode_stub:
-            from PIL import Image
         for pdf in batches:
             payloads = pdf["payload"]
             n_bytes, first_byte, checksum, feats = [], [], [], []
@@ -125,9 +123,9 @@ def extract_features(media: DataFrame, decode_stub: bool = True, feature_dim: in
                         hist[i % feature_dim] += float(byte)
                     feats.append([v / max(len(b), 1) for v in hist])
                     continue
-                img = Image.open(io.BytesIO(b)).convert("L")
-                px = list(img.getdata())
-                w, h = img.size
+                w, h, rgb = _decode_image_any(b)
+                px = [(rgb[i] + rgb[i + 1] + rgb[i + 2]) / 3.0
+                      for i in range(0, len(rgb), 3)]
                 bands = [0.0] * feature_dim
                 counts = [0] * feature_dim
                 for row in range(h):
@@ -1203,21 +1201,16 @@ def resize(media: DataFrame, width: int, height: int, decode_stub: bool = True) 
     """Resize plumbing via mapInPandas: same media schema out, metadata
     updated to the target dims. The stub "resampler" truncates/repeats
     payload bytes to width*height deterministically; with
-    ``decode_stub=False`` the payload is decoded with Pillow
-    (import-gated), bilinear-resized to (width, height), and
-    re-encoded as PNG (mime updated accordingly) — signature, schema,
-    and Arrow batch shape stay identical either way.
+    ``decode_stub=False`` the payload is REALLY decoded
+    (``_decode_image_any``: stdlib codecs, optional Pillow fallback),
+    bilinear-resized per channel (``_bilinear_gray``), and re-encoded
+    as PNG via the stdlib encoder (mime updated accordingly) —
+    signature, schema, and Arrow batch shape stay identical either
+    way, and no external dependency is required.
     """
-    if not decode_stub:
-        _require_pil()
-
     target = width * height
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-
-        if not decode_stub:
-            from PIL import Image
         for pdf in batches:
             payloads = []
             metas = []
@@ -1228,11 +1221,15 @@ def resize(media: DataFrame, width: int, height: int, decode_stub: bool = True) 
                     out = (b * (target // max(len(b), 1) + 1))[:target] \
                         if b else b"\x00" * target
                 else:
-                    img = Image.open(io.BytesIO(b))
-                    buf = io.BytesIO()
-                    img.resize((width, height),
-                               Image.Resampling.BILINEAR).save(buf, "PNG")
-                    out = buf.getvalue()
+                    w, h, rgb = _decode_image_any(b)
+                    small = bytearray(width * height * 3)
+                    for c in range(3):
+                        plane = _bilinear_gray(
+                            [float(v) for v in rgb[c::3]],
+                            w, h, width, height)
+                        for i, v in enumerate(plane):
+                            small[i * 3 + c] = min(255, max(0, int(v + 0.5)))
+                    out = _encode_png(width, height, bytes(small))
                     m["mime"] = "image/png"
                 payloads.append(out)
                 m["width"], m["height"] = width, height

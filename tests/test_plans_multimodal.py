@@ -267,30 +267,36 @@ def test_ann_recall_evaluator(spark, sf_dir):
     assert vals and all(0.0 <= v <= 1.0 for v in vals)
 
 
-def _pil_available() -> bool:
-    try:
-        import PIL  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-def test_real_decode_gate_raises_without_pil(spark):
-    """decode_stub=False must fail FAST on the driver where Pillow is
-    absent (NotImplementedError, not a task-retry storm)."""
-    import pytest
-
+def test_real_decode_needs_no_pillow(spark):
+    """decode_stub=False runs on the stdlib codecs — no Pillow gate
+    remains: stdlib-built PNG payloads decode + band-feature + resize
+    through the real path in any sandbox."""
     from cdc_data_pipeline_spark.operators import multimodal as mm
+    from cdc_data_pipeline_spark.operators.multimodal import (
+        _decode_png, _encode_png)
 
-    if _pil_available():
-        pytest.skip("Pillow present: gate does not raise here")
-    media = mm.documents_as_media(
-        spark.createDataFrame([(1, "x")], "doc_id long, text string"))
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        mm.extract_features(media, decode_stub=False)
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        mm.resize(media, 4, 4, decode_stub=False)
+    def png(shade):
+        return _encode_png(8, 8, bytes([shade]) * (8 * 8 * 3))
+
+    rows = [(i, png(30 * i), ("image/png", 8, 8, None)) for i in range(3)]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    feats = mm.extract_features(media, decode_stub=False).collect()
+    assert len(feats) == 3
+    for r in feats:
+        shade = 30 * r["media_id"]
+        # uniform-shade image: every band mean equals the shade
+        assert all(abs(v - shade) < 1e-6 for v in r["feature"])
+
+    out = mm.resize(media, 4, 4, decode_stub=False).collect()
+    for r in out:
+        assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
+        assert r["meta"]["mime"] == "image/png"
+        w, h, rgb = _decode_png(bytes(r["payload"]))
+        assert (w, h) == (4, 4)
+        # bilinear resample of a uniform image stays uniform
+        shade = 30 * r["media_id"]
+        assert set(rgb) == {shade}
 
 
 def test_real_decode_with_pil(spark):
