@@ -143,6 +143,16 @@ def main(argv=None) -> int:
                               ".__old__ sibling by a writer that died "
                               "between the swap's two renames")
     trcp.add_argument("--path", required=True)
+    tfp = sub.add_parser(
+        "table-fsck", help="READ-ONLY invariant audit of a bucketed "
+                           "CDC table: layout, crash debris, commit "
+                           "sequence density, pointer/anchor/vacuum "
+                           "consistency; --deep adds the data-scan "
+                           "equivalences (rows bucketed where their "
+                           "keys hash; table == table_at(newest)). "
+                           "Exit 1 on any error-severity finding")
+    tfp.add_argument("--path", required=True)
+    tfp.add_argument("--deep", action="store_true")
     trxp = sub.add_parser(
         "table-reconcile", help="repair a change feed bricked by a "
                                 "detected writer race (duplicate "
@@ -405,6 +415,15 @@ def main(argv=None) -> int:
         spark = get_spark("cdc-table")
         print(json.dumps(reconcile_changes(spark, args.path)))
         return 0
+
+    if args.cmd == "table-fsck":
+        from cdc_data_pipeline_spark.operators.incremental import fsck_table
+        from cdc_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("cdc-table")
+        out = fsck_table(spark, args.path, deep=args.deep)
+        print(json.dumps(out))
+        return 0 if out["ok"] else 1
 
     if args.cmd == "table-changes":
         from cdc_data_pipeline_spark.operators.incremental import (

@@ -1552,6 +1552,234 @@ def table_stats(spark: SparkSession, target_path: str) -> dict:
     }
 
 
+def fsck_table(spark: SparkSession, target_path: str,
+               deep: bool = False) -> dict:
+    """READ-ONLY invariant audit of a bucketed CDC table — the
+    diagnostic counterpart of the repair tools (``recover_table``
+    heals, ``reconcile_changes`` resolves, ``fsck_table`` only
+    REPORTS, so it is always safe to run, even beside a live writer).
+
+    Structural checks (metadata listings only, O(n_buckets +
+    n_commits) names, no data scan): layout metadata parses; bucket
+    partition dirs parse and sit inside the layout's id range; crash
+    debris is inventoried (rewrite strand/staging siblings, merge
+    staging leaks, bucket swap strands, feed/anchor staging dirs) with
+    the tool that heals each; commit names are well-formed with
+    duplicate-free DENSE sequences (interior gap = corruption,
+    duplicate = writer race -> ``reconcile_changes``); a vacuumed
+    prefix is covered by an anchor (else as-of reads below it are
+    gone); the ``_latest`` pointer agrees with the newest commit
+    (stale pointer = healable crash window; pointer AHEAD of the
+    commits = out-of-band deletion); quarantined conflicts and a held
+    maintenance lock are surfaced as info.
+
+    ``deep=True`` adds two data-scan equivalences (O(table +
+    commits-since-anchor)): every row lives in the bucket its key
+    hashes to (a misbucketed row silently escapes every future merge's
+    anti-join — the exact drift ``_resolve_table_layout`` exists to
+    prevent), and the live table equals ``table_at(newest commit)``
+    (the feed replay reproduces the table — the same equivalence the
+    crash-protocol sweep pins, here checkable on demand in
+    production).
+
+    Returns ``{"ok": bool, "errors": n, "warnings": n, "findings":
+    [{"severity", "check", "detail"}, ...], ...}``; ``ok`` means no
+    error-severity finding (warnings are healable debris or lost
+    optional capabilities, info is observability)."""
+    from cdc_data_pipeline_spark.sources import fsutil as fs
+
+    findings: list[dict] = []
+
+    def add(severity: str, check: str, detail: str) -> None:
+        findings.append({"severity": severity, "check": check,
+                         "detail": detail})
+
+    def report() -> dict:
+        errors = sum(1 for f in findings if f["severity"] == "error")
+        warnings = sum(1 for f in findings if f["severity"] == "warn")
+        return {"path": target_path, "ok": errors == 0,
+                "errors": errors, "warnings": warnings, "deep": deep,
+                "findings": findings}
+
+    d = target_path.rstrip("/")
+    head, _, base = d.rpartition("/")
+    parent = head if head else "."
+
+    if not fs.exists(spark, target_path):
+        if fs.exists(spark, d + ".__old__") \
+                or fs.exists(spark, d + ".__rewrite__"):
+            add("error", "table_missing",
+                "table absent but rewrite strands exist — a rewrite "
+                "crashed mid-swap; recover_table()/`table-recover` "
+                "restores it")
+        else:
+            add("error", "table_missing", "path does not exist")
+        return report()
+
+    meta = _read_table_meta(spark, target_path)
+    if meta is None:
+        add("warn", "meta",
+            f"no {TABLE_META} — not a bucketed CDC table (or a legacy "
+            "layout); bucket-range and deep checks skipped")
+
+    # --- sibling crash debris (each healable by an existing tool)
+    if fs.exists(spark, d + ".__old__"):
+        add("warn", "rewrite_strand",
+            f"{base}.__old__ sibling present — crashed/unswept rewrite; "
+            "recover_table() heals or sweeps it")
+    if fs.exists(spark, d + ".__rewrite__"):
+        add("warn", "rewrite_staging",
+            f"{base}.__rewrite__ sibling present — crashed/unswept "
+            "rewrite staging; recover_table() pulls any marooned feed "
+            "back and sweeps it")
+    for leak in fs.glob_names(spark, parent, base + ".__staging__-*"):
+        add("warn", "merge_staging_leak",
+            f"{leak} — crashed merge staging; recover_table() sweeps it")
+    from cdc_data_pipeline_spark.operators.lsm import MAINT_LOCK
+
+    if fs.exists(spark, fs.path_join(d + ".__maint__", MAINT_LOCK)):
+        add("info", "write_lock",
+            "maintenance-lock marker held — a locked writer is live, "
+            "or crashed mid-hold (stale markers expire by TTL)")
+
+    # --- bucket partitions
+    bucket_ids: list[int] = []
+    for name in fs.list_names(spark, target_path):
+        if name.startswith(f"{BUCKET_COL}="):
+            try:
+                bucket_ids.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                add("error", "bucket_dir",
+                    f"unparseable bucket partition {name!r}")
+        elif name.endswith(".__old__"):
+            add("warn", "bucket_strand",
+                f"{name} — crashed bucket swap; recover_table() heals "
+                "or sweeps it")
+        elif name not in (CHANGES_DIR, TABLE_META) \
+                and not name.startswith(".") \
+                and not name.startswith("_"):
+            add("warn", "foreign_entry",
+                f"unexpected entry {name!r} inside the table root")
+    if meta is not None:
+        nb = int(meta["n_buckets"])
+        bad = sorted(b for b in bucket_ids if not 0 <= b < nb)
+        if bad:
+            add("error", "bucket_range",
+                f"bucket id(s) {bad} outside the layout's 0..{nb - 1} — "
+                "stale layout write or foreign data; rebucket() repairs")
+
+    # --- change feed
+    root = fs.path_join(target_path, CHANGES_DIR)
+    seqs: list[int] = []
+    newest_digest = None
+    if fs.exists(spark, root):
+        names = fs.list_names(spark, root)
+        for c in sorted(n for n in names if n.startswith("commit-")):
+            parts = c.split("-", 2)
+            if len(parts) != 3 or not parts[1].isdigit() \
+                    or len(parts[1]) != 10 or not parts[2]:
+                add("error", "commit_name",
+                    f"malformed commit dir {c!r}")
+                continue
+            seqs.append(int(parts[1]))
+            newest_digest = parts[2]
+        dupes = sorted({s for s in seqs if seqs.count(s) > 1})
+        if dupes:
+            add("error", "duplicate_seq",
+                f"duplicate change-feed sequence(s) {dupes} — two "
+                "writers raced this table; reconcile_changes() / "
+                "`table-reconcile` keeps the first-landed commit per "
+                "seq and quarantines the rest")
+        uniq = sorted(set(seqs))
+        if uniq:
+            have = set(uniq)
+            gaps = [s for s in range(uniq[0], uniq[-1] + 1)
+                    if s not in have]
+            if gaps:
+                add("error", "seq_gap",
+                    f"interior commit seq(s) missing: {gaps[:10]}"
+                    f"{'...' if len(gaps) > 10 else ''} — vacuum only "
+                    "prunes a prefix, so a hole means out-of-band "
+                    "deletion; every feed consumer past the hole "
+                    "diverges")
+            anchors = sorted(int(n.split("-", 1)[1]) for n in names
+                             if n.startswith(ANCHOR_PREFIX))
+            if uniq[0] > 0 and not any(a >= uniq[0] - 1 for a in anchors):
+                add("warn", "vacuum_uncovered",
+                    f"commits below seq {uniq[0]} were vacuumed with no "
+                    "covering anchor — table_at()/bootstrap_replica() "
+                    "below that seq are permanently unavailable "
+                    "(vacuum_changes(anchor_first=True), the default, "
+                    "prevents this)")
+            ptr = _read_latest_ptr(spark, target_path)
+            if ptr is None:
+                add("info", "latest_ptr",
+                    "no _latest pointer (legacy feed) — the next merge "
+                    "publishes one")
+            else:
+                pseq = int(ptr["seq"])
+                if pseq < uniq[-1]:
+                    add("warn", "latest_ptr_stale",
+                        f"_latest points at seq {pseq}, newest commit is "
+                        f"{uniq[-1]} — crash between commit rename and "
+                        "pointer publish; the next merge repairs it")
+                elif pseq > uniq[-1]:
+                    add("error", "latest_ptr_ahead",
+                        f"_latest points at seq {pseq} but the newest "
+                        f"commit is {uniq[-1]} — commits were deleted "
+                        "out-of-band; feed consumers may have read "
+                        "rows the table no longer explains")
+                elif ptr["digest"] != newest_digest:
+                    add("error", "latest_ptr_digest",
+                        "_latest digest disagrees with the newest "
+                        "commit's name — out-of-band tampering")
+        if CONFLICT_DIR in names:
+            add("info", "conflict_quarantine",
+                f"{CHANGES_DIR}/{CONFLICT_DIR} present — a writer race "
+                "was reconciled; quarantined commits kept for audit")
+        for stale in (fs.glob_names(spark, root, ".anchor-staging-*")
+                      + fs.glob_names(spark, root, ".staging-*")):
+            add("warn", "feed_staging_leak",
+                f"{stale} — crashed anchor/commit staging; the next "
+                "anchor/merge sweeps it")
+    else:
+        add("info", "no_feed",
+            "no change feed (table written without emit_changes)")
+
+    # --- deep data-scan equivalences
+    if deep and meta is not None and bucket_ids:
+        df = spark.read.option("mergeSchema", "true").parquet(target_path)
+        mis = df.filter(
+            bucket_of(meta["keys"], int(meta["n_buckets"]))
+            != F.col(BUCKET_COL)).count()
+        if mis:
+            add("error", "misbucketed_rows",
+                f"{mis} row(s) sit in a bucket their key does not hash "
+                "to — future merges' anti-joins will miss them "
+                "(duplicate keys incoming); rebucket() repairs")
+        if seqs:
+            cur = df.drop(BUCKET_COL)
+            asof = table_at(spark, target_path, max(seqs))
+            cols = sorted(set(cur.columns) & set(asof.columns))
+            cur_c, asof_c = cur.select(*cols), asof.select(*cols)
+            n_cur, n_asof = cur_c.count(), asof_c.count()
+            diverged = n_cur != n_asof \
+                or cur_c.exceptAll(asof_c).limit(1).count() > 0 \
+                or asof_c.exceptAll(cur_c).limit(1).count() > 0
+            if diverged:
+                add("error", "replay_divergence",
+                    f"live table ({n_cur} rows) != table_at(newest="
+                    f"{max(seqs)}) ({n_asof} rows) — the feed no longer "
+                    "reproduces the table (crashed half-applied write "
+                    "or out-of-band edit); bootstrap replicas from the "
+                    "table, not the feed, until reconciled")
+            if sorted(cur.columns) != sorted(asof.columns):
+                add("warn", "replay_schema_drift",
+                    "live table and feed replay disagree on columns — "
+                    "schema evolved without a covering anchor/commit")
+    return report()
+
+
 def write_merged(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> None:
     """Materialize a merge result, handling the read-then-overwrite
     self-dependency (SURVEY §7.2): the merged plan reads the target

@@ -1,0 +1,258 @@
+"""fsck_table: the READ-ONLY invariant audit over the bucketed CDC
+table protocol — the diagnostic counterpart of recover_table /
+reconcile_changes. Every check is provoked with a forged on-disk
+state, asserted to be reported (not healed — fsck never mutates), and
+then the matching repair tool is run and fsck must come back clean.
+"""
+
+import json
+import shutil
+import subprocess
+import sys
+
+from cdc_data_pipeline_spark.operators.incremental import (
+    create_anchor,
+    delete_bucketed,
+    fsck_table,
+    recover_table,
+    reconcile_changes,
+    upsert_bucketed,
+    vacuum_changes,
+)
+
+
+def _mk(spark, rows, schema="k long, v string, ts long, is_del boolean"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _seed(spark, tgt, n=8, n_buckets=2):
+    upsert_bucketed(spark, tgt,
+                    _mk(spark, [(i, f"v{i}", 10, False) for i in range(n)]),
+                    ["k"], "ts", n_buckets=n_buckets, delete_col="is_del",
+                    emit_changes=True)
+
+
+def _checks(report, severity=None):
+    return {f["check"] for f in report["findings"]
+            if severity is None or f["severity"] == severity}
+
+
+def _mtime_tree(root):
+    import os
+
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            out[p] = os.path.getmtime(p)
+    return out
+
+
+class TestCleanTable:
+    def test_clean_lifecycle_is_ok(self, spark, tmp_path):
+        tgt = str(tmp_path / "tbl")
+        _seed(spark, tgt)
+        upsert_bucketed(spark, tgt, _mk(spark, [(1, "x", 20, False),
+                                                (3, None, 21, True)]),
+                        ["k"], "ts", delete_col="is_del",
+                        emit_changes=True)
+        rep = fsck_table(spark, tgt)
+        assert rep["ok"] and rep["errors"] == 0 and rep["warnings"] == 0
+        deep = fsck_table(spark, tgt, deep=True)
+        assert deep["ok"], deep["findings"]
+
+    def test_fsck_is_read_only(self, spark, tmp_path):
+        """fsck against a DIRTY state must not heal, delete, or touch
+        anything — byte-for-byte mtime map unchanged."""
+        tgt = str(tmp_path / "tbl")
+        _seed(spark, tgt)
+        (tmp_path / "tbl.__staging__-cafe").mkdir()
+        (tmp_path / "tbl.__staging__-cafe" / "junk").write_text("x")
+        before = _mtime_tree(str(tmp_path))
+        rep = fsck_table(spark, tgt, deep=True)
+        assert not rep["ok"] or rep["warnings"] > 0
+        assert _mtime_tree(str(tmp_path)) == before
+        assert (tmp_path / "tbl.__staging__-cafe").exists()
+
+    def test_missing_table(self, spark, tmp_path):
+        rep = fsck_table(spark, str(tmp_path / "nope"))
+        assert not rep["ok"] and _checks(rep) == {"table_missing"}
+
+    def test_feedless_table_is_ok(self, spark, tmp_path):
+        tgt = str(tmp_path / "tbl")
+        upsert_bucketed(spark, tgt,
+                        _mk(spark, [(1, "a", 1, False)]),
+                        ["k"], "ts", n_buckets=2, delete_col="is_del")
+        rep = fsck_table(spark, tgt)
+        assert rep["ok"] and _checks(rep, "info") == {"no_feed"}
+
+
+class TestDebrisReporting:
+    def test_crash_debris_reported_then_healed(self, spark, tmp_path):
+        tgt = str(tmp_path / "tbl")
+        _seed(spark, tgt)
+        # forge: merge staging leak + bucket strand + rewrite staging
+        (tmp_path / "tbl.__staging__-dead").mkdir()
+        (tmp_path / "tbl.__rewrite__").mkdir()
+        bucket = next(p for p in (tmp_path / "tbl").iterdir()
+                      if p.name.startswith("__kb="))
+        shutil.copytree(bucket, tmp_path / "tbl" / f".{bucket.name}.__old__")
+        rep = fsck_table(spark, tgt)
+        assert {"merge_staging_leak", "rewrite_staging",
+                "bucket_strand"} <= _checks(rep, "warn")
+        assert rep["ok"]                     # warnings only, healable
+        recover_table(spark, tgt)
+        rep2 = fsck_table(spark, tgt)
+        assert rep2["ok"] and rep2["warnings"] == 0
+
+    def test_lock_marker_is_info(self, spark, tmp_path):
+        tgt = str(tmp_path / "tbl")
+        _seed(spark, tgt)
+        lockdir = tmp_path / "tbl.__maint__" / "_MAINT_LOCK"
+        lockdir.mkdir(parents=True)
+        assert "write_lock" in _checks(fsck_table(spark, tgt), "info")
+
+
+class TestFeedInvariants:
+    def test_duplicate_seq_reported_then_reconciled(self, spark, tmp_path):
+        tgt = str(tmp_path / "tbl")
+        _seed(spark, tgt)
+        changes = tmp_path / "tbl" / "_changes"
+        commit = next(p for p in changes.iterdir()
+                      if p.name.startswith("commit-"))
+        seq = commit.name.split("-", 2)[1]
+        shutil.copytree(commit, changes / f"commit-{seq}-feedface")
+        rep = fsck_table(spark, tgt)
+        assert not rep["ok"]
+        assert "duplicate_seq" in _checks(rep, "error")
+        reconcile_changes(spark, tgt)
+        rep2 = fsck_table(spark, tgt)
+        assert rep2["ok"]
+        assert "conflict_quarantine" in _checks(rep2, "info")
+
+    def test_interior_gap_is_error(self, spark, tmp_path):
+        tgt = str(tmp_path / "tbl")
+        _seed(spark, tgt)
+        for ts in (20, 30):
+            upsert_bucketed(spark, tgt,
+                            _mk(spark, [(1, f"x{ts}", ts, False)]),
+                            ["k"], "ts", delete_col="is_del",
+                            emit_changes=True)
+        changes = tmp_path / "tbl" / "_changes"
+        victim = next(p for p in changes.iterdir()
+                      if p.name.startswith("commit-0000000001-"))
+        shutil.rmtree(victim)
+        rep = fsck_table(spark, tgt)
+        assert not rep["ok"]
+        assert "seq_gap" in _checks(rep, "error")
+
+    def test_vacuum_coverage(self, spark, tmp_path):
+        tgt = str(tmp_path / "tbl")
+        _seed(spark, tgt)
+        upsert_bucketed(spark, tgt, _mk(spark, [(1, "x", 20, False)]),
+                        ["k"], "ts", delete_col="is_del",
+                        emit_changes=True)
+        # default vacuum auto-anchors: fsck stays clean
+        vacuum_changes(spark, tgt, before_seq=0)
+        rep = fsck_table(spark, tgt)
+        assert rep["ok"] and rep["warnings"] == 0
+        # forge the uncovered case: drop the anchor after a vacuum
+        for p in (tmp_path / "tbl" / "_changes").iterdir():
+            if p.name.startswith("anchor-"):
+                shutil.rmtree(p)
+        rep2 = fsck_table(spark, tgt)
+        assert "vacuum_uncovered" in _checks(rep2, "warn")
+
+    def test_latest_ptr_states(self, spark, tmp_path):
+        tgt = str(tmp_path / "tbl")
+        _seed(spark, tgt)
+        upsert_bucketed(spark, tgt, _mk(spark, [(2, "y", 20, False)]),
+                        ["k"], "ts", delete_col="is_del",
+                        emit_changes=True)
+        ptr = tmp_path / "tbl" / "_changes" / "_latest"
+        good = json.loads(ptr.read_text())
+        # stale (behind): healable warn
+        ptr.write_text(json.dumps({"seq": 0, "digest": "whatever"}))
+        assert "latest_ptr_stale" in _checks(fsck_table(spark, tgt), "warn")
+        # ahead: error
+        ptr.write_text(json.dumps({"seq": 9, "digest": "whatever"}))
+        assert "latest_ptr_ahead" in _checks(fsck_table(spark, tgt),
+                                             "error")
+        # digest mismatch at the right seq: error
+        ptr.write_text(json.dumps({"seq": good["seq"],
+                                   "digest": "tampered"}))
+        assert "latest_ptr_digest" in _checks(fsck_table(spark, tgt),
+                                              "error")
+        # missing: legacy info
+        ptr.unlink()
+        assert "latest_ptr" in _checks(fsck_table(spark, tgt), "info")
+        # restore
+        ptr.write_text(json.dumps(good))
+        assert fsck_table(spark, tgt)["ok"]
+
+
+class TestDeepChecks:
+    def test_misbucketed_rows_detected(self, spark, tmp_path):
+        tgt = str(tmp_path / "tbl")
+        _seed(spark, tgt, n=8, n_buckets=2)
+        # forge: copy bucket 0's files into bucket 1 — those rows'
+        # keys hash to 0, so they are misbucketed under 1 (and the
+        # table now has duplicate keys the merges would never collapse)
+        b0 = tmp_path / "tbl" / "__kb=0"
+        b1 = tmp_path / "tbl" / "__kb=1"
+        for f in b0.glob("*.parquet"):
+            shutil.copy(f, b1 / ("forged-" + f.name))
+        rep = fsck_table(spark, tgt, deep=True)
+        assert not rep["ok"]
+        assert "misbucketed_rows" in _checks(rep, "error")
+        # shallow fsck does NOT scan data: same state passes
+        assert "misbucketed_rows" not in _checks(fsck_table(spark, tgt))
+
+    def test_replay_divergence_detected(self, spark, tmp_path):
+        tgt = str(tmp_path / "tbl")
+        _seed(spark, tgt)
+        delete_bucketed(spark, tgt,
+                        spark.createDataFrame([(5,)], "k long"),
+                        emit_changes=True)
+        assert fsck_table(spark, tgt, deep=True)["ok"]
+        # forge an out-of-band edit: drop the newest commit's rows by
+        # replacing the commit dir with the previous one's content
+        changes = tmp_path / "tbl" / "_changes"
+        commits = sorted(p for p in changes.iterdir()
+                         if p.name.startswith("commit-"))
+        assert len(commits) == 2
+        # gut the delete commit: feed now replays to the pre-delete
+        # state while the table has the delete applied
+        shutil.rmtree(commits[1])
+        shutil.copytree(commits[0], commits[1])
+        rep = fsck_table(spark, tgt, deep=True)
+        assert not rep["ok"]
+        assert "replay_divergence" in _checks(rep, "error")
+
+
+class TestCli:
+    def test_table_fsck_verb(self, spark, tmp_path):
+        tgt = str(tmp_path / "tbl")
+        _seed(spark, tgt)
+        env_ok = subprocess.run(
+            [sys.executable, "-m", "cdc_data_pipeline_spark",
+             "table-fsck", "--path", tgt],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert env_ok.returncode == 0, env_ok.stderr[-2000:]
+        out = json.loads(env_ok.stdout.strip().splitlines()[-1])
+        assert out["ok"] and out["path"] == tgt
+
+        # brick the feed: duplicate seq -> exit 1
+        changes = tmp_path / "tbl" / "_changes"
+        commit = next(p for p in changes.iterdir()
+                      if p.name.startswith("commit-"))
+        seq = commit.name.split("-", 2)[1]
+        shutil.copytree(commit, changes / f"commit-{seq}-feedface")
+        env_bad = subprocess.run(
+            [sys.executable, "-m", "cdc_data_pipeline_spark",
+             "table-fsck", "--path", tgt],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert env_bad.returncode == 1
+        out = json.loads(env_bad.stdout.strip().splitlines()[-1])
+        assert not out["ok"]
+        assert any(f["check"] == "duplicate_seq" for f in out["findings"])
