@@ -255,6 +255,67 @@ class TestGifRoundTrip:
                 _decode_gif(payload)
 
 
+class TestPropertyRoundTrips:
+    """Hypothesis sweeps: ANY pixel content at ANY small dimension
+    round-trips through every codec — driver-side only (no Spark), so
+    examples stay cheap."""
+
+    from hypothesis import given, settings, strategies as st
+
+    _dims = st.tuples(st.integers(1, 24), st.integers(1, 24))
+
+    @settings(max_examples=20, deadline=None)
+    @given(dims=_dims, seed=st.integers(0, 2**32 - 1),
+           ft=st.integers(0, 5))
+    def test_png_any_content_any_filter(self, dims, seed, ft):
+        w, h = dims
+        rng = random.Random(seed)
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        row_filter = (lambda r: r % 5) if ft == 5 else (lambda r: ft)
+        assert _decode_png(_encode_png(w, h, rgb, row_filter=row_filter)) \
+            == (w, h, rgb)
+
+    @settings(max_examples=20, deadline=None)
+    @given(dims=_dims, seed=st.integers(0, 2**32 - 1),
+           interlace=st.booleans())
+    def test_gif_any_content(self, dims, seed, interlace):
+        w, h = dims
+        rng = random.Random(seed)
+        idx = bytes(rng.randrange(256) for _ in range(w * h))
+        got = _decode_gif(_encode_gif(w, h, idx, _GRAY_PAL,
+                                      interlace=interlace))
+        assert got == (w, h, b"".join(bytes([v, v, v]) for v in idx))
+
+    @settings(max_examples=10, deadline=None)
+    @given(dims=_dims, shade=st.tuples(st.integers(0, 255),
+                                       st.integers(0, 255),
+                                       st.integers(0, 255)))
+    def test_jpeg_uniform_exact_any_dims_any_color(self, dims, shade):
+        from cdc_data_pipeline_spark.operators.jpegcodec import (
+            decode_jpeg, encode_jpeg)
+
+        w, h = dims
+        rgb = bytes(shade) * (w * h)
+        assert decode_jpeg(encode_jpeg(w, h, rgb, quality=100)) \
+            == (w, h, rgb)
+
+    @settings(max_examples=10, deadline=None)
+    @given(dims=_dims, seed=st.integers(0, 2**32 - 1))
+    def test_jpeg_gray_q100_within_proved_bound(self, dims, seed):
+        """Gray content (r=g=b integers) at quality 100: error is
+        bounded by the proved coefficient-rounding bound (< 4) — the
+        structural guarantee the jpeg_roundtrip oracle claims."""
+        from cdc_data_pipeline_spark.operators.jpegcodec import (
+            decode_jpeg, encode_jpeg)
+
+        w, h = dims
+        rng = random.Random(seed)
+        rgb = b"".join(bytes([v, v, v]) for v in
+                       (rng.randrange(256) for _ in range(w * h)))
+        got = decode_jpeg(encode_jpeg(w, h, rgb, quality=100))[2]
+        assert max(abs(a - b) for a, b in zip(got, rgb)) <= 4
+
+
 class TestCrossFormatInvariance:
     """The load-bearing pin: identical pixels through every container
     must featurize identically on the Spark seam. The PPM leg is
