@@ -1552,6 +1552,45 @@ def table_stats(spark: SparkSession, target_path: str) -> dict:
     }
 
 
+def lookup_bucketed(spark: SparkSession, target_path: str,
+                    probe: DataFrame) -> DataFrame:
+    """Point lookup by key over a bucketed table — the serving-side
+    counterpart of the merge's bucket pruning. Each probe key is
+    stamped with the bucket its key hashes to (the table's persisted
+    layout, same ``bucket_of`` the writers use), the scan is pruned to
+    those PARTITIONS (``__kb`` is the partition column, so the filter
+    lands in the scan's PartitionFilters and non-matching bucket
+    directories are never opened — IO is O(table / n_buckets x
+    buckets probed), not O(table)), and a broadcast left-semi join
+    (the probe is small by definition of a point lookup) selects the
+    matching rows. Crash strands are healed first: a lookup against a
+    table with a stranded bucket would silently miss that bucket's
+    keys. ``probe`` must carry exactly the table's key columns.
+
+    At 100 TB this is the difference between a key fetch costing one
+    bucket directory's row groups (further narrowed by parquet
+    min/max pushdown on the key) and a full-table scan."""
+    meta = _read_table_meta(spark, target_path)
+    if meta is None:
+        raise ValueError(
+            f"{target_path} has no persisted layout ({TABLE_META}) — "
+            "lookup_bucketed serves bucketed CDC tables only")
+    keys = list(meta["keys"])
+    if sorted(probe.columns) != sorted(keys):
+        raise ValueError(
+            f"probe columns {probe.columns} must be exactly the "
+            f"table's keys {keys}")
+    recover_table(spark, target_path)
+    stamped = probe.dropDuplicates(keys) \
+        .withColumn(BUCKET_COL, bucket_of(keys, int(meta["n_buckets"])))
+    buckets = [r[0] for r in
+               stamped.select(BUCKET_COL).distinct().collect()]
+    df = spark.read.option("mergeSchema", "true").parquet(target_path) \
+        .filter(F.col(BUCKET_COL).isin(buckets))
+    return df.join(F.broadcast(stamped.select(*keys)), on=keys,
+                   how="left_semi").drop(BUCKET_COL)
+
+
 def fsck_table(spark: SparkSession, target_path: str,
                deep: bool = False) -> dict:
     """READ-ONLY invariant audit of a bucketed CDC table — the

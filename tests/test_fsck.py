@@ -256,3 +256,66 @@ class TestCli:
         out = json.loads(env_bad.stdout.strip().splitlines()[-1])
         assert not out["ok"]
         assert any(f["check"] == "duplicate_seq" for f in out["findings"])
+
+
+class TestLookupBucketed:
+    def test_lookup_returns_exact_rows_and_prunes_partitions(
+            self, spark, tmp_path):
+        from cdc_data_pipeline_spark.operators.incremental import (
+            lookup_bucketed)
+
+        tgt = str(tmp_path / "tbl")
+        _seed(spark, tgt, n=64, n_buckets=8)
+        probe = spark.createDataFrame([(3,), (17,), (42,)], "k long")
+        got = lookup_bucketed(spark, tgt, probe)
+        assert {(r["k"], r["v"]) for r in got.collect()} \
+            == {(3, "v3"), (17, "v17"), (42, "v42")}
+        assert "__kb" not in got.columns
+        # plan pin: the bucket filter must land in PartitionFilters —
+        # non-matching bucket directories are never opened
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        seg = plan.split("PartitionFilters")[1][:200]
+        assert "__kb" in seg and "IN" in seg.upper()
+
+    def test_lookup_misses_and_dupes(self, spark, tmp_path):
+        from cdc_data_pipeline_spark.operators.incremental import (
+            lookup_bucketed)
+
+        tgt = str(tmp_path / "tbl")
+        _seed(spark, tgt, n=8)
+        probe = spark.createDataFrame([(1,), (1,), (999,)], "k long")
+        got = lookup_bucketed(spark, tgt, probe).collect()
+        assert [(r["k"], r["v"]) for r in got] == [(1, "v1")]
+
+    def test_lookup_heals_stranded_bucket_first(self, spark, tmp_path):
+        """A lookup against a table with a crash-stranded bucket must
+        heal it, not silently miss that bucket's keys."""
+        from cdc_data_pipeline_spark.operators.incremental import (
+            bucket_of, lookup_bucketed)
+
+        tgt = str(tmp_path / "tbl")
+        _seed(spark, tgt, n=16, n_buckets=4)
+        # which bucket holds k=5 under the table's layout?
+        bid = spark.createDataFrame([(5,)], "k long").select(
+            bucket_of(["k"], 4).alias("b")).collect()[0]["b"]
+        live = tmp_path / "tbl" / f"__kb={bid}"
+        strand = tmp_path / "tbl" / f".__kb={bid}.__old__"
+        live.rename(strand)                    # forge the crash window
+        probe = spark.createDataFrame([(5,)], "k long")
+        got = lookup_bucketed(spark, tgt, probe).collect()
+        assert [(r["k"], r["v"]) for r in got] == [(5, "v5")]
+        assert live.exists() and not strand.exists()
+
+    def test_lookup_rejects_wrong_probe_columns(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from cdc_data_pipeline_spark.operators.incremental import (
+            lookup_bucketed)
+
+        tgt = str(tmp_path / "tbl")
+        _seed(spark, tgt)
+        with _pytest.raises(ValueError, match="exactly the table's keys"):
+            lookup_bucketed(spark, tgt,
+                            spark.createDataFrame([(1, "a")],
+                                                  "k long, v string"))
