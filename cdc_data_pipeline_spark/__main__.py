@@ -361,6 +361,13 @@ def main(argv=None) -> int:
         travel_ok = (b.exceptAll(t).isEmpty()
                      and t.exceptAll(b).isEmpty())
         st = table_stats(spark, bronze)
+        # closing invariant audit: the deep fsck re-derives the same
+        # equivalences from DISK state alone (misbucket scan + feed
+        # replay vs live table), so a green pipeline with a red fsck
+        # means a protocol bug, not a pipeline bug
+        from cdc_data_pipeline_spark.operators.incremental import fsck_table
+
+        fsck = fsck_table(spark, bronze, deep=True)
         print(json.dumps({
             "bronze_rows": st["n_rows"],
             "feed_commits": args.ticks + 1,
@@ -369,8 +376,11 @@ def main(argv=None) -> int:
             "anchored_seq": aseq,
             "time_travel_matches_bronze": travel_ok,
             "bucket_skew": st["bucket_skew"],
+            "fsck_ok": fsck["ok"],
+            "fsck_findings": fsck["findings"],
         }))
-        return 0 if (replica_ok and mart_ok and travel_ok) else 1
+        return 0 if (replica_ok and mart_ok and travel_ok
+                     and fsck["ok"]) else 1
 
     if args.cmd == "table-at":
         from cdc_data_pipeline_spark.operators.incremental import table_at

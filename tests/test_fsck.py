@@ -319,3 +319,45 @@ class TestLookupBucketed:
             lookup_bucketed(spark, tgt,
                             spark.createDataFrame([(1, "a")],
                                                   "k long, v string"))
+
+
+class TestScd2Fsck:
+    def test_deep_fsck_on_scd2_table(self, spark, tmp_path):
+        """The SCD2 family shares the table protocol but its feed is
+        keyed by dbt_scd_id (version transitions, not business keys):
+        deep fsck's replay equivalence must hold across open + close
+        version history, not just latest state."""
+        from cdc_data_pipeline_spark.operators.scd2 import scd2_bucketed
+
+        tgt = str(tmp_path / "dim")
+        scd2_bucketed(spark, tgt,
+                      spark.createDataFrame([(1, "a"), (2, "b")],
+                                            "k long, v string"),
+                      ["k"], ["v"], "2024-01-01 00:00:00",
+                      n_buckets=2, emit_changes=True)
+        scd2_bucketed(spark, tgt,
+                      spark.createDataFrame([(1, "a2"), (3, "c")],
+                                            "k long, v string"),
+                      ["k"], ["v"], "2024-01-02 00:00:00",
+                      emit_changes=True)
+        rep = fsck_table(spark, tgt, deep=True)
+        assert rep["ok"], rep["findings"]
+        # forge an out-of-band row edit: rewrite one bucket's files
+        # with a value the feed never recorded; deep fsck must catch it
+        from pyspark.sql import functions as F
+
+        bucket = next(p for p in (tmp_path / "dim").iterdir()
+                      if p.name.startswith("__kb="))
+        tampered = spark.read.parquet(str(bucket)) \
+            .withColumn("v", F.lit("tampered"))
+        staging = tmp_path / "tampered"
+        tampered.write.mode("overwrite").parquet(str(staging))
+        for old in list(bucket.glob("*.parquet")) \
+                + list(bucket.glob(".*.crc")):
+            old.unlink()
+        for i, f in enumerate(sorted(staging.glob("*.parquet"))):
+            shutil.copy(f, bucket / f"tampered-{i}.parquet")
+        shutil.rmtree(staging)
+        rep2 = fsck_table(spark, tgt, deep=True)
+        assert not rep2["ok"]
+        assert "replay_divergence" in _checks(rep2, "error")
