@@ -77,13 +77,13 @@ def _decode_image_any(b: bytes):
     neither path decodes. Returns (width, height, flat RGB bytes)."""
     try:
         return _decode_image_stdlib(b)
-    except ValueError:
+    except ValueError as stdlib_err:
         try:
             import io
 
             from PIL import Image
         except ImportError:
-            raise
+            raise stdlib_err
         img = Image.open(io.BytesIO(b)).convert("RGB")
         w, h = img.size
         return w, h, bytes(v for px in img.getdata() for v in px)
