@@ -153,6 +153,14 @@ def main(argv=None) -> int:
                            "Exit 1 on any error-severity finding")
     tfp.add_argument("--path", required=True)
     tfp.add_argument("--deep", action="store_true")
+    ifp = sub.add_parser(
+        "index-fsck", help="READ-ONLY invariant audit of a persisted "
+                           "LSM index (any kind): BASE pointer "
+                           "resolves, manifest parses, generations/"
+                           "deltas/markers inventoried, lock "
+                           "surfaced. Exit 1 on any error-severity "
+                           "finding")
+    ifp.add_argument("--path", required=True)
     trxp = sub.add_parser(
         "table-reconcile", help="repair a change feed bricked by a "
                                 "detected writer race (duplicate "
@@ -432,6 +440,15 @@ def main(argv=None) -> int:
 
         spark = get_spark("cdc-table")
         out = fsck_table(spark, args.path, deep=args.deep)
+        print(json.dumps(out))
+        return 0 if out["ok"] else 1
+
+    if args.cmd == "index-fsck":
+        from cdc_data_pipeline_spark.operators.lsm import fsck_index
+        from cdc_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("cdc-index")
+        out = fsck_index(spark, args.path)
         print(json.dumps(out))
         return 0 if out["ok"] else 1
 

@@ -336,6 +336,133 @@ def compact_index(spark: SparkSession, path: str, lock: bool = False,
     raise ValueError(f"no index metadata at {path}")
 
 
+def fsck_index(spark: SparkSession, path: str) -> dict:
+    """READ-ONLY invariant audit of a persisted LSM index — the index
+    counterpart of ``incremental.fsck_table``, kind-agnostic because
+    every family (text / IVF / IVF-PQ / LSH) rides this one protocol.
+    Structural checks only, from metadata listings (the serving
+    invariants themselves — snapshot consistency, tombstone
+    resolution, replay idempotency — are pinned by the crash-protocol
+    sweep; this is the on-demand production diagnostic):
+
+    - the ``BASE`` pointer resolves to a generation directory that
+      EXISTS (a pointer to a missing directory bricks every read);
+    - the published generation's ``compacted.json`` manifest parses;
+    - staged-but-unpublished generations are inventoried (normal
+      one-publish grace/orphans = info; they cost storage until the
+      next publish's GC, never correctness);
+    - delta directories carry their ``_COMMIT`` marker (uncommitted =
+      invisible crash debris awaiting replay-overwrite or sweep);
+    - deltas the manifest already folded but GC has not collected are
+      inventoried (double-count-proof by the manifest, storage only);
+    - a held ``maintenance_lock`` is surfaced with its age.
+
+    Same report shape as ``fsck_table``: ``ok`` means no
+    error-severity finding."""
+    findings: list[dict] = []
+
+    def add(severity: str, check: str, detail: str) -> None:
+        findings.append({"severity": severity, "check": check,
+                         "detail": detail})
+
+    def report() -> dict:
+        errors = sum(1 for f in findings if f["severity"] == "error")
+        warns = sum(1 for f in findings if f["severity"] == "warn")
+        return {"path": path, "ok": errors == 0, "errors": errors,
+                "warnings": warns, "findings": findings}
+
+    if not fsutil.exists(spark, path):
+        add("error", "index_missing", "path does not exist")
+        return report()
+    kind = _detect_kind(spark, path)
+    if kind is None:
+        add("error", "kind",
+            "no meta.json and no recognizable layout — not an index "
+            "on this protocol")
+        return report()
+
+    ptr = fsutil.read_text(spark, path_join(path, BASE_PTR))
+    gens = base_names(spark, path)
+    folded: set = set()
+    if ptr is None:
+        if gens:
+            add("error", "pointer_missing",
+                f"generation directories exist ({gens[:3]}...) but no "
+                f"{BASE_PTR} pointer — staged publishes with no "
+                "published base; rebuild or restore the pointer")
+        else:
+            add("info", "legacy_layout",
+                "pre-pointer legacy layout — the next compact_index "
+                "migrates it onto the pointer protocol")
+        base_root = None
+    else:
+        cur = ptr.strip()
+        base_root = root_for(path, cur)
+        if not fsutil.exists(spark, base_root):
+            add("error", "pointer_dangling",
+                f"{BASE_PTR} names {cur!r} but that directory does not "
+                "exist — every read is bricked; restore the directory "
+                "or republish from a rebuild")
+            base_root = None
+        else:
+            try:
+                txt = fsutil.read_text(
+                    spark, path_join(base_root, "compacted.json"))
+                if txt is not None:
+                    folded = set(json.loads(txt))
+            except Exception as exc:      # unparseable OR unreadable
+                add("error", "manifest_corrupt",
+                    f"{cur}/compacted.json unreadable or unparseable "
+                    f"({type(exc).__name__}) — folded deltas would "
+                    "double-count; restore it before the next read")
+            cur_ord = _gen_ordinal(cur)
+            for g in gens:
+                if g == cur:
+                    continue
+                o = _gen_ordinal(g)
+                if o is None or cur_ord is None or o <= cur_ord:
+                    add("info", "generation_awaiting_gc",
+                        f"{g} — superseded generation inside the "
+                        "one-publish GC grace; the next publish sweeps "
+                        "it")
+                else:
+                    add("info", "generation_orphan",
+                        f"{g} — staged above the published ordinal (a "
+                        "crashed or losing maintainer); swept by the "
+                        "next successful publish")
+
+    droot = path_join(path, "delta")
+    n_committed = n_uncommitted = n_folded_present = 0
+    if fsutil.exists(spark, droot):
+        for name in fsutil.list_names(spark, droot):
+            committed = fsutil.exists(spark, path_join(droot, name, COMMIT))
+            if not committed:
+                n_uncommitted += 1
+                add("warn", "delta_uncommitted",
+                    f"delta/{name} has no {COMMIT} marker — invisible "
+                    "crash debris; an at-least-once replay of that "
+                    "batch overwrites and commits it, else sweep it")
+            elif name in folded:
+                n_folded_present += 1
+                add("info", "delta_awaiting_gc",
+                    f"delta/{name} is folded into the published "
+                    "generation (manifest) but not yet collected")
+            else:
+                n_committed += 1
+
+    age = _lock_age_sec(spark, path)
+    if age is not None:
+        add("info", "maintenance_lock",
+            f"lock marker held for {age}s — a maintainer is live, or "
+            "crashed mid-hold (stale markers expire by TTL takeover)")
+    out = report()
+    out.update({"kind": kind, "generation": ptr.strip() if ptr else None,
+                "n_deltas": n_committed,
+                "n_uncommitted_deltas": n_uncommitted,
+                "n_folded_awaiting_gc": n_folded_present})
+    return out
+
+
 def maybe_compact_index(spark: SparkSession, path: str,
                         over: int | None) -> dict | None:
     """Threshold-gated ``compact_index``: fold only when MORE than

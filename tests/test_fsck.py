@@ -361,3 +361,116 @@ class TestScd2Fsck:
         rep2 = fsck_table(spark, tgt, deep=True)
         assert not rep2["ok"]
         assert "replay_divergence" in _checks(rep2, "error")
+
+
+class TestIndexFsck:
+    """fsck_index: same provoke -> report -> repair -> clean discipline
+    over the LSM index protocol (one family suffices — all four ride
+    lsm.py's pointer/manifest/marker machinery)."""
+
+    def _build(self, spark, tmp_path):
+        from cdc_data_pipeline_spark.operators import dedup_index as di
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta {i} " * 3) for i in range(40)],
+            "doc_id long, text string")
+        path = str(tmp_path / "lsh")
+        di.build_lsh_index(spark, docs, path, n_prefixes=8)
+        return path, docs
+
+    def test_clean_index_then_lifecycle(self, spark, tmp_path):
+        from cdc_data_pipeline_spark.operators import dedup_index as di
+        from cdc_data_pipeline_spark.operators.lsm import fsck_index
+
+        path, docs = self._build(spark, tmp_path)
+        rep = fsck_index(spark, path)
+        assert rep["ok"] and rep["errors"] == 0, rep["findings"]
+        assert rep["kind"] == "lsh" and rep["n_deltas"] == 0
+        # append a delta, fsck counts it committed
+        more = spark.createDataFrame(
+            [(100 + i, f"epsilon zeta {i} " * 4) for i in range(5)],
+            "doc_id long, text string")
+        di.append_lsh_index(spark, path, more)
+        rep2 = fsck_index(spark, path)
+        assert rep2["ok"] and rep2["n_deltas"] == 1
+
+    def test_dangling_pointer_is_error(self, spark, tmp_path):
+        from cdc_data_pipeline_spark.operators.lsm import fsck_index
+
+        path, _ = self._build(spark, tmp_path)
+        (tmp_path / "lsh" / "BASE").write_text("base-0000000042-dead")
+        rep = fsck_index(spark, path)
+        assert not rep["ok"]
+        assert any(f["check"] == "pointer_dangling"
+                   for f in rep["findings"])
+
+    def test_uncommitted_delta_is_warn(self, spark, tmp_path):
+        from cdc_data_pipeline_spark.operators.lsm import fsck_index
+
+        path, _ = self._build(spark, tmp_path)
+        (tmp_path / "lsh" / "delta" / "deadbeef").mkdir(parents=True)
+        rep = fsck_index(spark, path)
+        assert rep["ok"]                 # debris, not corruption
+        assert any(f["check"] == "delta_uncommitted"
+                   for f in rep["findings"])
+        assert rep["n_uncommitted_deltas"] == 1
+
+    def test_corrupt_manifest_is_error(self, spark, tmp_path):
+        from cdc_data_pipeline_spark.operators.lsm import fsck_index
+
+        path, _ = self._build(spark, tmp_path)
+        gen = (tmp_path / "lsh" / "BASE").read_text().strip()
+        (tmp_path / "lsh" / gen / "compacted.json").write_text("{nope")
+        rep = fsck_index(spark, path)
+        assert not rep["ok"]
+        assert any(f["check"] == "manifest_corrupt"
+                   for f in rep["findings"])
+
+    def test_orphan_generation_swept_after_compact(self, spark, tmp_path):
+        from cdc_data_pipeline_spark.operators import dedup_index as di
+        from cdc_data_pipeline_spark.operators.lsm import (
+            compact_index, fsck_index)
+
+        path, _ = self._build(spark, tmp_path)
+        # forge a crashed maintainer's staged generation above the
+        # published ordinal
+        (tmp_path / "lsh" / "base-0000000099-feed").mkdir()
+        rep = fsck_index(spark, path)
+        assert rep["ok"]
+        assert any(f["check"] == "generation_orphan"
+                   for f in rep["findings"])
+        # a delta so the compaction has something to fold
+        more = spark.createDataFrame([(200, "eta theta " * 5)],
+                                     "doc_id long, text string")
+        di.append_lsh_index(spark, path, more)
+        compact_index(spark, path)
+        compact_index(spark, path)   # second publish completes the GC
+        rep2 = fsck_index(spark, path)
+        assert rep2["ok"]
+        assert not any(f["check"] == "generation_orphan"
+                       for f in rep2["findings"])
+
+    def test_not_an_index(self, spark, tmp_path):
+        from cdc_data_pipeline_spark.operators.lsm import fsck_index
+
+        (tmp_path / "junk").mkdir()
+        rep = fsck_index(spark, str(tmp_path / "junk"))
+        assert not rep["ok"]
+        rep2 = fsck_index(spark, str(tmp_path / "absent"))
+        assert not rep2["ok"]
+
+    def test_index_fsck_cli(self, spark, tmp_path):
+        path, _ = self._build(spark, tmp_path)
+        ok = subprocess.run(
+            [sys.executable, "-m", "cdc_data_pipeline_spark",
+             "index-fsck", "--path", path],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert ok.returncode == 0, ok.stderr[-2000:]
+        out = json.loads(ok.stdout.strip().splitlines()[-1])
+        assert out["ok"] and out["kind"] == "lsh"
+        (tmp_path / "lsh" / "BASE").write_text("base-0000000042-dead")
+        bad = subprocess.run(
+            [sys.executable, "-m", "cdc_data_pipeline_spark",
+             "index-fsck", "--path", path],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert bad.returncode == 1
