@@ -147,20 +147,114 @@ def extract_features(media: DataFrame, decode_stub: bool = True, feature_dim: in
     return media.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
+def _mulaw_decode_byte(c: int) -> int:
+    """G.711 mu-law expansion of one code byte to a 14-bit-range
+    linear sample (ITU-T G.711 table 2a/2b algorithmic form)."""
+    c = ~c & 0xFF
+    sign = c & 0x80
+    exp = (c >> 4) & 0x07
+    mant = c & 0x0F
+    x = (((mant << 3) + 0x84) << exp) - 0x84
+    return -x if sign else x
+
+
+def _alaw_decode_byte(c: int) -> int:
+    """G.711 A-law expansion of one code byte to a 13-bit-range
+    linear sample (ITU-T G.711 table 1a/1b algorithmic form)."""
+    c ^= 0x55
+    sign = c & 0x80                          # bit 7 SET = positive
+    exp = (c >> 4) & 0x07
+    mant = c & 0x0F
+    if exp == 0:
+        x = (mant << 4) + 8
+    else:
+        x = ((mant << 4) + 0x108) << (exp - 1)
+    return x if sign else -x
+
+
+def _parse_riff_wav(b: bytes):
+    """Manual RIFF/WAVE chunk walk for the formats the stdlib ``wave``
+    module rejects: IEEE float (format 3, 32/64-bit), G.711 mu-law
+    (7) and A-law (6), 24-bit integer PCM, and WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE, resolved by its SubFormat GUID's leading code). Returns
+    (n_channels, sample_rate, interleaved numeric samples) — floats
+    stay floats, everything else integers, matching what the RMS/FFT
+    featurizers consume."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(b):
+        cid, ln = b[pos:pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)             # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    code, nch, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if code == 0xFFFE:                       # extensible: GUID leads
+        if len(fmt) < 26:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt")
+        code = struct.unpack_from("<H", fmt, 24)[0]
+    if nch < 1 or rate <= 0:
+        raise ValueError("invalid WAV fmt")
+    if code == 3 and bits == 32:
+        n = len(data) // 4
+        samples = list(struct.unpack(f"<{n}f", data[:n * 4]))
+    elif code == 3 and bits == 64:
+        n = len(data) // 8
+        samples = list(struct.unpack(f"<{n}d", data[:n * 8]))
+    elif code == 7 and bits == 8:
+        samples = [_mulaw_decode_byte(c) for c in data]
+    elif code == 6 and bits == 8:
+        samples = [_alaw_decode_byte(c) for c in data]
+    elif code == 1 and bits == 24:
+        samples = []
+        for i in range(0, len(data) - 2, 3):
+            v = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16)
+            samples.append(v - (1 << 24) if v >= (1 << 23) else v)
+    elif code == 1 and bits in (8, 16, 32):
+        import array
+
+        if bits == 8:
+            samples = [s - 128 for s in data]
+        else:
+            samples = array.array("h" if bits == 16 else "i")
+            step = bits // 8
+            samples.frombytes(data[: len(data) // step * step])
+    else:
+        raise ValueError(
+            f"unsupported WAV format code {code} / {bits}-bit")
+    return nch, rate, samples
+
+
 def _decode_wav_pcm(b: bytes):
-    """(n_channels, sample_rate, interleaved integer samples) from a
-    PCM WAV container via the stdlib ``wave`` module. 8-bit WAV stores
-    unsigned bytes (re-centered here); 16/32-bit are signed
-    little-endian. Raises on anything else — callers decide whether
+    """(n_channels, sample_rate, interleaved numeric samples) from a
+    WAV container. Integer PCM rides the stdlib ``wave`` module
+    (8-bit unsigned re-centered; 16/32-bit signed little-endian);
+    formats ``wave`` rejects — IEEE float 32/64, G.711 mu-law/A-law,
+    24-bit PCM, WAVE_FORMAT_EXTENSIBLE — fall back to the manual RIFF
+    parser (``_parse_riff_wav``), so no audio container is
+    dependency-gated. Raises on anything else — callers decide whether
     that quarantines (feature extraction) or propagates (tests)."""
     import array
     import io
     import wave
 
-    with wave.open(io.BytesIO(b), "rb") as w:
-        nch, sw = w.getnchannels(), w.getsampwidth()
-        rate, nf = w.getframerate(), w.getnframes()
-        raw = w.readframes(nf)
+    try:
+        with wave.open(io.BytesIO(b), "rb") as w:
+            nch, sw = w.getnchannels(), w.getsampwidth()
+            rate, nf = w.getframerate(), w.getnframes()
+            raw = w.readframes(nf)
+    except (wave.Error, EOFError):
+        return _parse_riff_wav(b)
     if sw == 1:
         samples = [s - 128 for s in raw]
     elif sw == 2:
@@ -169,6 +263,11 @@ def _decode_wav_pcm(b: bytes):
     elif sw == 4:
         samples = array.array("i")
         samples.frombytes(raw[: len(raw) // 4 * 4])
+    elif sw == 3:
+        samples = []
+        for i in range(0, len(raw) - 2, 3):
+            v = raw[i] | (raw[i + 1] << 8) | (raw[i + 2] << 16)
+            samples.append(v - (1 << 24) if v >= (1 << 23) else v)
     else:
         raise ValueError(f"unsupported sample width {sw}")
     return nch, rate, samples
@@ -188,18 +287,20 @@ AUDIO_FEATURE_SCHEMA = T.StructType([
 
 def extract_audio_features(media: DataFrame,
                            n_bands: int = 4) -> DataFrame:
-    """REAL audio decode on the media seam: PCM WAV payloads are
-    parsed with the stdlib ``wave`` module inside the same
-    Arrow-batched ``mapInPandas`` shape as the image path — no
-    external dependency, so this path runs (and is tested) everywhere,
-    unlike the Pillow-gated image decode. Emits channel count, sample
+    """REAL audio decode on the media seam: WAV payloads are parsed
+    with the stdlib ``wave`` module (manual RIFF fallback for the
+    formats it rejects) inside the same Arrow-batched ``mapInPandas``
+    shape as the image path — no external dependency, so this path
+    runs (and is tested) everywhere. Emits channel count, sample
     rate, exact duration, overall RMS, and RMS over ``n_bands`` equal
     time slices (the classic energy-envelope feature for silence
     trimming / segment selection in a speech-data pipeline). A payload
-    that is not a decodable PCM WAV yields NULL features and the error
+    that is not a decodable WAV yields NULL features and the error
     string instead of failing the job — at 100 TB a corrupt object
-    must quarantine, not kill the stage. 8/16/32-bit integer PCM
-    supported; compressed formats stay a documented seam."""
+    must quarantine, not kill the stage. 8/16/24/32-bit integer PCM,
+    IEEE float 32/64, G.711 mu-law/A-law, and WAVE_FORMAT_EXTENSIBLE
+    all decode; perceptual codecs (MP3/AAC/Opus) stay a documented
+    seam."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math

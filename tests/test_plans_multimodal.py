@@ -752,3 +752,141 @@ def test_resize_images_bilinear_exact_and_composes(spark):
         .filter("payload IS NOT NULL")).collect()
     assert [r["decode_error"] for r in feats] == [None]
     assert (feats[0]["width"], feats[0]["height"]) == (4, 4)
+
+
+class TestWavFormats:
+    """WAV formats the stdlib ``wave`` module rejects — IEEE float,
+    G.711 mu-law/A-law, 24-bit PCM, WAVE_FORMAT_EXTENSIBLE — decode
+    through the manual RIFF fallback. G.711 expansion is pinned
+    byte-for-byte against stdlib ``audioop`` where it exists (removed
+    in Python 3.13 — import-gated, the manual tables carry on)."""
+
+    @staticmethod
+    def _wav(code, bits, data, nch=1, rate=8000):
+        import struct
+
+        block = max(1, nch * bits // 8)
+        fmt = struct.pack("<HHIIHH", code, nch, rate, rate * block,
+                          block, bits)
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    def test_float32_and_float64(self):
+        import struct
+
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            _decode_wav_pcm)
+
+        vals = [0.0, 0.5, -0.25, 1.0, -1.0]
+        nch, rate, s = _decode_wav_pcm(
+            self._wav(3, 32, struct.pack("<5f", *vals)))
+        assert (nch, rate) == (1, 8000)
+        assert [round(x, 6) for x in s] == vals
+        s64 = _decode_wav_pcm(self._wav(3, 64,
+                                        struct.pack("<5d", *vals)))[2]
+        assert list(s64) == vals
+
+    def test_g711_matches_audioop(self):
+        import struct
+
+        import pytest
+
+        audioop = pytest.importorskip("audioop")
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            _alaw_decode_byte, _mulaw_decode_byte)
+
+        raw = bytes(range(256))
+        want_u = struct.unpack("<256h", audioop.ulaw2lin(raw, 2))
+        assert [_mulaw_decode_byte(c) for c in raw] == list(want_u)
+        want_a = struct.unpack("<256h", audioop.alaw2lin(raw, 2))
+        assert [_alaw_decode_byte(c) for c in raw] == list(want_a)
+
+    def test_g711_structural_invariants(self):
+        """Dependency-free pins on the expansion tables: 256 distinct
+        codes, symmetric positive/negative families, zero reachable,
+        monotone within each exponent segment."""
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            _alaw_decode_byte, _mulaw_decode_byte)
+
+        for dec in (_mulaw_decode_byte, _alaw_decode_byte):
+            vals = [dec(c) for c in range(256)]
+            assert len(set(vals)) >= 255      # mu-law has two zeros
+            assert max(vals) == -min(vals)    # symmetric law
+        assert _mulaw_decode_byte(0xFF) == 0  # mu-law positive zero
+        assert _mulaw_decode_byte(0x7F) == 0  # mu-law negative zero
+
+    def test_24bit_pcm(self):
+        import struct
+
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            _decode_wav_pcm)
+
+        samples = [0, 1, -1, 8388607, -8388608, 123456]
+        data = b"".join(struct.pack("<i", v)[:3] for v in samples)
+        assert list(_decode_wav_pcm(self._wav(1, 24, data))[2]) == samples
+
+    def test_mulaw_wav_container(self):
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            _decode_wav_pcm, _mulaw_decode_byte)
+
+        data = bytes(range(0, 256, 8))
+        nch, rate, s = _decode_wav_pcm(self._wav(7, 8, data))
+        assert list(s) == [_mulaw_decode_byte(c) for c in data]
+
+    def test_extensible_resolves_subformat(self):
+        import struct
+
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            _decode_wav_pcm)
+
+        fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 32000, 4, 32) \
+            + struct.pack("<HHI", 22, 32, 3) \
+            + struct.pack("<H", 3) + b"\x00" * 14
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+            + b"data" + struct.pack("<I", 8) + struct.pack("<2f", 0.5, -0.5)
+        g = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        assert [round(x, 3) for x in _decode_wav_pcm(g)[2]] == [0.5, -0.5]
+
+    def test_unsupported_and_corrupt_raise_value_error(self):
+        import pytest
+
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            _decode_wav_pcm)
+
+        for payload in (self._wav(99, 8, b"\x00"), b"RIFF", b"nope"):
+            with pytest.raises(ValueError):
+                _decode_wav_pcm(payload)
+
+    def test_float_wav_features_on_spark(self, spark):
+        """A float WAV and the 16-bit PCM WAV of the SAME waveform
+        featurize to proportional RMS (ratio = 32768) with identical
+        duration — container invariance on the audio seam."""
+        import math
+        import struct
+        import wave as wave_mod
+        import io
+
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            extract_audio_features)
+
+        n = 800
+        ints = [int(12000 * math.sin(2 * math.pi * 440 * i / 8000))
+                for i in range(n)]
+        floats = [v / 32768.0 for v in ints]
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(struct.pack(f"<{n}h", *ints))
+        pcm = buf.getvalue()
+        flt = self._wav(3, 32, struct.pack(f"<{n}f", *floats))
+        media = spark.createDataFrame(
+            [(1, pcm), (2, flt)], "media_id long, payload binary")
+        out = {r.media_id: r for r in
+               extract_audio_features(media).collect()}
+        assert out[1].decode_error is None and out[2].decode_error is None
+        assert out[1].n_samples == out[2].n_samples == n
+        assert out[1].duration_ms == out[2].duration_ms
+        assert abs(out[1].rms / out[2].rms - 32768.0) < 0.5
