@@ -828,11 +828,13 @@ def _docs_as_compressed(docs, fmt: str):
     stdlib zlib PNG encoder, cycling the scanline filter type per row
     (0..4) so every unfilter branch executes under the oracle gate;
     ``fmt='gif'`` LZW-encodes over a 256-gray palette, interlaced on
-    odd doc_ids so both raster orders execute."""
+    odd doc_ids so both raster orders execute; ``fmt='tiff'``
+    alternates PackBits little-endian multi-strip and uncompressed
+    big-endian by doc_id parity."""
     import pandas as pd
 
     from cdc_data_pipeline_spark.operators.multimodal import (
-        _encode_gif, _encode_png)
+        _encode_gif, _encode_png, _encode_tiff)
 
     gray_pal = b"".join(bytes([i, i, i]) for i in range(256))
 
@@ -847,6 +849,15 @@ def _docs_as_compressed(docs, fmt: str):
                     rgb = b"".join(bytes([v, v, v]) for v in vals)
                     payloads.append(_encode_png(
                         4, h, rgb, row_filter=lambda r: r % 5))
+                elif fmt == "tiff":
+                    rgb = b"".join(bytes([v, v, v]) for v in vals)
+                    if doc_id % 2:
+                        payloads.append(_encode_tiff(
+                            4, h, rgb, compression=32773,
+                            rows_per_strip=4))
+                    else:
+                        payloads.append(_encode_tiff(
+                            4, h, rgb, big_endian=True))
                 else:
                     payloads.append(_encode_gif(
                         4, h, bytes(vals), gray_pal,
@@ -886,6 +897,13 @@ def q_gif_features(spark, sf_dir):
     256-gray palette (interlaced on odd doc_ids), same pixel grid and
     oracle as ``image_features``/``png_features``."""
     return _q_compressed_features(spark, sf_dir, "gif")
+
+
+def q_tiff_features(spark, sf_dir):
+    """REAL TIFF decode pinned cross-engine: PackBits little-endian
+    multi-strip on odd doc_ids, uncompressed big-endian on even —
+    same pixel grid and oracle as the other image entries."""
+    return _q_compressed_features(spark, sf_dir, "tiff")
 
 
 def q_jpeg_roundtrip(spark, sf_dir):
@@ -2135,6 +2153,8 @@ EXTRA_QUERIES["gif_features"] = q_gif_features
 EXTRA_ORACLES["gif_features"] = SQL_IMAGE_FEATURES
 EXTRA_QUERIES["jpeg_roundtrip"] = q_jpeg_roundtrip
 EXTRA_ORACLES["jpeg_roundtrip"] = SQL_JPEG_ROUNDTRIP
+EXTRA_QUERIES["tiff_features"] = q_tiff_features
+EXTRA_ORACLES["tiff_features"] = SQL_IMAGE_FEATURES
 # driver tier (rotated in for core.py's `upsert` in round 7, whose
 # anti-join+union is a strict subset of both upsert_dedup and this
 # row's bucketed merge): the change data feed is flagship CDC-out

@@ -1116,6 +1116,284 @@ def _decode_gif(b: bytes):
     raise ValueError("GIF contains no image block")
 
 
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """PackBits RLE (TIFF spec §9): n in 0..127 -> copy n+1 literal
+    bytes; n in -127..-1 (two's complement) -> repeat the next byte
+    1-n times; -128 is a no-op."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < expect:
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            out += data[pos:pos + n + 1]
+            pos += n + 1
+        elif n > 128:
+            if pos >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    if len(out) < expect:
+        raise ValueError("PackBits underflow")
+    return bytes(out[:expect])
+
+
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    """TIFF-variant LZW (TIFF spec §13): like GIF's but MSB-first bit
+    packing and EarlyChange code-width bumps (width grows one code
+    EARLIER than GIF — at table size 2**w - 1)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitbuf = bitcnt = 0
+    pos = 0
+
+    def reset():
+        return [bytes([i]) for i in range(256)] + [b"", b""], 9
+
+    table, width = reset()
+    prev = None
+    while len(out) < expect:
+        while bitcnt < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            bitbuf = (bitbuf << 8) | data[pos]
+            bitcnt += 8
+            pos += 1
+        code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+        bitcnt -= width
+        if code == CLEAR:
+            table, width = reset()
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("invalid first TIFF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt TIFF LZW code")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:  # EarlyChange
+            width += 1
+    if len(out) < expect:
+        raise ValueError("TIFF LZW underflow")
+    return bytes(out[:expect])
+
+
+def _decode_tiff(b: bytes):
+    """Stdlib-only baseline TIFF decode: II/MM byte orders, first IFD,
+    8-bit gray / RGB / RGBA (alpha dropped) / palette images, strip
+    layout, Compression 1 (none), 32773 (PackBits) and 5 (TIFF LZW,
+    with horizontal differencing Predictor 2). Other depths,
+    tile layout, and JPEG-in-TIFF raise; callers quarantine. Returns
+    (width, height, flat top-down RGB bytes)."""
+    import struct
+
+    if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF image")
+    end = "<" if b[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(end + "HI", b, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    if ifd_off + 2 > len(b):
+        raise ValueError("truncated TIFF IFD offset")
+    (n_entries,) = struct.unpack_from(end + "H", b, ifd_off)
+    if ifd_off + 2 + 12 * n_entries > len(b):
+        raise ValueError("truncated TIFF IFD")
+    _SIZES = {1: 1, 2: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        tag, typ, count = struct.unpack_from(
+            end + "HHI", b, ifd_off + 2 + 12 * i)
+        voff = ifd_off + 2 + 12 * i + 8
+        if typ not in _SIZES:
+            continue                         # rational/etc: not needed
+        size = _SIZES[typ] * count
+        if size > 4:
+            (voff,) = struct.unpack_from(end + "I", b, voff)
+        if voff + size > len(b):
+            raise ValueError("truncated TIFF tag value")
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack_from(end + str(count) + fmt,
+                                            b, voff))
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    if w <= 0 or h <= 0:
+        raise ValueError("invalid TIFF dimensions")
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    if any(x != 8 for x in bits):
+        raise ValueError(f"unsupported TIFF bit depths {bits}")
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF unsupported (strip layout only)")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/counts")
+    rows_per_strip = one(278, h)
+    predictor = one(317, 1)
+    stride = w * spp
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(b):
+            raise ValueError("truncated TIFF strip")
+        strip = b[off:off + cnt]
+        n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        expect = n_rows * stride
+        if comp == 1:
+            if len(strip) < expect:
+                raise ValueError("TIFF strip underflow")
+            raw += strip[:expect]
+        elif comp == 32773:
+            raw += _packbits_decode(strip, expect)
+        elif comp == 5:
+            raw += _tiff_lzw_decode(strip, expect)
+        else:
+            raise ValueError(f"unsupported TIFF compression {comp}")
+    if predictor == 2:                       # horizontal differencing
+        raw = bytearray(raw)
+        for row in range(h):
+            base = row * stride
+            for i in range(spp, stride):
+                raw[base + i] = (raw[base + i] + raw[base + i - spp]) \
+                    & 0xFF
+        raw = bytes(raw)
+    elif predictor != 1:
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    out = bytearray(w * h * 3)
+    if photo in (0, 1) and spp == 1:         # grayscale
+        inv = photo == 0                     # WhiteIsZero
+        for i, v in enumerate(raw[:w * h]):
+            g = 255 - v if inv else v
+            out[i * 3:i * 3 + 3] = bytes([g, g, g])
+    elif photo == 2 and spp in (3, 4):       # RGB / RGBA
+        for i in range(w * h):
+            out[i * 3:i * 3 + 3] = raw[i * spp:i * spp + 3]
+    elif photo == 3 and spp == 1:            # palette
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3 * 256:
+            raise ValueError("palette TIFF missing ColorMap")
+        for i, v in enumerate(raw[:w * h]):
+            # ColorMap is 16-bit per channel, R plane then G then B
+            out[i * 3] = cmap[v] >> 8
+            out[i * 3 + 1] = cmap[256 + v] >> 8
+            out[i * 3 + 2] = cmap[512 + v] >> 8
+    else:
+        raise ValueError(
+            f"unsupported TIFF photometric {photo} / {spp} samples")
+    return w, h, bytes(out)
+
+
+def _encode_tiff(w: int, h: int, rgb: bytes, compression: int = 1,
+                 big_endian: bool = False,
+                 rows_per_strip: int | None = None) -> bytes:
+    """Minimal stdlib TIFF encoder (8-bit RGB, strip layout, Compression
+    1 or 32773/PackBits) in either byte order — the round-trip partner
+    for tests and fixture minting."""
+    import struct
+
+    end = ">" if big_endian else "<"
+    stride = w * 3
+    if len(rgb) != h * stride:
+        raise ValueError("rgb length does not match dimensions")
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        chunk = rgb[y0 * stride:(y0 + min(rps, h - y0)) * stride]
+        if compression == 32773:
+            # naive PackBits: literal runs of <=128 bytes
+            enc = bytearray()
+            for i in range(0, len(chunk), 128):
+                lit = chunk[i:i + 128]
+                enc.append(len(lit) - 1)
+                enc += lit
+            strips.append(bytes(enc))
+        elif compression == 1:
+            strips.append(chunk)
+        else:
+            raise ValueError("encoder supports compression 1/32773 only")
+    n = len(strips)
+
+    entries = []                             # (tag, type, count, value(s))
+    def tag(t, typ, vals):
+        entries.append((t, typ, vals))
+
+    tag(256, 4, [w])
+    tag(257, 4, [h])
+    tag(258, 3, [8, 8, 8])
+    tag(259, 3, [compression])
+    tag(262, 3, [2])
+    tag(277, 3, [3])
+    tag(278, 4, [rps])
+    # offsets/counts filled after layout
+    header = 8
+    ifd_size = 2 + 12 * (len(entries) + 2) + 4
+    extra = bytearray()
+    extra_base = header + ifd_size
+
+    def materialize(typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        size = {3: 2, 4: 4}[typ] * len(vals)
+        data = struct.pack(end + str(len(vals)) + fmt, *vals)
+        if size <= 4:
+            return data + b"\x00" * (4 - size)
+        off = extra_base + len(extra)
+        extra.extend(data)
+        return struct.pack(end + "I", off)
+
+    # strip data lands after the extra values; compute offsets in two
+    # passes (extra grows as we materialize out-of-line values)
+    pre = []
+    for t, typ, vals in entries:
+        pre.append((t, typ, len(vals), materialize(typ, vals)))
+    counts = [len(s) for s in strips]
+    off_field = materialize(4, [0] * n)      # placeholder
+    cnt_field = materialize(4, counts)
+    data_base = extra_base + len(extra)
+    offs = []
+    acc = data_base
+    for c in counts:
+        offs.append(acc)
+        acc += c
+    off_data = struct.pack(end + str(n) + "I", *offs)
+    if n * 4 <= 4:
+        off_field = off_data + b"\x00" * (4 - n * 4)
+    else:
+        (ptr,) = struct.unpack(end + "I", off_field)
+        extra[ptr - extra_base:ptr - extra_base + n * 4] = off_data
+    pre.append((273, 4, n, off_field))
+    pre.append((279, 4, n, cnt_field))
+    pre.sort(key=lambda e: e[0])
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(end + "HI", 42, 8)
+    out += struct.pack(end + "H", len(pre))
+    for t, typ, cnt, field in pre:
+        out += struct.pack(end + "HHI", t, typ, cnt) + field
+    out += struct.pack(end + "I", 0)         # no next IFD
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 def _decode_image_stdlib(b: bytes):
     """Format dispatch for the stdlib-only image decoders — the same
     role Y4M plays for video and ``wave`` for audio: real,
@@ -1123,7 +1401,8 @@ def _decode_image_stdlib(b: bytes):
     24-bit BMP are raw byte math; PNG rides stdlib ``zlib`` (inflate +
     unfilter + de-interlace); GIF is pure-Python LZW; baseline JPEG is
     a pure-Python Huffman + IDCT pipeline (``operators.jpegcodec``;
-    progressive JPEG raises and quarantines). Nothing image-shaped is
+    progressive JPEG raises and quarantines); TIFF covers strip-layout
+    uncompressed / PackBits / TIFF-LZW. Nothing image-shaped is
     Pillow-gated anymore."""
     if b.startswith(b"P6"):
         return _decode_ppm(b)
@@ -1137,9 +1416,12 @@ def _decode_image_stdlib(b: bytes):
         from cdc_data_pipeline_spark.operators.jpegcodec import decode_jpeg
 
         return decode_jpeg(b)
+    if b[:2] in (b"II", b"MM") and len(b) >= 4 \
+            and b[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+        return _decode_tiff(b)
     raise ValueError(
         "not a stdlib-decodable image (PPM P6 / 24-bit BMP / PNG / GIF "
-        "/ baseline JPEG)")
+        "/ baseline JPEG / TIFF)")
 
 
 def _bilinear_gray(gray, w: int, h: int, tw: int, th: int):

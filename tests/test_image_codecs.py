@@ -331,6 +331,9 @@ class TestCrossFormatInvariance:
         return rows
 
     def _payloads(self, doc_id: int, h: int):
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            _encode_tiff)
+
         rows = self._pixels(doc_id, h)
         rgb = b"".join(bytes([v, v, v]) for row in rows for v in row)
         idx = bytes(v for row in rows for v in row)
@@ -341,6 +344,9 @@ class TestCrossFormatInvariance:
             "gif": _encode_gif(4, h, idx, _GRAY_PAL),
             "gif_interlaced": _encode_gif(4, h, idx, _GRAY_PAL,
                                           interlace=True),
+            "tiff": _encode_tiff(4, h, rgb, compression=32773,
+                                 rows_per_strip=3),
+            "tiff_be": _encode_tiff(4, h, rgb, big_endian=True),
         }
 
     def test_features_identical_across_formats(self, spark):
@@ -399,3 +405,182 @@ class TestCrossFormatInvariance:
         assert all(r.decode_error is None for r in feats)
         keys = {(r.mean_gray, tuple(r.band_means), r.ahash) for r in feats}
         assert len(keys) == 1
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Test-side TIFF LZW writer (MSB-first, EarlyChange): the encoder
+    runs one table entry AHEAD of the decoder, so it widens at
+    next == 2**w where the decoder widens at next == 2**w - 1."""
+    CLEAR, EOI = 256, 257
+    table = {bytes([i]): i for i in range(256)}
+    nxt, width = 258, 9
+    out = bytearray()
+    buf = cnt = 0
+
+    def emit(code, w):
+        nonlocal buf, cnt
+        buf = (buf << w) | code
+        cnt += w
+        while cnt >= 8:
+            out.append((buf >> (cnt - 8)) & 0xFF)
+            cnt -= 8
+        buf &= (1 << cnt) - 1
+
+    emit(CLEAR, width)
+    cur = b""
+    for v in data:
+        nx = cur + bytes([v])
+        if nx in table:
+            cur = nx
+            continue
+        emit(table[cur], width)
+        table[nx] = nxt
+        nxt += 1
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        if nxt == 4094:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt, width = 258, 9
+        cur = bytes([v])
+    if cur:
+        emit(table[cur], width)
+    emit(EOI, width)
+    if cnt:
+        out.append((buf << (8 - cnt)) & 0xFF)
+    return bytes(out)
+
+
+def _mk_tiff(w, h, photo, spp, raw, extra_tags=(), comp=1,
+             predictor=1):
+    """Hand-built little-endian TIFF, independent of _encode_tiff (so
+    conjugate encoder/decoder bugs cannot cancel). Any photometric /
+    sample count / compression; raw is pre-compressed for comp != 1."""
+    end = "<"
+    entries = [(256, 4, [w]), (257, 4, [h]), (258, 3, [8] * spp),
+               (259, 3, [comp]), (262, 3, [photo]), (277, 3, [spp]),
+               (278, 4, [h]), (273, 4, [None]), (279, 4, [len(raw)])]
+    if predictor != 1:
+        entries.append((317, 3, [predictor]))
+    entries.extend(extra_tags)
+    entries.sort(key=lambda e: e[0])
+    n = len(entries)
+    extra = bytearray()
+    base = 8 + 2 + 12 * n + 4
+    fields = []
+    for t, typ, vals in entries:
+        if vals == [None]:
+            fields.append((t, typ, 1, None))
+            continue
+        fmt = {3: "H", 4: "I"}[typ]
+        size = {3: 2, 4: 4}[typ] * len(vals)
+        d = struct.pack(end + str(len(vals)) + fmt, *vals)
+        if size <= 4:
+            fields.append((t, typ, len(vals), d + b"\x00" * (4 - size)))
+        else:
+            off = base + len(extra)
+            extra.extend(d)
+            fields.append((t, typ, len(vals), struct.pack(end + "I", off)))
+    data_off = base + len(extra)
+    out = bytearray(b"II" + struct.pack(end + "HI", 42, 8)
+                    + struct.pack(end + "H", n))
+    for t, typ, cnt, f in fields:
+        if f is None:
+            f = struct.pack(end + "I", data_off)
+        out += struct.pack(end + "HHI", t, typ, cnt) + f
+    out += struct.pack(end + "I", 0) + extra + raw
+    return bytes(out)
+
+
+class TestTiff:
+    def test_rgb_round_trips_all_modes(self):
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            _decode_image_stdlib, _decode_tiff, _encode_tiff)
+
+        rng = random.Random(21)
+        for (w, h) in [(1, 1), (4, 9), (7, 3), (16, 16), (13, 5)]:
+            rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+            for be in (False, True):
+                for comp in (1, 32773):
+                    for rps in (None, 2):
+                        t = _encode_tiff(w, h, rgb, compression=comp,
+                                         big_endian=be,
+                                         rows_per_strip=rps)
+                        assert _decode_tiff(t) == (w, h, rgb), \
+                            (w, h, be, comp, rps)
+                        assert _decode_image_stdlib(t) == (w, h, rgb)
+
+    def test_packbits_spec_vector(self):
+        """The worked example from TIFF 6.0 §9."""
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            _packbits_decode)
+
+        enc = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA,
+                     0x03, 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA])
+        want = bytes([0xAA] * 3 + [0x80, 0x00, 0x2A] + [0xAA] * 4
+                     + [0x80, 0x00, 0x2A, 0x22] + [0xAA] * 10)
+        assert _packbits_decode(enc, len(want)) == want
+
+    def test_photometrics_hand_built(self):
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            _decode_tiff)
+
+        rng = random.Random(8)
+        w, h = 5, 4
+        g = bytes(rng.randrange(256) for _ in range(w * h))
+        assert _decode_tiff(_mk_tiff(w, h, 1, 1, g))[2] \
+            == b"".join(bytes([v] * 3) for v in g)
+        # WhiteIsZero inverts
+        assert _decode_tiff(_mk_tiff(w, h, 0, 1, g))[2] \
+            == b"".join(bytes([255 - v] * 3) for v in g)
+        rgba = bytes(rng.randrange(256) for _ in range(w * h * 4))
+        assert _decode_tiff(_mk_tiff(w, h, 2, 4, rgba))[2] \
+            == b"".join(rgba[i * 4:i * 4 + 3] for i in range(w * h))
+        cmap = [rng.randrange(65536) for _ in range(768)]
+        idx = bytes(rng.randrange(256) for _ in range(w * h))
+        want = b"".join(bytes([cmap[v] >> 8, cmap[256 + v] >> 8,
+                               cmap[512 + v] >> 8]) for v in idx)
+        assert _decode_tiff(
+            _mk_tiff(w, h, 3, 1, idx,
+                     extra_tags=[(320, 3, cmap)]))[2] == want
+
+    def test_lzw_round_trip_and_predictor(self):
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            _decode_tiff, _tiff_lzw_decode)
+
+        rng = random.Random(5)
+        for data in [bytes((i * 7 + i * i) % 256 for i in range(5000)),
+                     bytes(rng.randrange(256) for _ in range(9000)),
+                     b"\x00" * 4, b"abcabcabc" * 500]:
+            assert _tiff_lzw_decode(_tiff_lzw_encode(data),
+                                    len(data)) == data
+        w, h = 9, 7
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        assert _decode_tiff(_mk_tiff(
+            w, h, 2, 3, _tiff_lzw_encode(rgb), comp=5)) == (w, h, rgb)
+        # predictor 2: horizontal differencing before compression
+        stride = w * 3
+        diff = bytearray(rgb)
+        for row in range(h):
+            base = row * stride
+            for i in range(stride - 1, 2, -1):
+                diff[base + i] = (diff[base + i]
+                                  - diff[base + i - 3]) & 0xFF
+        assert _decode_tiff(_mk_tiff(
+            w, h, 2, 3, _tiff_lzw_encode(bytes(diff)), comp=5,
+            predictor=2)) == (w, h, rgb)
+
+    def test_corrupt_and_unsupported_raise(self):
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            _decode_tiff, _encode_tiff)
+
+        good = _encode_tiff(4, 4, bytes(48))
+        for payload in (b"II\x2b\x00", b"nope", good[:20],
+                        good[:-10]):
+            with pytest.raises(ValueError):
+                _decode_tiff(payload)
+        with pytest.raises(ValueError, match="compression"):
+            _decode_tiff(_mk_tiff(2, 2, 2, 3, bytes(12), comp=6))
+        with pytest.raises(ValueError, match="tiled"):
+            _decode_tiff(_mk_tiff(2, 2, 2, 3, bytes(12),
+                                  extra_tags=[(322, 4, [16])]))
