@@ -237,6 +237,15 @@ def _assert_converged(spark, root: str, golden: dict, label: str):
                             F.count(F.lit(1)).alias("delta_count"))
         .collect())
     assert recomputed == golden["mart"], f"{label}: mart != recompute"
+    # the independent auditor agrees: after crash + recovery + replay,
+    # a structural fsck of both tables reports NO errors (leftover
+    # healable debris may warn; an error here means recovery left a
+    # state the protocol itself calls corrupt)
+    from cdc_data_pipeline_spark.operators.incremental import fsck_table
+
+    for t in (f"{root}/tbl", f"{root}/dim"):
+        rep_fsck = fsck_table(spark, t)
+        assert rep_fsck["ok"], f"{label}: fsck {t}: {rep_fsck['findings']}"
 
 
 def test_crash_sweep_every_protocol_mutation(spark, tmp_path, injector):

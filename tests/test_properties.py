@@ -511,5 +511,15 @@ def test_feed_family_invariants_any_op_sequence(spark, batches):
             sums[k % 2][0] += v
             sums[k % 2][1] += 1
         assert mart == {(g, s, c) for g, (s, c) in sums.items()}
+
+        # fifth consumer: the independent structural + deep auditor —
+        # every state the protocol can legitimately reach must fsck
+        # clean (table bucketed where keys hash, feed replay == table,
+        # dense commits, coherent pointer)
+        from cdc_data_pipeline_spark.operators.incremental import (
+            fsck_table)
+
+        audit = fsck_table(spark, path, deep=True)
+        assert audit["ok"] and audit["warnings"] == 0, audit["findings"]
     finally:
         shutil.rmtree(root, ignore_errors=True)
