@@ -235,6 +235,104 @@ def _parse_riff_wav(b: bytes):
     return nch, rate, samples
 
 
+def _decode_au(b: bytes):
+    """Sun AU (.snd) decode: big-endian 24-byte-minimum header (magic,
+    data offset, data size, encoding, sample rate, channels) followed
+    by samples. Encodings: 1 G.711 mu-law, 2 signed 8-bit PCM, 3/4/5
+    signed 16/24/32-bit big-endian PCM, 6/7 IEEE float/double
+    big-endian, 27 G.711 A-law."""
+    import struct
+
+    if len(b) < 24 or b[:4] != b".snd":
+        raise ValueError("not a Sun AU (.snd) stream")
+    off, size, enc, rate, nch = struct.unpack_from(">IIIII", b, 4)
+    if off < 24 or off > len(b) or nch < 1 or rate <= 0:
+        raise ValueError("invalid AU header")
+    data = b[off:off + size] if size != 0xFFFFFFFF else b[off:]
+    if enc == 1:
+        samples = [_mulaw_decode_byte(c) for c in data]
+    elif enc == 27:
+        samples = [_alaw_decode_byte(c) for c in data]
+    elif enc == 2:
+        samples = [c - 256 if c >= 128 else c for c in data]
+    elif enc in (3, 4, 5):
+        width = {3: 2, 4: 3, 5: 4}[enc]
+        samples = []
+        for i in range(0, len(data) - width + 1, width):
+            v = int.from_bytes(data[i:i + width], "big", signed=True)
+            samples.append(v)
+    elif enc in (6, 7):
+        fmt, width = (">f", 4) if enc == 6 else (">d", 8)
+        n = len(data) // width
+        samples = list(struct.unpack(f">{n}{fmt[-1]}",
+                                     data[:n * width]))
+    else:
+        raise ValueError(f"unsupported AU encoding {enc}")
+    return nch, rate, samples
+
+
+def _decode_aiff(b: bytes):
+    """AIFF decode by manual IFF chunk walk (the stdlib ``aifc``
+    module is deprecated/removed post-3.12): big-endian FORM/AIFF,
+    COMM (channels, frames, bits, 80-bit extended-float sample rate),
+    SSND (offset/blocksize header then big-endian signed PCM,
+    8/16/24/32-bit). AIFC is accepted when its compression type is
+    ``NONE`` (raw big-endian PCM); actual codecs raise."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"FORM" \
+            or b[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF stream")
+    is_aifc = b[8:12] == b"AIFC"
+    pos = 12
+    comm = ssnd = None
+    while pos + 8 <= len(b):
+        cid, ln = b[pos:pos + 4], struct.unpack_from(">I", b, pos + 4)[0]
+        body = b[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)             # chunks are word-aligned
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+    if comm is None or len(comm) < 18 or ssnd is None or len(ssnd) < 8:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    if is_aifc:
+        ctype = comm[18:22] if len(comm) >= 22 else b""
+        if ctype != b"NONE":
+            raise ValueError(
+                f"unsupported AIFC compression {ctype!r}")
+    nch, _frames, bits = struct.unpack_from(">HIH", comm, 0)
+    # 80-bit IEEE 754 extended float: 1 sign + 15 exponent bits, then
+    # an explicit-leading-bit 64-bit mantissa
+    exp = struct.unpack_from(">H", comm, 8)[0]
+    mant = int.from_bytes(comm[10:18], "big")
+    if exp == 0 and mant == 0:
+        raise ValueError("AIFF zero sample rate")
+    rate = int(round(mant * 2.0 ** ((exp & 0x7FFF) - 16383 - 63)))
+    if nch < 1 or rate <= 0 or bits not in (8, 16, 24, 32):
+        raise ValueError(f"unsupported AIFF layout ({nch}ch/{bits}bit)")
+    data_off = struct.unpack_from(">I", ssnd, 0)[0]
+    data = ssnd[8 + data_off:]
+    width = bits // 8
+    samples = []
+    for i in range(0, len(data) - width + 1, width):
+        samples.append(int.from_bytes(data[i:i + width], "big",
+                                      signed=True))
+    return nch, rate, samples
+
+
+def _decode_audio(b: bytes):
+    """Container dispatch for the stdlib-only audio decoders — the
+    audio twin of ``_decode_image_stdlib``: RIFF/WAVE (stdlib ``wave``
+    + manual fallback), Sun AU, and AIFF all decode dependency-free.
+    Perceptual codecs (MP3/AAC/Opus) raise and quarantine."""
+    if b[:4] == b".snd":
+        return _decode_au(b)
+    if b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+        return _decode_aiff(b)
+    return _decode_wav_pcm(b)
+
+
 def _decode_wav_pcm(b: bytes):
     """(n_channels, sample_rate, interleaved numeric samples) from a
     WAV container. Integer PCM rides the stdlib ``wave`` module
@@ -306,7 +404,7 @@ def extract_audio_features(media: DataFrame,
         import math
 
         def decode(b: bytes):
-            nch, rate, samples = _decode_wav_pcm(b)
+            nch, rate, samples = _decode_audio(b)
             nf = len(samples) // max(nch, 1)
             n = len(samples)
             full = math.sqrt(sum(float(s) * s for s in samples) / n) \
@@ -369,7 +467,7 @@ def audio_spectral_features(media: DataFrame, n_bins: int = 8) -> DataFrame:
         import numpy as np
 
         def decode(b: bytes):
-            nch, rate, samples = _decode_wav_pcm(b)
+            nch, rate, samples = _decode_audio(b)
             x = np.asarray(samples, dtype=np.float64)
             if nch > 1:
                 x = x[: len(x) // nch * nch].reshape(-1, nch).mean(axis=1)
@@ -602,41 +700,64 @@ def sample_video_frames(media: DataFrame, stride: int = 2,
     return media.mapInPandas(sample, schema=VIDEO_FRAME_SCHEMA)
 
 
-def _decode_ppm(b: bytes):
-    """Parse a binary P6 PPM (netpbm RGB) with stdlib-only byte math:
-    returns (width, height, flat top-down RGB bytes). The header is
-    ASCII tokens (``P6 <w> <h> <maxval>``) with ``#`` comments and any
-    whitespace; only 8-bit maxval is supported (the overwhelmingly
-    common case — ffmpeg/ImageMagick default). Raises on anything
-    else; callers quarantine."""
-    if not b.startswith(b"P6"):
-        raise ValueError("not a binary PPM (P6) image")
-    toks, pos = [], 2
+def _parse_pnm_header(b: bytes, magic: bytes):
+    """Shared netpbm header parse (``P5``/``P6``): ASCII tokens
+    ``<w> <h> <maxval>`` with ``#`` comments and any whitespace;
+    returns (w, h, pixel-data offset). Only 8-bit maxval is supported
+    (the overwhelmingly common case — ffmpeg/ImageMagick default)."""
+    toks, pos = [], len(magic)
     while len(toks) < 3:
         while pos < len(b) and b[pos:pos + 1].isspace():
             pos += 1
         if pos < len(b) and b[pos:pos + 1] == b"#":
             nl = b.find(b"\n", pos)
             if nl < 0:
-                raise ValueError("unterminated PPM comment")
+                raise ValueError("unterminated PNM comment")
             pos = nl + 1
             continue
         start = pos
         while pos < len(b) and not b[pos:pos + 1].isspace():
             pos += 1
         if start == pos:
-            raise ValueError("truncated PPM header")
+            raise ValueError("truncated PNM header")
         toks.append(b[start:pos])
     pos += 1                       # single whitespace after maxval
     w, h, maxval = (int(t) for t in toks)
     if w <= 0 or h <= 0:
-        raise ValueError("invalid PPM dimensions")
+        raise ValueError("invalid PNM dimensions")
     if maxval != 255:
-        raise ValueError(f"unsupported PPM maxval {maxval}")
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    return w, h, pos
+
+
+def _decode_ppm(b: bytes):
+    """Parse a binary P6 PPM (netpbm RGB) with stdlib-only byte math:
+    returns (width, height, flat top-down RGB bytes). Raises on
+    anything else; callers quarantine."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) image")
+    w, h, pos = _parse_pnm_header(b, b"P6")
     need = w * h * 3
     if len(b) - pos < need:
         raise ValueError("truncated PPM pixel data")
     return w, h, b[pos:pos + need]
+
+
+def _decode_pgm(b: bytes):
+    """Parse a binary P5 PGM (netpbm grayscale): same header grammar
+    as P6, one byte per pixel, replicated to RGB on return."""
+    if not b.startswith(b"P5"):
+        raise ValueError("not a binary PGM (P5) image")
+    w, h, pos = _parse_pnm_header(b, b"P5")
+    need = w * h
+    if len(b) - pos < need:
+        raise ValueError("truncated PGM pixel data")
+    out = bytearray(need * 3)
+    gray = b[pos:pos + need]
+    out[0::3] = gray
+    out[1::3] = gray
+    out[2::3] = gray
+    return w, h, bytes(out)
 
 
 def _encode_ppm(w: int, h: int, rgb: bytes) -> bytes:
@@ -1406,6 +1527,8 @@ def _decode_image_stdlib(b: bytes):
     Pillow-gated anymore."""
     if b.startswith(b"P6"):
         return _decode_ppm(b)
+    if b.startswith(b"P5"):
+        return _decode_pgm(b)
     if b.startswith(b"BM"):
         return _decode_bmp(b)
     if b.startswith(_PNG_SIG):

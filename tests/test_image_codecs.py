@@ -339,6 +339,7 @@ class TestCrossFormatInvariance:
         idx = bytes(v for row in rows for v in row)
         return {
             "ppm": b"P6\n4 %d\n255\n" % h + rgb,
+            "pgm": b"P5\n4 %d\n255\n" % h + idx,
             "png": _encode_png(4, h, rgb, row_filter=lambda r: r % 5),
             "png_adam7": _make_png(4, h, 2, rgb, interlace=1),
             "gif": _encode_gif(4, h, idx, _GRAY_PAL),

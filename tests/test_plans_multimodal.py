@@ -890,3 +890,145 @@ class TestWavFormats:
         assert out[1].n_samples == out[2].n_samples == n
         assert out[1].duration_ms == out[2].duration_ms
         assert abs(out[1].rms / out[2].rms - 32768.0) < 0.5
+
+
+class TestAudioContainers:
+    """Sun AU and AIFF decode through the same audio dispatch as WAV —
+    AIFF cross-validated against the stdlib aifc writer (import-gated:
+    removed post-3.12), AU against hand-packed big-endian headers."""
+
+    def test_au_encodings(self):
+        import struct
+
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            _decode_au, _decode_audio, _mulaw_decode_byte)
+
+        def au(enc, data, rate=8000, nch=1):
+            return b".snd" + struct.pack(
+                ">IIIII", 24, len(data), enc, rate, nch) + data
+
+        codes = bytes(range(0, 256, 4))
+        nch, rate, s = _decode_au(au(1, codes))
+        assert (nch, rate) == (1, 8000)
+        assert s == [_mulaw_decode_byte(c) for c in codes]
+        vals = [0, 100, -100, 32767, -32768]
+        assert list(_decode_au(au(3, struct.pack(">5h", *vals)))[2]) \
+            == vals
+        fl = [0.0, 0.5, -1.0]
+        assert [round(x, 4) for x in
+                _decode_au(au(6, struct.pack(">3f", *fl)))[2]] == fl
+        v24 = [0, 8388607, -8388608, 1234]
+        assert list(_decode_au(au(
+            4, b"".join(v.to_bytes(3, "big", signed=True)
+                        for v in v24)))[2]) == v24
+        # signed 8-bit
+        assert list(_decode_au(au(2, bytes([0, 127, 128, 255])))[2]) \
+            == [0, 127, -128, -1]
+        # dispatch + quarantine
+        assert _decode_audio(au(1, codes))[0] == 1
+        import pytest as _pytest
+
+        for p in (au(99, b"\x00"), b".snd" + b"\x00" * 10):
+            with _pytest.raises(ValueError):
+                _decode_audio(p)
+
+    def test_aiff_matches_stdlib_writer(self):
+        import io
+        import math
+        import struct
+
+        import pytest as _pytest
+
+        aifc = _pytest.importorskip("aifc")
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            _decode_aiff, _decode_audio)
+
+        class KeepOpen(io.BytesIO):
+            def close(self):
+                pass
+
+        ints = [int(10000 * math.sin(i / 10)) for i in range(200)]
+        for force_aiff in (True, False):     # AIFF and AIFC/NONE
+            buf = KeepOpen()
+            w = aifc.open(buf, "wb")
+            if force_aiff:
+                w.aiff()
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(44100)
+            w.writeframes(struct.pack(">200h", *ints))
+            w.close()
+            nch, rate, s = _decode_aiff(buf.getvalue())
+            assert (nch, rate) == (2, 44100) and list(s) == ints
+            assert _decode_audio(buf.getvalue())[:2] == (2, 44100)
+        for width, vals in ((1, [0, 127, -128, 5]),
+                            (3, [0, 8388607, -8388608, 99])):
+            buf = KeepOpen()
+            w = aifc.open(buf, "wb")
+            w.aiff()
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            w.writeframes(b"".join(
+                v.to_bytes(width, "big", signed=True) for v in vals))
+            w.close()
+            assert list(_decode_aiff(buf.getvalue())[2]) == vals
+
+    def test_aiff_hand_built_80bit_rate(self):
+        """Writer-independent pin on the 80-bit extended-float sample
+        rate parse: hand-pack 48000 = 1.46484375 * 2**15 and a
+        non-power-of-two 44100."""
+        import struct
+
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            _decode_aiff)
+
+        def ext80(rate):
+            # normalize rate into mantissa * 2**(exp-16383-63)
+            e = 16383 + 63
+            m = rate
+            while m < (1 << 63):
+                m <<= 1
+                e -= 1
+            return struct.pack(">H", e) + m.to_bytes(8, "big")
+
+        for rate in (48000, 44100, 8000):
+            comm = struct.pack(">HIH", 1, 2, 16) + ext80(rate)
+            ssnd = struct.pack(">II", 0, 0) + struct.pack(">2h", 7, -7)
+            body = (b"COMM" + struct.pack(">I", len(comm)) + comm
+                    + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+            payload = b"FORM" + struct.pack(">I", 4 + len(body)) \
+                + b"AIFF" + body
+            nch, got_rate, s = _decode_aiff(payload)
+            assert (nch, got_rate, list(s)) == (1, rate, [7, -7])
+
+    def test_au_features_on_spark(self, spark):
+        """An AU mu-law payload and the 16-bit PCM WAV of the SAME
+        expanded waveform featurize identically (G.711 expansion
+        produces exact integers, so RMS matches exactly)."""
+        import io
+        import struct
+        import wave as wave_mod
+
+        from cdc_data_pipeline_spark.operators.multimodal import (
+            _mulaw_decode_byte, extract_audio_features)
+
+        codes = bytes((i * 37) % 256 for i in range(400))
+        expanded = [_mulaw_decode_byte(c) for c in codes]
+        au = b".snd" + struct.pack(">IIIII", 24, len(codes), 1,
+                                   8000, 1) + codes
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(struct.pack(f"<{len(expanded)}h", *expanded))
+        media = spark.createDataFrame(
+            [(1, au), (2, buf.getvalue())],
+            "media_id long, payload binary")
+        out = {r.media_id: r for r in
+               extract_audio_features(media).collect()}
+        assert out[1].decode_error is None and out[2].decode_error is None
+        assert out[1].rms == out[2].rms
+        assert out[1].band_rms == out[2].band_rms
+        assert out[1].duration_ms == out[2].duration_ms
