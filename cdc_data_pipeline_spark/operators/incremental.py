@@ -1741,8 +1741,22 @@ def fsck_table(spark: SparkSession, target_path: str,
                     "prunes a prefix, so a hole means out-of-band "
                     "deletion; every feed consumer past the hole "
                     "diverges")
-            anchors = sorted(int(n.split("-", 1)[1]) for n in names
-                             if n.startswith(ANCHOR_PREFIX))
+            anchors = []
+            for n in names:
+                if not n.startswith(ANCHOR_PREFIX):
+                    continue
+                suffix = n.split("-", 1)[1]
+                if suffix.isdigit():
+                    anchors.append(int(suffix))
+                else:
+                    # same guard discipline as commit names: a
+                    # malformed anchor is a FINDING, never a crash of
+                    # the auditor itself (ADVICE r9)
+                    add("error", "anchor_name",
+                        f"malformed anchor dir {n!r} — non-numeric "
+                        "seq suffix; out-of-band write or truncated "
+                        "rename")
+            anchors.sort()
             if uniq[0] > 0 and not any(a >= uniq[0] - 1 for a in anchors):
                 add("warn", "vacuum_uncovered",
                     f"commits below seq {uniq[0]} were vacuumed with no "
@@ -1750,13 +1764,29 @@ def fsck_table(spark: SparkSession, target_path: str,
                     "below that seq are permanently unavailable "
                     "(vacuum_changes(anchor_first=True), the default, "
                     "prevents this)")
-            ptr = _read_latest_ptr(spark, target_path)
+            # the pointer is untrusted input to the auditor: a torn
+            # or tampered _latest must become a finding, not a crash
+            # (fsck_index already treats its manifest this way;
+            # ADVICE r9 closed the asymmetry)
+            ptr = None
+            ptr_corrupt = False
+            try:
+                ptr = _read_latest_ptr(spark, target_path)
+                pseq = int(ptr["seq"]) if ptr is not None else None
+                if ptr is not None:
+                    _ = ptr["digest"]
+            except Exception as exc:
+                add("error", "latest_ptr_corrupt",
+                    f"_latest pointer unreadable ({type(exc).__name__}: "
+                    f"{exc}) — torn write or out-of-band edit; the "
+                    "next merge republishes it from the newest commit")
+                ptr, ptr_corrupt = None, True
             if ptr is None:
-                add("info", "latest_ptr",
-                    "no _latest pointer (legacy feed) — the next merge "
-                    "publishes one")
+                if not ptr_corrupt:
+                    add("info", "latest_ptr",
+                        "no _latest pointer (legacy feed) — the next "
+                        "merge publishes one")
             else:
-                pseq = int(ptr["seq"])
                 if pseq < uniq[-1]:
                     add("warn", "latest_ptr_stale",
                         f"_latest points at seq {pseq}, newest commit is "

@@ -35,6 +35,12 @@ from __future__ import annotations
 import math
 import struct
 
+# Decompression-bomb guard (ADVICE r9): SOF-claimed dimensions are
+# checked against this before any pixel buffer is allocated, so a
+# tiny payload claiming 65535x65535 quarantines cleanly instead of
+# OOM-killing an executor. Mirrors multimodal.MAX_IMAGE_PIXELS.
+MAX_PIXELS = 64_000_000
+
 
 def _build_zigzag():
     """Zigzag scan order via the diagonal walk (T.81 fig. 5): entry k
@@ -370,6 +376,10 @@ def decode_jpeg(b: bytes):
                 raise ValueError(f"unsupported JPEG precision {prec}")
             if fw <= 0 or fh <= 0:
                 raise ValueError("invalid JPEG dimensions")
+            if fw * fh > MAX_PIXELS:
+                raise ValueError(
+                    f"JPEG dimensions {fw}x{fh} exceed MAX_PIXELS="
+                    f"{MAX_PIXELS} — decompression-bomb guard")
             w, h = fw, fh
             comps = []
             for i in range(nc):

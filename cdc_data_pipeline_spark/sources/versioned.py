@@ -16,8 +16,18 @@ readers — nothing references it), then `os.replace` the pointer.
 Readers resolve the pointer first, then read ONLY that directory —
 they see the old or the new version in full, never a mix, with zero
 reader downtime and no lock. A crash mid-publish leaves an orphan
-directory that the next `vacuum` removes; the pointer never references
-partial data.
+directory ABOVE the pointer: invisible to readers, inventoried by
+``fsck_versioned`` and reclaimable with
+``vacuum_versions(sweep_unpublished=True)`` once the operator
+confirms no concurrent publisher is mid-flight (the default vacuum
+deliberately never touches dirs newer than the pointer — they are
+indistinguishable from a competitor's in-flight publish). The pointer
+never references partial data, and a crashed step REPLAYED (the same
+at-least-once redelivery contract the bucketed tables honor)
+converges to the same pointer-resolved content; version NUMBERS are
+append-only audit, not part of the consumer contract — a replayed
+publish mints a new version exactly like a dbt re-run mints a new
+run (``tests/test_crash_versioned.py`` sweeps every FS mutation).
 
 At 100 TB: the pointer swap is O(1) metadata whatever the table size;
 on an object store, the pointer publish is one small-object PUT

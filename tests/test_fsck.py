@@ -190,6 +190,44 @@ class TestFeedInvariants:
         ptr.write_text(json.dumps(good))
         assert fsck_table(spark, tgt)["ok"]
 
+    def test_corrupt_latest_ptr_is_finding_not_crash(self, spark,
+                                                     tmp_path):
+        """ADVICE r9: a torn/unparseable _latest (bad JSON, missing
+        keys, non-int seq) must become an error-severity
+        'latest_ptr_corrupt' finding — the auditor documented as
+        'only REPORTS' must never raise out of it."""
+        tgt = str(tmp_path / "tbl")
+        _seed(spark, tgt)
+        ptr = tmp_path / "tbl" / "_changes" / "_latest"
+        good = ptr.read_text()
+        for payload in ('{"seq": 1, "digest"',         # torn JSON
+                        '{"digest": "x"}',             # missing seq
+                        '{"seq": 1}',                  # missing digest
+                        '{"seq": "abc", "digest": "x"}',  # non-int seq
+                        ""):                           # zero-length
+            ptr.write_text(payload)
+            rep = fsck_table(spark, tgt)
+            assert "latest_ptr_corrupt" in _checks(rep, "error"), \
+                (payload, rep["findings"])
+            assert not rep["ok"]
+        ptr.write_text(good)
+        assert fsck_table(spark, tgt)["ok"]
+
+    def test_malformed_anchor_name_is_finding_not_crash(self, spark,
+                                                        tmp_path):
+        """ADVICE r9: an anchor dir with a non-numeric seq suffix must
+        be reported as an 'anchor_name' error like malformed commit
+        names are, not crash the auditor with ValueError."""
+        tgt = str(tmp_path / "tbl")
+        _seed(spark, tgt)
+        create_anchor(spark, tgt)
+        bad = tmp_path / "tbl" / "_changes" / "anchor-not_a_number"
+        bad.mkdir()
+        rep = fsck_table(spark, tgt)
+        assert "anchor_name" in _checks(rep, "error"), rep["findings"]
+        shutil.rmtree(bad)
+        assert fsck_table(spark, tgt)["ok"]
+
 
 class TestDeepChecks:
     def test_misbucketed_rows_detected(self, spark, tmp_path):

@@ -585,3 +585,199 @@ class TestTiff:
         with pytest.raises(ValueError, match="tiled"):
             _decode_tiff(_mk_tiff(2, 2, 2, 3, bytes(12),
                                   extra_tags=[(322, 4, [16])]))
+
+
+class TestDecompressionBombGuard:
+    """ADVICE r9: a tiny payload claiming enormous dimensions must
+    raise a clean ValueError BEFORE any pixel buffer is allocated —
+    quarantine, never an executor OOM-kill — and every
+    recognized-but-truncated container must surface as ValueError
+    through the dispatch (struct.error/IndexError normalized)."""
+
+    def test_png_bomb_rejected_fast(self):
+        import time
+
+        bomb = _PNG_SIG + _chunk(
+            b"IHDR",
+            struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0))
+        bomb += _chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        bomb += _chunk(b"IEND", b"")
+        t0 = time.monotonic()
+        with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+            _decode_png(bomb)
+        assert time.monotonic() - t0 < 1.0
+
+    def test_png_overlong_idat_rejected(self):
+        """A stream that inflates PAST the IHDR-implied filtered size
+        is cut off at the bound and rejected (bounded decompressobj),
+        not trusted into a huge buffer."""
+        # an IDAT that inflates to far more than a 2x2 image needs
+        big = zlib.compress(b"\x00" * 100_000)
+        ihdr = _PNG_SIG + _chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        tampered = ihdr + _chunk(b"IDAT", big) + _chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="inflates past"):
+            _decode_png(tampered)
+
+    def test_bmp_gif_tiff_jpeg_bombs_rejected(self):
+        from cdc_data_pipeline_spark.operators import multimodal as mm
+
+        # BMP: 54-byte header claiming 60000x60000x24bpp
+        bmp = bytearray(b"BM" + b"\x00" * 60)
+        struct.pack_into("<I", bmp, 10, 54)
+        struct.pack_into("<ii", bmp, 18, 60000, 60000)
+        struct.pack_into("<H", bmp, 28, 24)
+        struct.pack_into("<I", bmp, 30, 0)
+        with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+            mm._decode_bmp(bytes(bmp))
+        # GIF: image descriptor claiming 65535x65535
+        gif = (b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x80, 0, 0])
+               + bytes(6)                          # 2-entry GCT
+               + b"\x2c" + struct.pack("<HHHH", 0, 0, 65535, 65535)
+               + b"\x00" + b"\x02" + b"\x01\x00" + b"\x00" + b"\x3b")
+        with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+            mm._decode_gif(gif)
+        # PPM header bomb
+        with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+            mm._decode_ppm(b"P6\n65535 65535\n255\n\x00")
+        # JPEG SOF bomb
+        from cdc_data_pipeline_spark.operators.jpegcodec import \
+            decode_jpeg
+        sof = struct.pack(">BHHB", 8, 65535, 65535, 1) + bytes([1, 0x11, 0])
+        jpg = (b"\xFF\xD8" + b"\xFF\xC0"
+               + struct.pack(">H", 2 + len(sof)) + sof + b"\xFF\xD9")
+        with pytest.raises(ValueError, match="MAX_PIXELS"):
+            decode_jpeg(jpg)
+
+    def test_truncated_containers_normalize_to_value_error(self):
+        """ADVICE r9: headers short enough to die inside
+        struct.unpack_from must come out of the DISPATCH as
+        ValueError so quarantine paths and the Pillow fallback keep a
+        single exception contract."""
+        cases = [
+            # PNG whose IHDR data is not 13 bytes
+            _PNG_SIG + _chunk(b"IHDR", b"\x00\x00"),
+            # short TIFF header (dies unpacking the IFD)
+            b"II\x2a\x00\x08",
+            b"MM\x00\x2a\x00\x00\x00",
+            # short JPEG (marker walk runs off the end)
+            b"\xFF\xD8\xFF",
+            b"\xFF\xD8\xFF\xC0\x00",
+            # short BMP that passes the 54-byte gate but lies about
+            # the pixel offset
+            b"BM" + bytes(52),
+            # GIF header alone
+            b"GIF89a\x02",
+        ]
+        for payload in cases:
+            with pytest.raises(ValueError):
+                _decode_image_stdlib(payload)
+
+    def test_guard_is_configurable(self):
+        from cdc_data_pipeline_spark.operators import multimodal as mm
+
+        old = mm.MAX_IMAGE_PIXELS
+        try:
+            mm.MAX_IMAGE_PIXELS = 8
+            with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+                _decode_png(_encode_png(3, 3, bytes(27)))
+            mm.MAX_IMAGE_PIXELS = 9
+            assert _decode_png(_encode_png(3, 3, bytes(27)))[0] == 3
+        finally:
+            mm.MAX_IMAGE_PIXELS = old
+
+
+class TestNativeDecoderDispatch:
+    """VERDICT r9 #2: when a C decoder (Pillow) is installed it wins
+    the dispatch; the stdlib codecs are the everywhere-fallback. The
+    lossless-format agreement must be EXACT (that is what licenses
+    the exact=True fast path inside the oracle-pinned entries)."""
+
+    def test_dispatch_prefers_native_when_flagged(self, monkeypatch):
+        """With a fake native engine installed, decode_image routes to
+        it for non-exact calls and for lossless exact calls, but pins
+        JPEG to the stdlib codec under exact=True."""
+        from cdc_data_pipeline_spark.operators import multimodal as mm
+
+        calls = []
+
+        def fake_native(b):
+            calls.append("native")
+            return 1, 1, b"\x00\x00\x00"
+
+        monkeypatch.setattr(mm, "_decode_image_native", fake_native)
+        monkeypatch.setattr(mm, "PREFER_NATIVE_DECODER", True)
+        png = _encode_png(1, 1, bytes(3))
+        assert mm.decode_image(png) == (1, 1, b"\x00\x00\x00")
+        assert calls == ["native"]
+        # exact + lossless: still native
+        calls.clear()
+        assert mm.decode_image(png, exact=True) == (1, 1, b"\x00\x00\x00")
+        assert calls == ["native"]
+        # exact + JPEG: stdlib codec, native never consulted
+        calls.clear()
+        from cdc_data_pipeline_spark.operators.jpegcodec import \
+            encode_jpeg
+        jpg = encode_jpeg(8, 8, bytes([128] * 192), quality=100)
+        w, h, _rgb = mm.decode_image(jpg, exact=True)
+        assert (w, h) == (8, 8) and calls == []
+
+    def test_native_failure_falls_back_to_stdlib(self, monkeypatch):
+        from cdc_data_pipeline_spark.operators import multimodal as mm
+
+        def broken_native(b):
+            raise ValueError("native says no")
+
+        monkeypatch.setattr(mm, "_decode_image_native", broken_native)
+        monkeypatch.setattr(mm, "PREFER_NATIVE_DECODER", True)
+        png = _encode_png(2, 2, bytes(range(12)))
+        assert mm.decode_image(png) == (2, 2, bytes(range(12)))
+
+    def test_native_absent_falls_back_to_stdlib(self, monkeypatch):
+        from cdc_data_pipeline_spark.operators import multimodal as mm
+
+        def absent_native(b):
+            raise ImportError("no PIL")
+
+        monkeypatch.setattr(mm, "_decode_image_native", absent_native)
+        monkeypatch.setattr(mm, "PREFER_NATIVE_DECODER", True)
+        png = _encode_png(2, 2, bytes(range(12)))
+        assert mm.decode_image(png) == (2, 2, bytes(range(12)))
+        with pytest.raises(ValueError):
+            mm.decode_image(b"not an image at all")
+
+    def test_native_agrees_exactly_on_lossless_formats(self):
+        """Pillow and the stdlib codecs must produce IDENTICAL RGB for
+        lossless formats — the license for exact=True taking the
+        native path. Runs wherever Pillow exists, skips visibly
+        where not."""
+        pytest.importorskip("PIL.Image")
+        import random as _random
+
+        from cdc_data_pipeline_spark.operators import multimodal as mm
+
+        rng = _random.Random(7)
+        w, h = 9, 6
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        payloads = [
+            _encode_png(w, h, rgb),
+            mm._encode_ppm(w, h, rgb),
+            mm._encode_tiff(w, h, rgb),
+            mm._encode_tiff(w, h, rgb, compression=32773),
+        ]
+        # GIF quantizes through a palette; compare gray ramp instead
+        gray = bytes(v for i in range(w * h)
+                     for v in (i * 255 // (w * h),) * 3)
+        payloads.append(_encode_gif(w, h, gray))
+        for payload in payloads:
+            assert mm._decode_image_native(payload) \
+                == mm._decode_image_stdlib(payload)
+
+    def test_native_pixel_guard_applies(self, monkeypatch):
+        """The bomb guard binds the native path too."""
+        pytest.importorskip("PIL.Image")
+        from cdc_data_pipeline_spark.operators import multimodal as mm
+
+        monkeypatch.setattr(mm, "MAX_IMAGE_PIXELS", 4)
+        with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+            mm._decode_image_native(_encode_png(3, 3, bytes(27)))
