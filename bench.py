@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     # r9: the SCD2 version-transition feed replayed into a
     # dbt_scd_id-keyed replica (promoted driver row, r8 verdict #6)
     "scd2_feed_replica",
+    # r10: the partition-pruned point-lookup serve path through a full
+    # build+merge lifecycle (promoted driver row, r9 verdict #3)
+    "lookup_bucketed",
 ]
 
 

@@ -161,6 +161,16 @@ def main(argv=None) -> int:
                            "surfaced. Exit 1 on any error-severity "
                            "finding")
     ifp.add_argument("--path", required=True)
+    vfp = sub.add_parser(
+        "versioned-fsck", help="READ-ONLY invariant audit of a "
+                               "versioned pointer table: pointer "
+                               "parses and resolves, version dirs "
+                               "inventoried, crashed-publish debris "
+                               "surfaced; --deep verifies every "
+                               "surviving version's parquet commit. "
+                               "Exit 1 on any error-severity finding")
+    vfp.add_argument("--path", required=True)
+    vfp.add_argument("--deep", action="store_true")
     trxp = sub.add_parser(
         "table-reconcile", help="repair a change feed bricked by a "
                                 "detected writer race (duplicate "
@@ -449,6 +459,16 @@ def main(argv=None) -> int:
 
         spark = get_spark("cdc-index")
         out = fsck_index(spark, args.path)
+        print(json.dumps(out))
+        return 0 if out["ok"] else 1
+
+    if args.cmd == "versioned-fsck":
+        from cdc_data_pipeline_spark.session import get_spark
+        from cdc_data_pipeline_spark.sources.versioned import \
+            fsck_versioned
+
+        spark = get_spark("cdc-versioned")
+        out = fsck_versioned(spark, args.path, deep=args.deep)
         print(json.dumps(out))
         return 0 if out["ok"] else 1
 

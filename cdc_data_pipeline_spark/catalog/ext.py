@@ -1426,8 +1426,98 @@ w AS (
 SELECT doc_id, unnest(fps) AS fingerprint FROM w
 """
 
-QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
-ORACLES["winnow_fingerprints"] = SQL_WINNOW_FINGERPRINTS
+# winnow_fingerprints rotated to the local-parity tier in round 10
+# (VERDICT r9 #3): its rolling-hash machinery stays pinned under the
+# driver rows dup_spans/text_fingerprint; the freed slot goes to
+# lookup_bucketed — the serving-side partition-pruned point lookup,
+# per the r5 lesson that index/serve breakage must be driver-visible.
+
+
+def q_lookup_bucketed(spark, sf_dir):
+    """Point-lookup SERVE path through a full CDC-table lifecycle
+    (VERDICT r9 #3): build a bucketed table from ``orders``, merge a
+    mixed update/insert/delete batch, then serve a deterministic probe
+    set with ``lookup_bucketed`` — the bucket-pruned read whose scan
+    opens ONLY the probed __kb partitions (PartitionFilters
+    plan-pinned in tests/test_fsck.py) plus a broadcast left-semi on
+    the keys. The oracle recomputes the expected FINAL table state
+    from ``orders`` arithmetic and inner-joins the same probe set —
+    so a lookup that misses an updated row, serves a deleted key, or
+    returns a stale pre-merge version breaks the hash. Probe includes
+    updated, deleted, inserted, untouched and absent keys.
+    Throwaway table, removed after materialization."""
+    import shutil
+    import tempfile
+
+    from cdc_data_pipeline_spark.catalog.core import lifecycle_result
+    from cdc_data_pipeline_spark.operators.incremental import (
+        lookup_bucketed, upsert_bucketed)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate")
+    root = tempfile.mkdtemp(prefix="cdcspark_lookup_")
+    path = root + "/t"
+    try:
+        upsert_bucketed(spark, path, base, ["o_orderkey"],
+                        "o_orderdate", n_buckets=8)
+        k = F.col("o_orderkey")
+        upd = base.filter((k % 7 == 0) & (k % 11 != 0)).select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") + 1.5, 2).alias("o_totalprice"),
+            F.date_add("o_orderdate", 1).alias("o_orderdate"),
+            F.lit(False).alias("is_del"))
+        ins = base.filter(k % 13 == 0).select(
+            (k + 100_000_000).alias("o_orderkey"), "o_totalprice",
+            F.date_add("o_orderdate", 1).alias("o_orderdate"),
+            F.lit(False).alias("is_del"))
+        dels = base.filter(k % 11 == 0).select(
+            "o_orderkey", "o_totalprice",
+            F.date_add("o_orderdate", 1).alias("o_orderdate"),
+            F.lit(True).alias("is_del"))
+        upsert_bucketed(spark, path, upd.unionByName(ins).unionByName(dels),
+                        ["o_orderkey"], "o_orderdate",
+                        delete_col="is_del")
+        probe = (base.filter(k % 5 == 0).select("o_orderkey")
+                 .unionByName(base.filter(k % 13 == 0).select(
+                     (k + 100_000_000).alias("o_orderkey")))
+                 .unionByName(spark.createDataFrame(
+                     [(999_999_999,)], "o_orderkey long")))
+        got = lookup_bucketed(spark, path, probe).select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.col("o_orderdate").alias("od"))
+        return lifecycle_result(got, root)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+SQL_LOOKUP_BUCKETED = """
+WITH final AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+              THEN ROUND(o_totalprice + 1.5, 2)
+              ELSE ROUND(o_totalprice, 2) END AS price,
+         CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+              THEN CAST(o_orderdate + INTERVAL 1 DAY AS DATE)
+              ELSE o_orderdate END AS od
+  FROM orders WHERE o_orderkey % 11 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, ROUND(o_totalprice, 2),
+         CAST(o_orderdate + INTERVAL 1 DAY AS DATE)
+  FROM orders WHERE o_orderkey % 13 = 0),
+probe AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0
+  UNION
+  SELECT o_orderkey + 100000000 FROM orders WHERE o_orderkey % 13 = 0
+  UNION
+  SELECT 999999999)
+SELECT f.o_orderkey, f.price, f.od
+FROM final f JOIN probe p USING (o_orderkey)
+"""
+
+QUERIES["lookup_bucketed"] = q_lookup_bucketed
+ORACLES["lookup_bucketed"] = SQL_LOOKUP_BUCKETED
 
 
 def q_vector_norms(spark, sf_dir):
@@ -2186,3 +2276,12 @@ QUERIES["scd2_feed_replica"] = q_scd2_feed_replica
 ORACLES["scd2_feed_replica"] = _SQL_SCD2_SNAPSHOT
 EXTRA_QUERIES["simhash_pairs"] = QUERIES.pop("simhash_pairs")
 EXTRA_ORACLES["simhash_pairs"] = ORACLES.pop("simhash_pairs")
+
+# Round 10 rotation (VERDICT r9 #3): lookup_bucketed — the partition-
+# pruned point-lookup SERVE path — was registered into the driver cap
+# above; winnow_fingerprints moves to the local tier where its
+# rolling-hash machinery keeps the identical oracle (and stays
+# driver-pinned transitively via dup_spans, whose ExactSubstr spans
+# ride the same hash discipline).
+EXTRA_QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
+EXTRA_ORACLES["winnow_fingerprints"] = SQL_WINNOW_FINGERPRINTS

@@ -83,6 +83,25 @@ _POINTER = "_LATEST"
 _VDIR = re.compile(r"^v=(\d+)$")
 
 
+# ---- protocol FS-mutation seams (bare-local paths). Every mutation
+# the publish protocol performs routes through one of these, so the
+# crash-point fault-injection sweep (tests/test_crash_versioned.py)
+# can arm a kill at EVERY mutation — the same proof discipline the
+# bucketed-table and LSM protocols got in round 9. URI roots take the
+# fsutil seams, which the sweep already intercepts.
+
+def _replace_file(src: str, dst: str) -> None:
+    """Atomic local publish primitive (pointer + run-record commits)."""
+    os.replace(src, dst)
+
+
+def _write_data(df: DataFrame, path: str) -> None:
+    """The version-directory data write. mode=error: an existing dir
+    (a racing publisher's, or our own crashed attempt) is NEVER
+    overwritten — the caller skips to the next free version id."""
+    df.write.mode("error").parquet(path)
+
+
 def _is_uri(path: str) -> bool:
     return "://" in path
 
@@ -149,7 +168,7 @@ def publish_pointer(table_path: str, version: int) -> None:
     tmp = os.path.join(table_path, f".{_POINTER}.tmp")
     with open(tmp, "w") as fh:
         fh.write(str(version))
-    os.replace(tmp, os.path.join(table_path, _POINTER))
+    _replace_file(tmp, os.path.join(table_path, _POINTER))
 
 
 def _vdir(table_path: str, version: int) -> str:
@@ -160,20 +179,54 @@ def _vdir(table_path: str, version: int) -> str:
     return os.path.join(table_path, f"v={version}")
 
 
+def _is_complete(table_path: str, version: int) -> bool:
+    """A version dir is complete when the writer's ``_SUCCESS`` commit
+    marker landed (Spark's output committer writes it last, on every
+    FS). A dir without it is a torn write — a crashed publish."""
+    marker = (f"{_vdir(table_path, version)}/_SUCCESS" if
+              _is_uri(table_path) else
+              os.path.join(table_path, f"v={version}", "_SUCCESS"))
+    if _is_uri(table_path):
+        from cdc_data_pipeline_spark.sources import fsutil
+
+        return fsutil.exists(_active_spark(), marker)
+    return os.path.exists(marker)
+
+
 def publish_version(df: DataFrame, table_path: str) -> int:
     """Write ``df`` as the next version and atomically publish it.
     Returns the new version number. Single-writer per table (see
     module docstring): concurrent publishers can race to the same
-    version id, last pointer wins."""
+    version id, last pointer wins.
+
+    Crash healing (replay convergence): INCOMPLETE dirs above the
+    pointer — no ``_SUCCESS`` marker, i.e. a previous publish of ours
+    crashed mid-data-write — are swept before the version id is
+    chosen, so the replayed publish reclaims the same id instead of
+    stranding torn bytes in the time-travel history. COMPLETE dirs
+    above the pointer are never touched (indistinguishable from a
+    racing competitor's finished-but-unpointed publish or a
+    rolled-back fork); the id skips past them, exactly the behavior
+    the concurrency contract documents. Deletion here is idempotent
+    garbage collection, not a commit point."""
     if _is_uri(table_path):
         from cdc_data_pipeline_spark.sources import fsutil
 
         fsutil.mkdirs(_active_spark(), table_path)
     else:
         os.makedirs(table_path, exist_ok=True)
+    cur = current_version(table_path)
+    for v in list_versions(table_path):
+        if (cur is None or v > cur) and not _is_complete(table_path, v):
+            if _is_uri(table_path):
+                from cdc_data_pipeline_spark.sources import fsutil
+
+                fsutil.delete(_active_spark(), _vdir(table_path, v))
+            else:
+                shutil.rmtree(os.path.join(table_path, f"v={v}"))
     versions = list_versions(table_path)
     new_v = (versions[-1] if versions else 0) + 1
-    df.write.mode("error").parquet(_vdir(table_path, new_v))
+    _write_data(df, _vdir(table_path, new_v))
     publish_pointer(table_path, new_v)
     return new_v
 
@@ -196,17 +249,33 @@ def read_versioned(spark: SparkSession, table_path: str,
     return spark.read.parquet(vdir)
 
 
-def vacuum_versions(table_path: str, keep_last: int = 2) -> list[int]:
+def vacuum_versions(table_path: str, keep_last: int = 2,
+                    sweep_unpublished: bool = False) -> list[int]:
     """Drop all but the newest ``keep_last`` versions — never the
-    published one, and never versions NEWER than the pointer (an
-    in-flight publish's directory is not ours to delete). Returns the
-    versions removed."""
+    published one, and by default never versions NEWER than the
+    pointer (an in-flight publish's directory is not ours to delete:
+    a crashed publish's orphan and a racing competitor's half-written
+    version look identical from the filesystem). Deletions are
+    idempotent garbage collection — a crash mid-vacuum re-runs
+    harmlessly. Returns the versions removed.
+
+    ``sweep_unpublished=True`` is the single-writer reclaim: when the
+    operator KNOWS no concurrent publisher exists (the pipeline-owned
+    table model), dirs above the pointer are crashed-publish debris or
+    a rolled-back dead fork and are deleted too. ``fsck_versioned``
+    inventories them as warnings either way. Stale pointer tmp files
+    (``._LATEST.tmp``, a crash between the tmp write and its atomic
+    replace) are always swept — the fixed name means the next publish
+    overwrites them anyway."""
     cur = current_version(table_path)
     versions = list_versions(table_path)
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
     if cur is not None:
         keep.add(cur)
-        keep.update(v for v in versions if v > cur)
+        if not sweep_unpublished:
+            keep.update(v for v in versions if v > cur)
+        else:
+            keep.difference_update(v for v in versions if v > cur)
     removed = []
     for v in versions:
         if v not in keep:
@@ -217,7 +286,162 @@ def vacuum_versions(table_path: str, keep_last: int = 2) -> list[int]:
             else:
                 shutil.rmtree(os.path.join(table_path, f"v={v}"))
             removed.append(v)
+    tmp_ptr = f".{_POINTER}.tmp"
+    if _is_uri(table_path):
+        from cdc_data_pipeline_spark.sources import fsutil
+
+        fsutil.delete(_active_spark(),
+                      fsutil.path_join(table_path, tmp_ptr))
+    else:
+        try:
+            os.remove(os.path.join(table_path, tmp_ptr))
+        except FileNotFoundError:
+            pass
     return removed
+
+
+def fsck_versioned(spark: SparkSession | None, table_path: str,
+                   deep: bool = False) -> dict:
+    """READ-ONLY invariant audit of a versioned pointer table — the
+    third member of the auditor family (``fsck_table`` for bucketed
+    CDC tables, ``fsck_index`` for the LSM index families). Only
+    REPORTS, never mutates, so it is always safe beside a live
+    publisher; any malformed on-disk state (torn pointer, foreign
+    entries) becomes a finding, never an exception out of the auditor.
+
+    Structural checks (metadata listings, no data scan): the pointer
+    parses and names an existing version dir; version dir names parse;
+    unpublished dirs above the pointer are inventoried (crashed
+    publish / rolled-back fork — reclaim with
+    ``vacuum_versions(sweep_unpublished=True)``); stale pointer tmp
+    files; foreign entries in the table root; versions present with
+    NO pointer at all (readers cannot resolve anything).
+
+    ``deep=True`` additionally opens every surviving version's parquet
+    footers (local roots; a Spark read probe on URI roots): a
+    PUBLISHED version that fails to read is an error — the protocol's
+    core promise ("the pointer never references partial data") would
+    be broken; an unreadable UNPUBLISHED dir is only a warning (it is
+    exactly what a crashed in-flight publish leaves, and nothing
+    references it).
+
+    Returns the same report shape as the sibling auditors:
+    ``{"ok", "errors", "warnings", "deep", "findings": [...]}``."""
+    findings: list[dict] = []
+
+    def add(severity: str, check: str, detail: str) -> None:
+        findings.append({"severity": severity, "check": check,
+                         "detail": detail})
+
+    def report() -> dict:
+        errors = sum(1 for f in findings if f["severity"] == "error")
+        warnings = sum(1 for f in findings if f["severity"] == "warn")
+        return {"path": table_path, "ok": errors == 0,
+                "errors": errors, "warnings": warnings, "deep": deep,
+                "findings": findings}
+
+    uri = _is_uri(table_path)
+    if uri:
+        from cdc_data_pipeline_spark.sources import fsutil
+
+        spark = spark or _active_spark()
+        if not fsutil.exists(spark, table_path):
+            add("error", "table_missing", "path does not exist")
+            return report()
+        names = fsutil.list_names(spark, table_path)
+    else:
+        if not os.path.isdir(table_path):
+            add("error", "table_missing", "path does not exist")
+            return report()
+        names = os.listdir(table_path)
+
+    versions: list[int] = []
+    for name in names:
+        m = _VDIR.match(name)
+        if m:
+            versions.append(int(m.group(1)))
+        elif name == _POINTER or name == _RUNS_DIR:
+            pass
+        elif name == f".{_POINTER}.tmp":
+            add("warn", "pointer_staging",
+                "stale pointer tmp file — crash between the tmp write "
+                "and its atomic replace; the next publish or vacuum "
+                "sweeps it")
+        elif name.startswith("v="):
+            add("error", "version_dir",
+                f"unparseable version dir {name!r} — out-of-band write")
+        elif not name.startswith("."):
+            add("warn", "foreign_entry",
+                f"unexpected entry {name!r} inside the table root")
+    versions.sort()
+
+    # --- pointer
+    cur = None
+    try:
+        cur = current_version(table_path)
+    except Exception as exc:   # current_version already tolerates most
+        add("error", "pointer_corrupt",
+            f"_LATEST unreadable ({type(exc).__name__}: {exc})")
+    ptr_exists = _POINTER in names
+    if ptr_exists and cur is None and not any(
+            f["check"] == "pointer_corrupt" for f in findings):
+        add("error", "pointer_corrupt",
+            "_LATEST present but does not parse as an integer — torn "
+            "write (HDFS create-overwrite window) or out-of-band edit; "
+            "repair with publish_pointer(path, newest_good_version)")
+    if cur is None:
+        if versions:
+            add("error", "no_pointer",
+                f"{len(versions)} version dir(s) exist but no readable "
+                "_LATEST — readers cannot resolve any version; "
+                "publish_pointer() to the newest verified-complete "
+                "version repairs")
+        else:
+            add("info", "empty", "no versions and no pointer — an "
+                "empty (or never-published) table")
+    else:
+        if cur not in versions:
+            add("error", "pointer_dangling",
+                f"_LATEST names v={cur} but that directory is missing "
+                "— out-of-band deletion of the published version; "
+                "rollback (publish_pointer) to a surviving version")
+        above = [v for v in versions if v > cur]
+        if above:
+            add("warn", "unpublished_versions",
+                f"version dir(s) {above} above the pointer (v={cur}) — "
+                "crashed publish debris or a rolled-back fork; "
+                "invisible to readers; "
+                "vacuum_versions(sweep_unpublished=True) reclaims "
+                "under the single-writer contract")
+
+    # --- deep: every surviving version must be complete/readable
+    if deep and versions:
+        for v in versions:
+            vdir = _vdir(table_path, v)
+            published = cur is not None and v <= cur
+            try:
+                if uri:
+                    # a bare count() is satisfied from footers
+                    spark.read.parquet(vdir).count()
+                else:
+                    if not os.path.exists(
+                            os.path.join(vdir, "_SUCCESS")):
+                        raise ValueError(
+                            "missing _SUCCESS commit marker — "
+                            "uncommitted/partial write")
+                    published_row_count(table_path, v)   # footer probe
+            except Exception as exc:
+                if published:
+                    add("error", "version_unreadable",
+                        f"published v={v} fails to read "
+                        f"({type(exc).__name__}: {exc}) — the pointer "
+                        "references partial data; the publish protocol "
+                        "was bypassed or the store lost objects")
+                else:
+                    add("warn", "orphan_incomplete",
+                        f"unpublished v={v} fails to read — consistent "
+                        "with a crashed in-flight publish; reclaimable")
+    return report()
 
 
 # ------------------------------------------------- run-level manifest
@@ -282,7 +506,7 @@ def append_run_record(base_path: str, record: dict) -> str:
     pd.DataFrame([record]).to_parquet(
         tmp, coerce_timestamps="us", allow_truncated_timestamps=True)
     final = os.path.join(runs_dir, fname)
-    os.replace(tmp, final)
+    _replace_file(tmp, final)
     return final
 
 

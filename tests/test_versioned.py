@@ -277,3 +277,153 @@ def test_versioned_roundtrip_under_file_scheme(spark, tmp_path):
     # no pointer-staging litter from the atomic publishes
     assert not [f for f in os.listdir(bare)
                 if f.startswith((".ptr_", "._LATEST"))]
+
+
+# ------------------------------------------------------ fsck_versioned
+
+def _mtimes(root):
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            out[p] = os.path.getmtime(p)
+    return out
+
+
+def _checks(rep, severity=None):
+    return {f["check"] for f in rep["findings"]
+            if severity is None or f["severity"] == severity}
+
+
+class TestFsckVersioned:
+    """The versioned-table auditor: every forged on-disk state becomes
+    a finding (never an exception), fsck never mutates, and the
+    matching repair brings it back to ok — the same cross-check
+    discipline test_fsck.py applies to fsck_table/fsck_index."""
+
+    def test_clean_lifecycle_is_ok(self, spark, tmp_path):
+        from cdc_data_pipeline_spark.sources.versioned import (
+            append_run_record, fsck_versioned)
+
+        t = str(tmp_path / "tbl")
+        publish_version(_df(spark, 3, "a"), t)
+        publish_version(_df(spark, 5, "b"), t)
+        publish_pointer(t, 1)                       # rollback is legal
+        rep = fsck_versioned(spark, t, deep=True)
+        # v2 above the pointer is a WARN (dead fork), not an error
+        assert rep["ok"], rep["findings"]
+        assert "unpublished_versions" in _checks(rep, "warn")
+        publish_pointer(t, 2)
+        rep = fsck_versioned(spark, t, deep=True)
+        assert rep["ok"] and rep["warnings"] == 0, rep["findings"]
+        append_run_record(str(tmp_path), {
+            "run_id": "r1", "model": "tbl", "version": 2, "rows": 5,
+            "duration_sec": 0.1, "published_at": None})
+        assert fsck_versioned(spark, t, deep=True)["ok"]
+
+    def test_missing_and_empty(self, spark, tmp_path):
+        from cdc_data_pipeline_spark.sources.versioned import \
+            fsck_versioned
+
+        rep = fsck_versioned(spark, str(tmp_path / "nope"))
+        assert not rep["ok"] and _checks(rep) == {"table_missing"}
+        (tmp_path / "empty").mkdir()
+        rep = fsck_versioned(spark, str(tmp_path / "empty"))
+        assert rep["ok"] and "empty" in _checks(rep, "info")
+
+    def test_corrupt_pointer_is_finding_not_crash(self, spark, tmp_path):
+        from cdc_data_pipeline_spark.sources.versioned import \
+            fsck_versioned
+
+        t = str(tmp_path / "tbl")
+        publish_version(_df(spark, 3, "a"), t)
+        ptr = tmp_path / "tbl" / "_LATEST"
+        for payload in ("not-an-int", "", "1.5"):
+            ptr.write_text(payload)
+            rep = fsck_versioned(spark, t)
+            assert "pointer_corrupt" in _checks(rep, "error"), \
+                (payload, rep["findings"])
+        ptr.write_text("1")
+        assert fsck_versioned(spark, t)["ok"]
+
+    def test_dangling_pointer_and_no_pointer(self, spark, tmp_path):
+        import shutil
+
+        from cdc_data_pipeline_spark.sources.versioned import \
+            fsck_versioned
+
+        t = str(tmp_path / "tbl")
+        publish_version(_df(spark, 3, "a"), t)
+        publish_version(_df(spark, 5, "b"), t)
+        shutil.rmtree(os.path.join(t, "v=2"))       # out-of-band delete
+        rep = fsck_versioned(spark, t)
+        assert "pointer_dangling" in _checks(rep, "error")
+        publish_pointer(t, 1)                        # the repair
+        assert fsck_versioned(spark, t, deep=True)["ok"]
+        os.remove(os.path.join(t, "_LATEST"))
+        rep = fsck_versioned(spark, t)
+        assert "no_pointer" in _checks(rep, "error")
+
+    def test_crash_debris_is_warn_and_reclaimable(self, spark, tmp_path):
+        from cdc_data_pipeline_spark.sources.versioned import \
+            fsck_versioned
+
+        t = str(tmp_path / "tbl")
+        publish_version(_df(spark, 3, "a"), t)
+        # forged crashed publish: a partial (no _SUCCESS) dir above
+        # the pointer, plus a stale pointer tmp file
+        os.makedirs(os.path.join(t, "v=2"))
+        with open(os.path.join(t, "v=2", "part-0.parquet"), "wb") as fh:
+            fh.write(b"\x00torn")
+        with open(os.path.join(t, "._LATEST.tmp"), "w") as fh:
+            fh.write("2")
+        rep = fsck_versioned(spark, t, deep=True)
+        assert rep["ok"], rep["findings"]            # warnings only
+        assert {"unpublished_versions", "pointer_staging",
+                "orphan_incomplete"} <= _checks(rep, "warn")
+        # the reader is untouched by the debris
+        assert read_versioned(spark, t).count() == 3
+        # reclaim: single-writer sweep, then clean
+        vacuum_versions(t, keep_last=2, sweep_unpublished=True)
+        rep = fsck_versioned(spark, t, deep=True)
+        assert rep["ok"] and rep["warnings"] == 0, rep["findings"]
+
+    def test_published_partial_is_error(self, spark, tmp_path):
+        from cdc_data_pipeline_spark.sources.versioned import \
+            fsck_versioned
+
+        t = str(tmp_path / "tbl")
+        publish_version(_df(spark, 3, "a"), t)
+        os.remove(os.path.join(t, "v=1", "_SUCCESS"))  # forge torn publish
+        rep = fsck_versioned(spark, t, deep=True)
+        assert "version_unreadable" in _checks(rep, "error")
+
+    def test_fsck_is_read_only(self, spark, tmp_path):
+        from cdc_data_pipeline_spark.sources.versioned import \
+            fsck_versioned
+
+        t = str(tmp_path / "tbl")
+        publish_version(_df(spark, 3, "a"), t)
+        os.makedirs(os.path.join(t, "v=2"))          # debris
+        (tmp_path / "tbl" / "junk.txt").write_text("x")
+        before = _mtimes(str(tmp_path))
+        rep = fsck_versioned(spark, t, deep=True)
+        assert "foreign_entry" in _checks(rep, "warn")
+        assert _mtimes(str(tmp_path)) == before
+        assert os.path.isdir(os.path.join(t, "v=2"))
+
+    def test_publish_reclaims_incomplete_orphan(self, spark, tmp_path):
+        """Heal-on-publish: a crashed (no _SUCCESS) dir above the
+        pointer is swept and its version id REUSED; a complete
+        unpointed dir (racing competitor / rolled-back fork) is
+        skipped, never deleted."""
+        t = str(tmp_path / "tbl")
+        publish_version(_df(spark, 3, "a"), t)
+        os.makedirs(os.path.join(t, "v=2"))          # torn write
+        assert publish_version(_df(spark, 5, "b"), t) == 2   # id reused
+        assert read_versioned(spark, t).count() == 5
+        # complete fork above the pointer survives, id skips past it
+        publish_pointer(t, 1)
+        assert publish_version(_df(spark, 7, "c"), t) == 3
+        assert list_versions(t) == [1, 2, 3]
+        assert read_versioned(spark, t, version=2).count() == 5
