@@ -1085,6 +1085,63 @@ def maybe_vacuum_changes(spark: SparkSession, target_path: str,
 
 
 CONFLICT_DIR = "_conflict"
+FEED_GEN = "_generation"
+
+
+class StaleFeedConsumerError(RuntimeError):
+    """A feed consumer's state covers a commit that was later
+    QUARANTINED by ``reconcile_changes`` — the consumer ingested rows
+    the feed no longer vouches for, and incremental catch-up cannot
+    repair that. Re-converge from the table: ``create_anchor`` on the
+    source, then ``bootstrap_replica`` (replicas) or recompute
+    (marts), then resume incremental feeds."""
+
+
+def read_feed_generation(spark: SparkSession, target_path: str) -> dict:
+    """The feed's reconcile GENERATION marker: ``{"gen": N,
+    "min_quarantined_seq": M}``. ``gen`` increments every time
+    ``reconcile_changes`` quarantines commits; ``min_quarantined_seq``
+    is the lowest seq ever quarantined. A consumer that synced under
+    an older generation AND whose watermark reaches
+    ``min_quarantined_seq`` may hold unvouched rows (VERDICT r9 #7).
+    ``{"gen": 0, ...}`` for a feed that never needed reconciling."""
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    txt = fsutil.read_text(spark, fsutil.path_join(
+        target_path, CHANGES_DIR, FEED_GEN))
+    if txt is None:
+        return {"gen": 0, "min_quarantined_seq": None}
+    import json
+
+    try:
+        return json.loads(txt)
+    except (ValueError, KeyError):
+        # torn marker: treat as "a reconcile happened, coverage
+        # unknown" — the conservative reading
+        return {"gen": 1, "min_quarantined_seq": -1}
+
+
+def check_feed_vouched(spark: SparkSession, target_path: str,
+                       consumer_gen: int, consumer_seq: int) -> dict:
+    """Raise :class:`StaleFeedConsumerError` when a consumer that
+    last synced under ``consumer_gen`` with watermark ``consumer_seq``
+    may have ingested a commit that ``reconcile_changes`` later
+    quarantined. Returns the current generation marker when the
+    consumer is vouched (callers persist ``gen`` forward). A consumer
+    still BELOW the lowest quarantined seq never saw unvouched rows
+    and passes whatever its generation."""
+    marker = read_feed_generation(spark, target_path)
+    if marker["gen"] > consumer_gen:
+        m = marker.get("min_quarantined_seq")
+        if m is None or consumer_seq >= int(m):
+            raise StaleFeedConsumerError(
+                f"{target_path}: feed generation {marker['gen']} > "
+                f"consumer's {consumer_gen} and the consumer watermark "
+                f"{consumer_seq} covers quarantined history (min "
+                f"quarantined seq {m}) — state may include rows the "
+                "feed no longer vouches for; re-converge via "
+                "create_anchor + bootstrap_replica (or mart recompute)")
+    return marker
 
 
 def reconcile_changes(spark: SparkSession, target_path: str) -> dict:
@@ -1117,11 +1174,33 @@ def reconcile_changes(spark: SparkSession, target_path: str) -> dict:
     for n in fsutil.list_names(spark, root):
         if n.startswith("commit-"):
             by_seq.setdefault(int(n.split("-", 2)[1]), []).append(n)
+    dup_seqs = sorted(s for s, g in by_seq.items() if len(g) > 1)
+    if dup_seqs:
+        # bump the feed GENERATION so consumers can detect that their
+        # watermark may cover unvouched history (VERDICT r9 #7):
+        # check_feed_vouched / apply_changes(source_path=...) raise
+        # StaleFeedConsumerError instead of serving silently-stale
+        # state, and re-converge via create_anchor+bootstrap_replica.
+        # Published BEFORE the quarantine renames, crash-ordering on
+        # purpose: a crash after the renames but before this marker
+        # would leave a re-run seeing a clean feed and never bumping —
+        # consumers of the quarantined commit would never be refused.
+        # The inverse crash (marker published, renames pending) is
+        # safe: the feed stays visibly bricked until reconcile
+        # re-runs, and an extra generation bump is merely conservative.
+        import json as _json
+
+        old = read_feed_generation(spark, target_path)
+        prev_min = old.get("min_quarantined_seq")
+        new_min = min(dup_seqs + ([int(prev_min)]
+                                  if prev_min is not None else []))
+        fsutil.publish_text(
+            spark, fsutil.path_join(root, FEED_GEN),
+            _json.dumps({"gen": int(old["gen"]) + 1,
+                         "min_quarantined_seq": new_min}))
     quarantined: list[str] = []
-    for seq in sorted(by_seq):
+    for seq in dup_seqs:
         group = by_seq[seq]
-        if len(group) == 1:
-            continue
         keep = min(group, key=lambda n: (
             fsutil.mtime(spark, fsutil.path_join(root, n)) or 0, n))
         qdir = fsutil.path_join(root, CONFLICT_DIR)
@@ -1138,12 +1217,46 @@ def reconcile_changes(spark: SparkSession, target_path: str) -> dict:
         latest = int(commits[-1].split("-", 2)[1])
         _publish_latest_ptr(spark, target_path, latest,
                             commits[-1].split("-", 2)[2])
-    return {"quarantined": quarantined, "latest_seq": latest}
+    return {"quarantined": quarantined, "latest_seq": latest,
+            "generation": read_feed_generation(spark, target_path)["gen"]}
+
+
+REPLICA_SYNC = "_feed_sync.json"
+
+
+def read_replica_generation(spark: SparkSession,
+                            replica_path: str) -> int:
+    """The feed generation this replica last synced under (0 for
+    replicas maintained by pre-generation code)."""
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    txt = fsutil.read_text(spark, fsutil.path_join(replica_path,
+                                                   REPLICA_SYNC))
+    if txt is None:
+        return 0
+    import json
+
+    try:
+        return int(json.loads(txt)["gen"])
+    except (ValueError, KeyError):
+        return 0
+
+
+def _write_replica_generation(spark: SparkSession, replica_path: str,
+                              gen: int) -> None:
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    import json
+
+    fsutil.publish_text(spark, fsutil.path_join(replica_path,
+                                                REPLICA_SYNC),
+                        json.dumps({"gen": int(gen)}))
 
 
 def apply_changes(spark: SparkSession, feed: DataFrame,
                   replica_path: str, keys: Sequence[str],
-                  n_buckets: int | None = None) -> None:
+                  n_buckets: int | None = None,
+                  source_path: str | None = None) -> None:
     """Maintain a REPLICA table from a change feed: collapse the feed
     to the final op per key (latest ``_seq`` wins; preimage rows never
     carry final state and are dropped), then apply it as ONE bucketed
@@ -1156,7 +1269,31 @@ def apply_changes(spark: SparkSession, feed: DataFrame,
     A NEW replica must see the feed from commit 0 — applying a
     vacuumed feed to an empty target silently misses every row whose
     last change was pruned; use ``bootstrap_replica`` (anchor seed +
-    surviving tail) in that case."""
+    surviving tail) in that case.
+
+    ``source_path`` (the fed table's root) opts into the reconcile
+    STALENESS GUARD (VERDICT r9 #7): before applying, the replica's
+    recorded feed generation and watermark are checked against the
+    source feed's generation marker — if ``reconcile_changes``
+    quarantined a commit this replica already consumed, the apply
+    raises :class:`StaleFeedConsumerError` instead of silently
+    compounding unvouched state; on success the replica records the
+    current generation. Callers without the source path keep the old
+    unguarded behavior."""
+    if source_path is not None:
+        from cdc_data_pipeline_spark.sources import fsutil
+
+        consumer_seq = -1
+        if fsutil.exists(spark, replica_path):
+            try:
+                consumer_seq = int(
+                    spark.read.parquet(replica_path)
+                    .agg(F.max("__feed_seq")).first()[0] or -1)
+            except Exception:
+                consumer_seq = -1
+        marker = check_feed_vouched(
+            spark, source_path,
+            read_replica_generation(spark, replica_path), consumer_seq)
     data_cols = [c for c in feed.columns if c not in ("_op", "_seq")]
     final = latest_per_key(
         feed.filter(~F.col("_op").isin("update_preimage")),
@@ -1168,6 +1305,8 @@ def apply_changes(spark: SparkSession, feed: DataFrame,
                     n_buckets=n_buckets, delete_col="__is_del")
     # __feed_seq rides along as the replica's tracking column — it IS
     # the replication watermark (MAX(__feed_seq) = last applied commit)
+    if source_path is not None:
+        _write_replica_generation(spark, replica_path, marker["gen"])
 
 
 def bootstrap_replica(spark: SparkSession, table_path: str,
@@ -1202,6 +1341,12 @@ def bootstrap_replica(spark: SparkSession, table_path: str,
     if feed is not None:
         apply_changes(spark, feed, replica_path, keys,
                       n_buckets=n_buckets)
+    # a bootstrap converges from the TABLE-side anchor + clean tail —
+    # it is the documented re-convergence after a reconcile, so it
+    # vouches the replica under the feed's CURRENT generation
+    _write_replica_generation(
+        spark, replica_path,
+        read_feed_generation(spark, table_path)["gen"])
     return newest
 
 
@@ -1262,8 +1407,22 @@ def read_mart_seq(spark: SparkSession, mart_path: str) -> int:
     return int(json.loads(txt)["seq"])
 
 
+def read_mart_generation(spark: SparkSession, mart_path: str) -> int:
+    """The feed generation the mart last folded under (0 for marts
+    maintained by pre-generation code — see ``read_feed_generation``)."""
+    from cdc_data_pipeline_spark.sources import fsutil
+
+    txt = fsutil.read_text(spark, fsutil.path_join(mart_path,
+                                                   MART_WATERMARK))
+    if txt is None:
+        return 0
+    import json
+
+    return int(json.loads(txt).get("gen", 0))
+
+
 def write_mart_merged(df: DataFrame, mart_path: str,
-                      applied_seq: int) -> None:
+                      applied_seq: int, feed_gen: int = 0) -> None:
     """``write_merged`` plus the IVM replay watermark, atomically:
     the watermark sidecar (``_``-prefixed — invisible to parquet
     scans) is written INTO the staging directory before the swap, so
@@ -1281,7 +1440,8 @@ def write_mart_merged(df: DataFrame, mart_path: str,
     fs.delete(spark, tmp)
     df.write.mode("overwrite").parquet(tmp)
     fs.publish_text(spark, fs.path_join(tmp, MART_WATERMARK),
-                    json.dumps({"seq": int(applied_seq)}))
+                    json.dumps({"seq": int(applied_seq),
+                                "gen": int(feed_gen)}))
     _replace_dir(spark, mart_path, tmp)
 
 

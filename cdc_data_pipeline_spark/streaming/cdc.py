@@ -251,8 +251,9 @@ def stream_ivm_to_parquet(
     that watermark, so an already-folded slice contributes nothing on
     redelivery — whatever the checkpoint believed."""
     from cdc_data_pipeline_spark.operators.incremental import (
-        agg_deltas_from_feed, merge_agg_deltas, read_mart_seq,
-        recover_swap, stream_changes, write_mart_merged)
+        agg_deltas_from_feed, check_feed_vouched, merge_agg_deltas,
+        read_mart_generation, read_mart_seq, recover_swap,
+        stream_changes, write_mart_merged)
     from cdc_data_pipeline_spark.sources import fsutil
 
     feed = stream_changes(spark, table_path)
@@ -266,6 +267,14 @@ def stream_ivm_to_parquet(
         # accumulated group sum to this batch's deltas alone
         recover_swap(spark, mart_path)
         applied = read_mart_seq(spark, mart_path)
+        # reconcile staleness guard (VERDICT r9 #7): if a commit this
+        # mart already folded was later quarantined by
+        # reconcile_changes, its sums include rows the feed no longer
+        # vouches for — fail the stream loudly (operator recomputes
+        # the mart) instead of compounding unvouched state
+        marker = check_feed_vouched(
+            spark, table_path,
+            read_mart_generation(spark, mart_path), applied)
         fresh = batch.filter(F.col("_seq") > applied)
         if fresh.isEmpty():
             return                     # redelivered, already folded
@@ -278,7 +287,8 @@ def stream_ivm_to_parquet(
             except Exception:
                 mart = None
         merged = merge_agg_deltas(mart, deltas, group_cols)
-        write_mart_merged(merged, mart_path, max(applied, int(new_max)))
+        write_mart_merged(merged, mart_path, max(applied, int(new_max)),
+                          feed_gen=marker["gen"])
 
     writer = (
         feed.writeStream.foreachBatch(fold_batch)

@@ -280,14 +280,24 @@ def run_scd2_feed_age_suite(spark, li_path, grow: int = 100):
     A fixed-size batch of version transitions must cost the SAME just
     after snapshot creation and after ``grow`` more commits, no
     vacuum. (The snapshot itself accretes ~2x|batch| history rows per
-    merge — inherent to SCD2, and a few % of the base here.)"""
+    merge — inherent to SCD2, and a few % of the base here.)
+
+    r9 verdict #5: the original ~16-key batch put the measurement in
+    the per-task-overhead noise band (r8 read 0.76, r9 read 1.48 —
+    bracketing 1.0 but proving nothing). The batch is now ~800 keys —
+    every one of the 64 buckets is touched, so each merge does real
+    per-bucket work and scheduler jitter is amortized — and the
+    absolute young/old DELTA is reported alongside the ratio: an
+    O(feed-length) term would show as a delta that grows with
+    ``grow`` regardless of batch size, which the ratio alone can
+    hide or fake."""
     from cdc_data_pipeline_spark.operators.scd2 import scd2_bucketed
 
     li = spark.read.parquet(li_path).select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
         F.col("l_quantity").cast("string").alias("v")) \
         .filter(F.col("k") < SHIFT).limit(50_000)
-    fixed = li.filter(F.col("k") % 3001 == 0).localCheckpoint()
+    fixed = li.filter(F.col("k") % 61 == 0).localCheckpoint()
 
     def batch(i):
         # v changes per merge -> every key closes + reopens; run_ts
@@ -326,7 +336,9 @@ def run_scd2_feed_age_suite(spark, li_path, grow: int = 100):
         old = (time.time() - t0) / 5
         return {"scd2_merge_young_sec": round(young, 3),
                 "scd2_merge_old_sec": round(old, 3),
+                "scd2_merge_delta_sec": round(old - young, 3),
                 "commits_grown": grow,
+                "batch_keys": fixed.count(),
                 "scd2_feed_age_ratio": round(old / max(young, 0.05), 2)}
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -231,7 +231,7 @@ def test_reconcile_changes_repairs_writer_race(spark, tmp_path):
 
     out = reconcile_changes(spark, tgt)
     assert out == {"quarantined": ["commit-0000000001-feedbeef-1"],
-                   "latest_seq": 1}
+                   "latest_seq": 1, "generation": 1}
     # feed reads green; the winner survived, the loser is quarantined
     # (kept for audit), and _latest points at the true tail
     feed = read_changes(spark, tgt)

@@ -765,10 +765,9 @@ class TestNativeDecoderDispatch:
             mm._encode_tiff(w, h, rgb),
             mm._encode_tiff(w, h, rgb, compression=32773),
         ]
-        # GIF quantizes through a palette; compare gray ramp instead
-        gray = bytes(v for i in range(w * h)
-                     for v in (i * 255 // (w * h),) * 3)
-        payloads.append(_encode_gif(w, h, gray))
+        # GIF is palette-indexed: encode indices over a gray palette
+        idx = bytes(rng.randrange(256) for _ in range(w * h))
+        payloads.append(_encode_gif(w, h, idx, _GRAY_PAL))
         for payload in payloads:
             assert mm._decode_image_native(payload) \
                 == mm._decode_image_stdlib(payload)
