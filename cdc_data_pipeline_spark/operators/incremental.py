@@ -1978,6 +1978,22 @@ def fsck_table(spark: SparkSession, target_path: str,
     # --- deep data-scan equivalences
     if deep and meta is not None and bucket_ids:
         df = spark.read.option("mergeSchema", "true").parquet(target_path)
+        if "dbt_valid_to" in df.columns:
+            # SCD2 snapshot: at most ONE open version per key — the
+            # invariant duplicate batch keys silently broke before the
+            # r10 on_duplicate_keys guard; duplicates multiply through
+            # every later classification join (exponential growth)
+            dup_open = (df.filter(F.col("dbt_valid_to").isNull())
+                        .groupBy(*meta["keys"]).count()
+                        .filter(F.col("count") > 1).count())
+            if dup_open:
+                add("error", "scd2_duplicate_open",
+                    f"{dup_open} key(s) carry multiple OPEN versions — "
+                    "a duplicate-key batch was merged (pre-guard "
+                    "writer, or on_duplicate_keys='allow'); every "
+                    "future merge of these keys multiplies them. "
+                    "Deduplicate once (dropDuplicates on keys + "
+                    "dbt_valid_from) and rewrite")
         mis = df.filter(
             bucket_of(meta["keys"], int(meta["n_buckets"]))
             != F.col(BUCKET_COL)).count()

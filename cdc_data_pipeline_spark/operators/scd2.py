@@ -165,10 +165,29 @@ def scd2_bucketed(
     lock: bool = False,
     lock_ttl: float = 3600.0,
     lock_timeout: float = 60.0,
+    on_duplicate_keys: str = "error",
 ) -> None:
     """Maintain an SCD2 snapshot at ``target_path`` partitioned by key
     hash, merging ``batch`` while touching ONLY the buckets its keys
     hash into — O(batch) per merge, not O(table).
+
+    ``on_duplicate_keys`` guards the precondition every SCD2 engine
+    has (dbt snapshots fail the run on duplicate snapshot keys): a
+    batch carrying the same key twice is MULTIPLIED by the
+    classification full-outer join, and because the duplicates land
+    as multiple OPEN versions, every later merge of that key doubles
+    them — exponential table growth from one dirty batch (found by
+    the r10 scaled feed-age soak, whose fixture key turned out
+    non-unique). ``"error"`` (default) raises with sample keys before
+    anything is written — one small batch-sized check job;
+    ``"dedup"`` keeps an arbitrary single row per key (the
+    ``upsert_bucketed`` latest-wins discipline needs a tracking
+    column SCD2 does not have — prefer cleaning upstream);
+    ``"allow"`` skips the check (pre-r10 behavior; only safe when the
+    producer guarantees uniqueness). A LEGACY table that already
+    holds duplicated open versions should be deduplicated once before
+    new merges (read, dropDuplicates on keys + dbt_valid_from,
+    rewrite).
 
     Mirrors ``incremental.upsert_bucketed``: a key's entire version
     history lives in one bucket (the hash covers only ``keys``), so the
@@ -223,6 +242,25 @@ def scd2_bucketed(
 
     if batch.isEmpty():
         return
+    if on_duplicate_keys not in ("error", "dedup", "allow"):
+        raise ValueError(
+            f"on_duplicate_keys={on_duplicate_keys!r}: expected "
+            "'error', 'dedup' or 'allow'")
+    if on_duplicate_keys == "error":
+        dupes = (batch.groupBy(*keys).count()
+                 .filter(F.col("count") > 1).limit(5).collect())
+        if dupes:
+            sample = [tuple(r[k] for k in keys) for r in dupes]
+            raise ValueError(
+                f"scd2_bucketed: batch carries duplicate key(s) "
+                f"{sample}{'...' if len(dupes) == 5 else ''} — SCD2 "
+                "requires one row per key per run (dbt snapshot "
+                "semantics); duplicates would multiply through the "
+                "classification join into exponential open-version "
+                "growth. Clean upstream, or pass "
+                "on_duplicate_keys='dedup' to keep an arbitrary row")
+    elif on_duplicate_keys == "dedup":
+        batch = batch.dropDuplicates(list(keys))
     with _maybe_table_lock(spark, target_path, lock, lock_ttl,
                            lock_timeout):
         _scd2_bucketed_locked(spark, target_path, batch, keys,

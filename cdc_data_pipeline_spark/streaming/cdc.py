@@ -173,11 +173,21 @@ def stream_scd2_to_parquet(
     update_preimages: bool = False,
     evolve_schema: bool = False,
     vacuum_keep_commits: int | None = None,
+    on_duplicate_keys: str = "error",
 ):
     """Maintain an SCD2 snapshot from a change stream: each micro-batch
     is merged with the `check` strategy (reference: the users snapshot,
     dbt_project/dbt/snapshots/users_snapshot.sql:1-18, fed hourly by
     cron — here the feed is a real stream).
+
+    ``on_duplicate_keys`` passes through to ``scd2_bucketed``: a CDC
+    micro-batch can legitimately carry several changes of one key;
+    SCD2's check strategy snapshots STATES, not events, so either
+    collapse upstream to latest-per-key (the correct fix — an order
+    column exists in a real CDC feed) or pass ``"dedup"`` to keep an
+    arbitrary row. The default ``"error"`` fails the stream loudly —
+    strictly better than the silent open-version multiplication it
+    replaced.
 
     ``emit_changes=True`` maintains the snapshot's change data feed
     (version transitions keyed by dbt_scd_id, exactly-once under
@@ -210,7 +220,8 @@ def stream_scd2_to_parquet(
         scd2_bucketed(spark, target_path, batch, keys, check_cols, run_ts,
                       n_buckets=n_buckets, emit_changes=emit_changes,
                       update_preimages=update_preimages,
-                      evolve_schema=evolve_schema)
+                      evolve_schema=evolve_schema,
+                      on_duplicate_keys=on_duplicate_keys)
         if vacuum_keep_commits is not None and emit_changes:
             maybe_vacuum_changes(spark, target_path, vacuum_keep_commits)
 

@@ -512,3 +512,27 @@ class TestIndexFsck:
              "index-fsck", "--path", path],
             capture_output=True, text=True, cwd="/root/repo")
         assert bad.returncode == 1
+
+
+class TestScd2DeepFsck:
+    def test_duplicate_open_versions_detected(self, spark, tmp_path):
+        """Deep fsck flags the multiple-open-versions corruption the
+        r10 on_duplicate_keys guard prevents (legacy/allow writers)."""
+        from cdc_data_pipeline_spark.operators.scd2 import scd2_bucketed
+
+        tgt = str(tmp_path / "snap")
+        dirty = spark.createDataFrame(
+            [(1, "a"), (1, "a2"), (2, "b")], "k long, v string")
+        scd2_bucketed(spark, tgt, dirty, ["k"], ["v"],
+                      "2024-01-01 00:00:00", n_buckets=2,
+                      on_duplicate_keys="allow")
+        rep = fsck_table(spark, tgt, deep=True)
+        assert "scd2_duplicate_open" in _checks(rep, "error"), \
+            rep["findings"]
+        # a clean snapshot passes the same check
+        clean = str(tmp_path / "clean")
+        scd2_bucketed(spark, clean,
+                      spark.createDataFrame([(1, "a"), (2, "b")],
+                                            "k long, v string"),
+                      ["k"], ["v"], "2024-01-01 00:00:00", n_buckets=2)
+        assert fsck_table(spark, clean, deep=True)["ok"]

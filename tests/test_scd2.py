@@ -322,3 +322,76 @@ def test_scd2_feed_with_schema_evolution(spark, tmp_path):
            .filter("dbt_valid_to IS NULL")
            .select("k", "v", "tier").collect()}
     assert cur == {(1, "a", "gold"), (2, "b2", None), (3, "c", "free")}
+
+
+class TestDuplicateKeyGuard:
+    """r10: duplicate snapshot keys multiply through the
+    classification full-outer join — one dirty batch seeds multiple
+    OPEN versions per key and every later merge DOUBLES them
+    (exponential growth, found by the scaled feed-age soak). dbt
+    snapshots fail the run on duplicate keys; scd2_bucketed now does
+    too, by default, before anything is written."""
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    def test_duplicate_batch_raises_and_writes_nothing(self, spark,
+                                                       tmp_path):
+        import os
+
+        import pytest
+
+        from cdc_data_pipeline_spark.operators.scd2 import scd2_bucketed
+
+        tgt = str(tmp_path / "snap")
+        with pytest.raises(ValueError, match="duplicate key"):
+            scd2_bucketed(spark, tgt,
+                          self._mk(spark, [(1, "a"), (1, "b"), (2, "c")]),
+                          ["k"], ["v"], "2024-01-01 00:00:00",
+                          n_buckets=2)
+        assert not os.path.exists(tgt)
+
+    def test_merge_batch_also_guarded(self, spark, tmp_path):
+        import pytest
+
+        from cdc_data_pipeline_spark.operators.scd2 import scd2_bucketed
+
+        tgt = str(tmp_path / "snap")
+        scd2_bucketed(spark, tgt, self._mk(spark, [(1, "a"), (2, "b")]),
+                      ["k"], ["v"], "2024-01-01 00:00:00", n_buckets=2)
+        with pytest.raises(ValueError, match="duplicate key"):
+            scd2_bucketed(spark, tgt,
+                          self._mk(spark, [(1, "x"), (1, "y")]),
+                          ["k"], ["v"], "2024-01-02 00:00:00")
+        # snapshot untouched: still one open version per key
+        snap = spark.read.parquet(tgt)
+        assert snap.count() == 2
+        assert snap.filter("dbt_valid_to IS NULL").count() == 2
+
+    def test_dedup_mode_keeps_single_version_and_growth_is_linear(
+            self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from cdc_data_pipeline_spark.operators.scd2 import scd2_bucketed
+
+        tgt = str(tmp_path / "snap")
+        dirty = self._mk(spark, [(1, "a"), (1, "a2"), (2, "b"), (3, "c")])
+        scd2_bucketed(spark, tgt, dirty, ["k"], ["v"],
+                      "2024-01-01 00:00:00", n_buckets=2,
+                      on_duplicate_keys="dedup")
+        counts = []
+        for i in range(2, 6):
+            batch = self._mk(spark, [(1, f"a{i}"), (1, f"dup{i}"),
+                                     (2, f"b{i}"), (3, f"c{i}")])
+            scd2_bucketed(spark, tgt, batch, ["k"], ["v"],
+                          f"2024-01-0{i} 00:00:00",
+                          on_duplicate_keys="dedup")
+            snap = spark.read.parquet(tgt)
+            counts.append(snap.count())
+            # exactly one OPEN version per key, always
+            assert (snap.filter(F.col("dbt_valid_to").isNull())
+                    .groupBy("k").count().filter("count > 1")
+                    .count()) == 0
+        # linear accretion: +3 versions per merge (every key changes),
+        # never multiplicative
+        assert counts == [6, 9, 12, 15], counts
