@@ -2285,3 +2285,68 @@ EXTRA_ORACLES["simhash_pairs"] = ORACLES.pop("simhash_pairs")
 # ride the same hash discipline).
 EXTRA_QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
 EXTRA_ORACLES["winnow_fingerprints"] = SQL_WINNOW_FINGERPRINTS
+
+
+def q_dup_span_keep_first(spark, sf_dir):
+    """ExactSubstr masking, keep-one-copy variant (r10: the last
+    NotImplementedError carve-out implemented): the corpus-wide FIRST
+    occurrence of each duplicated gram is exempt from masking, so one
+    copy of every duplicated passage survives. The oracle reproduces
+    the exemption with QUALIFY row_number() over the identical md5
+    gram stream — a doc that keeps its passage while its clones lose
+    theirs breaks the hash either way it drifts."""
+    from cdc_data_pipeline_spark.operators import segments as sg
+
+    docs = _docs(spark, sf_dir)
+    out = sg.mask_duplicated_spans(docs, n=_DS_N, keep_first=True)
+    return out.select("doc_id", "n_tokens", "n_kept",
+                      F.md5("clean_text").alias("clean_md5"))
+
+
+SQL_DUP_SPAN_KEEP_FIRST = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(range(len(t) - {_DS_N} + 1)) AS p,
+         unnest(list_transform(range(len(t) - {_DS_N} + 1),
+                               i -> md5(array_to_string(t[i+1:i+{_DS_N}], ' ')))) AS h
+  FROM toks WHERE len(t) >= {_DS_N}),
+counted AS (
+  SELECT doc_id, p, h, COUNT(*) OVER (PARTITION BY h) AS c,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+  FROM grams),
+hits AS (SELECT doc_id, p FROM counted WHERE c >= 2 AND rn > 1),
+brks AS (
+  SELECT doc_id, p,
+         CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+                   <= {_DS_N} THEN 0 ELSE 1 END AS brk
+  FROM hits),
+runs AS (
+  SELECT doc_id, p,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM brks),
+spans AS (
+  SELECT doc_id, MIN(p) AS s, MAX(p) + {_DS_N} - 1 AS e
+  FROM runs GROUP BY doc_id, grp),
+sp AS (SELECT doc_id, list({{'s': s, 'e': e}}) AS sps FROM spans GROUP BY doc_id),
+base AS (
+  SELECT t.doc_id, t.t, sp.sps FROM toks t LEFT JOIN sp USING (doc_id)),
+kept AS (
+  SELECT doc_id, t,
+         CASE WHEN sps IS NULL THEN t
+              ELSE list_transform(
+                     list_filter(range(0, len(t)),
+                                 i -> len(list_filter(sps, x -> i BETWEEN x.s AND x.e)) = 0),
+                     i -> t[i + 1]) END AS k
+  FROM base)
+SELECT doc_id, len(t)::BIGINT AS n_tokens, len(k)::BIGINT AS n_kept,
+       md5(COALESCE(array_to_string(k, ' '), '')) AS clean_md5
+FROM kept
+"""
+
+EXTRA_QUERIES["dup_span_keep_first"] = q_dup_span_keep_first
+EXTRA_ORACLES["dup_span_keep_first"] = SQL_DUP_SPAN_KEEP_FIRST

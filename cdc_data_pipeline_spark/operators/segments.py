@@ -77,9 +77,17 @@ def segment_dedup(df: DataFrame, text_col: str = "text",
 
 
 def duplicated_spans(df: DataFrame, n: int = 8, min_count: int = 2,
-                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                     text_col: str = "text", id_col: str = "doc_id",
+                     keep_first: bool = False) -> DataFrame:
     """ExactSubstr duplicated-span detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better").
+
+    ``keep_first=True`` exempts the corpus-wide FIRST occurrence of
+    each duplicated gram (lowest ``(id, position)``) — the
+    keep-one-copy variant: spans only cover the REPEATS, so masking
+    them leaves exactly one copy of every duplicated passage in the
+    corpus. Default keeps Lee et al.'s drop-all-copies semantics
+    (``min_count`` is the guard).
 
     Finds, for every document, the maximal token spans covered by
     length-``n`` token windows that occur at least ``min_count`` times
@@ -138,8 +146,18 @@ def duplicated_spans(df: DataFrame, n: int = 8, min_count: int = 2,
         )
     )
     hw = Window.partitionBy("__h")
-    hits = (grams
-            .withColumn("__c", F.count(F.lit(1)).over(hw))
+    ranked = grams.withColumn("__c", F.count(F.lit(1)).over(hw))
+    if keep_first:
+        # the corpus-wide FIRST occurrence of each duplicated gram
+        # (lowest (id, position), deterministic) is exempt — the
+        # keep-one-copy ExactSubstr variant: the corpus retains each
+        # duplicated passage exactly once. Same partitioning as the
+        # count window, so the exemption adds no extra shuffle.
+        ow = Window.partitionBy("__h").orderBy(F.col(id_col),
+                                               F.col("p"))
+        ranked = ranked.withColumn("__rn", F.row_number().over(ow)) \
+            .filter(F.col("__rn") > 1)
+    hits = (ranked
             .filter(F.col("__c") >= min_count)
             .select(id_col, "p"))
     w = Window.partitionBy(id_col).orderBy("p")
@@ -158,20 +176,21 @@ def mask_duplicated_spans(df: DataFrame, n: int = 8, min_count: int = 2,
     """Drop duplicated spans from each document's token stream.
 
     Joins :func:`duplicated_spans` back to the corpus and rebuilds
-    ``text`` with every in-span token removed (``keep_first`` is
-    reserved for a future first-occurrence exemption; Lee et al. drop
-    all copies and rely on min_count for the guard). The span list per
-    doc is small (collected with ``collect_list`` per doc, bounded by
-    doc length), and the rebuild is a native ``filter`` over token
-    positions — no Python UDF.
+    ``text`` with every in-span token removed. ``keep_first=True``
+    exempts the corpus-wide first occurrence of each duplicated gram
+    (see :func:`duplicated_spans`) so one copy of every duplicated
+    passage SURVIVES the mask — the keep-one-copy ExactSubstr
+    variant; the default drops all copies (Lee et al. rely on
+    min_count for the guard). The span list per doc is small
+    (collected with ``collect_list`` per doc, bounded by doc length),
+    and the rebuild is a native ``filter`` over token positions — no
+    Python UDF.
     """
-    if keep_first:
-        raise NotImplementedError("keep_first exemption not implemented")
-
     from cdc_data_pipeline_spark.functions.text import tokens
 
     spans = (duplicated_spans(df, n=n, min_count=min_count,
-                              text_col=text_col, id_col=id_col)
+                              text_col=text_col, id_col=id_col,
+                              keep_first=keep_first)
              .groupBy(id_col)
              .agg(F.collect_list(F.struct("span_start", "span_end")).alias("__spans")))
     base = df.withColumn("__t", tokens(text_col))

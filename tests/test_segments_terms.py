@@ -214,3 +214,52 @@ def test_rrf_fuse_weights_bias_a_source(spark):
                     key=lambda r: r["rank"])
     assert [r["neighbor_id"] for r in biased] == [3, 1]
     assert abs(biased[0]["rrf"] - 3 / 61) < 1e-12
+
+
+class TestKeepFirstExemption:
+    """r10: the keep-one-copy ExactSubstr variant — previously the
+    package's last NotImplementedError carve-out."""
+
+    def test_first_copy_survives_mask(self, spark):
+        from cdc_data_pipeline_spark.operators import segments as sg
+
+        phrase = "alpha beta gamma delta epsilon"
+        docs = spark.createDataFrame(
+            [(1, f"{phrase} unique one"),
+             (2, f"other words here {phrase}"),
+             (3, f"{phrase} tail three")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               sg.mask_duplicated_spans(docs, n=5, keep_first=True)
+               .collect()}
+        # doc 1 holds the corpus-wide first occurrence: untouched
+        assert out[1]["clean_text"] == f"{phrase} unique one"
+        assert out[1]["n_kept"] == out[1]["n_tokens"]
+        # the clones lose the phrase but keep their own words
+        assert out[2]["clean_text"] == "other words here"
+        assert out[3]["clean_text"] == "tail three"
+        # default (drop-all) still masks every copy including the first
+        all_dropped = {r["doc_id"]: r for r in
+                       sg.mask_duplicated_spans(docs, n=5).collect()}
+        assert all_dropped[1]["clean_text"] == "unique one"
+
+    def test_intra_document_repeat_keeps_first(self, spark):
+        from cdc_data_pipeline_spark.operators import segments as sg
+
+        phrase = "a b c d e"
+        docs = spark.createDataFrame(
+            [(7, f"{phrase} mid words {phrase}")],
+            "doc_id long, text string")
+        row = sg.mask_duplicated_spans(docs, n=5, keep_first=True) \
+            .first()
+        assert row["clean_text"] == f"{phrase} mid words"
+
+    def test_keep_first_spans_cover_only_repeats(self, spark):
+        from cdc_data_pipeline_spark.operators import segments as sg
+
+        phrase = "p q r s t"
+        docs = spark.createDataFrame(
+            [(1, f"{phrase} x"), (2, f"y {phrase}")],
+            "doc_id long, text string")
+        spans = sg.duplicated_spans(docs, n=5, keep_first=True).collect()
+        assert len(spans) == 1 and spans[0]["doc_id"] == 2
