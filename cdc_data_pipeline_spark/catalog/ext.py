@@ -2350,3 +2350,57 @@ FROM kept
 
 EXTRA_QUERIES["dup_span_keep_first"] = q_dup_span_keep_first
 EXTRA_ORACLES["dup_span_keep_first"] = SQL_DUP_SPAN_KEEP_FIRST
+
+
+def q_jpeg_progressive(spark, sf_dir):
+    """PROGRESSIVE JPEG (SOF2, T.81 Annex G — r10, the last
+    image-coding quarantine that was not dependency-bound): each
+    document's pixel grid (the shared (c + 37x) % 256 formula) encodes
+    through ``encode_jpeg_progressive`` (spectral selection + DC/AC
+    successive approximation + EOB runs) and decodes back through the
+    same ``decode_jpeg`` entry point as baseline streams. The pin is
+    the strongest a codec can carry: at the same quality both encoders
+    quantize to the SAME coefficients, so the progressive decode must
+    equal the baseline decode BYTE-EXACTLY (``matches_baseline``) —
+    any drift in scan assembly, refinement bits, or EOB-run handling
+    breaks it. Oracle recomputes dims from text length and expects the
+    flag TRUE, never seeing a JPEG byte."""
+    import pandas as pd
+
+    from cdc_data_pipeline_spark.operators.jpegcodec import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    def roundtrip(batches):
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "matches_baseline": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hh = len(text)
+                vals = [(ord(ch) % 256 + 37 * x) % 256
+                        for ch in text for x in range(4)]
+                rgb = b"".join(bytes([v, v, v]) for v in vals)
+                prog = decode_jpeg(encode_jpeg_progressive(
+                    4, hh, rgb, quality=90, al=1))
+                base = decode_jpeg(encode_jpeg(4, hh, rgb, quality=90))
+                out["media_id"].append(doc_id)
+                out["width"].append(prog[0])
+                out["height"].append(prog[1])
+                out["matches_baseline"].append(prog == base)
+            yield pd.DataFrame(out)
+
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 1)
+    return docs.mapInPandas(
+        roundtrip,
+        "media_id long, width int, height int, matches_baseline boolean")
+
+
+SQL_JPEG_PROGRESSIVE = """
+SELECT doc_id AS media_id,
+       4::INTEGER AS width,
+       length(text)::INTEGER AS height,
+       TRUE AS matches_baseline
+FROM documents WHERE length(text) >= 1
+"""
+
+EXTRA_QUERIES["jpeg_progressive"] = q_jpeg_progressive
+EXTRA_ORACLES["jpeg_progressive"] = SQL_JPEG_PROGRESSIVE

@@ -1,12 +1,16 @@
-"""Baseline JPEG codec, pure stdlib — the last image format that was
-Pillow-gated.
+"""JPEG codec, pure stdlib — baseline AND progressive.
 
-Decoder: baseline sequential DCT (ITU T.81 SOF0) — marker walk, DQT
+Decoder: baseline sequential DCT (ITU T.81 SOF0/1) — marker walk, DQT
 (8- and 16-bit), DHT (arbitrary tables, read from the stream), SOS,
 byte-unstuffing entropy decode with restart-marker support, any
 sampling factors (4:4:4, 4:2:0, 4:2:2, ...), dequantize + zigzag +
-IDCT, box chroma upsample, JFIF YCbCr->RGB. Progressive (SOF2) and
-arithmetic coding raise ``ValueError`` so callers quarantine.
+IDCT, box chroma upsample, JFIF YCbCr->RGB — plus PROGRESSIVE (SOF2,
+T.81 Annex G, r10): spectral selection, DC and AC successive
+approximation (first + refinement scans), EOB runs with buffered
+correction bits, interleaved and single-component scans, restart
+markers; coefficients accumulate across scans and dequantize+IDCT
+once at EOI. Arithmetic coding, lossless and 12-bit raise
+``ValueError`` so callers quarantine.
 
 Encoder: the round-trip twin — JFIF YCbCr, optional 4:2:0 subsample,
 forward DCT, Annex K quant tables scaled by the libjpeg quality curve
@@ -14,6 +18,11 @@ forward DCT, Annex K quant tables scaled by the libjpeg quality curve
 tables (built programmatically and emitted in DHT, so no hand-copied
 Annex K Huffman bytes can silently corrupt the bitstream — any
 spec-conforming decoder reads them the same way).
+:func:`encode_jpeg_progressive` emits SOF2 streams with a scan script
+covering every Annex-G decode shape; the SAME quality produces the
+SAME quantized coefficients as the baseline encoder, so
+decode(progressive) must equal decode(baseline) BYTE-EXACTLY — the
+progressive machinery is pinned without any external codec.
 
 Design notes for verifiability without an external decoder:
 - The zigzag order is DERIVED (diagonal walk) and unit-pinned against
@@ -312,10 +321,15 @@ def _bitsize(v: int) -> int:
 
 
 def decode_jpeg(b: bytes):
-    """Decode a baseline JPEG to (width, height, flat top-down RGB
-    bytes). Grayscale streams replicate Y into RGB. Raises
-    ``ValueError`` on progressive/arithmetic/12-bit streams and any
-    corruption; callers quarantine."""
+    """Decode a baseline (SOF0/1) or PROGRESSIVE (SOF2) JPEG to
+    (width, height, flat top-down RGB bytes). Grayscale streams
+    replicate Y into RGB. Progressive streams (T.81 Annex G: spectral
+    selection + successive approximation, DC and AC first/refinement
+    scans, EOB runs, restart markers) accumulate coefficients across
+    scans and dequantize+IDCT once at EOI — r10, closing the last
+    image-format quarantine that was not genuinely dependency-bound.
+    Raises ``ValueError`` on arithmetic/lossless/12-bit streams and
+    any corruption; callers quarantine."""
     if b[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -324,6 +338,7 @@ def decode_jpeg(b: bytes):
     comps = None
     w = h = None
     restart_interval = 0
+    progressive = False
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -370,7 +385,8 @@ def decode_jpeg(b: bytes):
                 (huff_dc if tc == 0 else huff_ac)[th] = \
                     _HuffDecoder(bits, values)
                 sp += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):   # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -388,11 +404,12 @@ def decode_jpeg(b: bytes):
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError("bad JPEG sampling factors")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG coding (SOF{marker - 0xC0}); "
-                "only baseline sequential is stdlib-decodable")
+                "baseline sequential and progressive are "
+                "stdlib-decodable")
         elif marker == 0xDD:                 # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:                 # SOS
@@ -406,12 +423,26 @@ def decode_jpeg(b: bytes):
                 if comp is None:
                     raise ValueError("SOS references unknown component")
                 scan.append((comp, tabs >> 4, tabs & 0x0F))
-            body_start = _skip_to_marker(b, _decode_scan(
-                b, body_start, w, h, comps, scan, quant,
-                huff_dc, huff_ac, restart_interval))
-            if all("plane" in c for c in comps):
-                return _planes_to_rgb(comps, w, h)
+            if progressive:
+                if len(seg) < 1 + 2 * ns + 3:
+                    raise ValueError("truncated progressive SOS")
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                body_start = _skip_to_marker(b, _decode_scan_progressive(
+                    b, body_start, w, h, comps, scan, ss, se,
+                    ahal >> 4, ahal & 0x0F, huff_dc, huff_ac,
+                    restart_interval))
+            else:
+                body_start = _skip_to_marker(b, _decode_scan(
+                    b, body_start, w, h, comps, scan, quant,
+                    huff_dc, huff_ac, restart_interval))
+                if all("plane" in c for c in comps):
+                    return _planes_to_rgb(comps, w, h)
         pos = body_start
+    if progressive and comps is not None \
+            and all("coef" in c for c in comps):
+        _finalize_progressive(comps, quant)
+        return _planes_to_rgb(comps, w, h)
     if comps is not None and any("plane" in c for c in comps):
         raise ValueError("JPEG ended with undecoded components")
     raise ValueError("JPEG contains no scan")
@@ -511,6 +542,195 @@ def _decode_scan(b, pos, w, h, comps, scan, quant, huff_dc, huff_ac,
                                          my * comp["v"] + by, px)
                 mcu_count += 1
     return reader.pos
+
+
+def _ensure_coef(comps, w, h):
+    """Allocate per-component progressive coefficient storage (natural
+    order ints, one 64-slot row per 8x8 block on the INTERLEAVED grid)
+    plus the component's own non-interleaved block counts."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        if "coef" not in c:
+            c["bw"] = mcux * c["h"]
+            c["bh"] = mcuy * c["v"]
+            c["coef"] = [0] * (c["bw"] * c["bh"] * 64)
+            cw = (w * c["h"] + hmax - 1) // hmax
+            ch = (h * c["v"] + vmax - 1) // vmax
+            c["cbw"] = (cw + 7) // 8
+            c["cbh"] = (ch + 7) // 8
+    return mcux, mcuy
+
+
+def _decode_scan_progressive(b, pos, w, h, comps, scan, ss, se, ah, al,
+                             huff_dc, huff_ac, restart_interval):
+    """One progressive scan (T.81 Annex G.2): DC first/refinement
+    (optionally interleaved), AC first/refinement with EOB runs
+    (single-component by spec). Coefficients accumulate in each
+    component's ``coef`` store; dequant+IDCT happen once at EOI."""
+    if not (0 <= ss <= se <= 63):
+        raise ValueError("bad progressive spectral band")
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    mcux, mcuy = _ensure_coef(comps, w, h)
+    reader = _BitReader(b, pos)
+    state = {"eobrun": 0}
+    preds = [[0] for _ in scan]
+    p1 = 1 << al
+
+    def correct(coef, z, bit):
+        if bit and (coef[z] & p1) == 0:
+            coef[z] += p1 if coef[z] > 0 else -p1
+
+    def dc_first(comp, ci):
+        tab = huff_dc.get(scan[ci][1])
+        if tab is None:
+            raise ValueError("JPEG missing Huffman table")
+        t = reader.huff(tab)
+        if t > 11:
+            raise ValueError("bad JPEG DC category")
+        preds[ci][0] += _extend(reader.receive(t), t)
+        return preds[ci][0] << al
+
+    def ac_first(coef, base):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        tab = huff_ac.get(scan[0][2])
+        if tab is None:
+            raise ValueError("JPEG missing Huffman table")
+        k = ss
+        while k <= se:
+            rs = reader.huff(tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:                  # ZRL
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.receive(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("progressive AC run overflow")
+            coef[base + ZIGZAG[k]] = \
+                _extend(reader.receive(s), s) << al
+            k += 1
+
+    def ac_refine(coef, base):
+        tab = huff_ac.get(scan[0][2])
+        if tab is None:
+            raise ValueError("JPEG missing Huffman table")
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = reader.huff(tab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:               # EOBn: this block + r more
+                        state["eobrun"] = (1 << r)
+                        if r:
+                            state["eobrun"] += reader.receive(r)
+                        break
+                    val = 0                  # ZRL: 16 zero-history slots
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "bad refinement AC magnitude (must be 1)")
+                    val = p1 if reader.bit() else -p1
+                # advance: corrections for nonzero-history coeffs pass
+                # free; zero-history slots consume the run
+                while k <= se:
+                    z = base + ZIGZAG[k]
+                    if coef[z] != 0:
+                        correct(coef, z, reader.bit())
+                    else:
+                        if r == 0:
+                            if val != 0:
+                                coef[z] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if state["eobrun"] > 0:
+            while k <= se:                   # trailing corrections
+                z = base + ZIGZAG[k]
+                if coef[z] != 0:
+                    correct(coef, z, reader.bit())
+                k += 1
+            state["eobrun"] -= 1
+
+    def restart():
+        reader.align_to_marker()
+        state["eobrun"] = 0
+        for p in preds:
+            p[0] = 0
+
+    mcu_count = 0
+    if ss == 0 and (len(scan) > 1 or len(comps) == 1
+                    or len(scan) == len(comps)):
+        # DC scan, interleaved MCU order (also covers 1-component)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count \
+                        and mcu_count % restart_interval == 0:
+                    restart()
+                for ci, (comp, _td, _ta) in enumerate(scan):
+                    coef = comp["coef"]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            base = ((my * comp["v"] + by) * comp["bw"]
+                                    + mx * comp["h"] + bx) * 64
+                            if ah == 0:
+                                coef[base] = dc_first(comp, ci)
+                            else:
+                                if reader.bit():
+                                    coef[base] |= p1
+                mcu_count += 1
+    else:
+        # single-component scan over the component's own block grid
+        comp = scan[0][0]
+        coef = comp["coef"]
+        for by in range(comp["cbh"]):
+            for bx in range(comp["cbw"]):
+                if restart_interval and mcu_count \
+                        and mcu_count % restart_interval == 0:
+                    restart()
+                base = (by * comp["bw"] + bx) * 64
+                if ss == 0:
+                    if ah == 0:
+                        coef[base] = dc_first(comp, 0)
+                    else:
+                        if reader.bit():
+                            coef[base] |= p1
+                elif ah == 0:
+                    ac_first(coef, base)
+                else:
+                    ac_refine(coef, base)
+                mcu_count += 1
+    return reader.pos
+
+
+def _finalize_progressive(comps, quant):
+    """Dequantize + IDCT every accumulated coefficient block into the
+    components' sample planes (the one-shot tail of the progressive
+    pipeline — every scan before this only touched integers)."""
+    for comp in comps:
+        qt = quant.get(comp["tq"])
+        if qt is None:
+            raise ValueError("JPEG missing quantization table")
+        coef = comp["coef"]
+        comp["plane"] = [0.0] * (comp["bw"] * 8 * comp["bh"] * 8)
+        for by in range(comp["bh"]):
+            for bx in range(comp["bw"]):
+                base = (by * comp["bw"] + bx) * 64
+                block = [coef[base + i] * qt[i] for i in range(64)]
+                _store_block(comp, bx, by, _idct_block(block))
 
 
 def _planes_to_rgb(comps, w, h):
@@ -754,5 +974,290 @@ def encode_jpeg(w: int, h: int, rgb: bytes, quality: int = 90,
                     mcu_count += 1
             writer.flush()
             out += writer.out
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# every symbol a progressive AC scan can emit: EOBn (r<<4, r<=14),
+# ZRL (0xF0), and (run, size) with size<=10 — 176 symbols, still
+# single-length-codeable
+_AC_SYMBOLS_PROG = tuple(sorted(
+    {(r << 4) | s for r in range(16) for s in range(0, 11)}))
+
+
+def encode_jpeg_progressive(w: int, h: int, rgb: bytes,
+                            quality: int = 90, subsample: bool = False,
+                            gray: bool = False,
+                            restart_interval: int = 0,
+                            al: int = 1) -> bytes:
+    """Encode flat top-down RGB as a PROGRESSIVE (SOF2) JFIF JPEG —
+    the round-trip twin for :func:`decode_jpeg`'s Annex-G path, so
+    progressive decode is pinned without any external codec: the same
+    quality yields the same quantized coefficients as
+    :func:`encode_jpeg`, so decode(progressive) must equal
+    decode(baseline) BYTE-EXACTLY.
+
+    Scan script (exercises every Annex-G decode shape): interleaved
+    DC first at Al=``al`` then DC refinements down to 0; per component
+    AC first scans over two spectral bands (1-5, 6-63) at Al=``al``
+    then an AC refinement over 1-63 per level — spectral selection,
+    DC+AC successive approximation, EOB runs and correction-bit
+    buffering all appear in the stream. ``al=0`` degenerates to
+    spectral-selection-only. ``restart_interval`` emits DRI + RSTn
+    in every scan (flushing EOB runs, as T.81 requires)."""
+    if len(rgb) != w * h * 3:
+        raise ValueError("rgb length does not match dimensions")
+    if not 0 <= al <= 3:
+        raise ValueError("al out of range")
+    qy = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    Y, Cb, Cr = _rgb_to_ycbcr(rgb, w, h)
+    Y = [v - 128.0 for v in Y]
+    if gray:
+        comps = [(Y, w, h, 1, 1, qy, 0)]
+    elif subsample:
+        cb, cw, ch2 = _subsample2(Cb, w, h)
+        cr, _, _ = _subsample2(Cr, w, h)
+        comps = [(Y, w, h, 2, 2, qy, 0), (cb, cw, ch2, 1, 1, qc, 1),
+                 (cr, cw, ch2, 1, 1, qc, 1)]
+    else:
+        comps = [(Y, w, h, 1, 1, qy, 0), (Cb, w, h, 1, 1, qc, 1),
+                 (Cr, w, h, 1, 1, qc, 1)]
+
+    dc_enc = _HuffEncoder(*_canonical_single_length(_DC_SYMBOLS))
+    ac_enc = _HuffEncoder(*_canonical_single_length(_AC_SYMBOLS_PROG))
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+
+    def dqt(tid, table):
+        body = bytes([tid]) + bytes(table[ZIGZAG[k]] for k in range(64))
+        return b"\xFF\xDB" + struct.pack(">H", len(body) + 2) + body
+
+    out += dqt(0, qy)
+    if not gray:
+        out += dqt(1, qc)
+    hmax = max(c[3] for c in comps)
+    vmax = max(c[4] for c in comps)
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for i, (_, _, _, hi, vi, _, tq) in enumerate(comps):
+        sof += struct.pack(">BBB", i + 1, (hi << 4) | vi, tq)
+    out += b"\xFF\xC2" + struct.pack(">H", len(sof) + 2) + sof
+
+    def dht(tc, th, enc):
+        body = bytes([(tc << 4) | th]) + bytes(enc.bits) \
+            + bytes(enc.values)
+        return b"\xFF\xC4" + struct.pack(">H", len(body) + 2) + body
+
+    out += dht(0, 0, dc_enc) + dht(1, 0, ac_enc)
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+
+    # quantized coefficient blocks, ZIGZAG order per block, on the
+    # INTERLEAVED grid (absent blocks are zero)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    zero64 = [0] * 64
+    zz_grids = []
+    for plane, pw, ph, hi, vi, qt, _ in comps:
+        grid = {}
+        for bx, by, blk in _blocks(plane, pw, ph):
+            co = _fdct_block(blk)
+            q = [int(round(co[i] / qt[i])) for i in range(64)]
+            grid[(bx, by)] = [q[ZIGZAG[k]] for k in range(64)]
+        zz_grids.append(grid)
+
+    def sos(specs, ss, se, ah, a):
+        body = bytes([len(specs)])
+        for cid, td, ta in specs:
+            body += struct.pack(">BB", cid, (td << 4) | ta)
+        body += bytes([ss, se, (ah << 4) | a])
+        return b"\xFF\xDA" + struct.pack(">H", len(body) + 2) + body
+
+    class _Scan:
+        """Per-scan emission state: bit writer + EOB-run buffering
+        (the encoder mirror of the decoder's eobrun/corrections)."""
+
+        def __init__(self):
+            self.wr = _BitWriter()
+            self.eobrun = 0
+            self.be = []                     # buffered correction bits
+            self.rst = 0
+            self.mcu = 0
+
+        def flush_eobrun(self):
+            if self.eobrun > 0:
+                r = self.eobrun.bit_length() - 1
+                code, ln = ac_enc.codes[r << 4]
+                self.wr.write(code, ln)
+                if r:
+                    self.wr.write(self.eobrun - (1 << r), r)
+                for bit in self.be:
+                    self.wr.write(bit, 1)
+                self.be = []
+                self.eobrun = 0
+
+        def maybe_restart(self, preds):
+            if restart_interval and self.mcu \
+                    and self.mcu % restart_interval == 0:
+                self.flush_eobrun()
+                self.wr.flush()
+                self.wr.out += bytes([0xFF, 0xD0 + self.rst])
+                self.rst = (self.rst + 1) % 8
+                for p in preds:
+                    p[0] = 0
+
+        def finish(self):
+            self.flush_eobrun()
+            self.wr.flush()
+            return bytes(self.wr.out)
+
+    def blocks_of(ci, bx, by):
+        return zz_grids[ci].get((bx, by), zero64)
+
+    def mcu_blocks(scan_cis):
+        """Yield per-MCU lists of (ci, zigzag block) in scan order."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                units = []
+                for ci in scan_cis:
+                    _, _, _, hi, vi, _, _ = comps[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            units.append((ci, blocks_of(
+                                ci, mx * hi + bx, my * vi + by)))
+                yield units
+
+    def comp_blocks(ci):
+        _, pw, ph, hi, vi, _, _ = comps[ci]
+        cbw = ((w * hi + 8 * hmax - 1) // (8 * hmax)) \
+            if len(comps) > 1 else (pw + 7) // 8
+        cbh = ((h * vi + 8 * vmax - 1) // (8 * vmax)) \
+            if len(comps) > 1 else (ph + 7) // 8
+        for by in range(cbh):
+            for bx in range(cbw):
+                yield blocks_of(ci, bx, by)
+
+    all_ids = [(i + 1, 0, 0) for i in range(len(comps))]
+
+    # --- DC first scan (interleaved), point transform = arithmetic >>
+    out += sos(all_ids, 0, 0, 0, al)
+    sc = _Scan()
+    preds = [[0] for _ in comps]
+    for units in mcu_blocks(range(len(comps))):
+        sc.maybe_restart(preds)
+        for ci, zz in units:
+            v = zz[0] >> al
+            diff = v - preds[ci][0]
+            preds[ci][0] = v
+            t = _bitsize(diff)
+            code, ln = dc_enc.codes[t]
+            sc.wr.write(code, ln)
+            if t:
+                sc.wr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        sc.mcu += 1
+    out += sc.finish()
+
+    # --- DC refinement scans, one per remaining bit level
+    for level in range(al - 1, -1, -1):
+        out += sos(all_ids, 0, 0, level + 1, level)
+        sc = _Scan()
+        for units in mcu_blocks(range(len(comps))):
+            sc.maybe_restart([])
+            for _ci, zz in units:
+                sc.wr.write((zz[0] >> level) & 1, 1)
+            sc.mcu += 1
+        out += sc.finish()
+
+    def pt(v, a):
+        """AC point transform: magnitude shift toward zero."""
+        return (abs(v) >> a) * (1 if v > 0 else -1)
+
+    # --- AC first scans: two spectral bands per component
+    for ci in range(len(comps)):
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos([(ci + 1, 0, 0)], ss, se, 0, al)
+            sc = _Scan()
+            for zz in comp_blocks(ci):
+                sc.maybe_restart([])
+                sc.mcu += 1
+                vals = [pt(zz[k], al) for k in range(64)]
+                nz = [k for k in range(ss, se + 1) if vals[k]]
+                if not nz:
+                    sc.eobrun += 1
+                    if sc.eobrun == 0x7FFF:
+                        sc.flush_eobrun()
+                    continue
+                sc.flush_eobrun()
+                run = 0
+                for k in range(ss, nz[-1] + 1):
+                    v = vals[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_enc.codes[0xF0]
+                        sc.wr.write(code, ln)
+                        run -= 16
+                    s = _bitsize(v)
+                    code, ln = ac_enc.codes[(run << 4) | s]
+                    sc.wr.write(code, ln)
+                    sc.wr.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if nz[-1] < se:
+                    sc.eobrun += 1
+                    if sc.eobrun == 0x7FFF:
+                        sc.flush_eobrun()
+            out += sc.finish()
+
+    # --- AC refinement scans (libjpeg jcphuff discipline: position-
+    # ordered correction bits buffered across EOB runs)
+    for level in range(al - 1, -1, -1):
+        ah = level + 1
+        for ci in range(len(comps)):
+            out += sos([(ci + 1, 0, 0)], 1, 63, ah, level)
+            sc = _Scan()
+            for zz in comp_blocks(ci):
+                sc.maybe_restart([])
+                sc.mcu += 1
+                absv = [abs(zz[k]) >> level for k in range(64)]
+                eob = 0
+                for k in range(1, 64):
+                    if absv[k] == 1:
+                        eob = k
+                r = 0
+                br = []
+                for k in range(1, 64):
+                    t = absv[k]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        sc.flush_eobrun()
+                        code, ln = ac_enc.codes[0xF0]
+                        sc.wr.write(code, ln)
+                        r -= 16
+                        for bit in br:
+                            sc.wr.write(bit, 1)
+                        br = []
+                    if t > 1:
+                        br.append(t & 1)
+                        continue
+                    sc.flush_eobrun()
+                    code, ln = ac_enc.codes[(r << 4) | 1]
+                    sc.wr.write(code, ln)
+                    sc.wr.write(0 if zz[k] < 0 else 1, 1)
+                    for bit in br:
+                        sc.wr.write(bit, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    sc.eobrun += 1
+                    sc.be.extend(br)
+                    if sc.eobrun == 0x7FFF:
+                        sc.flush_eobrun()
+            out += sc.finish()
+
     out += b"\xFF\xD9"
     return bytes(out)

@@ -1654,8 +1654,9 @@ def _decode_image_stdlib(b: bytes):
     dependency-free decode paths that execute everywhere. PPM P6 and
     24-bit BMP are raw byte math; PNG rides stdlib ``zlib`` (inflate +
     unfilter + de-interlace); GIF is pure-Python LZW; baseline JPEG is
-    a pure-Python Huffman + IDCT pipeline (``operators.jpegcodec``;
-    progressive JPEG raises and quarantines); TIFF covers strip-layout
+    a pure-Python Huffman + IDCT pipeline covering BOTH baseline and
+    progressive/SOF2 streams (``operators.jpegcodec``; arithmetic/
+    lossless/12-bit raise and quarantine); TIFF covers strip-layout
     uncompressed / PackBits / TIFF-LZW. Nothing image-shaped is
     Pillow-gated anymore.
 

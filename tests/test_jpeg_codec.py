@@ -202,12 +202,21 @@ class TestQuarantine:
             with pytest.raises(ValueError):
                 decode_jpeg(payload)
 
-    def test_progressive_raises_not_garbage(self):
+    def test_forged_sof2_on_baseline_scan_still_quarantines(self):
+        """r10: SOF2 now DECODES, but a baseline stream whose marker
+        was merely rewritten to SOF2 carries a scan header no legal
+        progressive stream can have (Ss=0 with Se=63) — it must still
+        come out as ValueError, never garbage pixels."""
         good = encode_jpeg(8, 8, bytes(192))
-        # rewrite SOF0 (FFC0) to SOF2 (FFC2): progressive
         prog = good.replace(b"\xFF\xC0", b"\xFF\xC2", 1)
-        with pytest.raises(ValueError, match="SOF2"):
+        with pytest.raises(ValueError):
             decode_jpeg(prog)
+
+    def test_unsupported_sof_markers_still_raise(self):
+        good = encode_jpeg(8, 8, bytes(192))
+        for sof in (b"\xFF\xC3", b"\xFF\xCA"):   # lossless, arith prog
+            with pytest.raises(ValueError, match="SOF"):
+                decode_jpeg(good.replace(b"\xFF\xC0", sof, 1))
 
 
 class TestPillowCrossValidation:
@@ -276,17 +285,153 @@ class TestSparkSeam:
             assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
             assert abs(r.mean_gray - mean_gray) < 1.5
 
-    def test_progressive_quarantines_on_spark(self, spark):
+    def test_progressive_decodes_on_spark(self, spark):
+        """r10: a REAL progressive stream featurizes IDENTICALLY to
+        its baseline twin through the Arrow-batched featurizer (same
+        quality -> same coefficients -> byte-equal pixels), while a
+        forged SOF2-with-baseline-scan stream still quarantines."""
+        from cdc_data_pipeline_spark.operators.jpegcodec import \
+            encode_jpeg_progressive
         from cdc_data_pipeline_spark.operators.multimodal import (
             extract_image_features)
 
-        good = encode_jpeg(8, 8, bytes(192), quality=100)
-        prog = good.replace(b"\xFF\xC0", b"\xFF\xC2", 1)
+        rgb = _gradient_rgb(16, 16)
+        base = encode_jpeg(16, 16, rgb, quality=90)
+        prog = encode_jpeg_progressive(16, 16, rgb, quality=90)
+        forged = base.replace(b"\xFF\xC0", b"\xFF\xC2", 1)
         media = spark.createDataFrame(
-            [(1, good), (2, prog)], "media_id long, payload binary")
+            [(1, base), (2, prog), (3, forged)],
+            "media_id long, payload binary")
         out = {r.media_id: r for r in
                extract_image_features(media).collect()}
-        assert out[1].decode_error is None
-        assert out[1].mean_gray == 0.0
-        assert out[2].decode_error is not None
-        assert "SOF2" in out[2].decode_error
+        assert out[1].decode_error is None and out[2].decode_error is None
+        assert out[1].mean_gray == out[2].mean_gray
+        assert out[1].ahash == out[2].ahash
+        assert out[3].decode_error is not None
+
+
+class TestProgressive:
+    """SOF2 decode (T.81 Annex G) pinned without an external codec:
+    at the same quality the progressive and baseline encoders quantize
+    to the SAME coefficients, so decode(progressive) must equal
+    decode(baseline) BYTE-EXACTLY — any drift in spectral-band
+    assembly, successive-approximation bits, EOB runs or buffered
+    corrections breaks the equality (r10)."""
+
+    @pytest.mark.parametrize("kw", [
+        dict(),
+        dict(subsample=True),
+        dict(gray=True),
+        dict(restart_interval=2),
+        dict(subsample=True, restart_interval=1),
+        dict(al=0),                         # spectral selection only
+        dict(al=2),                         # two refinement levels
+        dict(al=3, subsample=True, restart_interval=3),
+    ])
+    def test_equals_baseline_decode(self, kw):
+        import random
+
+        from cdc_data_pipeline_spark.operators.jpegcodec import \
+            encode_jpeg_progressive
+
+        rng = random.Random(11)
+        al = kw.pop("al", 1)
+        for w, h in ((16, 12), (17, 9)):
+            if kw.get("subsample") and (w % 2 or h % 2):
+                w, h = w + 1, h + 1
+            rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+            base = decode_jpeg(encode_jpeg(w, h, rgb, quality=85, **kw))
+            prog = decode_jpeg(encode_jpeg_progressive(
+                w, h, rgb, quality=85, al=al, **kw))
+            assert prog == base, (w, h, al, kw)
+
+    def test_uniform_exact_at_q100(self):
+        from cdc_data_pipeline_spark.operators.jpegcodec import \
+            encode_jpeg_progressive
+
+        rgb = bytes([120] * (8 * 8 * 3))
+        w, h, dec = decode_jpeg(encode_jpeg_progressive(
+            8, 8, rgb, quality=100))
+        assert (w, h) == (8, 8) and bytes(dec) == rgb
+
+    def test_eob_runs_span_blocks(self):
+        """A mostly-flat image makes most blocks empty in the AC band:
+        EOBn symbols with multi-block runs (and their buffered
+        refinement corrections) must reproduce the baseline decode."""
+        from cdc_data_pipeline_spark.operators.jpegcodec import \
+            encode_jpeg_progressive
+
+        w, h = 64, 24                       # 24 MCUs, mostly flat
+        rgb = bytearray([200] * (w * h * 3))
+        for i in range(0, 30, 3):           # sparse detail in one block
+            rgb[i] = 10
+        rgb = bytes(rgb)
+        base = decode_jpeg(encode_jpeg(w, h, rgb, quality=85))
+        prog = decode_jpeg(encode_jpeg_progressive(
+            w, h, rgb, quality=85, al=2))
+        assert prog == base
+
+    def test_bad_refinement_magnitude_raises(self):
+        """A refinement scan symbol with size != 1 is corrupt."""
+        from cdc_data_pipeline_spark.operators.jpegcodec import \
+            encode_jpeg_progressive
+
+        prog = encode_jpeg_progressive(16, 12, _gradient_rgb(16, 12),
+                                       quality=85, al=1)
+        # flipping entropy bytes in the last scan (AC refinement) must
+        # either decode to SOMETHING or raise ValueError — never crash
+        # with a non-ValueError (the dispatch normalization contract)
+        blob = bytearray(prog)
+        for off in (-20, -40, -60):
+            tampered = bytearray(blob)
+            if tampered[off] not in (0xFF, 0x00, 0xD9):
+                tampered[off] ^= 0x55
+                try:
+                    decode_jpeg(bytes(tampered))
+                except ValueError:
+                    pass
+
+    def test_truncated_progressive_raises(self):
+        from cdc_data_pipeline_spark.operators.jpegcodec import \
+            encode_jpeg_progressive
+
+        prog = encode_jpeg_progressive(16, 12, _gradient_rgb(16, 12))
+        for cut in (len(prog) // 2, len(prog) - 10):
+            with pytest.raises(ValueError):
+                decode_jpeg(prog[:cut])
+
+    def test_pillow_decodes_our_progressive(self):
+        """Bitstream conformance against an independent decoder —
+        runs wherever Pillow exists, skips visibly where not."""
+        pil = pytest.importorskip("PIL.Image")
+        import io
+
+        from cdc_data_pipeline_spark.operators.jpegcodec import \
+            encode_jpeg_progressive
+
+        w, h = 20, 12
+        rgb = _gradient_rgb(w, h)
+        for kw in (dict(al=1), dict(al=2, subsample=True),
+                   dict(al=1, restart_interval=2)):
+            payload = encode_jpeg_progressive(w, h, rgb, quality=95,
+                                              **kw)
+            img = pil.open(io.BytesIO(payload))
+            assert img.size == (w, h)
+            theirs = bytes(v for px in img.convert("RGB").getdata()
+                           for v in px)
+            ours = decode_jpeg(payload)[2]
+            diff = max(abs(a - b) for a, b in zip(theirs, ours))
+            assert diff <= 8, kw
+
+    def test_we_decode_pillow_progressive(self):
+        pil = pytest.importorskip("PIL.Image")
+        import io
+
+        w, h = 20, 12
+        rgb = _gradient_rgb(w, h)
+        img = pil.frombytes("RGB", (w, h), rgb)
+        buf = io.BytesIO()
+        img.save(buf, "JPEG", quality=95, progressive=True)
+        dw, dh, ours = decode_jpeg(buf.getvalue())
+        assert (dw, dh) == (w, h)
+        assert max(abs(a - b) for a, b in zip(ours, rgb)) <= 24
