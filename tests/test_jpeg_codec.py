@@ -435,3 +435,39 @@ class TestProgressive:
         dw, dh, ours = decode_jpeg(buf.getvalue())
         assert (dw, dh) == (w, h)
         assert max(abs(a - b) for a, b in zip(ours, rgb)) <= 24
+
+
+class TestProgressiveProperty:
+    """Randomized pin: for ANY image and any legal (quality, Al,
+    subsample, restart) combination, progressive decode equals
+    baseline decode byte-exactly — the same-coefficients invariant,
+    hypothesis-explored."""
+
+    def test_random_images_and_params(self):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from cdc_data_pipeline_spark.operators.jpegcodec import \
+            encode_jpeg_progressive
+
+        @given(
+            w=st.integers(4, 20), h=st.integers(4, 20),
+            seed=st.integers(0, 2**31),
+            quality=st.sampled_from([60, 85, 100]),
+            al=st.integers(0, 2),
+            subsample=st.booleans(),
+            rst=st.sampled_from([0, 1, 3]),
+        )
+        @settings(max_examples=12, deadline=None,
+                  suppress_health_check=[HealthCheck.too_slow])
+        def check(w, h, seed, quality, al, subsample, rst):
+            rng = random.Random(seed)
+            rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+            kw = dict(quality=quality, subsample=subsample,
+                      restart_interval=rst)
+            base = decode_jpeg(encode_jpeg(w, h, rgb, **kw))
+            prog = decode_jpeg(encode_jpeg_progressive(
+                w, h, rgb, al=al, **kw))
+            assert prog == base
+
+        check()

@@ -28,18 +28,22 @@ import time
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from cdc_data_pipeline_spark.operators import multimodal as mm
-from cdc_data_pipeline_spark.operators.jpegcodec import encode_jpeg
+from cdc_data_pipeline_spark.operators.jpegcodec import (
+    encode_jpeg, encode_jpeg_progressive)
 
 
 def _corpus(side: int, n: int):
     rng = random.Random(42)
     gray_pal = b"".join(bytes([i, i, i]) for i in range(256))
-    out = {"png": [], "jpeg": [], "gif": [], "tiff": []}
+    out = {"png": [], "jpeg": [], "jpeg_prog": [], "gif": [],
+           "tiff": []}
     for _ in range(n):
         rgb = bytes(rng.randrange(256) for _ in range(side * side * 3))
         idx = bytes(rng.randrange(256) for _ in range(side * side))
         out["png"].append(mm._encode_png(side, side, rgb))
         out["jpeg"].append(encode_jpeg(side, side, rgb, quality=85))
+        out["jpeg_prog"].append(
+            encode_jpeg_progressive(side, side, rgb, quality=85))
         out["gif"].append(mm._encode_gif(side, side, idx, gray_pal))
         out["tiff"].append(mm._encode_tiff(side, side, rgb))
     return out
