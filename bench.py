@@ -87,6 +87,10 @@ BENCH_QUERIES = [
     # r10: the partition-pruned point-lookup serve path through a full
     # build+merge lifecycle (promoted driver row, r9 verdict #3)
     "lookup_bucketed",
+    # r11: the versioned pointer-table lifecycle (two dbt-build
+    # materializations + rollback + time travel + audit manifest;
+    # promoted driver row, r10 verdict #2)
+    "versioned_mart",
 ]
 
 

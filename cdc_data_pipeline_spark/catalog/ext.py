@@ -2404,3 +2404,114 @@ FROM documents WHERE length(text) >= 1
 
 EXTRA_QUERIES["jpeg_progressive"] = q_jpeg_progressive
 EXTRA_ORACLES["jpeg_progressive"] = SQL_JPEG_PROGRESSIVE
+
+
+# ------------------------------------- versioned-table lifecycle (r11)
+
+def q_versioned_mart(spark, sf_dir):
+    """Versioned pointer-table lifecycle through the dbt-build path
+    (VERDICT r10 #2 — the r5 lesson that persisted-protocol breakage
+    must be driver-visible, applied to the last protocol family):
+    ``materialize`` a two-model DAG (src -> stg -> mart) from
+    ``orders``, re-materialize with revised source arithmetic (v2),
+    then ROLL BACK the mart's pointer to v=1. The result unions the
+    pointer-resolved read (must serve v1 after the rollback), a
+    pinned time-travel read of v2, and the ``_runs`` audit manifest
+    (model, version, footer row-count) — so a publish that leaks
+    partial data, a rollback that doesn't stick, a time-travel read
+    serving the wrong version, or an audit row counting rows the
+    pointer doesn't serve all break the value hash. Money flows in
+    integer cents so Spark and DuckDB sums are exact.
+
+    Reference parity: dbt build + snapshot rollback ritual
+    (README.md:69-88); ClickHouse atomic-parts publish
+    (base_loader.py:241-249). Throwaway tables, removed after
+    materialization."""
+    import shutil
+    import tempfile
+
+    from cdc_data_pipeline_spark.catalog.core import lifecycle_result
+    from cdc_data_pipeline_spark.plans.registry import (
+        ModelRegistry, materialize)
+    from cdc_data_pipeline_spark.sources.versioned import (
+        publish_pointer, read_runs, read_versioned)
+
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="cdcspark_vmart_")
+    base = root + "/models"
+    try:
+        def registry(bump_cents: int) -> ModelRegistry:
+            reg = ModelRegistry()
+            reg.add_source("src", orders.select(
+                "o_orderkey", "o_orderstatus",
+                (F.round(F.col("o_totalprice") * 100).cast("long")
+                 + F.lit(bump_cents)).alias("cents")))
+
+            @reg.model("stg", deps=("src",))
+            def stg(src):
+                return src.filter(F.col("o_orderkey") % 3 != 0)
+
+            @reg.model("mart", deps=("stg",))
+            def mart(stg):
+                return stg.groupBy("o_orderstatus").agg(
+                    F.sum("cents").alias("total_cents"),
+                    F.count(F.lit(1)).alias("cnt"))
+
+            return reg
+
+        materialize(registry(0), spark, base, sources=("src",))
+        materialize(registry(1000), spark, base, sources=("src",))
+        publish_pointer(base + "/mart", 1)             # rollback
+        mart = base + "/mart"
+        cur = read_versioned(spark, mart).select(
+            F.lit("current").alias("which"),
+            F.col("o_orderstatus").alias("status"),
+            "total_cents", "cnt")
+        pinned = read_versioned(spark, mart, version=2).select(
+            F.lit("pinned").alias("which"),
+            F.col("o_orderstatus").alias("status"),
+            "total_cents", "cnt")
+        audit = read_runs(spark, base).select(
+            F.concat(F.lit("audit:"), "model").alias("which"),
+            F.col("model").alias("status"),
+            F.col("version").cast("long").alias("total_cents"),
+            F.col("rows").cast("long").alias("cnt"))
+        return lifecycle_result(
+            cur.unionByName(pinned).unionByName(audit), root)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+SQL_VERSIONED_MART = """
+WITH stg AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 3 <> 0),
+mart1 AS (
+  SELECT o_orderstatus AS status,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         COUNT(*) AS cnt
+  FROM stg GROUP BY o_orderstatus),
+mart2 AS (
+  SELECT o_orderstatus AS status,
+         CAST(SUM(cents + 1000) AS BIGINT) AS total_cents,
+         COUNT(*) AS cnt
+  FROM stg GROUP BY o_orderstatus)
+SELECT 'current' AS which, status, total_cents, cnt FROM mart1
+UNION ALL
+SELECT 'pinned' AS which, status, total_cents, cnt FROM mart2
+UNION ALL
+SELECT 'audit:stg' AS which, 'stg' AS status,
+       CAST(v AS BIGINT) AS total_cents,
+       (SELECT COUNT(*) FROM stg) AS cnt
+FROM (VALUES (1), (2)) t(v)
+UNION ALL
+SELECT 'audit:mart' AS which, 'mart' AS status,
+       CAST(v AS BIGINT) AS total_cents,
+       (SELECT COUNT(*) FROM mart1) AS cnt
+FROM (VALUES (1), (2)) t(v)
+"""
+
+QUERIES["versioned_mart"] = q_versioned_mart
+ORACLES["versioned_mart"] = SQL_VERSIONED_MART

@@ -794,7 +794,13 @@ def read_changes(spark: SparkSession, target_path: str,
             and (upto_seq is None or int(c.split("-", 2)[1]) <= upto_seq)]
     if not dirs:
         return None
-    return spark.read.option("mergeSchema", "true").parquet(*dirs)
+    feed = spark.read.option("mergeSchema", "true").parquet(*dirs)
+    # LINEAGE: stamp the fed table's root on the _seq column metadata
+    # so downstream consumers (apply_changes) can enforce the
+    # reconcile staleness guard without the caller re-passing the
+    # path — the guard is fail-closed by default (VERDICT r10 #1).
+    # Column metadata survives select/filter as long as _seq does.
+    return feed.withMetadata("_seq", {"cdc_source_root": target_path})
 
 
 def stream_changes(spark: SparkSession, target_path: str,
@@ -1097,6 +1103,17 @@ class StaleFeedConsumerError(RuntimeError):
     (marts), then resume incremental feeds."""
 
 
+#: Fail-closed generation for a torn/invalid marker: larger than any
+#: real reconcile count, so EVERY consumer (whatever generation it
+#: recorded from a past readable marker) is refused until the marker
+#: is repaired — ``reconcile_changes`` republishes a valid one above
+#: this value, after which re-bootstrapped consumers pass again.
+#: (ADVICE r10: the old ``gen=1`` fallback failed OPEN for any
+#: consumer already recorded at gen>=1 — exactly when the marker is
+#: corrupt and nothing can be vouched.)
+GEN_UNREADABLE = 2 ** 62
+
+
 def read_feed_generation(spark: SparkSession, target_path: str) -> dict:
     """The feed's reconcile GENERATION marker: ``{"gen": N,
     "min_quarantined_seq": M}``. ``gen`` increments every time
@@ -1104,7 +1121,14 @@ def read_feed_generation(spark: SparkSession, target_path: str) -> dict:
     is the lowest seq ever quarantined. A consumer that synced under
     an older generation AND whose watermark reaches
     ``min_quarantined_seq`` may hold unvouched rows (VERDICT r9 #7).
-    ``{"gen": 0, ...}`` for a feed that never needed reconciling."""
+    ``{"gen": 0, ...}`` for a feed that never needed reconciling.
+
+    A marker that exists but cannot be parsed (torn write, missing
+    keys, wrong types) returns ``{"gen": GEN_UNREADABLE,
+    "min_quarantined_seq": -1, "corrupt": True}`` — a value that
+    refuses EVERY consumer (fail-closed: coverage is unknown, so
+    nothing can be vouched) until ``reconcile_changes`` repairs the
+    marker."""
     from cdc_data_pipeline_spark.sources import fsutil
 
     txt = fsutil.read_text(spark, fsutil.path_join(
@@ -1114,11 +1138,14 @@ def read_feed_generation(spark: SparkSession, target_path: str) -> dict:
     import json
 
     try:
-        return json.loads(txt)
-    except (ValueError, KeyError):
-        # torn marker: treat as "a reconcile happened, coverage
-        # unknown" — the conservative reading
-        return {"gen": 1, "min_quarantined_seq": -1}
+        marker = json.loads(txt)
+        gen = int(marker["gen"])
+        m = marker.get("min_quarantined_seq")
+        return {"gen": gen,
+                "min_quarantined_seq": None if m is None else int(m)}
+    except (ValueError, KeyError, TypeError):
+        return {"gen": GEN_UNREADABLE, "min_quarantined_seq": -1,
+                "corrupt": True}
 
 
 def check_feed_vouched(spark: SparkSession, target_path: str,
@@ -1129,8 +1156,16 @@ def check_feed_vouched(spark: SparkSession, target_path: str,
     quarantined. Returns the current generation marker when the
     consumer is vouched (callers persist ``gen`` forward). A consumer
     still BELOW the lowest quarantined seq never saw unvouched rows
-    and passes whatever its generation."""
+    and passes whatever its generation. A CORRUPT marker refuses
+    unconditionally — coverage is unknown, so no watermark can be
+    vouched; ``reconcile_changes`` repairs the marker."""
     marker = read_feed_generation(spark, target_path)
+    if marker.get("corrupt"):
+        raise StaleFeedConsumerError(
+            f"{target_path}: feed generation marker is unreadable "
+            "(torn or malformed) — no consumer state can be vouched; "
+            "run reconcile_changes to repair the marker, then "
+            "re-converge via create_anchor + bootstrap_replica")
     if marker["gen"] > consumer_gen:
         m = marker.get("min_quarantined_seq")
         if m is None or consumer_seq >= int(m):
@@ -1175,7 +1210,8 @@ def reconcile_changes(spark: SparkSession, target_path: str) -> dict:
         if n.startswith("commit-"):
             by_seq.setdefault(int(n.split("-", 2)[1]), []).append(n)
     dup_seqs = sorted(s for s, g in by_seq.items() if len(g) > 1)
-    if dup_seqs:
+    old = read_feed_generation(spark, target_path)
+    if dup_seqs or old.get("corrupt"):
         # bump the feed GENERATION so consumers can detect that their
         # watermark may cover unvouched history (VERDICT r9 #7):
         # check_feed_vouched / apply_changes(source_path=...) raise
@@ -1188,9 +1224,14 @@ def reconcile_changes(spark: SparkSession, target_path: str) -> dict:
         # The inverse crash (marker published, renames pending) is
         # safe: the feed stays visibly bricked until reconcile
         # re-runs, and an extra generation bump is merely conservative.
+        # A CORRUPT marker is repaired here too (its fail-closed
+        # GEN_UNREADABLE refuses everyone until this re-publish): the
+        # real lost generation is unknowable, so the repaired one is
+        # GEN_UNREADABLE+1 with all history suspect (min=-1) — every
+        # consumer is forced through one re-bootstrap, after which
+        # the recorded generations are consistent again.
         import json as _json
 
-        old = read_feed_generation(spark, target_path)
         prev_min = old.get("min_quarantined_seq")
         new_min = min(dup_seqs + ([int(prev_min)]
                                   if prev_min is not None else []))
@@ -1256,7 +1297,9 @@ def _write_replica_generation(spark: SparkSession, replica_path: str,
 def apply_changes(spark: SparkSession, feed: DataFrame,
                   replica_path: str, keys: Sequence[str],
                   n_buckets: int | None = None,
-                  source_path: str | None = None) -> None:
+                  source_path: str | None = None,
+                  allow_unvouched: bool = False,
+                  reconverge: bool = False) -> None:
     """Maintain a REPLICA table from a change feed: collapse the feed
     to the final op per key (latest ``_seq`` wins; preimage rows never
     carry final state and are dropped), then apply it as ONE bucketed
@@ -1271,16 +1314,44 @@ def apply_changes(spark: SparkSession, feed: DataFrame,
     last change was pruned; use ``bootstrap_replica`` (anchor seed +
     surviving tail) in that case.
 
-    ``source_path`` (the fed table's root) opts into the reconcile
-    STALENESS GUARD (VERDICT r9 #7): before applying, the replica's
-    recorded feed generation and watermark are checked against the
-    source feed's generation marker — if ``reconcile_changes``
-    quarantined a commit this replica already consumed, the apply
-    raises :class:`StaleFeedConsumerError` instead of silently
-    compounding unvouched state; on success the replica records the
-    current generation. Callers without the source path keep the old
-    unguarded behavior."""
-    if source_path is not None:
+    The reconcile STALENESS GUARD (VERDICT r9 #7) is FAIL-CLOSED by
+    default (VERDICT r10 #1): before applying, the replica's recorded
+    feed generation and watermark are checked against the source
+    feed's generation marker — if ``reconcile_changes`` quarantined a
+    commit this replica already consumed, the apply raises
+    :class:`StaleFeedConsumerError` instead of silently compounding
+    unvouched state; on success the replica records the current
+    generation. The source root comes from ``source_path`` or, when
+    omitted, from the lineage ``read_changes`` stamps on the feed's
+    ``_seq`` column metadata. A feed with NEITHER (hand-built, or the
+    ``_seq`` column was rebuilt) raises ``ValueError`` — the ONLY
+    unguarded path is the explicit ``allow_unvouched=True`` opt-out
+    (``bootstrap_replica`` uses it internally: it re-vouches from the
+    table side afterwards).
+
+    ``reconverge=True`` mechanizes the refusal runbook (VERDICT r10
+    #5): instead of raising, a refused consumer is rebuilt in place —
+    ``create_anchor`` on the source (the table is the source of
+    truth; it holds every merged row including the quarantined
+    commits'), then ``bootstrap_replica`` from that anchor plus the
+    clean tail, which re-vouches the replica under the feed's current
+    generation. Requires a resolvable source root. A corrupt
+    generation marker still raises — repairing the marker
+    (``reconcile_changes``) is a table-owner action, not a
+    consumer-side rebuild."""
+    if source_path is None and not allow_unvouched:
+        if "_seq" in feed.columns:
+            source_path = (feed.schema["_seq"].metadata or {}).get(
+                "cdc_source_root")
+        if source_path is None:
+            raise ValueError(
+                "apply_changes: cannot locate the source feed's "
+                "generation marker — the feed carries no lineage "
+                "(read_changes stamps it on _seq) and no source_path "
+                "was given. Pass source_path=<table root> to enable "
+                "the staleness guard, or allow_unvouched=True to "
+                "explicitly skip it (unsafe after a reconcile).")
+    if source_path is not None and not allow_unvouched:
         from cdc_data_pipeline_spark.sources import fsutil
 
         consumer_seq = -1
@@ -1291,9 +1362,20 @@ def apply_changes(spark: SparkSession, feed: DataFrame,
                     .agg(F.max("__feed_seq")).first()[0] or -1)
             except Exception:
                 consumer_seq = -1
-        marker = check_feed_vouched(
-            spark, source_path,
-            read_replica_generation(spark, replica_path), consumer_seq)
+        try:
+            marker = check_feed_vouched(
+                spark, source_path,
+                read_replica_generation(spark, replica_path),
+                consumer_seq)
+        except StaleFeedConsumerError:
+            if not reconverge:
+                raise
+            if read_feed_generation(spark, source_path).get("corrupt"):
+                raise
+            create_anchor(spark, source_path)
+            bootstrap_replica(spark, source_path, replica_path,
+                              n_buckets=n_buckets)
+            return
     data_cols = [c for c in feed.columns if c not in ("_op", "_seq")]
     final = latest_per_key(
         feed.filter(~F.col("_op").isin("update_preimage")),
@@ -1305,7 +1387,7 @@ def apply_changes(spark: SparkSession, feed: DataFrame,
                     n_buckets=n_buckets, delete_col="__is_del")
     # __feed_seq rides along as the replica's tracking column — it IS
     # the replication watermark (MAX(__feed_seq) = last applied commit)
-    if source_path is not None:
+    if source_path is not None and not allow_unvouched:
         _write_replica_generation(spark, replica_path, marker["gen"])
 
 
@@ -1339,14 +1421,24 @@ def bootstrap_replica(spark: SparkSession, table_path: str,
                         n_buckets=n_buckets, delete_col="__is_del")
     feed = read_changes(spark, table_path, since_seq=base)
     if feed is not None:
+        # allow_unvouched: the bootstrap IS the re-convergence — it
+        # seeds from the table-side anchor and re-vouches below under
+        # the feed's CURRENT generation, so the per-slice guard would
+        # only refuse the very repair it documents
         apply_changes(spark, feed, replica_path, keys,
-                      n_buckets=n_buckets)
+                      n_buckets=n_buckets, allow_unvouched=True)
     # a bootstrap converges from the TABLE-side anchor + clean tail —
     # it is the documented re-convergence after a reconcile, so it
-    # vouches the replica under the feed's CURRENT generation
-    _write_replica_generation(
-        spark, replica_path,
-        read_feed_generation(spark, table_path)["gen"])
+    # vouches the replica under the feed's CURRENT generation. A
+    # CORRUPT marker cannot vouch anything (recording its fail-closed
+    # sentinel would pass every future check): repair it first.
+    marker = read_feed_generation(spark, table_path)
+    if marker.get("corrupt"):
+        raise StaleFeedConsumerError(
+            f"{table_path}: feed generation marker is unreadable — "
+            "run reconcile_changes to repair it before bootstrapping "
+            "(a bootstrap must record a real generation to vouch)")
+    _write_replica_generation(spark, replica_path, marker["gen"])
     return newest
 
 

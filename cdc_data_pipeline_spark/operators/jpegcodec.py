@@ -45,10 +45,23 @@ import math
 import struct
 
 # Decompression-bomb guard (ADVICE r9): SOF-claimed dimensions are
-# checked against this before any pixel buffer is allocated, so a
-# tiny payload claiming 65535x65535 quarantines cleanly instead of
-# OOM-killing an executor. Mirrors multimodal.MAX_IMAGE_PIXELS.
+# checked against the shared knob before any pixel buffer is
+# allocated, so a tiny payload claiming 65535x65535 quarantines
+# cleanly instead of OOM-killing an executor. MAX_PIXELS is only the
+# FALLBACK default — decode follows multimodal.MAX_IMAGE_PIXELS (the
+# documented mutable limit, same shape as PIL.Image.MAX_IMAGE_PIXELS)
+# at call time, so operators that raise the one knob govern every
+# decoder, this codec included (ADVICE r10).
 MAX_PIXELS = 64_000_000
+
+
+def _max_pixels() -> int:
+    try:
+        from cdc_data_pipeline_spark.operators import multimodal
+
+        return int(multimodal.MAX_IMAGE_PIXELS)
+    except Exception:
+        return MAX_PIXELS
 
 
 def _build_zigzag():
@@ -392,10 +405,12 @@ def decode_jpeg(b: bytes):
                 raise ValueError(f"unsupported JPEG precision {prec}")
             if fw <= 0 or fh <= 0:
                 raise ValueError("invalid JPEG dimensions")
-            if fw * fh > MAX_PIXELS:
+            limit = _max_pixels()
+            if fw * fh > limit:
                 raise ValueError(
-                    f"JPEG dimensions {fw}x{fh} exceed MAX_PIXELS="
-                    f"{MAX_PIXELS} — decompression-bomb guard")
+                    f"JPEG dimensions {fw}x{fh} exceed "
+                    f"MAX_IMAGE_PIXELS={limit} — decompression-bomb "
+                    "guard")
             w, h = fw, fh
             comps = []
             for i in range(nc):

@@ -134,7 +134,11 @@ def materialize(registry: ModelRegistry, spark, base_path: str,
             check(df)
         t0 = time.time()
         table_path = os.path.join(base_path, name)
-        version = publish_version(df, table_path)
+        # heal_crashed: the dbt-build path is the declared single
+        # writer of its model tables, so a replayed build may reclaim
+        # the ids of its own crashed (torn, no-_SUCCESS) publishes —
+        # raw publish_version stays race-safe by default
+        version = publish_version(df, table_path, heal_crashed=True)
         published[name] = version
         append_run_record(base_path, {
             "run_id": run_id,

@@ -65,10 +65,20 @@ Commit-protocol contract, per scheme (what "atomic publish" means):
 
 Concurrency contract (single-writer): the publish protocol assumes
 ONE writer per table — concurrent publishers can elect the same next
-version id and the last pointer write wins (no lock/CAS, matching the
-pipeline-owned-table model; the reference's ClickHouse accepts
+version id, in which case the SECOND data write fails loudly on
+``mode=error`` before its pointer ever moves (no lock/CAS, matching
+the pipeline-owned-table model; the reference's ClickHouse accepts
 concurrent clients, this layer deliberately does not arbitrate them).
-Readers are always safe — they only ever see fully-published versions.
+Publishers that lose the election re-run and mint the next free id.
+Crash healing (``publish_version(heal_crashed=True)``, which deletes
+torn dirs above the pointer to reuse their ids) is OPT-IN for exactly
+this reason: from the filesystem a crashed publish's torn dir and a
+live competitor's half-written dir are indistinguishable, so only a
+caller that KNOWS it is the single writer (the ``materialize`` dbt
+build, a Structured Streaming sink with its one-active-query
+checkpoint guarantee) may sweep them — the same declaration
+``vacuum_versions(sweep_unpublished=True)`` requires. Readers are
+always safe — they only ever see fully-published versions.
 """
 
 from __future__ import annotations
@@ -193,37 +203,48 @@ def _is_complete(table_path: str, version: int) -> bool:
     return os.path.exists(marker)
 
 
-def publish_version(df: DataFrame, table_path: str) -> int:
+def publish_version(df: DataFrame, table_path: str,
+                    heal_crashed: bool = False) -> int:
     """Write ``df`` as the next version and atomically publish it.
-    Returns the new version number. Single-writer per table (see
-    module docstring): concurrent publishers can race to the same
-    version id, last pointer wins.
+    Returns the new version number. By default SAFE BESIDE A RACING
+    publisher (see module docstring): the id is minted PAST any
+    existing directory — complete or torn — and a true same-id
+    collision fails loudly on ``mode=error`` before the pointer moves;
+    nothing another writer may own is ever deleted.
 
-    Crash healing (replay convergence): INCOMPLETE dirs above the
-    pointer — no ``_SUCCESS`` marker, i.e. a previous publish of ours
-    crashed mid-data-write — are swept before the version id is
-    chosen, so the replayed publish reclaims the same id instead of
-    stranding torn bytes in the time-travel history. COMPLETE dirs
-    above the pointer are never touched (indistinguishable from a
-    racing competitor's finished-but-unpointed publish or a
-    rolled-back fork); the id skips past them, exactly the behavior
-    the concurrency contract documents. Deletion here is idempotent
-    garbage collection, not a commit point."""
+    ``heal_crashed=True`` is the single-writer replay mode (the same
+    declaration ``vacuum_versions(sweep_unpublished=True)`` requires):
+    INCOMPLETE dirs above the pointer — no ``_SUCCESS`` marker, i.e. a
+    previous publish of OURS crashed mid-data-write — are swept before
+    the version id is chosen, so the replayed publish reclaims the
+    same id instead of stranding torn bytes in the time-travel
+    history. Only callers that KNOW no concurrent publisher exists may
+    pass it (``materialize``'s dbt build and the Structured Streaming
+    versioned sink do — each holds a one-writer guarantee of its own);
+    a second publisher mid-data-write would otherwise lose its
+    directory to the sweep and both could then write the same id.
+    COMPLETE dirs above the pointer are never touched in either mode
+    (a racing competitor's finished-but-unpointed publish or a
+    rolled-back fork); the id skips past them. Torn dirs left behind
+    by the default mode are inventoried by ``fsck_versioned`` and
+    reclaimed by ``vacuum_versions(sweep_unpublished=True)``."""
     if _is_uri(table_path):
         from cdc_data_pipeline_spark.sources import fsutil
 
         fsutil.mkdirs(_active_spark(), table_path)
     else:
         os.makedirs(table_path, exist_ok=True)
-    cur = current_version(table_path)
-    for v in list_versions(table_path):
-        if (cur is None or v > cur) and not _is_complete(table_path, v):
-            if _is_uri(table_path):
-                from cdc_data_pipeline_spark.sources import fsutil
+    if heal_crashed:
+        cur = current_version(table_path)
+        for v in list_versions(table_path):
+            if ((cur is None or v > cur)
+                    and not _is_complete(table_path, v)):
+                if _is_uri(table_path):
+                    from cdc_data_pipeline_spark.sources import fsutil
 
-                fsutil.delete(_active_spark(), _vdir(table_path, v))
-            else:
-                shutil.rmtree(os.path.join(table_path, f"v={v}"))
+                    fsutil.delete(_active_spark(), _vdir(table_path, v))
+                else:
+                    shutil.rmtree(os.path.join(table_path, f"v={v}"))
     versions = list_versions(table_path)
     new_v = (versions[-1] if versions else 0) + 1
     _write_data(df, _vdir(table_path, new_v))
@@ -262,11 +283,17 @@ def vacuum_versions(table_path: str, keep_last: int = 2,
     ``sweep_unpublished=True`` is the single-writer reclaim: when the
     operator KNOWS no concurrent publisher exists (the pipeline-owned
     table model), dirs above the pointer are crashed-publish debris or
-    a rolled-back dead fork and are deleted too. ``fsck_versioned``
-    inventories them as warnings either way. Stale pointer tmp files
-    (``._LATEST.tmp``, a crash between the tmp write and its atomic
-    replace) are always swept — the fixed name means the next publish
-    overwrites them anyway."""
+    a rolled-back dead fork and are deleted too, as are INCOMPLETE
+    (no ``_SUCCESS``) dirs below the pointer (a torn write the id
+    minting skipped past — never published, nothing references it)
+    and any stale pointer tmp file (``._LATEST.tmp``, a crash between
+    the tmp write and its atomic replace). ``fsck_versioned``
+    inventories all of these as warnings either way. The default mode
+    touches NONE of them — from the filesystem each is
+    indistinguishable from a live competitor's in-flight state (a
+    half-written version dir, or a pointer publish between its tmp
+    write and ``os.replace``), and vacuum must stay safe beside a
+    live publisher."""
     cur = current_version(table_path)
     versions = list_versions(table_path)
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
@@ -276,6 +303,9 @@ def vacuum_versions(table_path: str, keep_last: int = 2,
             keep.update(v for v in versions if v > cur)
         else:
             keep.difference_update(v for v in versions if v > cur)
+            keep.difference_update(
+                v for v in versions
+                if v != cur and not _is_complete(table_path, v))
     removed = []
     for v in versions:
         if v not in keep:
@@ -286,17 +316,21 @@ def vacuum_versions(table_path: str, keep_last: int = 2,
             else:
                 shutil.rmtree(os.path.join(table_path, f"v={v}"))
             removed.append(v)
-    tmp_ptr = f".{_POINTER}.tmp"
-    if _is_uri(table_path):
-        from cdc_data_pipeline_spark.sources import fsutil
+    if sweep_unpublished:
+        # only under the declared single-writer mode: a concurrent
+        # publish_pointer between its tmp write and os.replace would
+        # otherwise crash on the vanished tmp file (ADVICE r10)
+        tmp_ptr = f".{_POINTER}.tmp"
+        if _is_uri(table_path):
+            from cdc_data_pipeline_spark.sources import fsutil
 
-        fsutil.delete(_active_spark(),
-                      fsutil.path_join(table_path, tmp_ptr))
-    else:
-        try:
-            os.remove(os.path.join(table_path, tmp_ptr))
-        except FileNotFoundError:
-            pass
+            fsutil.delete(_active_spark(),
+                          fsutil.path_join(table_path, tmp_ptr))
+        else:
+            try:
+                os.remove(os.path.join(table_path, tmp_ptr))
+            except FileNotFoundError:
+                pass
     return removed
 
 
@@ -413,12 +447,33 @@ def fsck_versioned(spark: SparkSession | None, table_path: str,
                 "invisible to readers; "
                 "vacuum_versions(sweep_unpublished=True) reclaims "
                 "under the single-writer contract")
+        if cur in versions and not _is_complete(table_path, cur):
+            add("error", "pointer_uncommitted",
+                f"_LATEST names v={cur} but that directory has no "
+                "_SUCCESS commit marker — the pointer references an "
+                "uncommitted write (protocol bypassed); rollback "
+                "(publish_pointer) to a complete version")
+        torn_below = [v for v in versions
+                      if v < cur and not _is_complete(table_path, v)]
+        if torn_below:
+            add("warn", "incomplete_version",
+                f"version dir(s) {torn_below} below the pointer lack "
+                "their _SUCCESS marker — torn writes the id minting "
+                "skipped past; never published, invisible to the "
+                "pointer; vacuum_versions(sweep_unpublished=True) "
+                "reclaims under the single-writer contract")
 
-    # --- deep: every surviving version must be complete/readable
+    # --- deep: every surviving version must be complete/readable.
+    # "Published" = the pointer names it now, or it sits below the
+    # pointer WITH its _SUCCESS commit marker (the pointer only ever
+    # moves after a completed data write, so a marker-less dir was
+    # never pointer-visible wherever it sits — default-mode publishes
+    # mint PAST torn dirs, leaving them below the new pointer).
     if deep and versions:
         for v in versions:
             vdir = _vdir(table_path, v)
-            published = cur is not None and v <= cur
+            published = cur is not None and (
+                v == cur or (v < cur and _is_complete(table_path, v)))
             try:
                 if uri:
                     # a bare count() is satisfied from footers

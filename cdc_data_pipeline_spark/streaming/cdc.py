@@ -372,7 +372,10 @@ def stream_aggregate_to_versioned(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        publish_version(batch_df, table_path)
+        # heal_crashed: Structured Streaming guarantees one active
+        # query per checkpoint, so this sink is the declared single
+        # writer and a restarted query may reclaim its own torn dirs
+        publish_version(batch_df, table_path, heal_crashed=True)
 
     writer = (agg_stream.writeStream.outputMode("complete")
               .option("checkpointLocation", checkpoint)

@@ -63,6 +63,41 @@ def timed(fn):
     return round(time.time() - t0, 2)
 
 
+def structural(spark, fn, label):
+    """HOST-IMMUNE counters for one code block: Spark job / stage /
+    task counts via the status tracker, under a dedicated job group
+    (VERDICT r10 #4). Wall-clock flaps ±40% with documented host
+    phases (the r10 SCD2 feed-age claim needed three bracketing
+    readings: 0.66 / 1.57 / 0.37); the work's STRUCTURE doesn't — the
+    r9 ivm_mart creep was adjudicated closed on exactly this metric
+    (38 = 38 jobs). An O(feed-length) or O(table) term shows up as
+    extra jobs/stages/tasks on the aged run; identical counters mean
+    the plan did the same work and only the host changed speed."""
+    sc = spark.sparkContext
+    group = f"soak-struct-{label}-{time.time_ns()}"
+    sc.setJobGroup(group, label)
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    st = sc.statusTracker()
+    jobs = st.getJobIdsForGroup(group)
+    stages, tasks = set(), 0
+    for j in jobs:
+        ji = st.getJobInfo(j)
+        if ji is None:
+            continue
+        for sid in ji.stageIds:
+            if sid in stages:
+                continue
+            si = st.getStageInfo(sid)
+            if si is not None:
+                stages.add(sid)
+                tasks += si.numTasks
+    return {"jobs": len(jobs), "stages": len(stages),
+            "tasks": int(tasks)}
+
+
 def run_suite(spark, li_path, doc_path, emb_path):
     li = spark.read.parquet(li_path)
     docs = spark.read.parquet(doc_path)
@@ -254,6 +289,11 @@ def run_feed_age_suite(spark, li_path, grow: int = 100):
                                 "l_shipdate", emit_changes=True)
             i += 1
         young = (time.time() - t0) / 5
+        young_struct = structural(
+            spark, lambda: inc.upsert_bucketed(
+                spark, path, batch(i), keys, "l_shipdate",
+                emit_changes=True), "feed-young")
+        i += 1
         for _ in range(grow):                    # age the feed
             inc.upsert_bucketed(spark, path, batch(i), keys,
                                 "l_shipdate", emit_changes=True)
@@ -264,10 +304,19 @@ def run_feed_age_suite(spark, li_path, grow: int = 100):
                                 "l_shipdate", emit_changes=True)
             i += 1
         old = (time.time() - t0) / 5
+        old_struct = structural(
+            spark, lambda: inc.upsert_bucketed(
+                spark, path, batch(i), keys, "l_shipdate",
+                emit_changes=True), "feed-old")
         return {"feed_merge_young_sec": round(young, 3),
                 "feed_merge_old_sec": round(old, 3),
                 "commits_grown": grow,
-                "feed_age_ratio": round(old / max(young, 0.05), 2)}
+                "feed_age_ratio": round(old / max(young, 0.05), 2),
+                # host-immune: identical counters young vs old IS the
+                # O(batch)-per-merge claim, stated without wall-clock
+                "young_structure": young_struct,
+                "old_structure": old_struct,
+                "structural_flat": young_struct == old_struct}
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -348,6 +397,13 @@ def run_scd2_feed_age_suite(spark, li_path, grow: int = 100):
             merge(i)
             i += 1
         young = (time.time() - t0) / 5
+        # MEASURED, not estimated (ADVICE r10: each merge closes the
+        # open row in place and inserts ONE new open version — +1 per
+        # changed key, not +2 — so the old 8*2*|batch| formula
+        # overstated rows_young and understated the growth ratio)
+        rows_young = int(spark.read.parquet(path).count())
+        young_struct = structural(spark, lambda: merge(i), "scd2-young")
+        i += 1
         for _ in range(grow):                    # age the feed
             merge(i)
             i += 1
@@ -356,6 +412,8 @@ def run_scd2_feed_age_suite(spark, li_path, grow: int = 100):
             merge(i)
             i += 1
         old = (time.time() - t0) / 5
+        old_struct = structural(spark, lambda: merge(i), "scd2-old")
+        i += 1
         rows_old = spark.read.parquet(path).count()
         # the honest SCD2 statement separates the two growth terms:
         # the TABLE inherently accretes 2x|batch| history rows per
@@ -364,7 +422,6 @@ def run_scd2_feed_age_suite(spark, li_path, grow: int = 100):
         # means the FEED/commit machinery added no term of its own.
         # The commit-count-only isolation lives in run_feed_age_suite
         # (upserts keep the fact table size constant).
-        rows_young = 50_000 + 8 * 2 * int(fixed.count())
         return {"scd2_merge_young_sec": round(young, 3),
                 "scd2_merge_old_sec": round(old, 3),
                 "scd2_merge_delta_sec": round(old - young, 3),
@@ -373,7 +430,17 @@ def run_scd2_feed_age_suite(spark, li_path, grow: int = 100):
                 "table_rows_young": rows_young,
                 "table_rows_old": int(rows_old),
                 "table_growth_ratio": round(rows_old / rows_young, 2),
-                "scd2_feed_age_ratio": round(old / max(young, 0.05), 2)}
+                "scd2_feed_age_ratio": round(old / max(young, 0.05), 2),
+                # host-immune counters (VERDICT r10 #4): an
+                # O(feed-length) term would add jobs/stages; the SCD2
+                # merge may legitimately add TASKS as history accretes
+                # (more rows per touched bucket), so jobs/stages
+                # equality is the claim, tasks are reported
+                "young_structure": young_struct,
+                "old_structure": old_struct,
+                "structural_flat": (
+                    young_struct["jobs"] == old_struct["jobs"]
+                    and young_struct["stages"] == old_struct["stages"])}
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -646,7 +646,7 @@ class TestDecompressionBombGuard:
         sof = struct.pack(">BHHB", 8, 65535, 65535, 1) + bytes([1, 0x11, 0])
         jpg = (b"\xFF\xD8" + b"\xFF\xC0"
                + struct.pack(">H", 2 + len(sof)) + sof + b"\xFF\xD9")
-        with pytest.raises(ValueError, match="MAX_PIXELS"):
+        with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
             decode_jpeg(jpg)
 
     def test_truncated_containers_normalize_to_value_error(self):
@@ -683,6 +683,16 @@ class TestDecompressionBombGuard:
                 _decode_png(_encode_png(3, 3, bytes(27)))
             mm.MAX_IMAGE_PIXELS = 9
             assert _decode_png(_encode_png(3, 3, bytes(27)))[0] == 3
+            # ADVICE r10: the JPEG codec FOLLOWS the shared knob (at
+            # call time) instead of carrying an independent limit
+            from cdc_data_pipeline_spark.operators.jpegcodec import (
+                decode_jpeg, encode_jpeg)
+            jpg = encode_jpeg(4, 3, bytes(36))
+            mm.MAX_IMAGE_PIXELS = 11
+            with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+                decode_jpeg(jpg)
+            mm.MAX_IMAGE_PIXELS = 12
+            assert decode_jpeg(jpg)[0] == 4
         finally:
             mm.MAX_IMAGE_PIXELS = old
 

@@ -305,3 +305,167 @@ def test_reconcile_crash_windows_converge(spark, tmp_path, monkeypatch):
     assert fsck_table(spark, tgt)["ok"]
     q = fsutil.list_names(spark, fsutil.path_join(root, "_conflict"))
     assert loser in q or keeper in q
+
+
+def test_corrupt_generation_marker_fails_closed(spark, tmp_path):
+    """ADVICE r10: the torn-marker fallback must refuse EVERY
+    consumer, not just gen-0 ones — a marker that cannot be read
+    vouches for nothing. ``reconcile_changes`` is the repair verb:
+    it republishes a valid marker above the fail-closed sentinel
+    with all history suspect, forcing one re-bootstrap per consumer,
+    after which recorded generations are consistent again."""
+    from cdc_data_pipeline_spark.operators.incremental import (
+        FEED_GEN, GEN_UNREADABLE)
+
+    tgt = str(tmp_path / "tbl")
+    rep_path = str(tmp_path / "replica")
+    _seed(spark, tgt)
+    apply_changes(spark, read_changes(spark, tgt), rep_path, ["k"],
+                  n_buckets=2, source_path=tgt)
+    marker_path = fsutil.path_join(tgt, "_changes", FEED_GEN)
+    # torn JSON, valid JSON missing 'gen' (the dead-KeyError case),
+    # and a non-integer gen all read as the fail-closed sentinel
+    for payload in ('{"gen": 2, "min_quarantined', "{}",
+                    '{"min_quarantined_seq": 0}', '{"gen": "x"}',
+                    '{"gen": null}'):
+        fsutil.publish_text(spark, marker_path, payload)
+        m = read_feed_generation(spark, tgt)
+        assert m.get("corrupt") and m["gen"] == GEN_UNREADABLE, payload
+        # refused whatever generation the consumer recorded, even a
+        # high one with an empty watermark
+        with pytest.raises(StaleFeedConsumerError):
+            check_feed_vouched(spark, tgt, consumer_gen=7,
+                               consumer_seq=-1)
+        with pytest.raises(StaleFeedConsumerError):
+            apply_changes(spark, read_changes(spark, tgt), rep_path,
+                          ["k"], source_path=tgt)
+    # a bootstrap must not record the sentinel (it would vouch every
+    # future generation): refused until the marker is repaired
+    create_anchor(spark, tgt)
+    with pytest.raises(StaleFeedConsumerError):
+        bootstrap_replica(spark, tgt, rep_path, n_buckets=2)
+    # reconcile repairs the marker even with no duplicate seqs
+    out = reconcile_changes(spark, tgt)
+    assert out["quarantined"] == []
+    m = read_feed_generation(spark, tgt)
+    assert not m.get("corrupt")
+    assert m["gen"] == GEN_UNREADABLE + 1
+    assert m["min_quarantined_seq"] == -1
+    # the documented runbook re-converges and vouches again
+    bootstrap_replica(spark, tgt, rep_path, n_buckets=2)
+    assert read_replica_generation(spark, rep_path) == GEN_UNREADABLE + 1
+    upsert_bucketed(spark, tgt, _mk(spark, [(900, "post", 30)]),
+                    ["k"], "ts", emit_changes=True)
+    apply_changes(spark, read_changes(spark, tgt, since_seq=0),
+                  rep_path, ["k"], source_path=tgt)
+    assert {r["k"] for r in spark.read.parquet(rep_path)
+            .select("k").collect()} == \
+        {r["k"] for r in spark.read.parquet(tgt).select("k").collect()}
+
+
+def _forge_duplicate_seq(spark, tgt):
+    """Deterministic duplicate-seq state (the RACED variant is pinned
+    above; these tests exercise consumer-side policy, so the input
+    state is fixed)."""
+    upsert_bucketed(spark, tgt, _mk(spark, [(50, "x", 20)]), ["k"],
+                    "ts", emit_changes=True)
+    root = fsutil.path_join(tgt, "_changes")
+    keeper = [n for n in fsutil.list_names(spark, root)
+              if n.startswith("commit-0000000001-")][0]
+    loser = "commit-0000000001-deadbeef"
+    spark.read.parquet(fsutil.path_join(root, keeper)) \
+        .write.parquet(fsutil.path_join(root, loser))
+
+
+def test_staleness_guard_is_fail_closed_by_default(spark, tmp_path):
+    """VERDICT r10 #1: the r10 generation machinery protected only
+    consumers that opted in via source_path. Now the LEGACY signature
+    — apply_changes(spark, feed, replica, keys) — is refused after a
+    reconcile too: read_changes stamps the source root on the feed's
+    _seq column metadata, and the guard derives it from there."""
+    tgt = str(tmp_path / "tbl")
+    rep_path = str(tmp_path / "replica")
+    _seed(spark, tgt)
+    # legacy-signature consumer: no source_path anywhere
+    apply_changes(spark, read_changes(spark, tgt), rep_path, ["k"],
+                  n_buckets=2)
+    # the lineage-derived guard vouched and recorded generation 0
+    assert read_replica_generation(spark, rep_path) == 0
+    _forge_duplicate_seq(spark, tgt)
+    # consumer ingests the soon-to-be-quarantined commit, still legacy
+    root = fsutil.path_join(tgt, "_changes")
+    for name in fsutil.list_names(spark, root):
+        if name.startswith("commit-0000000001-"):
+            slice_df = spark.read.parquet(fsutil.path_join(root, name)) \
+                .withMetadata("_seq", {"cdc_source_root": tgt})
+            apply_changes(spark, slice_df, rep_path, ["k"])
+    reconcile_changes(spark, tgt)
+    # the legacy signature is REFUSED — no silent path remains
+    with pytest.raises(StaleFeedConsumerError):
+        apply_changes(spark, read_changes(spark, tgt), rep_path, ["k"])
+
+
+def test_handbuilt_feed_requires_explicit_choice(spark, tmp_path):
+    """A feed with no lineage (hand-built _seq) and no source_path
+    cannot be silently applied: ValueError demands either the path or
+    the explicit allow_unvouched opt-out."""
+    tgt = str(tmp_path / "tbl")
+    rep_path = str(tmp_path / "replica")
+    _seed(spark, tgt)
+    feed = read_changes(spark, tgt)
+    # rebuilding _seq drops the lineage metadata
+    stripped = feed.withColumn("_seq", F.col("_seq") + 0)
+    assert stripped.schema["_seq"].metadata == {}
+    with pytest.raises(ValueError, match="allow_unvouched"):
+        apply_changes(spark, stripped, rep_path, ["k"], n_buckets=2)
+    assert not fsutil.exists(spark, rep_path)
+    # both escape hatches work
+    apply_changes(spark, stripped, rep_path, ["k"], n_buckets=2,
+                  allow_unvouched=True)
+    apply_changes(spark, stripped, rep_path, ["k"], source_path=tgt)
+    assert spark.read.parquet(rep_path).count() == 10
+
+
+def test_reconverge_auto_rebuilds_refused_consumer(spark, tmp_path):
+    """VERDICT r10 #5: reconverge=True mechanizes the refusal runbook
+    — a consumer holding quarantined rows is rebuilt in place
+    (create_anchor + bootstrap_replica) instead of raising, ends
+    vouched under the new generation, and resumes incremental
+    consumption; deep fsck green end-to-end."""
+    tgt = str(tmp_path / "tbl")
+    rep_path = str(tmp_path / "replica")
+    _seed(spark, tgt)
+    apply_changes(spark, read_changes(spark, tgt), rep_path, ["k"],
+                  n_buckets=2)
+    _forge_duplicate_seq(spark, tgt)
+    root = fsutil.path_join(tgt, "_changes")
+    for name in fsutil.list_names(spark, root):
+        if name.startswith("commit-0000000001-"):
+            slice_df = spark.read.parquet(fsutil.path_join(root, name)) \
+                .withMetadata("_seq", {"cdc_source_root": tgt})
+            apply_changes(spark, slice_df, rep_path, ["k"])
+    reconcile_changes(spark, tgt)
+    assert read_feed_generation(spark, tgt)["gen"] == 1
+    # refused without the flag...
+    with pytest.raises(StaleFeedConsumerError):
+        apply_changes(spark, read_changes(spark, tgt), rep_path, ["k"])
+    # ...auto-reconverged with it
+    apply_changes(spark, read_changes(spark, tgt), rep_path, ["k"],
+                  n_buckets=2, reconverge=True)
+    assert read_replica_generation(spark, rep_path) == 1
+    tbl = sorted((r["k"], r["v"]) for r in
+                 spark.read.parquet(tgt).select("k", "v").collect())
+    rep_rows = sorted((r["k"], r["v"]) for r in
+                      spark.read.parquet(rep_path).select("k", "v")
+                      .collect())
+    assert rep_rows == tbl
+    deep = fsck_table(spark, tgt, deep=True)
+    assert deep["ok"], deep["findings"]
+    # incremental consumption resumes through the legacy signature
+    upsert_bucketed(spark, tgt, _mk(spark, [(700, "post", 40)]),
+                    ["k"], "ts", emit_changes=True)
+    apply_changes(spark, read_changes(spark, tgt, since_seq=1),
+                  rep_path, ["k"])
+    assert {r["k"] for r in spark.read.parquet(rep_path)
+            .select("k").collect()} == \
+        {r["k"] for r in spark.read.parquet(tgt).select("k").collect()}

@@ -413,17 +413,73 @@ class TestFsckVersioned:
         assert os.path.isdir(os.path.join(t, "v=2"))
 
     def test_publish_reclaims_incomplete_orphan(self, spark, tmp_path):
-        """Heal-on-publish: a crashed (no _SUCCESS) dir above the
-        pointer is swept and its version id REUSED; a complete
+        """Heal-on-publish is OPT-IN (ADVICE r10: a torn dir and a
+        live competitor's half-written dir are indistinguishable, so
+        only a declared single writer may sweep): the DEFAULT publish
+        mints PAST a torn (no _SUCCESS) dir, deleting nothing;
+        ``heal_crashed=True`` sweeps it and REUSES its id; a complete
         unpointed dir (racing competitor / rolled-back fork) is
-        skipped, never deleted."""
+        skipped in both modes, never deleted."""
+        from cdc_data_pipeline_spark.sources.versioned import \
+            fsck_versioned
+
         t = str(tmp_path / "tbl")
         publish_version(_df(spark, 3, "a"), t)
         os.makedirs(os.path.join(t, "v=2"))          # torn write
-        assert publish_version(_df(spark, 5, "b"), t) == 2   # id reused
+        # default: race-safe — the torn dir is not ours to delete;
+        # the new publish skips past it
+        assert publish_version(_df(spark, 5, "b"), t) == 3
         assert read_versioned(spark, t).count() == 5
-        # complete fork above the pointer survives, id skips past it
+        assert os.path.isdir(os.path.join(t, "v=2"))  # untouched
+        # the stranded torn dir (now below the pointer) is a WARN,
+        # never an error — it was never pointer-visible — and the
+        # declared single-writer vacuum reclaims it
+        rep = fsck_versioned(spark, t, deep=True)
+        assert rep["ok"], rep["findings"]
+        assert "incomplete_version" in _checks(rep, "warn")
+        vacuum_versions(t, keep_last=3, sweep_unpublished=True)
+        assert list_versions(t) == [1, 3]
+        assert fsck_versioned(spark, t, deep=True)["warnings"] == 0
+        # heal_crashed: the declared single writer reclaims its own
+        # crashed id
+        os.makedirs(os.path.join(t, "v=4"))          # torn write
+        assert publish_version(_df(spark, 6, "h"), t,
+                               heal_crashed=True) == 4
+        assert read_versioned(spark, t).count() == 6
+        # complete fork above the pointer survives in both modes
         publish_pointer(t, 1)
-        assert publish_version(_df(spark, 7, "c"), t) == 3
-        assert list_versions(t) == [1, 2, 3]
-        assert read_versioned(spark, t, version=2).count() == 5
+        assert publish_version(_df(spark, 7, "c"), t,
+                               heal_crashed=True) == 5
+        assert list_versions(t) == [1, 3, 4, 5]
+        assert read_versioned(spark, t, version=4).count() == 6
+
+    def test_default_vacuum_is_safe_beside_live_publisher(
+            self, spark, tmp_path):
+        """Default vacuum must not sweep a concurrent publisher's
+        in-flight state: neither a half-written version dir nor the
+        pointer tmp file mid-os.replace (ADVICE r10). The declared
+        single-writer sweep reclaims both."""
+        t = str(tmp_path / "tbl")
+        for i in range(4):
+            publish_version(_df(spark, i + 2, f"t{i}"), t)
+        os.makedirs(os.path.join(t, "v=9"))           # in-flight dir
+        with open(os.path.join(t, "._LATEST.tmp"), "w") as fh:
+            fh.write("9")                             # mid-replace tmp
+        removed = vacuum_versions(t, keep_last=2)
+        assert removed == [1, 2, 3]
+        assert os.path.isdir(os.path.join(t, "v=9"))
+        assert os.path.exists(os.path.join(t, "._LATEST.tmp"))
+        vacuum_versions(t, keep_last=2, sweep_unpublished=True)
+        assert not os.path.isdir(os.path.join(t, "v=9"))
+        assert not os.path.exists(os.path.join(t, "._LATEST.tmp"))
+        assert current_version(t) == 4
+
+    def test_pointer_to_uncommitted_dir_is_error(self, spark, tmp_path):
+        from cdc_data_pipeline_spark.sources.versioned import \
+            fsck_versioned
+
+        t = str(tmp_path / "tbl")
+        publish_version(_df(spark, 3, "a"), t)
+        os.remove(os.path.join(t, "v=1", "_SUCCESS"))
+        rep = fsck_versioned(spark, t)     # structural, no deep scan
+        assert "pointer_uncommitted" in _checks(rep, "error")
