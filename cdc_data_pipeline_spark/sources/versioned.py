@@ -399,8 +399,9 @@ def fsck_versioned(spark: SparkSession | None, table_path: str,
         elif name == f".{_POINTER}.tmp":
             add("warn", "pointer_staging",
                 "stale pointer tmp file — crash between the tmp write "
-                "and its atomic replace; the next publish or vacuum "
-                "sweeps it")
+                "and its atomic replace (or a publish is in flight "
+                "RIGHT NOW); the next publish overwrites it, "
+                "vacuum_versions(sweep_unpublished=True) removes it")
         elif name.startswith("v="):
             add("error", "version_dir",
                 f"unparseable version dir {name!r} — out-of-band write")
