@@ -799,8 +799,14 @@ def read_changes(spark: SparkSession, target_path: str,
     # so downstream consumers (apply_changes) can enforce the
     # reconcile staleness guard without the caller re-passing the
     # path — the guard is fail-closed by default (VERDICT r10 #1).
-    # Column metadata survives select/filter as long as _seq does.
-    return feed.withMetadata("_seq", {"cdc_source_root": target_path})
+    # cdc_max_seq (the newest commit in this slice, known from the
+    # directory names — zero jobs) lets the consumer advance its
+    # cached watermark without aggregating the feed. Column metadata
+    # survives select/filter as long as _seq does.
+    max_seq = max(int(d.rsplit("/", 1)[-1].split("-", 2)[1])
+                  for d in dirs)
+    return feed.withMetadata("_seq", {"cdc_source_root": target_path,
+                                      "cdc_max_seq": max_seq})
 
 
 def stream_changes(spark: SparkSession, target_path: str,
@@ -1265,33 +1271,51 @@ def reconcile_changes(spark: SparkSession, target_path: str) -> dict:
 REPLICA_SYNC = "_feed_sync.json"
 
 
-def read_replica_generation(spark: SparkSession,
-                            replica_path: str) -> int:
-    """The feed generation this replica last synced under (0 for
-    replicas maintained by pre-generation code)."""
+def read_replica_sync(spark: SparkSession, replica_path: str) -> dict:
+    """The replica's sync record ``{"gen": G, "seq": S}``: the feed
+    generation it last synced under (0 for replicas maintained by
+    pre-generation code) and — when present — its applied-commit
+    watermark, cached so the staleness guard is O(1) metadata instead
+    of a MAX scan over a possibly-100TB replica. ``seq`` is absent
+    for replicas last written by older code or by an
+    ``allow_unvouched`` apply (which deliberately invalidates the
+    cache — see ``apply_changes``); callers fall back to the scan."""
     from cdc_data_pipeline_spark.sources import fsutil
 
     txt = fsutil.read_text(spark, fsutil.path_join(replica_path,
                                                    REPLICA_SYNC))
     if txt is None:
-        return 0
+        return {"gen": 0, "seq": None}
     import json
 
     try:
-        return int(json.loads(txt)["gen"])
-    except (ValueError, KeyError):
-        return 0
+        rec = json.loads(txt)
+        gen = int(rec["gen"])
+        seq = rec.get("seq")
+        return {"gen": gen, "seq": None if seq is None else int(seq)}
+    except (ValueError, KeyError, TypeError):
+        return {"gen": 0, "seq": None}
 
 
-def _write_replica_generation(spark: SparkSession, replica_path: str,
-                              gen: int) -> None:
+def read_replica_generation(spark: SparkSession,
+                            replica_path: str) -> int:
+    """The feed generation this replica last synced under (0 for
+    replicas maintained by pre-generation code)."""
+    return read_replica_sync(spark, replica_path)["gen"]
+
+
+def _write_replica_sync(spark: SparkSession, replica_path: str,
+                        gen: int, seq: int | None = None) -> None:
     from cdc_data_pipeline_spark.sources import fsutil
 
     import json
 
+    rec = {"gen": int(gen)}
+    if seq is not None:
+        rec["seq"] = int(seq)
     fsutil.publish_text(spark, fsutil.path_join(replica_path,
                                                 REPLICA_SYNC),
-                        json.dumps({"gen": int(gen)}))
+                        json.dumps(rec))
 
 
 def apply_changes(spark: SparkSession, feed: DataFrame,
@@ -1351,22 +1375,29 @@ def apply_changes(spark: SparkSession, feed: DataFrame,
                 "was given. Pass source_path=<table root> to enable "
                 "the staleness guard, or allow_unvouched=True to "
                 "explicitly skip it (unsafe after a reconcile).")
+    sync = None
     if source_path is not None and not allow_unvouched:
         from cdc_data_pipeline_spark.sources import fsutil
 
-        consumer_seq = -1
-        if fsutil.exists(spark, replica_path):
-            try:
-                consumer_seq = int(
-                    spark.read.parquet(replica_path)
-                    .agg(F.max("__feed_seq")).first()[0] or -1)
-            except Exception:
-                consumer_seq = -1
+        # consumer watermark: the sync record caches it (O(1)
+        # metadata); the MAX(__feed_seq) scan is only the fallback
+        # for replicas last written by pre-cache code or after an
+        # allow_unvouched apply (which invalidates the cache) — at
+        # 100 TB the guard must not cost an O(replica) job per apply
+        sync = read_replica_sync(spark, replica_path)
+        consumer_seq = sync["seq"]
+        if consumer_seq is None:
+            consumer_seq = -1
+            if fsutil.exists(spark, replica_path):
+                try:
+                    consumer_seq = int(
+                        spark.read.parquet(replica_path)
+                        .agg(F.max("__feed_seq")).first()[0] or -1)
+                except Exception:
+                    consumer_seq = -1
         try:
             marker = check_feed_vouched(
-                spark, source_path,
-                read_replica_generation(spark, replica_path),
-                consumer_seq)
+                spark, source_path, sync["gen"], consumer_seq)
         except StaleFeedConsumerError:
             if not reconverge:
                 raise
@@ -1387,8 +1418,28 @@ def apply_changes(spark: SparkSession, feed: DataFrame,
                     n_buckets=n_buckets, delete_col="__is_del")
     # __feed_seq rides along as the replica's tracking column — it IS
     # the replication watermark (MAX(__feed_seq) = last applied commit)
+    meta = (feed.schema["_seq"].metadata or {}) \
+        if "_seq" in feed.columns else {}
     if source_path is not None and not allow_unvouched:
-        _write_replica_generation(spark, replica_path, marker["gen"])
+        # advance the cached watermark: the slice's newest commit is
+        # in the lineage metadata (from the directory names — no
+        # job); a metadata-less feed costs one O(slice) aggregate.
+        # Recording a seq ABOVE what a filtered feed actually applied
+        # is safe — the guard only ever uses it to refuse MORE.
+        applied = meta.get("cdc_max_seq")
+        if applied is None:
+            applied = feed.agg(F.max("_seq")).first()[0]
+        new_seq = max(int(applied if applied is not None else -1),
+                      int(consumer_seq))
+        _write_replica_sync(spark, replica_path, marker["gen"], new_seq)
+    else:
+        # an UNGUARDED apply may have moved the replica past the
+        # cached watermark: drop the cache (keep the generation) so
+        # the next guarded apply re-derives it from the data —
+        # keeping a stale-low cache would fail OPEN
+        old = read_replica_sync(spark, replica_path)
+        if old["seq"] is not None:
+            _write_replica_sync(spark, replica_path, old["gen"], None)
 
 
 def bootstrap_replica(spark: SparkSession, table_path: str,
@@ -1438,7 +1489,7 @@ def bootstrap_replica(spark: SparkSession, table_path: str,
             f"{table_path}: feed generation marker is unreadable — "
             "run reconcile_changes to repair it before bootstrapping "
             "(a bootstrap must record a real generation to vouch)")
-    _write_replica_generation(spark, replica_path, marker["gen"])
+    _write_replica_sync(spark, replica_path, marker["gen"], newest)
     return newest
 
 
@@ -1479,6 +1530,45 @@ def merge_agg_deltas(mart: DataFrame | None, deltas: DataFrame,
            + F.coalesce(F.col(c), F.lit(0))).alias(c)
           for c in val_cols])
     return out.filter(F.col("delta_count") != 0)
+
+
+def recompute_mart_from_table(spark: SparkSession, table_path: str,
+                              mart_path: str,
+                              group_cols: Sequence[str],
+                              sum_cols: Sequence[str]) -> int:
+    """Mechanized MART re-convergence after a reconcile refusal
+    (VERDICT r10 #5, the aggregate-side twin of
+    ``apply_changes(reconverge=True)``): rebuild the IVM mart with one
+    aggregate over the TABLE — the source of truth, which holds every
+    merged row including the quarantined commits' — stamped at the
+    table's current feed seq under the feed's CURRENT generation.
+    This is the one O(table) scan the IVM path otherwise never pays,
+    spent once per reconcile instead of on every refresh. Returns the
+    stamped seq. A corrupt generation marker raises (repairing it is
+    a table-owner action — ``reconcile_changes``)."""
+    marker = read_feed_generation(spark, table_path)
+    if marker.get("corrupt"):
+        raise StaleFeedConsumerError(
+            f"{table_path}: feed generation marker is unreadable — "
+            "run reconcile_changes to repair it before recomputing "
+            "(the mart must record a real generation to vouch)")
+    # heal crash strands first, same as create_anchor: a recompute
+    # over a table with a stranded bucket would bake the omission in
+    recover_table(spark, table_path)
+    ptr = _read_latest_ptr(spark, table_path)
+    if ptr is not None:
+        seq = int(ptr["seq"])
+    else:
+        commits = _list_change_commits(spark, table_path)
+        seq = int(commits[-1].split("-", 2)[1]) if commits else -1
+    df = spark.read.option("mergeSchema", "true").parquet(table_path)
+    if BUCKET_COL in df.columns:
+        df = df.drop(BUCKET_COL)
+    aggs = [F.sum(c).alias(f"delta_{c}") for c in sum_cols]
+    aggs.append(F.count(F.lit(1)).alias("delta_count"))
+    mart = df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+    write_mart_merged(mart, mart_path, seq, feed_gen=marker["gen"])
+    return seq
 
 
 MART_WATERMARK = "_ivm_applied.json"

@@ -242,6 +242,7 @@ def stream_ivm_to_parquet(
     checkpoint_dir: str,
     trigger_available_now: bool = True,
     processing_time: str | None = None,
+    reconverge: bool = False,
 ):
     """Continuously-maintained materialized aggregate: stream a
     table's CHANGE DATA FEED (``incremental.stream_changes``) and fold
@@ -260,10 +261,21 @@ def stream_ivm_to_parquet(
     sidecar swapped atomically WITH it (``incremental.read_mart_seq``
     / ``write_mart_merged``); each batch first drops rows at or below
     that watermark, so an already-folded slice contributes nothing on
-    redelivery — whatever the checkpoint believed."""
+    redelivery — whatever the checkpoint believed.
+
+    ``reconverge=True`` (VERDICT r10 #5) mechanizes the refusal
+    runbook: instead of failing the stream, a mart refused by the
+    staleness guard is REBUILT with one aggregate over the table
+    (``incremental.recompute_mart_from_table`` — the source of truth,
+    stamped at the table's current seq under the current generation),
+    then folding resumes; redelivered/quarantined slices at or below
+    the recompute seq drop out of the fold as always. A corrupt
+    generation marker still fails the stream (repairing it is a
+    table-owner action)."""
     from cdc_data_pipeline_spark.operators.incremental import (
-        agg_deltas_from_feed, check_feed_vouched, merge_agg_deltas,
-        read_mart_generation, read_mart_seq, recover_swap,
+        StaleFeedConsumerError, agg_deltas_from_feed,
+        check_feed_vouched, merge_agg_deltas, read_mart_generation,
+        read_mart_seq, recompute_mart_from_table, recover_swap,
         stream_changes, write_mart_merged)
     from cdc_data_pipeline_spark.sources import fsutil
 
@@ -282,10 +294,20 @@ def stream_ivm_to_parquet(
         # mart already folded was later quarantined by
         # reconcile_changes, its sums include rows the feed no longer
         # vouches for — fail the stream loudly (operator recomputes
-        # the mart) instead of compounding unvouched state
-        marker = check_feed_vouched(
-            spark, table_path,
-            read_mart_generation(spark, mart_path), applied)
+        # the mart) or, with reconverge=True, recompute it here
+        try:
+            marker = check_feed_vouched(
+                spark, table_path,
+                read_mart_generation(spark, mart_path), applied)
+        except StaleFeedConsumerError:
+            if not reconverge:
+                raise
+            applied = recompute_mart_from_table(
+                spark, table_path, mart_path, group_cols, sum_cols)
+            marker = check_feed_vouched(spark, table_path,
+                                        read_mart_generation(
+                                            spark, mart_path),
+                                        applied)
         fresh = batch.filter(F.col("_seq") > applied)
         if fresh.isEmpty():
             return                     # redelivered, already folded

@@ -469,3 +469,118 @@ def test_reconverge_auto_rebuilds_refused_consumer(spark, tmp_path):
     assert {r["k"] for r in spark.read.parquet(rep_path)
             .select("k").collect()} == \
         {r["k"] for r in spark.read.parquet(tgt).select("k").collect()}
+
+
+def test_replica_sync_caches_watermark_o1(spark, tmp_path):
+    """The guard's consumer watermark is cached in _feed_sync.json
+    (O(1) metadata — at 100 TB the fail-closed default must not cost
+    an O(replica) MAX scan per apply): guarded applies advance it
+    from the feed's lineage (zero jobs), an UNGUARDED apply
+    invalidates it (a stale-low cache would fail OPEN), and the scan
+    fallback re-derives it so refusal still happens."""
+    from cdc_data_pipeline_spark.operators.incremental import (
+        read_replica_sync)
+
+    tgt = str(tmp_path / "tbl")
+    rep_path = str(tmp_path / "replica")
+    _seed(spark, tgt)
+    apply_changes(spark, read_changes(spark, tgt), rep_path, ["k"],
+                  n_buckets=2)
+    assert read_replica_sync(spark, rep_path) == {"gen": 0, "seq": 0}
+    upsert_bucketed(spark, tgt, _mk(spark, [(20, "x", 20)]), ["k"],
+                    "ts", emit_changes=True)
+    apply_changes(spark, read_changes(spark, tgt, since_seq=0),
+                  rep_path, ["k"])
+    assert read_replica_sync(spark, rep_path) == {"gen": 0, "seq": 1}
+    # idempotent re-apply does not regress the watermark
+    apply_changes(spark, read_changes(spark, tgt, since_seq=0),
+                  rep_path, ["k"])
+    assert read_replica_sync(spark, rep_path) == {"gen": 0, "seq": 1}
+    # an unguarded apply invalidates the cache (keeps the generation)
+    apply_changes(spark, read_changes(spark, tgt), rep_path, ["k"],
+                  allow_unvouched=True)
+    assert read_replica_sync(spark, rep_path) == {"gen": 0, "seq": None}
+    # scan fallback: the replica REALLY holds seq 1, so after a
+    # reconcile quarantines seq 1 the consumer is still refused even
+    # with no cache
+    _forge_duplicate_seq(spark, tgt)     # dup at seq 1 (consumed above)
+    reconcile_changes(spark, tgt)
+    with pytest.raises(StaleFeedConsumerError):
+        apply_changes(spark, read_changes(spark, tgt), rep_path, ["k"])
+    # re-converge re-seeds both gen and the cached watermark
+    create_anchor(spark, tgt)
+    newest = bootstrap_replica(spark, tgt, rep_path, n_buckets=2)
+    assert read_replica_sync(spark, rep_path) == {"gen": 1,
+                                                  "seq": newest}
+
+
+def test_stream_ivm_fold_refuses_then_reconverges(spark, tmp_path):
+    """The streaming IVM fold after a reconcile: without reconverge
+    the stream fails loudly (StaleFeedConsumerError — unvouched sums
+    must not compound); with reconverge=True the mart is REBUILT from
+    the table (one aggregate, stamped at the current seq under the
+    new generation) and incremental folding resumes (VERDICT r10 #5,
+    streaming side)."""
+    from cdc_data_pipeline_spark.operators.incremental import (
+        read_mart_generation, read_mart_seq)
+    from cdc_data_pipeline_spark.streaming.cdc import (
+        stream_ivm_to_parquet)
+
+    tbl = str(tmp_path / "tbl")
+    mart = str(tmp_path / "mart")
+    ck = str(tmp_path / "ck")
+    schema = "k long, grp string, amt double, ts long, is_del boolean"
+
+    def up(rows):
+        upsert_bucketed(spark, tbl, spark.createDataFrame(rows, schema),
+                        ["k"], "ts", n_buckets=4, delete_col="is_del",
+                        emit_changes=True, update_preimages=True)
+
+    up([(1, "a", 10.0, 10, False), (2, "b", 5.0, 10, False)])  # seq 0
+    up([(3, "a", 7.0, 20, False)])                             # seq 1
+    q = stream_ivm_to_parquet(spark, tbl, mart, ["grp"], ["amt"], ck)
+    q.awaitTermination(180)
+    assert read_mart_seq(spark, mart) == 1
+    assert read_mart_generation(spark, mart) == 0
+
+    # a writer race duplicates seq 1; reconcile quarantines the loser
+    # and bumps the generation — this mart folded seq 1, so it is no
+    # longer vouched
+    root = fsutil.path_join(tbl, "_changes")
+    keeper = [n for n in fsutil.list_names(spark, root)
+              if n.startswith("commit-0000000001-")][0]
+    spark.read.parquet(fsutil.path_join(root, keeper)) \
+        .write.parquet(fsutil.path_join(root, "commit-0000000001-feed"))
+    reconcile_changes(spark, tbl)
+    assert read_feed_generation(spark, tbl)["gen"] == 1
+
+    up([(4, "b", 3.0, 30, False)])                             # seq 2
+    # without reconverge: the fold fails the stream loudly
+    q2 = stream_ivm_to_parquet(spark, tbl, mart, ["grp"], ["amt"],
+                               str(tmp_path / "ck2"))
+    with pytest.raises(Exception, match="vouch"):
+        q2.awaitTermination(180)
+        raise AssertionError("stream should have failed")
+    # mart untouched by the refused fold
+    assert read_mart_generation(spark, mart) == 0
+
+    # with reconverge: rebuilt from the table, stamped at the current
+    # seq under the new generation, equal to a full recompute
+    q3 = stream_ivm_to_parquet(spark, tbl, mart, ["grp"], ["amt"],
+                               str(tmp_path / "ck3"), reconverge=True)
+    q3.awaitTermination(180)
+    assert read_mart_seq(spark, mart) == 2
+    assert read_mart_generation(spark, mart) == 1
+    got = {(r["grp"], round(r["delta_amt"], 2), r["delta_count"])
+           for r in spark.read.parquet(mart).collect()}
+    assert got == {("a", 17.0, 2), ("b", 8.0, 2)}
+
+    # incremental folding resumes — no rescan, the fold stays vouched
+    up([(1, "a", 1.0, 40, False)])                             # seq 3
+    q4 = stream_ivm_to_parquet(spark, tbl, mart, ["grp"], ["amt"],
+                               str(tmp_path / "ck3"), reconverge=True)
+    q4.awaitTermination(180)
+    got = {(r["grp"], round(r["delta_amt"], 2), r["delta_count"])
+           for r in spark.read.parquet(mart).collect()}
+    assert got == {("a", 8.0, 2), ("b", 8.0, 2)}   # 10->1 via preimage
+    assert read_mart_seq(spark, mart) == 3
