@@ -65,10 +65,15 @@ Commit-protocol contract, per scheme (what "atomic publish" means):
 
 Concurrency contract (single-writer): the publish protocol assumes
 ONE writer per table — concurrent publishers can elect the same next
-version id, in which case the SECOND data write fails loudly on
-``mode=error`` before its pointer ever moves (no lock/CAS, matching
-the pipeline-owned-table model; the reference's ClickHouse accepts
-concurrent clients, this layer deliberately does not arbitrate them).
+version id, in which case the SECOND writer fails loudly before its
+pointer ever moves (no lock/CAS, matching the pipeline-owned-table
+model; the reference's ClickHouse accepts concurrent clients, this
+layer deliberately does not arbitrate them). On bare local paths the
+failure point is an ATOMIC ``os.mkdir`` claim of the version
+directory — two same-id writers can never interleave bytes; on URI
+roots it is Spark's ``mode=error`` existence check, which leaves a
+same-instant window on stores without atomic-exclusive directory
+creation (S3) — the single-writer contract covers that residue.
 Publishers that lose the election re-run and mint the next free id.
 Crash healing (``publish_version(heal_crashed=True)``, which deletes
 torn dirs above the pointer to reuse their ids) is OPT-IN for exactly
@@ -106,10 +111,24 @@ def _replace_file(src: str, dst: str) -> None:
 
 
 def _write_data(df: DataFrame, path: str) -> None:
-    """The version-directory data write. mode=error: an existing dir
-    (a racing publisher's, or our own crashed attempt) is NEVER
-    overwritten — the caller skips to the next free version id."""
-    df.write.mode("error").parquet(path)
+    """The version-directory data write. An existing dir (a racing
+    publisher's, or our own crashed attempt) is NEVER overwritten.
+
+    Bare local paths CLAIM the directory first with ``os.mkdir`` —
+    atomic-exclusive on POSIX — so two publishers electing the same id
+    cannot both pass an existence check in the same instant: the loser
+    fails HERE, before any bytes land, and the winner appends into the
+    empty dir it owns. URI roots keep Spark's ``mode=error`` existence
+    check (atomic-exclusive directory creation does not exist on
+    S3-class stores; the single-writer contract covers the residual
+    same-instant window there). A crash between the claim and the
+    write leaves an empty marker-less dir — ordinary torn-publish
+    debris (fsck warns, vacuum/heal reclaim)."""
+    if _is_uri(path):
+        df.write.mode("error").parquet(path)
+        return
+    os.mkdir(path)            # atomic claim; FileExistsError = loser
+    df.write.mode("append").parquet(path)
 
 
 def _is_uri(path: str) -> bool:

@@ -184,14 +184,21 @@ def test_steered_competitor_elects_then_heal_sweeps(spark, tmp_path,
     publish_version(_df(spark, 3, "base"), t)
     os.makedirs(os.path.join(t, "v=2"))            # torn crash debris
 
+    # two-way steering: the healer's sweep is held until the
+    # competitor has ELECTED (reached the write seam, torn v=2 still
+    # in its listing -> id 3), and the competitor's write is held
+    # until the healer has elected the reclaimed id 2 (its post-sweep
+    # listing must not see the competitor's directory)
     competitor_elected = threading.Event()
+    healer_elected = threading.Event()
     real_write = versioned._write_data
 
     def steered_write(df, path):
         if threading.current_thread().name == "racer-b":
-            # the competitor has elected by the time it reaches the
-            # write seam — release the healer's sweep
             competitor_elected.set()
+            assert healer_elected.wait(120), "healer never elected"
+        else:
+            healer_elected.set()
         real_write(df, path)
 
     monkeypatch.setattr(versioned, "_write_data", steered_write)
@@ -218,13 +225,13 @@ def test_steered_competitor_elects_then_heal_sweeps(spark, tmp_path,
 
 
 def test_unsteered_publish_publish_is_loud_or_clean(spark, tmp_path):
-    """The UNSTEERED two-publisher race: whatever interleaving the
-    scheduler picks, the end state is either two clean versions or a
-    loud mode=error loser — never a silently mixed directory the
-    pointer references. (The residual hazard — both writers passing
-    the existence check in the same instant — is the documented
-    reason the contract is single-writer; fsck still must report the
-    published version readable in every observed outcome.)"""
+    """The UNSTEERED two-publisher race on a LOCAL path: whatever
+    interleaving the scheduler picks, the end state is either two
+    clean versions (the elections serialized) or a loud loser — the
+    atomic ``os.mkdir`` claim means two same-id writers can NEVER
+    both write into one directory, so a silently mixed payload is
+    structurally impossible here (on object stores, where no atomic
+    claim exists, the single-writer contract covers that window)."""
     t = str(tmp_path / "tbl")
     publish_version(_df(spark, 3, "base"), t)
     errs = _run_two(lambda: publish_version(_df(spark, 5, "A"), t),
@@ -232,16 +239,13 @@ def test_unsteered_publish_publish_is_loud_or_clean(spark, tmp_path):
     raised = [n for n, e in errs.items() if e is not None]
     assert len(raised) <= 1, errs
     _assert_sane(spark, t)
-    if not raised and list_versions(t) == [1, 2, 3]:
+    if not raised:
         # scheduler serialized the elections: two clean versions
+        assert list_versions(t) == [1, 2, 3]
         counts = {read_versioned(spark, t, version=2).count(),
                   read_versioned(spark, t, version=3).count()}
         assert counts == {5, 7}
-    elif not raised:
-        # the same-instant window both passed mode=error's existence
-        # check — the documented single-writer-violation residue the
-        # steered tests bound: the pointer still resolves and the
-        # reader still gets a complete committed directory (the mixed
-        # payload is why the contract says ONE writer per table)
+    else:
+        assert isinstance(errs[raised[0]], FileExistsError)
         assert list_versions(t) == [1, 2]
-        assert read_versioned(spark, t).count() in (5, 7, 12)
+        assert read_versioned(spark, t).count() in (5, 7)
