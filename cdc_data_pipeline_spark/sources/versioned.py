@@ -588,5 +588,27 @@ def append_run_record(base_path: str, record: dict) -> str:
 def read_runs(spark: SparkSession, base_path: str) -> DataFrame:
     """The run-history manifest: one row per (run, model) publish with
     version, rows, duration — the after-the-fact audit surface the
-    reference renders in Dagster's run history."""
-    return spark.read.parquet(os.path.join(base_path, _RUNS_DIR))
+    reference renders in Dagster's run history.
+
+    Read as an explicit list of leaf files, not the bare ``_runs``
+    directory: Spark's data-source path filter treats ``_``-prefixed
+    root paths as hidden (it WARNs "all paths were ignored" and only
+    accidentally still resolved the files), and a glob root makes the
+    sink-metadata probe log a spurious FileNotFoundException — named
+    leaf files hit neither. The listing is one metadata op on a
+    manifest that holds one small file per (run, model)."""
+    runs_dir = os.path.join(base_path, _RUNS_DIR)
+    if _is_uri(base_path):
+        from cdc_data_pipeline_spark.sources import fsutil
+
+        runs_dir = fsutil.path_join(base_path, _RUNS_DIR)
+        paths = [fsutil.path_join(runs_dir, n)
+                 for n in fsutil.list_names(spark, runs_dir)
+                 if n.startswith("run-") and n.endswith(".parquet")]
+    else:
+        paths = [os.path.join(runs_dir, n)
+                 for n in sorted(os.listdir(runs_dir))
+                 if n.startswith("run-") and n.endswith(".parquet")]
+    if not paths:
+        raise FileNotFoundError(f"no run records under {runs_dir}")
+    return spark.read.parquet(*paths)
