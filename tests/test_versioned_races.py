@@ -249,3 +249,50 @@ def test_unsteered_publish_publish_is_loud_or_clean(spark, tmp_path):
         assert isinstance(errs[raised[0]], FileExistsError)
         assert list_versions(t) == [1, 2]
         assert read_versioned(spark, t).count() in (5, 7)
+
+
+def test_default_vacuum_races_live_pointer_publish(spark, tmp_path,
+                                                   monkeypatch):
+    """The exact ADVICE-r10 window, raced for real: a publisher is
+    BETWEEN its pointer tmp write and the atomic os.replace when a
+    DEFAULT vacuum runs. Pre-r11, vacuum unconditionally deleted
+    ._LATEST.tmp and the publisher crashed on the vanished file; now
+    the default vacuum leaves in-flight state alone and the publish
+    completes."""
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        publish_version(_df(spark, i + 2, f"t{i}"), t)
+
+    in_window = threading.Event()
+    vacuumed = threading.Event()
+    real_replace = versioned._replace_file
+
+    def steered_replace(src, dst):
+        if dst.endswith("_LATEST"):
+            in_window.set()                  # tmp written, not swapped
+            assert vacuumed.wait(120), "vacuum never ran"
+        real_replace(src, dst)
+
+    monkeypatch.setattr(versioned, "_replace_file", steered_replace)
+
+    import cdc_data_pipeline_spark.sources.versioned as v
+
+    def publisher():
+        publish_version(_df(spark, 9, "new"), t)
+
+    def vacuumer():
+        assert in_window.wait(120), "publisher never reached the window"
+        try:
+            removed = v.vacuum_versions(t, keep_last=2)  # DEFAULT mode
+        finally:
+            vacuumed.set()
+        # old versions go; the in-flight v=4 (above the pointer) and
+        # the publisher's ._LATEST.tmp are left alone
+        assert removed == [1, 2]
+
+    errs = _run_two(publisher, vacuumer)
+    monkeypatch.undo()
+    assert errs["a"] is None and errs["b"] is None, errs
+    assert current_version(t) == 4
+    assert read_versioned(spark, t).count() == 9
+    _assert_sane(spark, t)
