@@ -235,6 +235,17 @@ def run_table_cdc_suite(spark, li_path, scaled_buckets=64):
             lambda: inc.upsert_bucketed(spark, scaled, feed_batch,
                                         keys, "l_shipdate",
                                         emit_changes=True))
+        # SERVE path (r11): fixed probe-set point lookup against the
+        # corpus-scaled layout — partition pruning opens only the
+        # probed __kb dirs, so the lookup must stay ~flat as the
+        # corpus (and bucket count) grows Nx; the probe is pinned to
+        # the unshifted replica so it is IDENTICAL at 1x and Nx
+        probe = li.filter((F.col("l_orderkey") < SHIFT)
+                          & (F.col("l_orderkey") % 30011 == 0)) \
+            .select(*keys).localCheckpoint()
+        out["tbl_lookup_fixed"] = timed(
+            lambda: inc.lookup_bucketed(spark, scaled, probe)
+            .write.format("noop").mode("overwrite").save())
         # growing to a MULTIPLE is the map-only split (no exchange);
         # expected ~N like any full pass, but with no shuffle constant
         out["tbl_rebucket_split"] = timed(lambda: inc.rebucket(
