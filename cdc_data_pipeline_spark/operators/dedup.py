@@ -376,24 +376,31 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     sym = sym.localCheckpoint(eager=True)
     labels = sym.select("node").distinct().withColumn("label", F.col("node"))
     labels = labels.localCheckpoint(eager=True)
+    labels_ck = labels            # the checkpointed frame to unpersist
     for _ in range(max_iterations):
         nbr_min = (
             sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
             .groupBy("node").agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # labels only ever DECREASE (least), so "did anything change"
+        # is decidable inline: flag rows whose neighbor min undercuts
+        # the current label. The previous shape re-joined new vs old
+        # labels — a full extra shuffle join + count per iteration
+        # (guide §2.4) — to learn what this projection already knows.
+        new_ck = (
             labels.join(nbr_min, "node", "left")
-            .select("node", F.least(F.col("label"),
-                                    F.coalesce("nbr_label", "label")).alias("label"))
+            .select("node",
+                    F.least(F.col("label"),
+                            F.coalesce("nbr_label", "label")).alias("label"),
+                    (F.coalesce("nbr_label", "label")
+                     < F.col("label")).alias("__ch"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label")).count()
-        )
-        labels, old = new_labels, labels
-        old.unpersist()
-        if changed == 0:
+        new_ck = new_ck.localCheckpoint(eager=True)
+        converged = new_ck.filter(F.col("__ch")).isEmpty()
+        labels = new_ck.drop("__ch")
+        labels_ck.unpersist()
+        labels_ck = new_ck
+        if converged:
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations; "

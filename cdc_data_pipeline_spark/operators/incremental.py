@@ -316,6 +316,13 @@ def _overwrite_buckets_atomic(merged: DataFrame, target_path: str,
     # tables, by the duplicate-seq check in _list_change_commits.
     tmp = target_path.rstrip("/") + f".__staging__-{uuid.uuid4().hex[:12]}"
     fs.delete(spark, tmp)
+    # NOTE on file sizing (guide §6): a REBALANCE-by-bucket hint here
+    # was measured (r12) to cost an extra AQE shuffle of the whole
+    # affected-bucket payload per merge for no benefit — with the
+    # caller's batch checkpointed, the merge plan's write already
+    # lands ~1 file per bucket at bench scale, and at production
+    # scale the anti-join side keeps the scan's ~128MB splits, which
+    # compact_table can consolidate offline without taxing every merge.
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
     fs.mkdirs(spark, target_path)     # first write: renames need a parent
     if buckets is None:
@@ -479,7 +486,16 @@ def upsert_bucketed(
     table's value, an explicit mismatch raises (see
     ``_resolve_table_layout``), and a pre-metadata table is backfilled
     from the caller's values, which its data already embodies."""
-    if batch.isEmpty():
+    # Materialize the micro-batch ONCE: every downstream action of the
+    # merge (emptiness probe, content digest, affected-bucket set, the
+    # change-feed classification, the merged write) is a separate Spark
+    # action, and without this each one re-runs the batch's whole
+    # lineage — source scan, filters, unions — from scratch. One
+    # localCheckpoint turns 4-6 recomputes into one pass (optimization
+    # guide §1.2: remove redundant passes before anything else). Not a
+    # cross-run cache: the checkpoint lives and dies with this call.
+    batch = batch.localCheckpoint(eager=True)
+    if not batch.take(1):
         # 0-row guard (reference: base_loader.py:308-310) — also keeps an
         # empty first micro-batch from creating a file-less target dir
         return
@@ -526,7 +542,6 @@ def _upsert_bucketed_locked(
     else:
         dels = None
         ups = deduped
-    digest = _batch_digest(stamped) if emit_changes else None
     target = None
     if fsutil.exists(spark, target_path):
         try:
@@ -537,6 +552,7 @@ def _upsert_bucketed_locked(
             target = None  # dir exists but holds no data files yet
     if target is None:
         if emit_changes:
+            digest = _batch_digest(stamped)
             _commit_changes(
                 spark, target_path, digest,
                 ups.drop(BUCKET_COL).withColumn("_op", F.lit("insert")))
@@ -549,7 +565,15 @@ def _upsert_bucketed_locked(
         _publish_table_meta(spark, target_path, keys, tracking_column,
                             n_resolved)
         return
-    buckets = [r[0] for r in stamped.select(BUCKET_COL).distinct().collect()]
+    # ONE stats pass over the checkpointed batch: affected-bucket set
+    # and (when feeding) the content digest — previously two separate
+    # jobs, each re-running the batch lineage (guide §1.2)
+    stat_aggs = [F.collect_set(F.col(BUCKET_COL)).alias("__bset")]
+    if emit_changes:
+        stat_aggs += _digest_aggs(stamped.columns)
+    srow = stamped.agg(*stat_aggs).first()
+    buckets = sorted(srow["__bset"])
+    digest = _format_digest(srow) if emit_changes else None
     # partition filter prunes the scan to the affected buckets only
     affected = target.filter(F.col(BUCKET_COL).isin(buckets))
     if stale_protection:
@@ -582,32 +606,48 @@ def _upsert_bucketed_locked(
         buckets = [r[0] for r in
                    deduped.select(BUCKET_COL).distinct().collect()]
         affected = target.filter(F.col(BUCKET_COL).isin(buckets))
-    batch_keys = deduped.select(*keys).distinct()
-    anti = affected.join(batch_keys, list(keys), "left_anti")
+    # flags: one row per batch key with its op kind — `deduped` is
+    # already unique per key, so this needs no distinct, and one tiny
+    # broadcast frame serves the anti join, the semi join and the
+    # old-side classification below (r12: previously four separate
+    # key-set distincts, each its own broadcast-build job)
+    is_del_flag = (F.coalesce(F.col(delete_col).cast("boolean"),
+                              F.lit(False)) if delete_col is not None
+                   else F.lit(False))
+    flags = deduped.select(*keys, is_del_flag.alias("__chg_isdel"))
+    anti = affected.join(flags.select(*keys), list(keys), "left_anti")
     merged = anti.unionByName(ups, allowMissingColumns=evolve_schema)
     if emit_changes:
         # old rows being replaced or deleted: one pruned-scan semi join
-        old = affected.join(batch_keys, list(keys), "left_semi")
-        old_keys = old.select(*keys).distinct()
-        parts = [
-            ups.join(old_keys, list(keys), "left_anti")
-               .withColumn("_op", F.lit("insert")),
-            ups.join(old_keys, list(keys), "left_semi")
-               .withColumn("_op", F.lit(
-                   "update_postimage" if update_preimages else "update")),
-        ]
-        if update_preimages:
-            # the replaced row as it WAS — what incremental view
-            # maintenance subtracts (Delta CDF's update_preimage)
-            ups_keys = ups.select(*keys).distinct()
+        old = affected.join(flags.select(*keys), list(keys), "left_semi")
+        old_k = old.select(*keys).distinct() \
+            .withColumn("__chg_has_old", F.lit(True))
+        # batch-side rows classify in ONE left join: key present in the
+        # target -> update, absent -> insert (r12: was an anti + a semi
+        # over the same inputs — two joins computing one bit)
+        ups_ops = (ups.join(old_k, list(keys), "left")
+                   .withColumn("_op", F.when(
+                       F.col("__chg_has_old").isNotNull(),
+                       F.lit("update_postimage" if update_preimages
+                             else "update")).otherwise(F.lit("insert")))
+                   .drop("__chg_has_old"))
+        parts = [ups_ops]
+        if update_preimages or dels is not None:
+            # old-side rows classify per OLD ROW against the per-key op
+            # flag: a deleted key's old row is the delete PREIMAGE, a
+            # replaced key's old row is the update_preimage (what
+            # incremental view maintenance subtracts — Delta CDF)
+            old_op = F.when(F.col("__chg_isdel"), F.lit("delete")) \
+                .otherwise(F.lit("update_preimage"))
+            keep = F.lit(True)
+            if not update_preimages:
+                keep = F.col("__chg_isdel")          # preimages not wanted
+            if dels is None:
+                keep = ~F.col("__chg_isdel")         # no deletes possible
             parts.append(
-                old.join(ups_keys, list(keys), "left_semi")
-                   .withColumn("_op", F.lit("update_preimage")))
-        if dels is not None:
-            # delete change rows carry the PREIMAGE (the row as it was)
-            parts.append(
-                old.join(dels.select(*keys).distinct(), list(keys),
-                         "left_semi").withColumn("_op", F.lit("delete")))
+                old.join(flags, list(keys))
+                   .filter(keep)
+                   .withColumn("_op", old_op).drop("__chg_isdel"))
         changes = parts[0]
         for p in parts[1:]:
             changes = changes.unionByName(p, allowMissingColumns=True)
@@ -634,12 +674,24 @@ def _batch_digest(df: DataFrame) -> str:
     count. A replayed foreachBatch delivery carries identical content,
     so its digest matches and the change-feed commit is skipped — the
     at-least-once input becomes an exactly-once feed."""
-    cols = [F.col(c) for c in sorted(df.columns)]
+    r = df.agg(*_digest_aggs(df.columns)).first()
+    return _format_digest(r)
+
+
+def _digest_aggs(columns: Sequence[str]) -> list:
+    """The three aggregate expressions behind ``_batch_digest``,
+    exposed so callers can fold the digest into an existing one-pass
+    aggregate (merge stats) instead of paying a separate job."""
+    cols = [F.col(c) for c in sorted(columns)]
     h1 = F.pmod(F.xxhash64(*cols), F.lit(2147483647))
     h2 = F.pmod(F.xxhash64(F.lit(0x9e3779b9), *cols), F.lit(2147483629))
-    r = df.agg(F.sum(h1).alias("s1"), F.sum(h2).alias("s2"),
-               F.count(F.lit(1)).alias("c")).first()
-    return f"{(r['s1'] or 0):x}.{(r['s2'] or 0):x}-{r['c']}"
+    return [F.sum(h1).alias("__dig_s1"), F.sum(h2).alias("__dig_s2"),
+            F.count(F.lit(1)).alias("__dig_c")]
+
+
+def _format_digest(r) -> str:
+    return (f"{(r['__dig_s1'] or 0):x}.{(r['__dig_s2'] or 0):x}"
+            f"-{r['__dig_c']}")
 
 
 def _list_change_commits(spark: SparkSession, target_path: str) -> list[str]:
@@ -734,7 +786,10 @@ def _commit_changes(spark: SparkSession, target_path: str, digest: str,
         return False
     # materialize once: isEmpty and the write below are separate
     # ACTIONS, so without this the three change-classification joins
-    # run twice (ReusedExchange only dedupes within one plan)
+    # run twice (ReusedExchange only dedupes within one plan). With
+    # the merge batch checkpointed upstream, the AQE-coalesced branch
+    # partitions are few, so the commit lands as 1-2 files (measured
+    # r12; previously 34 slivers) without any extra rebalance shuffle.
     changes = changes.localCheckpoint(eager=True)
     if changes.isEmpty():
         # a batch that changed nothing (e.g. deletes of absent keys)

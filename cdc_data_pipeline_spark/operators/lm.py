@@ -126,17 +126,46 @@ def train_backoff_lm(df: DataFrame, text_col: str = "text",
     groupBy per order — the shuffle carries the VOCABULARY of each
     order, never the corpus. Unigrams are never pruned (the final
     fallback must exist)."""
-    # NOTE: bi and uni each feed TWO scorer joins (context + suffix
-    # side), but their count subtrees canonicalize identically, so
-    # ReuseExchange computes each once — measured faster than pinning
-    # them with localCheckpoint (which adds a job barrier per table)
-    uni = (word_ngrams(df, 1, text_col, id_col)
-           .groupBy("g").agg(F.count(F.lit(1)).alias("c")))
-    bi = (word_ngrams(df, 2, text_col, id_col)
-          .groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    # ONE corpus pass for all three orders: every gram is emitted from
+    # a single explode tagged with its order, counted in one shuffle
+    # keyed (order, gram), and the counts MATERIALIZED once. The
+    # previous shape (one explode+groupBy per order, with bi and uni
+    # each feeding two scorer joins) relied on ReuseExchange to dedupe
+    # the count subtrees — the r12 plan audit showed Catalyst reuses
+    # NOTHING here (8 full corpus scans for one backoff_score query),
+    # so the corpus was scanned and exploded per join arm (guide
+    # §1.2/§3.3). Counts are value-identical: same gram strings, same
+    # grouping, pruning applied after.
+    from cdc_data_pipeline_spark.functions.text import tokens
+
+    t = tokens(text_col)
+
+    def grams(n: int):
+        # same construction as word_ngrams (sequence(1, 0) would
+        # generate DESCENDING [1, 0]: short docs must yield empty)
+        return F.when(
+            F.size(t) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                        lambda i: F.array_join(F.slice(t, i, n), " "))
+        ).otherwise(F.array().cast("array<string>"))
+
+    def tag(n: int):
+        # NB: a two-arg lambda would make transform() pass the array
+        # INDEX as the second argument — close over n instead
+        return F.transform(grams(n),
+                           lambda g: F.struct(F.lit(n).alias("o"),
+                                              g.alias("g")))
+
+    tagged = F.concat(tag(1), tag(2), tag(3))
+    ex = (df.select(F.explode(tagged).alias("__r"))
+          .select(F.col("__r.o").alias("__o"), F.col("__r.g").alias("g"))
+          .filter(F.col("g") != ""))
+    counts = (ex.groupBy("__o", "g").agg(F.count(F.lit(1)).alias("c"))
+              .localCheckpoint(eager=True))
+    uni = counts.filter(F.col("__o") == 1).select("g", "c")
+    bi = (counts.filter(F.col("__o") == 2).select("g", "c")
           .filter(F.col("c") >= min_count))
-    tri = (word_ngrams(df, 3, text_col, id_col)
-           .groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    tri = (counts.filter(F.col("__o") == 3).select("g", "c")
            .filter(F.col("c") >= min_count))
     total = uni.agg(F.sum("c").alias("n_tokens"))
     return {"uni": uni, "bi": bi, "tri": tri, "total": total}

@@ -48,25 +48,34 @@ def scd2_init(batch: DataFrame, keys: Sequence[str], run_ts: str) -> DataFrame:
     )
 
 
-def _scd2_parts(
-    snapshot: DataFrame,
+_CLS = "__scd2_cls"
+
+
+def _scd2_classified(
+    current: DataFrame,
     batch: DataFrame,
     keys: Sequence[str],
     check_cols: Sequence[str],
     run_ts: str,
     close_deleted: bool = False,
-) -> dict:
-    """The classified row sets of one SCD2 merge — shared by
-    ``scd2_merge`` (which unions them into the new state) and the
-    change-feed emission in ``scd2_bucketed`` (which needs ``opened``
-    / ``closed`` / ``closed_pre`` as version-transition deltas).
-    ``closed_pre`` is each closed version AS IT WAS (open, valid_to
-    NULL) — the update preimage."""
+    with_preimages: bool = False,
+) -> DataFrame:
+    """ONE-pass classification of an SCD2 merge: a single full-outer
+    key join between the OPEN slice and the batch, each joined row
+    exploding into the 0-3 output rows it implies, tagged ``_CLS`` in
+    {unchanged, closed, closed_pre, missing, opened}. ``closed_pre``
+    (emitted only ``with_preimages``) is each closed version AS IT WAS
+    (open, valid_to NULL) — the update preimage; it belongs to the
+    change feed, never to the merged state.
+
+    The r12 optimization pass replaced the previous shape — five
+    separately-filtered copies of the same join unioned together —
+    which made Catalyst recompute the classification join (and rescan
+    the snapshot source) once per class: 8+ source scans for one
+    ``scd2_check`` plan (guide §1.2/§2.4; values are expression-
+    identical, only the plan shape changed)."""
     ts = F.lit(run_ts).cast("timestamp")
     payload_cols = [c for c in batch.columns]
-
-    history = snapshot.filter(F.col("dbt_valid_to").isNotNull())
-    current = snapshot.filter(F.col("dbt_valid_to").isNull())
 
     inc = batch.select(*payload_cols)
     # one full-outer key join decides every row's fate
@@ -81,49 +90,49 @@ def _scd2_parts(
     for c in check_cols:
         changed = changed | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"inc.{c}"))
 
-    cur_payload = [F.col(f"cur.{c}").alias(c) for c in payload_cols]
-    cur_meta = [F.col(f"cur.{m}").alias(m) for m in META_COLS]
-    inc_payload = [F.col(f"inc.{c}").alias(c) for c in payload_cols]
+    cur_payload = [F.col(f"cur.{c}") for c in payload_cols]
+    inc_payload = [F.col(f"inc.{c}") for c in payload_cols]
+    cur_meta = [F.col(f"cur.{m}") for m in META_COLS]
+    closed_meta = [F.col("cur.dbt_valid_from"), ts,
+                   F.col("cur.dbt_scd_id"), F.col("cur.dbt_updated_at")]
+    opened_meta = [ts, F.lit(None).cast("timestamp"),
+                   _scd_id([f"inc.{k}" for k in keys], ts), ts]
 
-    # unchanged current rows pass through untouched
-    unchanged = joined.filter(in_cur & in_inc & ~changed).select(*cur_payload, *cur_meta)
+    def pack(cls: str, payload, meta) -> F.Column:
+        fields = [p.alias(c) for p, c in zip(payload, payload_cols)]
+        fields += [m.alias(n) for m, n in zip(meta, META_COLS)]
+        fields.append(F.lit(cls).alias(_CLS))
+        return F.struct(*fields)
 
-    # changed (and optionally deleted) current rows close at run_ts
-    close_pred = (in_cur & in_inc & changed) | ((in_cur & ~in_inc) if close_deleted else F.lit(False))
-    closed = joined.filter(close_pred).select(
-        *cur_payload,
-        F.col("cur.dbt_valid_from").alias("dbt_valid_from"),
-        ts.alias("dbt_valid_to"),
-        F.col("cur.dbt_scd_id").alias("dbt_scd_id"),
-        F.col("cur.dbt_updated_at").alias("dbt_updated_at"),
-    )
-    # the same versions as they WERE (still open) — update preimages
-    closed_pre = joined.filter(close_pred).select(*cur_payload, *cur_meta)
-
-    # keys absent from the batch and not closed stay open
-    missing = joined.filter(in_cur & ~in_inc).select(*cur_payload, *cur_meta) \
-        if not close_deleted else None
-
-    # changed + brand-new keys open a fresh version
-    opened = joined.filter((in_inc & ~in_cur) | (in_cur & in_inc & changed)).select(
-        *inc_payload,
-        ts.alias("dbt_valid_from"),
-        F.lit(None).cast("timestamp").alias("dbt_valid_to"),
-        _scd_id([f"inc.{k}" for k in keys], ts).alias("dbt_scd_id"),
-        ts.alias("dbt_updated_at"),
-    )
-    return {"history": history, "unchanged": unchanged, "closed": closed,
-            "closed_pre": closed_pre, "missing": missing, "opened": opened}
+    close_pred = (in_cur & in_inc & changed) \
+        | ((in_cur & ~in_inc) if close_deleted else F.lit(False))
+    slots = [
+        # unchanged current rows pass through untouched
+        F.when(in_cur & in_inc & ~changed,
+               pack("unchanged", cur_payload, cur_meta)),
+        # changed (and optionally deleted) current rows close at run_ts
+        F.when(close_pred, pack("closed", cur_payload, closed_meta)),
+        # changed + brand-new keys open a fresh version
+        F.when((in_inc & ~in_cur) | (in_cur & in_inc & changed),
+               pack("opened", inc_payload, opened_meta)),
+    ]
+    if with_preimages:
+        slots.append(F.when(close_pred,
+                            pack("closed_pre", cur_payload, cur_meta)))
+    if not close_deleted:
+        # keys absent from the batch and not closed stay open
+        slots.append(F.when(in_cur & ~in_inc,
+                            pack("missing", cur_payload, cur_meta)))
+    rows = F.explode(F.array_compact(F.array(*slots)))
+    return joined.select(rows.alias("__r")).select("__r.*")
 
 
-def _scd2_union(parts: dict) -> DataFrame:
-    """The new snapshot state from ``_scd2_parts`` — ONE place, so the
-    plain and bucketed merge paths can never drift apart."""
-    out = parts["history"].unionByName(parts["unchanged"]) \
-        .unionByName(parts["closed"]).unionByName(parts["opened"])
-    if parts["missing"] is not None:
-        out = out.unionByName(parts["missing"])
-    return out
+def _scd2_state(history: DataFrame, classified: DataFrame) -> DataFrame:
+    """The new snapshot state: closed history passes through untouched,
+    every classified row except the feed-only preimages lands — ONE
+    place, so the plain and bucketed merge paths can never drift."""
+    return history.unionByName(
+        classified.filter(F.col(_CLS) != "closed_pre").drop(_CLS))
 
 
 def scd2_merge(
@@ -141,8 +150,10 @@ def scd2_merge(
     """
     if snapshot is None:
         return scd2_init(batch, keys, run_ts)
-    return _scd2_union(_scd2_parts(snapshot, batch, keys, check_cols,
-                                   run_ts, close_deleted))
+    history = snapshot.filter(F.col("dbt_valid_to").isNotNull())
+    current = snapshot.filter(F.col("dbt_valid_to").isNull())
+    return _scd2_state(history, _scd2_classified(
+        current, batch, keys, check_cols, run_ts, close_deleted))
 
 
 def scd2_current(snapshot: DataFrame) -> DataFrame:
@@ -240,7 +251,13 @@ def scd2_bucketed(
     from cdc_data_pipeline_spark.operators.incremental import (
         _maybe_table_lock)
 
-    if batch.isEmpty():
+    # Materialize the batch ONCE (same rationale as upsert_bucketed):
+    # the emptiness probe, duplicate-key guard, content digest,
+    # affected-bucket set, change-feed classification and merged write
+    # are all separate actions — without this each re-runs the batch
+    # lineage from the source (guide §1.2). Call-scoped, not a cache.
+    batch = batch.localCheckpoint(eager=True)
+    if not batch.take(1):
         return
     if on_duplicate_keys not in ("error", "dedup", "allow"):
         raise ValueError(
@@ -301,23 +318,24 @@ def _scd2_bucketed_locked(
     evolve_schema: bool = False,
 ) -> None:
     from cdc_data_pipeline_spark.operators.incremental import (
-        BUCKET_COL, _batch_digest, _commit_changes,
-        _overwrite_buckets_atomic, _publish_table_meta,
+        BUCKET_COL, _batch_digest, _commit_changes, _digest_aggs,
+        _format_digest, _overwrite_buckets_atomic, _publish_table_meta,
         _read_table_meta, _resolve_table_layout, bucket_of,
         recover_table)
     from cdc_data_pipeline_spark.sources import fsutil
+
+    def _with_run_ts(content_digest: str) -> str:
+        import hashlib
+
+        # run_ts folded in: identical batch content under a NEW run_ts
+        # is a new merge, not a replay
+        return (content_digest + "."
+                + hashlib.md5(run_ts.encode("utf-8")).hexdigest()[:8])
 
     recover_table(spark, target_path)
     meta = _read_table_meta(spark, target_path)
     n_buckets = _resolve_table_layout(meta, keys, None, n_buckets)
     digest = None
-    if emit_changes:
-        import hashlib
-
-        # run_ts folded in: identical batch content under a NEW run_ts
-        # is a new merge, not a replay
-        digest = (_batch_digest(batch) + "."
-                  + hashlib.md5(run_ts.encode("utf-8")).hexdigest()[:8])
     target = None
     if fsutil.exists(spark, target_path):
         try:
@@ -329,6 +347,7 @@ def _scd2_bucketed_locked(
     if target is None:
         merged = scd2_merge(None, batch, keys, check_cols, run_ts)
         if emit_changes:
+            digest = _with_run_ts(_batch_digest(batch))
             _commit_changes(spark, target_path, digest,
                             merged.withColumn("_op", F.lit("insert")))
         # staged per-bucket moves, not mode("overwrite") on the target:
@@ -338,31 +357,49 @@ def _scd2_bucketed_locked(
         _overwrite_buckets_atomic(stamped, target_path, None)
         _publish_table_meta(spark, target_path, keys, None, n_buckets)
         return
+    # ONE stats pass over the checkpointed batch: affected-bucket set
+    # and (when feeding) the content digest — previously two separate
+    # jobs (guide §1.2)
+    stat_aggs = []
+    if not close_deleted:
+        stat_aggs.append(F.collect_set(
+            bucket_of(keys, n_buckets)).alias("__bset"))
+    if emit_changes:
+        stat_aggs += _digest_aggs(batch.columns)
+    srow = batch.agg(*stat_aggs).first() if stat_aggs else None
+    if emit_changes:
+        digest = _with_run_ts(_format_digest(srow))
     if close_deleted:
         buckets = list(range(n_buckets))
         affected = target.drop(BUCKET_COL)
     else:
-        buckets = [r[0] for r in
-                   batch.select(bucket_of(keys, n_buckets).alias("b")).distinct().collect()]
+        buckets = sorted(srow["__bset"])
         affected = target.filter(F.col(BUCKET_COL).isin(buckets)).drop(BUCKET_COL)
     if evolve_schema:
         affected, batch = _align_payloads(affected, batch)
-    p = _scd2_parts(affected, batch, keys, check_cols, run_ts,
-                    close_deleted)
+    history = affected.filter(F.col("dbt_valid_to").isNotNull())
+    current = affected.filter(F.col("dbt_valid_to").isNull())
+    cls = _scd2_classified(current, batch, keys, check_cols, run_ts,
+                           close_deleted,
+                           with_preimages=emit_changes and update_preimages)
     if emit_changes:
+        # the change slice and the merged state are two separate
+        # ACTIONS — materialize the classification once so the join
+        # runs once per merge, not once per sink (guide §1.2)
+        cls = cls.localCheckpoint(eager=True)
         # committed BEFORE the bucket swap (the upsert_bucketed
         # rationale: a crash in between replays with the same digest
         # and is skipped; classifying AFTER the swap would misread
         # replayed transitions)
-        changes = p["opened"].withColumn("_op", F.lit("insert")) \
-            .unionByName(p["closed"].withColumn("_op", F.lit(
-                "update_postimage" if update_preimages else "update")))
-        if update_preimages:
-            changes = changes.unionByName(
-                p["closed_pre"].withColumn("_op",
-                                           F.lit("update_preimage")))
+        op = (F.when(F.col(_CLS) == "opened", F.lit("insert"))
+              .when(F.col(_CLS) == "closed", F.lit(
+                  "update_postimage" if update_preimages else "update"))
+              .otherwise(F.lit("update_preimage")))
+        changes = (cls.filter(F.col(_CLS).isin(
+            "opened", "closed", "closed_pre"))
+            .withColumn("_op", op).drop(_CLS))
         _commit_changes(spark, target_path, digest, changes)
-    merged = _scd2_union(p)
+    merged = _scd2_state(history, cls)
     stamped = merged.withColumn(BUCKET_COL, bucket_of(keys, n_buckets))
     _overwrite_buckets_atomic(stamped, target_path, buckets)
     if meta is None:  # legacy pre-metadata table: backfill the layout

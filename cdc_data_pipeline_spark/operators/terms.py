@@ -123,6 +123,14 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     ex = _exploded(corpus, text_col, id_col)
     tf = ex.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    # Materialize the postings ONCE: dl, dfreq, total_len and the
+    # scoring join all branch off tf, and Catalyst does not reuse the
+    # exchange across those branches (each prunes differently), so
+    # without this the corpus is scanned and exploded per branch —
+    # the r12 plan showed 7+ full corpus scans for one bm25 query
+    # (guide §3.3: materialize an intermediate to truncate the plan).
+    # The inverted index is exactly what a search engine materializes.
+    tf = tf.localCheckpoint(eager=True)
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # N and avgdl: two scalars (watermark-budget class). N counts ALL
