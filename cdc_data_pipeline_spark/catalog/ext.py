@@ -706,6 +706,11 @@ def _docs_as_y4m(docs):
     (shared by the video feature + dedup entries)."""
     import pandas as pd
 
+    # mapInPandas ships every input column across the Python boundary
+    # (Spark cannot see which ones the function reads — guide §4.1);
+    # only these two are used
+    docs = docs.select("doc_id", "text")
+
     def to_y4m(batches):
         for pdf in batches:
             payloads = []
@@ -752,6 +757,9 @@ def _docs_as_ppm(docs):
     three channels — x-varying so the 8x8 aHash carries entropy in
     both axes (shared by the image feature + dedup entries)."""
     import pandas as pd
+
+    # ship only the columns the builder reads (guide §4.1)
+    docs = docs.select("doc_id", "text")
 
     def to_ppm(batches):
         for pdf in batches:

@@ -879,6 +879,20 @@ def stream_changes(spark: SparkSession, target_path: str,
                 f"change feed at {target_path}/{CHANGES_DIR} is empty; "
                 "pass an explicit schema to stream from it")
         schema = got.schema
+        # STRIP the lineage metadata read_changes stamped on _seq: a
+        # file-stream source would freeze this snapshot's cdc_max_seq
+        # into EVERY future micro-batch, so a foreachBatch consumer
+        # calling apply_changes would cache a watermark BELOW the rows
+        # it actually applied — the stale-low fail-open the staleness
+        # guard exists to prevent. Streaming consumers pass
+        # source_path explicitly (or inherit none) and the guard takes
+        # the exact O(slice) fallback instead of a frozen lie.
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField(f.name, f.dataType, f.nullable)
+            if f.name == "_seq" else f
+            for f in schema.fields])
     from cdc_data_pipeline_spark.sources import fsutil
 
     return (spark.readStream.schema(schema)
@@ -1417,7 +1431,11 @@ def apply_changes(spark: SparkSession, feed: DataFrame,
     generation. Requires a resolvable source root. A corrupt
     generation marker still raises — repairing the marker
     (``reconcile_changes``) is a table-owner action, not a
-    consumer-side rebuild."""
+    consumer-side rebuild. NOTE: the rebuild FAST-FORWARDS the replica
+    to the table's newest commit — an ``upto_seq``-capped slice's
+    as-of intent does not survive a reconverge — and it uses the
+    table's persisted collapse keys: caller keys that differ raise
+    instead of being silently substituted (ADVICE r11)."""
     if source_path is None and not allow_unvouched:
         if "_seq" in feed.columns:
             source_path = (feed.schema["_seq"].metadata or {}).get(
@@ -1458,6 +1476,23 @@ def apply_changes(spark: SparkSession, feed: DataFrame,
                 raise
             if read_feed_generation(spark, source_path).get("corrupt"):
                 raise
+            # NB (ADVICE r11): the rebuild FAST-FORWARDS the replica to
+            # the table's newest commit under the table-meta keys — a
+            # caller's as-of intent (an upto_seq-capped slice) and any
+            # caller keys differing from the persisted layout do not
+            # survive a reconverge. Surface the key substitution
+            # loudly instead of silently adopting the layout.
+            table_meta = _read_table_meta(spark, source_path)
+            if table_meta is not None \
+                    and list(keys) != _feed_collapse_keys(table_meta):
+                raise ValueError(
+                    f"apply_changes(reconverge=True): caller keys "
+                    f"{list(keys)} differ from the source table's "
+                    f"persisted collapse keys "
+                    f"{_feed_collapse_keys(table_meta)} — a rebuilt "
+                    "replica would silently switch key sets; pass the "
+                    "table's keys or rebuild explicitly with "
+                    "bootstrap_replica")
             create_anchor(spark, source_path)
             bootstrap_replica(spark, source_path, replica_path,
                               n_buckets=n_buckets)
@@ -1705,16 +1740,23 @@ def _delete_bucketed_locked(spark: SparkSession, target_path: str,
         raise ValueError("table has no persisted layout; run one "
                          "upsert_bucketed first")
     keys = meta["keys"]
+    # materialize the key set once; the digest, bucket set, feed
+    # emission and the anti-join all reuse it (same rationale as
+    # upsert_bucketed's batch checkpoint)
     stamped = keys_df.select(*keys).distinct() \
-        .withColumn(BUCKET_COL, bucket_of(keys, meta["n_buckets"]))
+        .withColumn(BUCKET_COL, bucket_of(keys, meta["n_buckets"])) \
+        .localCheckpoint(eager=True)
     target = spark.read.option("mergeSchema", "true").parquet(target_path)
-    buckets = [r[0] for r in stamped.select(BUCKET_COL).distinct().collect()]
+    stat_aggs = [F.collect_set(F.col(BUCKET_COL)).alias("__bset")]
+    if emit_changes:
+        stat_aggs += _digest_aggs(stamped.columns)
+    srow = stamped.agg(*stat_aggs).first()
+    buckets = sorted(srow["__bset"])
     affected = target.filter(F.col(BUCKET_COL).isin(buckets))
     victims = affected.join(stamped.drop(BUCKET_COL), list(keys),
                             "left_semi")
     if emit_changes:
-        digest = _batch_digest(stamped)
-        _commit_changes(spark, target_path, digest,
+        _commit_changes(spark, target_path, _format_digest(srow),
                         victims.drop(BUCKET_COL)
                         .withColumn("_op", F.lit("delete")))
     merged = affected.join(stamped.drop(BUCKET_COL), list(keys),

@@ -325,6 +325,14 @@ def vacuum_versions(table_path: str, keep_last: int = 2,
             keep.difference_update(
                 v for v in versions
                 if v != cur and not _is_complete(table_path, v))
+    elif sweep_unpublished:
+        # no (readable) pointer: NOTHING is published, so under the
+        # caller's single-writer declaration every incomplete dir is
+        # crashed-publish debris — reclaim it (ADVICE r11: the
+        # cur-is-None table previously never shed its torn dirs);
+        # complete-but-unpointed dirs still honor keep_last
+        keep.difference_update(
+            v for v in versions if not _is_complete(table_path, v))
     removed = []
     for v in versions:
         if v not in keep:

@@ -153,6 +153,27 @@ def test_stream_changes_consumes_feed(spark, tmp_path):
                             (1, "delete", 1), (1, "insert", 3)]
 
 
+def test_stream_changes_strips_frozen_lineage(spark, tmp_path):
+    """The inferred streaming schema must NOT carry read_changes'
+    lineage metadata: a file-stream source freezes the inferred schema,
+    so a stamped cdc_max_seq would be a snapshot-time constant in every
+    future micro-batch — a foreachBatch apply_changes would cache a
+    stale-LOW consumer watermark and a later reconcile inside the gap
+    would pass the staleness guard (fail-open). Streaming consumers
+    must pass source_path and take the exact O(slice) fallback."""
+    tgt = str(tmp_path / "tbl")
+    upsert_bucketed(spark, tgt,
+                    _mk(spark, [(1, "a", 10, False), (2, "b", 10, False)]),
+                    ["k"], "ts", n_buckets=4, delete_col="is_del",
+                    emit_changes=True)
+    # the batch reader DOES stamp lineage...
+    batch_meta = read_changes(spark, tgt).schema["_seq"].metadata
+    assert batch_meta.get("cdc_source_root") == tgt
+    # ...the streaming reader must not freeze it
+    sfeed = stream_changes(spark, tgt)
+    assert not (sfeed.schema["_seq"].metadata or {})
+
+
 def test_stream_upsert_with_deletes_and_feed(spark, tmp_path):
     """End to end through the streaming sink: a file stream of CDC ops
     (incl. a hard delete) lands in the bucketed table AND the change

@@ -388,6 +388,27 @@ class TestFsckVersioned:
         rep = fsck_versioned(spark, t, deep=True)
         assert rep["ok"] and rep["warnings"] == 0, rep["findings"]
 
+    def test_sweep_reclaims_torn_dirs_with_no_pointer(self, spark,
+                                                      tmp_path):
+        """ADVICE r11: a table whose publisher crashed before its FIRST
+        pointer publish has torn dirs but no pointer — the single-writer
+        sweep must still reclaim them (nothing is published, so every
+        incomplete dir is debris by the caller's declaration); the
+        default mode must keep treating them as not-ours."""
+        import os
+
+        from cdc_data_pipeline_spark.sources.versioned import (
+            list_versions, vacuum_versions)
+
+        t = str(tmp_path / "tbl")
+        os.makedirs(os.path.join(t, "v=1"))
+        with open(os.path.join(t, "v=1", "part-0.parquet"), "wb") as fh:
+            fh.write(b"\x00torn")        # no _SUCCESS, no _LATEST
+        vacuum_versions(t, keep_last=2)                  # default: safe
+        assert list_versions(t) == [1]
+        vacuum_versions(t, keep_last=2, sweep_unpublished=True)
+        assert list_versions(t) == []
+
     def test_published_partial_is_error(self, spark, tmp_path):
         from cdc_data_pipeline_spark.sources.versioned import \
             fsck_versioned
