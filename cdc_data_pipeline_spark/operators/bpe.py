@@ -219,13 +219,21 @@ def bpe_segment(df: DataFrame, merges: Sequence[tuple[str, str]],
         # segment words the vocabulary never contained
         ws_re = re.compile(r"\s+", re.ASCII)
 
+        # words repeat Zipf-style: encode each DISTINCT word once per
+        # batch and reuse (same greedy merge application, so the
+        # segmentation is identical — pure memoization)
+        seen: dict[str, list] = {}
+
         def encode_word(w):
-            s = list(w) + [END]
-            for a, b in mlist:
-                if len(s) < 2:
-                    break
-                s = _apply_one(s, a, b)
-            return s
+            got = seen.get(w)
+            if got is None:
+                s = list(w) + [END]
+                for a, b in mlist:
+                    if len(s) < 2:
+                        break
+                    s = _apply_one(s, a, b)
+                seen[w] = got = s
+            return got
 
         rows = []
         for t in texts:
