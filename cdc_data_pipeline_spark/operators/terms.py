@@ -130,7 +130,17 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     # the r12 plan showed 7+ full corpus scans for one bm25 query
     # (guide §3.3: materialize an intermediate to truncate the plan).
     # The inverted index is exactly what a search engine materializes.
-    tf = tf.localCheckpoint(eager=True)
+    # The explicit repartition pins the checkpoint's parallelism: AQE
+    # coalesces the postings shuffle by POSTINGS bytes (often to 1-2
+    # partitions), but the checkpoint freezes that layout and the
+    # downstream broadcast-join scoring — whose candidate fan-out is
+    # far larger than the postings — would inherit it (measured at the
+    # 8x soak: the scoring stage collapsed to single-task, 11.7s ->
+    # 48.4s; with the pin it is restored). Keyed by doc so per-doc
+    # postings stay together; count follows the cluster, not a local
+    # constant.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    tf = tf.repartition(par, F.col(id_col)).localCheckpoint(eager=True)
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # N and avgdl: two scalars (watermark-budget class). N counts ALL
