@@ -141,6 +141,21 @@ def snapshot_load(
 
 BUCKET_COL = "__kb"
 
+# Row cap under which a merge's per-key flag/marker frame is hinted
+# broadcast (one narrow row per batch key: key columns + a boolean).
+# 4M keys x ~30 B is ~120 MB framed — comfortably inside executor
+# memory and far under Spark's 8 GB / 512M-row broadcast relation cap.
+# The cap is on DATA (batch keys), never on cluster size: a giant
+# backfill batch simply falls back to the planner's join choice.
+_BCAST_KEYS_CAP = 4_000_000
+
+# Feed-commit file sizing: target rows per parquet file for the
+# change slices that inherit the classification checkpoint's
+# scan-aligned partitioning (coalesce target — no shuffle). ~250k
+# rows of a typical CDC row is a few tens of MB; a commit is always
+# batch-bounded, so this is a DATA-derived target, not a cluster one.
+_COMMIT_ROWS_PER_FILE = 250_000
+
 
 def bucket_of(keys: Sequence[str], n_buckets: int) -> Column:
     """Stable key-hash bucket id — the partition key for upsert targets."""
@@ -494,11 +509,10 @@ def upsert_bucketed(
     # localCheckpoint turns 4-6 recomputes into one pass (optimization
     # guide §1.2: remove redundant passes before anything else). Not a
     # cross-run cache: the checkpoint lives and dies with this call.
+    # The 0-row guard (reference: base_loader.py:308-310) lives in the
+    # locked body's single stats aggregate — folding it there removed
+    # the separate take(1) job every non-empty merge paid (r13).
     batch = batch.localCheckpoint(eager=True)
-    if not batch.take(1):
-        # 0-row guard (reference: base_loader.py:308-310) — also keeps an
-        # empty first micro-batch from creating a file-less target dir
-        return
     with _maybe_table_lock(spark, target_path, lock, lock_ttl,
                            lock_timeout):
         _upsert_bucketed_locked(
@@ -532,6 +546,21 @@ def _upsert_bucketed_locked(
     meta = _read_table_meta(spark, target_path)
     n_resolved = _resolve_table_layout(meta, keys, tracking_column, n_buckets)
     stamped = batch.withColumn(BUCKET_COL, bucket_of(keys, n_resolved))
+    # ONE stats pass over the checkpointed batch: the 0-row guard, the
+    # affected-bucket set and (when feeding) the content digest —
+    # previously up to three separate jobs (take(1) + bucket collect +
+    # digest), each its own action (guide §1.2)
+    stat_aggs = [F.count(F.lit(1)).alias("__n"),
+                 F.collect_set(F.col(BUCKET_COL)).alias("__bset")]
+    if emit_changes:
+        stat_aggs += _digest_aggs(stamped.columns)
+    srow = stamped.agg(*stat_aggs).first()
+    if srow["__n"] == 0:
+        # 0-row guard — also keeps an empty first micro-batch from
+        # creating a file-less target dir
+        return
+    buckets = sorted(srow["__bset"])
+    digest = _format_digest(srow) if emit_changes else None
     # latest op per key: delete/upsert ordering within the batch is
     # settled HERE, by the tracking column — one op survives per key
     deduped = latest_per_key(stamped, keys, tracking_column, tiebreakers)
@@ -552,10 +581,15 @@ def _upsert_bucketed_locked(
             target = None  # dir exists but holds no data files yet
     if target is None:
         if emit_changes:
-            digest = _batch_digest(stamped)
+            # materialized: the feed rows are a filter/projection of
+            # the batch checkpoint; with no delete column every batch
+            # key provably emits one insert, so the emptiness probe
+            # job is skipped too
             _commit_changes(
                 spark, target_path, digest,
-                ups.drop(BUCKET_COL).withColumn("_op", F.lit("insert")))
+                ups.drop(BUCKET_COL).withColumn("_op", F.lit("insert")),
+                materialized=True,
+                known_nonempty=delete_col is None)
         # staged per-bucket moves, NOT mode("overwrite") on the target:
         # a static-partitionOverwriteMode session would truncate the
         # whole directory — including the _changes commit and pointer
@@ -565,15 +599,6 @@ def _upsert_bucketed_locked(
         _publish_table_meta(spark, target_path, keys, tracking_column,
                             n_resolved)
         return
-    # ONE stats pass over the checkpointed batch: affected-bucket set
-    # and (when feeding) the content digest — previously two separate
-    # jobs, each re-running the batch lineage (guide §1.2)
-    stat_aggs = [F.collect_set(F.col(BUCKET_COL)).alias("__bset")]
-    if emit_changes:
-        stat_aggs += _digest_aggs(stamped.columns)
-    srow = stamped.agg(*stat_aggs).first()
-    buckets = sorted(srow["__bset"])
-    digest = _format_digest(srow) if emit_changes else None
     # partition filter prunes the scan to the affected buckets only
     affected = target.filter(F.col(BUCKET_COL).isin(buckets))
     if stale_protection:
@@ -608,55 +633,112 @@ def _upsert_bucketed_locked(
         affected = target.filter(F.col(BUCKET_COL).isin(buckets))
     # flags: one row per batch key with its op kind — `deduped` is
     # already unique per key, so this needs no distinct, and one tiny
-    # broadcast frame serves the anti join, the semi join and the
-    # old-side classification below (r12: previously four separate
-    # key-set distincts, each its own broadcast-build job)
+    # broadcast frame classifies every current row in a single join
+    # (r12: previously four separate key-set distincts, each its own
+    # broadcast-build job; r13 fused the anti + semi + flag joins)
     is_del_flag = (F.coalesce(F.col(delete_col).cast("boolean"),
                               F.lit(False)) if delete_col is not None
                    else F.lit(False))
     flags = deduped.select(*keys, is_del_flag.alias("__chg_isdel"))
-    anti = affected.join(flags.select(*keys), list(keys), "left_anti")
-    merged = anti.unionByName(ups, allowMissingColumns=evolve_schema)
-    if emit_changes:
-        # old rows being replaced or deleted: one pruned-scan semi join
-        old = affected.join(flags.select(*keys), list(keys), "left_semi")
-        old_k = old.select(*keys).distinct() \
-            .withColumn("__chg_has_old", F.lit(True))
-        # batch-side rows classify in ONE left join: key present in the
-        # target -> update, absent -> insert (r12: was an anti + a semi
-        # over the same inputs — two joins computing one bit)
-        ups_ops = (ups.join(old_k, list(keys), "left")
-                   .withColumn("_op", F.when(
-                       F.col("__chg_has_old").isNotNull(),
-                       F.lit("update_postimage" if update_preimages
-                             else "update")).otherwise(F.lit("insert")))
-                   .drop("__chg_has_old"))
-        parts = [ups_ops]
-        if update_preimages or dels is not None:
-            # old-side rows classify per OLD ROW against the per-key op
-            # flag: a deleted key's old row is the delete PREIMAGE, a
-            # replaced key's old row is the update_preimage (what
-            # incremental view maintenance subtracts — Delta CDF)
-            old_op = F.when(F.col("__chg_isdel"), F.lit("delete")) \
-                .otherwise(F.lit("update_preimage"))
-            keep = F.lit(True)
-            if not update_preimages:
-                keep = F.col("__chg_isdel")          # preimages not wanted
-            if dels is None:
-                keep = ~F.col("__chg_isdel")         # no deletes possible
-            parts.append(
-                old.join(flags, list(keys))
-                   .filter(keep)
-                   .withColumn("_op", old_op).drop("__chg_isdel"))
-        changes = parts[0]
-        for p in parts[1:]:
-            changes = changes.unionByName(p, allowMissingColumns=True)
-        # committed BEFORE the bucket swap: a crash in between replays
-        # with the same input digest, which is recognized and skipped,
-        # while recomputing AFTER the swap would misclassify replayed
-        # inserts as updates
-        _commit_changes(spark, target_path, digest,
-                        changes.drop(BUCKET_COL))
+    # Broadcast the key-flag frame when the stats pass PROVES it small:
+    # checkpoint-backed frames carry no size statistics, so the planner
+    # estimates them huge and sort-merges the classification join —
+    # shuffling the AFFECTED BUCKETS (the big side) to disk every
+    # merge, and freezing that 32-way layout into the classification
+    # checkpoint below (33 sliver files per feed commit, measured
+    # r13). The flag frame is exactly one narrow row per batch key, so
+    # the batch row count bounds it; past the cap (very large
+    # micro-batches) the planner's choice stands — AQE's runtime
+    # sort-merge->broadcast conversion still applies there.
+    if srow["__n"] <= _BCAST_KEYS_CAP:
+        flags = F.broadcast(flags)
+    if not emit_changes:
+        anti = affected.join(flags.select(*keys), list(keys), "left_anti")
+        merged = anti.unionByName(ups, allowMissingColumns=evolve_schema)
+        _overwrite_buckets_atomic(merged, target_path, buckets)
+        if meta is None:  # legacy pre-metadata table: backfill the layout
+            _publish_table_meta(spark, target_path, keys, tracking_column,
+                                n_resolved)
+        return
+    # ONE pass over the affected buckets (r13; guide §1.2): a single
+    # left join against the batch key flags classifies every current
+    # row — pass-through (`__chg_isdel` NULL: key not in batch),
+    # replaced, or deleted — checkpointed so the feed commit, the
+    # batch-side op classification and the staged bucket write all
+    # read the materialized rows instead of re-running the target
+    # scan + join per sink (the r12 shape scanned the affected
+    # buckets three times per merge: semi + flag join for the feed,
+    # anti join for the staging write). `__chg_isdel` is never NULL
+    # on a match (coalesced to a literal), so NULL is a sound
+    # absence marker even for NULL-keyed current rows, which match
+    # nothing under plain equality — exactly the old anti-join
+    # semantics. Call-scoped materialization, not a cross-run cache;
+    # same executor-loss tradeoff as the batch checkpoint above.
+    cls = affected.join(flags, list(keys), "left") \
+        .localCheckpoint(eager=True)
+    keep_old = cls.filter(F.col("__chg_isdel").isNull()) \
+        .select(*affected.columns)
+    old = cls.filter(F.col("__chg_isdel").isNotNull())
+    # keys with a current version — derived from the classification,
+    # NOT from a second target scan; the distinct guards legacy
+    # tables holding duplicate key rows (same guard the r12 shape
+    # had). Bounded by the batch key count, so the same broadcast
+    # reasoning as `flags` applies.
+    old_k = old.select(*keys).distinct() \
+        .withColumn("__chg_has_old", F.lit(True))
+    if srow["__n"] <= _BCAST_KEYS_CAP:
+        old_k = F.broadcast(old_k)
+    # batch-side rows classify in ONE left join: key present in the
+    # target -> update, absent -> insert (r12: was an anti + a semi
+    # over the same inputs — two joins computing one bit)
+    ups_ops = (ups.join(old_k, list(keys), "left")
+               .withColumn("_op", F.when(
+                   F.col("__chg_has_old").isNotNull(),
+                   F.lit("update_postimage" if update_preimages
+                         else "update")).otherwise(F.lit("insert")))
+               .drop("__chg_has_old"))
+    parts = [ups_ops]
+    if update_preimages or dels is not None:
+        # old-side rows classify per OLD ROW against the per-key op
+        # flag: a deleted key's old row is the delete PREIMAGE, a
+        # replaced key's old row is the update_preimage (what
+        # incremental view maintenance subtracts — Delta CDF)
+        old_op = F.when(F.col("__chg_isdel"), F.lit("delete")) \
+            .otherwise(F.lit("update_preimage"))
+        keep = F.lit(True)
+        if not update_preimages:
+            keep = F.col("__chg_isdel")          # preimages not wanted
+        if dels is None:
+            keep = ~F.col("__chg_isdel")         # no deletes possible
+        # COALESCE the old-row slice (narrow dependency — no shuffle,
+        # no extra job): it inherits the classification checkpoint's
+        # scan-aligned partitioning, so writing it as-is lands one
+        # sliver per scan split in the feed commit (measured 33 files
+        # at bench; thousands at scale — guide §6). The slice is
+        # bounded by the batch key count, so a row-count-derived
+        # partition target keeps commit files real-sized at every
+        # scale; the filter work per row is trivial, so the reduced
+        # parallelism costs nothing. The merged bucket write below
+        # stays on the scan-aligned layout (bytes-proportional per
+        # bucket — the right shape at scale).
+        nf = max(1, -(-int(srow["__n"]) // _COMMIT_ROWS_PER_FILE))
+        parts.append(old.filter(keep)
+                     .withColumn("_op", old_op).drop("__chg_isdel")
+                     .coalesce(nf))
+    changes = parts[0]
+    for p in parts[1:]:
+        changes = changes.unionByName(p, allowMissingColumns=True)
+    # committed BEFORE the bucket swap: a crash in between replays
+    # with the same input digest, which is recognized and skipped,
+    # while recomputing AFTER the swap would misclassify replayed
+    # inserts as updates. materialized: every input is a filter of
+    # the classification/batch checkpoints; with no delete column a
+    # non-empty batch provably changes something, so the emptiness
+    # probe is skipped too.
+    _commit_changes(spark, target_path, digest,
+                    changes.drop(BUCKET_COL), materialized=True,
+                    known_nonempty=delete_col is None)
+    merged = keep_old.unionByName(ups, allowMissingColumns=evolve_schema)
     _overwrite_buckets_atomic(merged, target_path, buckets)
     if meta is None:  # legacy pre-metadata table: backfill the layout
         _publish_table_meta(spark, target_path, keys, tracking_column,
@@ -749,12 +831,22 @@ def _publish_latest_ptr(spark: SparkSession, target_path: str, seq: int,
 
 
 def _commit_changes(spark: SparkSession, target_path: str, digest: str,
-                    changes: DataFrame) -> bool:
+                    changes: DataFrame, *, materialized: bool = False,
+                    known_nonempty: bool = False) -> bool:
     """Publish one change-feed commit: ``commit-<seq10>-<digest>``,
     written to a dot-prefixed temp dir (hidden from listings and from
     the streaming file source) and renamed into place — consumers
     never observe a partial commit. Returns False when the NEWEST
     commit already carries this input digest (micro-batch replay).
+
+    ``materialized=True`` promises that ``changes`` derives only from
+    already-checkpointed frames (the merge's batch/classification
+    checkpoints), so the defensive localCheckpoint here would be a
+    THIRD materialization of the same rows — skipped (guide §1.2).
+    ``known_nonempty=True`` additionally skips the emptiness probe for
+    callers that can prove it from the batch shape (a non-empty batch
+    with no delete column emits one change row per key by
+    construction).
 
     Replay detection is against the newest commit ONLY — foreachBatch
     redelivers only the last uncommitted batch, so a digest seen
@@ -784,14 +876,17 @@ def _commit_changes(spark: SparkSession, target_path: str, digest: str,
         last_seq, last_digest = int(ptr["seq"]), ptr["digest"]
     if digest == last_digest:
         return False
-    # materialize once: isEmpty and the write below are separate
-    # ACTIONS, so without this the three change-classification joins
-    # run twice (ReusedExchange only dedupes within one plan). With
-    # the merge batch checkpointed upstream, the AQE-coalesced branch
-    # partitions are few, so the commit lands as 1-2 files (measured
-    # r12; previously 34 slivers) without any extra rebalance shuffle.
-    changes = changes.localCheckpoint(eager=True)
-    if changes.isEmpty():
+    if not materialized:
+        # materialize once: isEmpty and the write below are separate
+        # ACTIONS, so without this the change lineage runs twice
+        # (ReusedExchange only dedupes within one plan). Callers whose
+        # ``changes`` is already a cheap filter of a checkpoint pass
+        # materialized=True and skip this copy. With the merge batch
+        # checkpointed upstream, the AQE-coalesced branch partitions
+        # are few, so the commit lands as 1-2 files (measured r12;
+        # previously 34 slivers) without any extra rebalance shuffle.
+        changes = changes.localCheckpoint(eager=True)
+    if not known_nonempty and changes.isEmpty():
         # a batch that changed nothing (e.g. deletes of absent keys)
         # commits nothing — replay skips via the same empty check, so
         # no idempotency marker is needed (same hygiene as the
@@ -1747,20 +1842,51 @@ def _delete_bucketed_locked(spark: SparkSession, target_path: str,
         .withColumn(BUCKET_COL, bucket_of(keys, meta["n_buckets"])) \
         .localCheckpoint(eager=True)
     target = spark.read.option("mergeSchema", "true").parquet(target_path)
-    stat_aggs = [F.collect_set(F.col(BUCKET_COL)).alias("__bset")]
+    stat_aggs = [F.count(F.lit(1)).alias("__n"),
+                 F.collect_set(F.col(BUCKET_COL)).alias("__bset")]
     if emit_changes:
         stat_aggs += _digest_aggs(stamped.columns)
     srow = stamped.agg(*stat_aggs).first()
     buckets = sorted(srow["__bset"])
     affected = target.filter(F.col(BUCKET_COL).isin(buckets))
-    victims = affected.join(stamped.drop(BUCKET_COL), list(keys),
-                            "left_semi")
+    small = srow["__n"] <= _BCAST_KEYS_CAP
     if emit_changes:
+        # ONE pass over the affected buckets (r13, the upsert_bucketed
+        # pattern): a single left join against the marked key set
+        # classifies every current row as victim or survivor,
+        # checkpointed so the feed commit and the bucket rewrite both
+        # read the materialized rows — the r12 shape ran the semi and
+        # anti joins as separate target scans. NULL marker = no match,
+        # sound even for NULL-keyed rows (plain-equality join).
+        marked = stamped.drop(BUCKET_COL) \
+            .withColumn("__chg_del", F.lit(True))
+        if small:
+            # checkpoint-backed key sets carry no size stats — hint
+            # the provably-small side so the big side never shuffles
+            marked = F.broadcast(marked)
+        cls = affected.join(marked, list(keys), "left") \
+            .localCheckpoint(eager=True)
+        victims = cls.filter(F.col("__chg_del").isNotNull()) \
+            .select(*affected.columns)
+        merged = cls.filter(F.col("__chg_del").isNull()) \
+            .select(*affected.columns)
+        # materialized: both slices are filters of the checkpoint; the
+        # emptiness probe stays (deletes of absent keys commit nothing).
+        # The victim slice is key-set-bounded — coalesce it off the
+        # scan-aligned checkpoint layout so the commit lands sized
+        # files, not one sliver per scan split (no shuffle; see
+        # _COMMIT_ROWS_PER_FILE in the upsert path)
+        nf = max(1, -(-int(srow["__n"]) // _COMMIT_ROWS_PER_FILE))
         _commit_changes(spark, target_path, _format_digest(srow),
                         victims.drop(BUCKET_COL)
-                        .withColumn("_op", F.lit("delete")))
-    merged = affected.join(stamped.drop(BUCKET_COL), list(keys),
-                           "left_anti")
+                        .withColumn("_op", F.lit("delete"))
+                        .coalesce(nf),
+                        materialized=True)
+    else:
+        victims_k = stamped.drop(BUCKET_COL)
+        if small:
+            victims_k = F.broadcast(victims_k)
+        merged = affected.join(victims_k, list(keys), "left_anti")
     _overwrite_buckets_atomic(merged, target_path, buckets)
 
 

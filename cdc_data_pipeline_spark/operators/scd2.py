@@ -256,34 +256,25 @@ def scd2_bucketed(
     # affected-bucket set, change-feed classification and merged write
     # are all separate actions — without this each re-runs the batch
     # lineage from the source (guide §1.2). Call-scoped, not a cache.
+    # The emptiness probe and the duplicate-key COUNT check are folded
+    # into the locked body's single stats aggregate (r13) — the
+    # separate take(1) and groupBy-count jobs every merge paid are
+    # gone; only the error path (duplicates found) still runs a job
+    # to sample the offending keys.
     batch = batch.localCheckpoint(eager=True)
-    if not batch.take(1):
-        return
     if on_duplicate_keys not in ("error", "dedup", "allow"):
         raise ValueError(
             f"on_duplicate_keys={on_duplicate_keys!r}: expected "
             "'error', 'dedup' or 'allow'")
-    if on_duplicate_keys == "error":
-        dupes = (batch.groupBy(*keys).count()
-                 .filter(F.col("count") > 1).limit(5).collect())
-        if dupes:
-            sample = [tuple(r[k] for k in keys) for r in dupes]
-            raise ValueError(
-                f"scd2_bucketed: batch carries duplicate key(s) "
-                f"{sample}{'...' if len(dupes) == 5 else ''} — SCD2 "
-                "requires one row per key per run (dbt snapshot "
-                "semantics); duplicates would multiply through the "
-                "classification join into exponential open-version "
-                "growth. Clean upstream, or pass "
-                "on_duplicate_keys='dedup' to keep an arbitrary row")
-    elif on_duplicate_keys == "dedup":
+    if on_duplicate_keys == "dedup":
         batch = batch.dropDuplicates(list(keys))
     with _maybe_table_lock(spark, target_path, lock, lock_ttl,
                            lock_timeout):
         _scd2_bucketed_locked(spark, target_path, batch, keys,
                               check_cols, run_ts, n_buckets,
                               close_deleted, emit_changes,
-                              update_preimages, evolve_schema)
+                              update_preimages, evolve_schema,
+                              dup_guard=on_duplicate_keys == "error")
 
 
 def _align_payloads(affected: DataFrame,
@@ -316,10 +307,11 @@ def _scd2_bucketed_locked(
     emit_changes: bool,
     update_preimages: bool,
     evolve_schema: bool = False,
+    dup_guard: bool = False,
 ) -> None:
     from cdc_data_pipeline_spark.operators.incremental import (
-        BUCKET_COL, _batch_digest, _commit_changes, _digest_aggs,
-        _format_digest, _overwrite_buckets_atomic, _publish_table_meta,
+        BUCKET_COL, _commit_changes, _digest_aggs, _format_digest,
+        _overwrite_buckets_atomic, _publish_table_meta,
         _read_table_meta, _resolve_table_layout, bucket_of,
         recover_table)
     from cdc_data_pipeline_spark.sources import fsutil
@@ -335,7 +327,34 @@ def _scd2_bucketed_locked(
     recover_table(spark, target_path)
     meta = _read_table_meta(spark, target_path)
     n_buckets = _resolve_table_layout(meta, keys, None, n_buckets)
-    digest = None
+    # ONE stats pass over the checkpointed batch (guide §1.2): the
+    # 0-row guard, the duplicate-key COUNT check, the affected-bucket
+    # set and (when feeding) the content digest — previously up to
+    # four separate jobs (take + groupBy-count + bucket collect +
+    # digest). NULL-keyed rows group together under both groupBy and
+    # count_distinct-of-struct, so the duplicate check is unchanged.
+    stat_aggs = [F.count(F.lit(1)).alias("__n"),
+                 F.count_distinct(F.struct(*[F.col(k) for k in keys]))
+                 .alias("__nkeys"),
+                 F.collect_set(bucket_of(keys, n_buckets)).alias("__bset")]
+    if emit_changes:
+        stat_aggs += _digest_aggs(batch.columns)
+    srow = batch.agg(*stat_aggs).first()
+    if srow["__n"] == 0:
+        return
+    if dup_guard and srow["__n"] != srow["__nkeys"]:
+        dupes = (batch.groupBy(*keys).count()
+                 .filter(F.col("count") > 1).limit(5).collect())
+        sample = [tuple(r[k] for k in keys) for r in dupes]
+        raise ValueError(
+            f"scd2_bucketed: batch carries duplicate key(s) "
+            f"{sample}{'...' if len(dupes) == 5 else ''} — SCD2 "
+            "requires one row per key per run (dbt snapshot "
+            "semantics); duplicates would multiply through the "
+            "classification join into exponential open-version "
+            "growth. Clean upstream, or pass "
+            "on_duplicate_keys='dedup' to keep an arbitrary row")
+    digest = _with_run_ts(_format_digest(srow)) if emit_changes else None
     target = None
     if fsutil.exists(spark, target_path):
         try:
@@ -347,9 +366,12 @@ def _scd2_bucketed_locked(
     if target is None:
         merged = scd2_merge(None, batch, keys, check_cols, run_ts)
         if emit_changes:
-            digest = _with_run_ts(_batch_digest(batch))
+            # materialized: the init rows are a projection of the
+            # batch checkpoint, and a non-empty batch always opens a
+            # version — no extra checkpoint or emptiness job
             _commit_changes(spark, target_path, digest,
-                            merged.withColumn("_op", F.lit("insert")))
+                            merged.withColumn("_op", F.lit("insert")),
+                            materialized=True, known_nonempty=True)
         # staged per-bucket moves, not mode("overwrite") on the target:
         # a static-partitionOverwriteMode session would truncate the
         # whole directory including the feed commit just published
@@ -357,18 +379,6 @@ def _scd2_bucketed_locked(
         _overwrite_buckets_atomic(stamped, target_path, None)
         _publish_table_meta(spark, target_path, keys, None, n_buckets)
         return
-    # ONE stats pass over the checkpointed batch: affected-bucket set
-    # and (when feeding) the content digest — previously two separate
-    # jobs (guide §1.2)
-    stat_aggs = []
-    if not close_deleted:
-        stat_aggs.append(F.collect_set(
-            bucket_of(keys, n_buckets)).alias("__bset"))
-    if emit_changes:
-        stat_aggs += _digest_aggs(batch.columns)
-    srow = batch.agg(*stat_aggs).first() if stat_aggs else None
-    if emit_changes:
-        digest = _with_run_ts(_format_digest(srow))
     if close_deleted:
         buckets = list(range(n_buckets))
         affected = target.drop(BUCKET_COL)
@@ -398,7 +408,12 @@ def _scd2_bucketed_locked(
         changes = (cls.filter(F.col(_CLS).isin(
             "opened", "closed", "closed_pre"))
             .withColumn("_op", op).drop(_CLS))
-        _commit_changes(spark, target_path, digest, changes)
+        # materialized: the change slice is a filter of the checkpoint
+        # just taken — a second checkpoint inside _commit_changes
+        # would copy the same rows again (r12 paid that job); the
+        # emptiness probe stays (an unchanged batch commits nothing)
+        _commit_changes(spark, target_path, digest, changes,
+                        materialized=True)
     merged = _scd2_state(history, cls)
     stamped = merged.withColumn(BUCKET_COL, bucket_of(keys, n_buckets))
     _overwrite_buckets_atomic(stamped, target_path, buckets)
