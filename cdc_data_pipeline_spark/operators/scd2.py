@@ -90,18 +90,22 @@ def _scd2_classified(
     for c in check_cols:
         changed = changed | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"inc.{c}"))
 
-    cur_payload = [F.col(f"cur.{c}") for c in payload_cols]
-    inc_payload = [F.col(f"inc.{c}") for c in payload_cols]
     cur_meta = [F.col(f"cur.{m}") for m in META_COLS]
     closed_meta = [F.col("cur.dbt_valid_from"), ts,
                    F.col("cur.dbt_scd_id"), F.col("cur.dbt_updated_at")]
     opened_meta = [ts, F.lit(None).cast("timestamp"),
                    _scd_id([f"inc.{k}" for k in keys], ts), ts]
 
-    def pack(cls: str, payload, meta) -> F.Column:
-        fields = [p.alias(c) for p, c in zip(payload, payload_cols)]
-        fields += [m.alias(n) for m, n in zip(meta, META_COLS)]
-        fields.append(F.lit(cls).alias(_CLS))
+    # Slim slots (r13, guide §2.1): only the class tag, a
+    # which-side bit and the four meta values ride through the
+    # explode; the payload columns — the wide part of the row — are
+    # projected ONCE after it (Generate carries them alongside the
+    # generator output), instead of being copied into every packed
+    # struct and compacted away again. Values are unchanged: the
+    # per-class meta expressions and the side selection are the same.
+    def pack(cls: str, use_inc: bool, meta) -> F.Column:
+        fields = [F.lit(cls).alias("c"), F.lit(use_inc).alias("ui")]
+        fields += [m.alias(f"m{i}") for i, m in enumerate(meta)]
         return F.struct(*fields)
 
     close_pred = (in_cur & in_inc & changed) \
@@ -109,22 +113,30 @@ def _scd2_classified(
     slots = [
         # unchanged current rows pass through untouched
         F.when(in_cur & in_inc & ~changed,
-               pack("unchanged", cur_payload, cur_meta)),
+               pack("unchanged", False, cur_meta)),
         # changed (and optionally deleted) current rows close at run_ts
-        F.when(close_pred, pack("closed", cur_payload, closed_meta)),
+        F.when(close_pred, pack("closed", False, closed_meta)),
         # changed + brand-new keys open a fresh version
         F.when((in_inc & ~in_cur) | (in_cur & in_inc & changed),
-               pack("opened", inc_payload, opened_meta)),
+               pack("opened", True, opened_meta)),
     ]
     if with_preimages:
         slots.append(F.when(close_pred,
-                            pack("closed_pre", cur_payload, cur_meta)))
+                            pack("closed_pre", False, cur_meta)))
     if not close_deleted:
         # keys absent from the batch and not closed stay open
         slots.append(F.when(in_cur & ~in_inc,
-                            pack("missing", cur_payload, cur_meta)))
-    rows = F.explode(F.array_compact(F.array(*slots)))
-    return joined.select(rows.alias("__r")).select("__r.*")
+                            pack("missing", False, cur_meta)))
+    rows = joined.select(
+        F.explode(F.array_compact(F.array(*slots))).alias("__s"),
+        *[F.col(f"cur.{c}").alias(f"__cur_{c}") for c in payload_cols],
+        *[F.col(f"inc.{c}").alias(f"__inc_{c}") for c in payload_cols])
+    side = F.col("__s.ui")
+    return rows.select(
+        *[F.when(side, F.col(f"__inc_{c}")).otherwise(F.col(f"__cur_{c}"))
+          .alias(c) for c in payload_cols],
+        *[F.col(f"__s.m{i}").alias(m) for i, m in enumerate(META_COLS)],
+        F.col("__s.c").alias(_CLS))
 
 
 def _scd2_state(history: DataFrame, classified: DataFrame) -> DataFrame:
