@@ -180,7 +180,23 @@ def score_bm25_postings(tf: DataFrame, qt: DataFrame, dl: DataFrame,
     once per (query, doc, term) row. The float-op SEQUENCE matches the
     textbook inlined form exactly (same ops, same grouping, same
     values), so the SQL oracle reproduces it bit-for-bit.
+
+    NOTE: building this plan EAGERLY materializes ``qt`` (and
+    ``bm25_topk`` additionally the postings) via localCheckpoint —
+    Spark jobs run at builder time even if the query is never
+    executed, and the blocks live in executor storage until the
+    frames are garbage collected (executor loss -> recompute becomes
+    failure; acceptable for query-serving sessions, see r12 ADVICE).
     """
+    # ``qt`` feeds TWO broadcast builds (the postings probe and the
+    # query-vocabulary IDF slice) and Catalyst reuses nothing across
+    # them (different projections defeat exchange reuse) — without
+    # this the query-side explode + distinct runs once per build;
+    # hybrid_rrf inherits the duplicate twice. Broadcast-small by the
+    # retrieval contract, and always a broadcast SIDE — the frozen
+    # partition layout can never collapse downstream parallelism
+    # (the r12 checkpoint-hazard audit class).
+    qt = qt.localCheckpoint(eager=True)
     avgdl = F.col("total_len") / F.col("n_docs")
     norm = dl.crossJoin(F.broadcast(stats)).select(
         id_col, (F.lit(k1) * (F.lit(1.0 - b) + (b * F.col("dl")) / avgdl))
