@@ -704,22 +704,31 @@ FROM chars
 def _docs_as_y4m(docs):
     """documents -> real Y4M clips, one 4x2 C420 frame per code point
     (shared by the video feature + dedup entries)."""
+    import numpy as np
     import pandas as pd
 
     # mapInPandas ships every input column across the Python boundary
     # (Spark cannot see which ones the function reads — guide §4.1);
     # only these two are used
     docs = docs.select("doc_id", "text")
+    header = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n"
 
     def to_y4m(batches):
         for pdf in batches:
             payloads = []
             for text in pdf["text"]:
-                out = bytearray(b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n")
-                for ch in text:
-                    out += b"FRAME\n" + bytes([ord(ch) % 256] * 8) \
-                        + b"\x80" * 4
-                payloads.append(bytes(out))
+                # vectorized per-char frame build (guide §4.2): each
+                # code point becomes one 18-byte frame — marker, 8
+                # luma bytes of ord(ch)%256, 4 chroma midpoints.
+                # utf-32-le decode IS the per-char ord() vectorized;
+                # byte-identical to the per-char loop this replaces.
+                codes = np.frombuffer(text.encode("utf-32-le"),
+                                      dtype=np.uint32)
+                frames = np.empty((len(codes), 18), dtype=np.uint8)
+                frames[:, :6] = np.frombuffer(b"FRAME\n", dtype=np.uint8)
+                frames[:, 6:14] = (codes % 256).astype(np.uint8)[:, None]
+                frames[:, 14:] = 0x80
+                payloads.append(header + frames.tobytes())
             yield pd.DataFrame({"media_id": pdf["doc_id"],
                                 "payload": payloads})
 
@@ -756,22 +765,29 @@ def _docs_as_ppm(docs):
     point; pixel (y, x) is the flat gray (c_y + 37*x) % 256 in all
     three channels — x-varying so the 8x8 aHash carries entropy in
     both axes (shared by the image feature + dedup entries)."""
+    import numpy as np
     import pandas as pd
 
     # ship only the columns the builder reads (guide §4.1)
     docs = docs.select("doc_id", "text")
+    xoff = np.array([0, 37, 74, 111], dtype=np.uint32)
 
     def to_ppm(batches):
         for pdf in batches:
             payloads = []
             for text in pdf["text"]:
-                h = len(text)
-                body = bytearray()
-                for ch in text:
-                    c = ord(ch) % 256
-                    for x in range(4):
-                        body += bytes([(c + 37 * x) % 256]) * 3
-                payloads.append(b"P6\n4 %d\n255\n" % h + bytes(body))
+                # vectorized pixel-row build (guide §4.2): per code
+                # point, 4 pixels of flat gray (c + 37*x) % 256, each
+                # replicated to 3 channels — byte-identical to the
+                # per-char/per-x loop this replaces (utf-32-le decode
+                # IS ord() vectorized)
+                codes = np.frombuffer(text.encode("utf-32-le"),
+                                      dtype=np.uint32)
+                px = ((codes[:, None] + xoff[None, :]) % 256) \
+                    .astype(np.uint8)
+                body = np.repeat(px, 3, axis=1)
+                payloads.append(b"P6\n4 %d\n255\n" % len(codes)
+                                + body.tobytes())
             yield pd.DataFrame({"media_id": pdf["doc_id"],
                                 "payload": payloads})
 

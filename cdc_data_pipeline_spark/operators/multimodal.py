@@ -617,15 +617,12 @@ _Y4M_FRAME_FACTOR = {
 }
 
 
-def _decode_y4m(b: bytes):
-    """Parse a YUV4MPEG2 (Y4M) stream with stdlib-only byte math:
-    returns (width, height, fps_num, fps_den, colorspace,
-    [Y plane bytes per frame]). Y4M is THE raw-video interchange
-    container (mjpegtools/ffmpeg `-f yuv4mpeg`): a text header
-    (`YUV4MPEG2 W.. H.. F<num>:<den> .. C<cs>`), then `FRAME\\n` +
-    planar YUV per frame. Only the luma plane is retained — chroma is
-    skipped by size — which is what the feature math needs. Raises on
-    bad magic / missing dims / truncated frames; callers quarantine."""
+def _parse_y4m_header(b: bytes):
+    """Header half of the Y4M parse, shared by ``_decode_y4m`` and
+    the vectorized frame-mean fast path in ``extract_video_features``:
+    returns (w, h, fps_num, fps_den, colorspace, frame_len,
+    first-frame offset). Raises the same errors the combined parser
+    always did."""
     nl = b.find(b"\n")
     if not b.startswith(b"YUV4MPEG2") or nl < 0:
         raise ValueError("not a YUV4MPEG2 stream")
@@ -650,9 +647,23 @@ def _decode_y4m(b: bytes):
     if fps_num <= 0 or fps_den <= 0:
         raise ValueError("invalid frame rate")
     fnum, fden = _Y4M_FRAME_FACTOR[cs]
+    frame_len = width * height * fnum // fden
+    return width, height, fps_num, fps_den, cs, frame_len, nl + 1
+
+
+def _decode_y4m(b: bytes):
+    """Parse a YUV4MPEG2 (Y4M) stream with stdlib-only byte math:
+    returns (width, height, fps_num, fps_den, colorspace,
+    [Y plane bytes per frame]). Y4M is THE raw-video interchange
+    container (mjpegtools/ffmpeg `-f yuv4mpeg`): a text header
+    (`YUV4MPEG2 W.. H.. F<num>:<den> .. C<cs>`), then `FRAME\\n` +
+    planar YUV per frame. Only the luma plane is retained — chroma is
+    skipped by size — which is what the feature math needs. Raises on
+    bad magic / missing dims / truncated frames; callers quarantine."""
+    width, height, fps_num, fps_den, cs, frame_len, pos = \
+        _parse_y4m_header(b)
     luma_len = width * height
-    frame_len = luma_len * fnum // fden
-    lumas, pos = [], nl + 1
+    lumas = []
     while pos < len(b):
         fnl = b.find(b"\n", pos)
         if not b.startswith(b"FRAME", pos) or fnl < 0:
@@ -700,9 +711,44 @@ def extract_video_features(media: DataFrame, scene_threshold: float = 16.0,
     transcode to Y4M upstream (ffmpeg -f yuv4mpeg)."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        mark = np.frombuffer(b"FRAME\n", dtype=np.uint8)
+
         def decode(b: bytes):
-            w, h, num, den, _cs, lumas = _decode_y4m(b)
-            means = [sum(y) / len(y) for y in lumas]
+            # vectorized frame walk (guide §4.2): when every frame is
+            # exactly b"FRAME\n" + payload (no per-frame parameters —
+            # the overwhelmingly common layout) the frames lie at a
+            # fixed stride, so one reshaped view checks every marker
+            # and sums every luma plane without materializing
+            # per-frame byte objects. The int64 sums are exact and
+            # the single float division per frame is the operation
+            # the per-byte Python loop performed — means are
+            # bit-identical. Any other layout (frame parameters,
+            # truncation, corruption) falls back to the exact
+            # per-frame walk in _decode_y4m, preserving its errors.
+            w, h, num, den, _cs, frame_len, pos = _parse_y4m_header(b)
+            luma_len = w * h
+            step, nbody = 6 + frame_len, len(b) - pos
+            means = None
+            if nbody == 0:
+                means = []
+            elif nbody > 0 and nbody % step == 0:
+                arr = np.frombuffer(b, dtype=np.uint8, count=nbody,
+                                    offset=pos).reshape(-1, step)
+                if (arr[:, :6] == mark).all():
+                    means = (arr[:, 6:6 + luma_len]
+                             .sum(axis=1, dtype=np.int64)
+                             / luma_len).tolist()
+            if means is None:
+                *_, lumas = _decode_y4m(b)
+                if lumas:
+                    la = np.frombuffer(b"".join(lumas), dtype=np.uint8) \
+                        .reshape(len(lumas), -1)
+                    means = (la.sum(axis=1, dtype=np.int64)
+                             / la.shape[1]).tolist()
+                else:
+                    means = []
             nf = len(means)
             overall = sum(means) / nf if nf else 0.0
             scenes = sum(
@@ -1702,22 +1748,50 @@ def _bilinear_gray(gray, w: int, h: int, tw: int, th: int):
     doubles) to (tw, th), half-pixel-centered with edge clamping.
     The two-stage lerp below is EXACTLY mirrored by the DuckDB oracle
     SQL (catalog/ext.py image entries) — identical operation order, so
-    IEEE doubles agree bit-for-bit across engines."""
-    out = []
-    for ty in range(th):
-        sy = max(0.0, (ty + 0.5) * h / th - 0.5)
-        y0 = min(int(sy), h - 1)
-        y1 = min(y0 + 1, h - 1)
-        fy = sy - y0
-        for tx in range(tw):
-            sx = max(0.0, (tx + 0.5) * w / tw - 0.5)
-            x0 = min(int(sx), w - 1)
-            x1 = min(x0 + 1, w - 1)
-            fx = sx - x0
-            top = gray[y0 * w + x0] * (1 - fx) + gray[y0 * w + x1] * fx
-            bot = gray[y1 * w + x0] * (1 - fx) + gray[y1 * w + x1] * fx
-            out.append(top * (1 - fy) + bot * fy)
-    return out
+    IEEE doubles agree bit-for-bit across engines. Vectorized (r13,
+    guide §4.2): every output element is independent and each
+    elementwise expression keeps the original per-element operation
+    order, so results are bit-identical to the per-pixel loop this
+    replaces (int() truncation == int64 cast for the non-negative
+    source coordinates). Small targets (the 8x8 aHash plane) keep the
+    scalar loop — numpy setup costs more than 64 lerps; measured at
+    bench scale."""
+    import numpy as np
+
+    if tw * th < 1024:
+        out = []
+        for ty in range(th):
+            sy = max(0.0, (ty + 0.5) * h / th - 0.5)
+            y0 = min(int(sy), h - 1)
+            y1 = min(y0 + 1, h - 1)
+            fy = sy - y0
+            for tx in range(tw):
+                sx = max(0.0, (tx + 0.5) * w / tw - 0.5)
+                x0 = min(int(sx), w - 1)
+                x1 = min(x0 + 1, w - 1)
+                fx = sx - x0
+                top = gray[y0 * w + x0] * (1 - fx) \
+                    + gray[y0 * w + x1] * fx
+                bot = gray[y1 * w + x0] * (1 - fx) \
+                    + gray[y1 * w + x1] * fx
+                out.append(top * (1 - fy) + bot * fy)
+        return out
+    g = np.asarray(gray, dtype=np.float64).reshape(h, w)
+    sy = np.maximum(0.0, (np.arange(th, dtype=np.float64) + 0.5)
+                    * h / th - 0.5)
+    y0 = np.minimum(sy.astype(np.int64), h - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fy = sy - y0
+    sx = np.maximum(0.0, (np.arange(tw, dtype=np.float64) + 0.5)
+                    * w / tw - 0.5)
+    x0 = np.minimum(sx.astype(np.int64), w - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fx = sx - x0
+    top = g[y0[:, None], x0[None, :]] * (1 - fx)[None, :] \
+        + g[y0[:, None], x1[None, :]] * fx[None, :]
+    bot = g[y1[:, None], x0[None, :]] * (1 - fx)[None, :] \
+        + g[y1[:, None], x1[None, :]] * fx[None, :]
+    return (top * (1 - fy)[:, None] + bot * fy[:, None]).ravel().tolist()
 
 
 IMAGE_FEATURE_SCHEMA = T.StructType([
@@ -1751,24 +1825,43 @@ def extract_image_features(media: DataFrame, n_bands: int = 4) -> DataFrame:
     quarantine with ``decode_error`` instead of failing the stage."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         def decode(b: bytes):
             # exact=True: native (Pillow) fast path for lossless
             # formats where decode is format-defined and test-pinned
             # identical; JPEG stays on the pinned stdlib codec so the
             # DuckDB-oracle hash parity is decoder-independent
             w, h, rgb = decode_image(b, exact=True)
-            gray = [(rgb[i] + rgb[i + 1] + rgb[i + 2]) / 3.0
-                    for i in range(0, len(rgb), 3)]
+            # vectorized per-pixel gray (guide §4.2): the channel sum
+            # is exact integer math and the single /3.0 per pixel is
+            # the same operation the Python loop performed — each
+            # element bit-identical. The SUMMATIONS below (mean,
+            # bands, aHash threshold) stay Python-sequential: their
+            # float addition order is oracle-visible and numpy's
+            # pairwise reduction would change it.
+            g2 = (np.frombuffer(rgb, dtype=np.uint8)
+                  .reshape(-1, 3).sum(axis=1, dtype=np.int64)
+                  / 3.0).reshape(h, w)
+            gray = g2.ravel().tolist()
             mean = sum(gray) / len(gray)
-            bands = [0.0] * n_bands
-            counts = [0] * n_bands
-            for row in range(h):
-                band = min(row * n_bands // h, n_bands - 1)
-                seg = gray[row * w:(row + 1) * w]
-                bands[band] += sum(seg)
-                counts[band] += len(seg)
-            band_means = [bands[i] / counts[i] if counts[i] else 0.0
-                          for i in range(n_bands)]
+            # row sums via column-sequential adds: vectorized across
+            # rows, left-to-right within a row — bit-identical to the
+            # per-row Python sum() this replaces. Band rows are
+            # contiguous (row*n_bands//h is monotonic), so each
+            # band's total is the sequential Python sum of its
+            # row-sum slice, exactly the old accumulation order.
+            acc = g2[:, 0].copy()
+            for j in range(1, w):
+                acc += g2[:, j]
+            band_of = np.minimum(np.arange(h) * n_bands // h,
+                                 n_bands - 1)
+            bounds = np.searchsorted(band_of, np.arange(n_bands + 1))
+            band_means = []
+            for i in range(n_bands):
+                rows = acc[bounds[i]:bounds[i + 1]].tolist()
+                band_means.append(
+                    sum(rows, 0.0) / (len(rows) * w) if rows else 0.0)
             small = _bilinear_gray(gray, w, h, 8, 8)
             thresh = sum(small) / 64.0
             bits = 0
