@@ -509,6 +509,12 @@ def upsert_bucketed(
     # localCheckpoint turns 4-6 recomputes into one pass (optimization
     # guide §1.2: remove redundant passes before anything else). Not a
     # cross-run cache: the checkpoint lives and dies with this call.
+    # Tradeoff (ADVICE r12): the blocks live on executor local
+    # storage, so losing an executor mid-merge fails the batch instead
+    # of recomputing it — safe (digest replay keeps the retry
+    # exactly-once) but a hard failure; clusters with dynamic
+    # allocation that care should disable executor decommission
+    # during merges or swap in reliable checkpoint()s.
     # The 0-row guard (reference: base_loader.py:308-310) lives in the
     # locked body's single stats aggregate — folding it there removed
     # the separate take(1) job every non-empty merge paid (r13).

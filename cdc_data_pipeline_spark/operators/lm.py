@@ -125,7 +125,14 @@ def train_backoff_lm(df: DataFrame, text_col: str = "text",
     corpus token total. Counting is one explode + map-side-combined
     groupBy per order — the shuffle carries the VOCABULARY of each
     order, never the corpus. Unigrams are never pruned (the final
-    fallback must exist)."""
+    fallback must exist).
+
+    NOTE (ADVICE r12): training EAGERLY materializes the fused count
+    table via localCheckpoint — Spark jobs run at call time, and the
+    blocks stay in executor storage until the returned frames are
+    garbage collected. A long-lived session that retrains repeatedly
+    should drop references to the old model dict (or call
+    ``release_backoff_lm``) so the superseded blocks free up."""
     # ONE corpus pass for all three orders: every gram is emitted from
     # a single explode tagged with its order, counted in one shuffle
     # keyed (order, gram), and the counts MATERIALIZED once. The
@@ -168,7 +175,30 @@ def train_backoff_lm(df: DataFrame, text_col: str = "text",
     tri = (counts.filter(F.col("__o") == 3).select("g", "c")
            .filter(F.col("c") >= min_count))
     total = uni.agg(F.sum("c").alias("n_tokens"))
-    return {"uni": uni, "bi": bi, "tri": tri, "total": total}
+    # "_counts" carries the checkpointed table itself so
+    # release_backoff_lm can free its blocks deterministically;
+    # consumers only read the named order keys
+    return {"uni": uni, "bi": bi, "tri": tri, "total": total,
+            "_counts": counts}
+
+
+def release_backoff_lm(model: dict[str, DataFrame]) -> None:
+    """Free the checkpointed count blocks behind a trained model
+    (ADVICE r12): long-lived sessions that retrain repeatedly would
+    otherwise hold every superseded model's executor storage until
+    Python GC happens to collect the frames. Safe to call once the
+    model is no longer scored against; the dict must not be used
+    afterwards."""
+    counts = model.get("_counts")
+    if counts is None:
+        return  # model trained by pre-r13 code: GC frees it
+    try:
+        # the analyzed plan of a checkpointed frame IS the LogicalRDD
+        # holding the materialized blocks (verified: storage-info
+        # cached-partition count drops to zero)
+        counts._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort; the ContextCleaner remains the backstop
 
 
 def backoff_score(df: DataFrame, model: dict[str, DataFrame] | None = None,

@@ -78,14 +78,19 @@ def _scd2_classified(
     payload_cols = [c for c in batch.columns]
 
     inc = batch.select(*payload_cols)
-    # one full-outer key join decides every row's fate
-    cur_k = current.alias("cur")
-    inc_k = inc.alias("inc")
+    # one full-outer key join decides every row's fate. Presence on
+    # each side is derived from a non-nullable marker column, NOT from
+    # keys[0].isNotNull() (ADVICE r12): the join is null-safe, so a
+    # row whose first key column is legitimately NULL joins its
+    # counterpart — the key-based test misread it as absent from both
+    # sides and silently dropped it from the merge.
+    cur_k = current.withColumn("__scd2_in_cur", F.lit(True)).alias("cur")
+    inc_k = inc.withColumn("__scd2_in_inc", F.lit(True)).alias("inc")
     cond = [F.col(f"cur.{k}").eqNullSafe(F.col(f"inc.{k}")) for k in keys]
     joined = cur_k.join(inc_k, cond, "full_outer")
 
-    in_cur = F.col(f"cur.{keys[0]}").isNotNull()
-    in_inc = F.col(f"inc.{keys[0]}").isNotNull()
+    in_cur = F.col("cur.__scd2_in_cur").isNotNull()
+    in_inc = F.col("inc.__scd2_in_inc").isNotNull()
     changed = F.lit(False)
     for c in check_cols:
         changed = changed | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"inc.{c}"))

@@ -59,6 +59,25 @@ def test_missing_key_stays_open_by_default(spark):
     assert len(u2) == 1 and u2[0].dbt_valid_to is None
 
 
+def test_null_key_rows_survive_the_merge(spark):
+    """ADVICE r12: the classification joins null-safely, so a row
+    whose key column is legitimately NULL must be tracked like any
+    other key — the old keys[0].isNotNull() presence test misread it
+    as absent from BOTH sides and silently dropped it."""
+    b1 = mk(spark, [(None, "Lagos", "Engineer"), ("u2", "Abuja", "Doctor")])
+    s1 = scd2_merge(None, b1, ["user_id"], ["state", "occupation"], T1)
+    b2 = mk(spark, [(None, "Kano", "Engineer"), ("u2", "Abuja", "Doctor")])
+    s2 = scd2_merge(s1, b2, ["user_id"], ["state", "occupation"], T2)
+    nk = sorted(s2.filter(F.col("user_id").isNull()).collect(),
+                key=lambda r: str(r.dbt_valid_from))
+    assert len(nk) == 2                       # closed v1 + open v2
+    assert str(nk[0].dbt_valid_to) == T2 and nk[0].state == "Lagos"
+    assert nk[1].dbt_valid_to is None and nk[1].state == "Kano"
+    # unchanged null-key batch: untouched, not re-opened
+    s3 = scd2_merge(s2, b2, ["user_id"], ["state", "occupation"], T3)
+    assert s3.filter(F.col("user_id").isNull()).count() == 2
+
+
 def test_hard_delete_closes_when_enabled(spark):
     b1 = mk(spark, [("u1", "Lagos", "Engineer"), ("u2", "Abuja", "Doctor")])
     s1 = scd2_merge(None, b1, ["user_id"], ["state", "occupation"], T1)
